@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+entry(spark)  — flagship z-score E2E pipeline (SURVEY.md §7.1) at sf0.001.
+queries()     — one (spark, sf_dir) -> DataFrame per implemented operator.
+oracle_sql()  — matching DuckDB SQL for the deterministic operators.
 
+All real logic lives in beymani_spark/; the registry
+(beymani_spark/plans/registry.py) keeps builder + oracle side-by-side.
+"""
 from __future__ import annotations
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from beymani_spark.plans import QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: seasonal z-score scoring + outlier counts on events."""
+    from beymani_spark.operators import post, profile, zscore
+    from beymani_spark.sources import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(
+        ev, ["event_type"], ["value"], cycle="weekDayOrWeekendOfWeek", ts="ts"
+    )
+    scored = zscore.zscore(
+        ev, stats, ["event_type"], ["value"], threshold=3.0,
+        cycle="weekDayOrWeekendOfWeek", ts="ts",
+    )
+    return post.outlier_counts(scored, ["event_type"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.builder for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs every registry query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (computes all columns, no
+driver collect) so the measured time is the full distributed plan.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from beymani_spark.plans import QUERIES
+    from beymani_spark.sources import get_spark
+
+    spark = get_spark("beymani-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up JVM + parquet footer reads outside the measured region
+    from beymani_spark.sources import load_table
+
+    load_table(spark, sf_dir, "events").write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        t0 = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Seasonal cycle-index helpers.
+
+The reference appends a (cycleType, cycleIndex) pair to the composite key via
+chombo's SeasonalAnalyzer (call site /root/reference/spark/src/main/scala/org/
+beymani/spark/dist/StatsBasedOutlierPredictor.scala:212-246; configs like
+``seasonal.cycle.type = weekDayOrWeekendOfWeek`` in resource/and.conf:6-9).
+Here each cycle type is a plain column expression, so seasonal keying is just
+one more grouping column and stays inside whole-stage codegen.
+
+Index conventions (ours, documented for oracle parity):
+  hourOfDay              0..23
+  dayOfWeek              0=Sunday .. 6=Saturday
+  weekDayOrWeekendOfWeek 0=weekday, 1=weekend (Sat/Sun)
+  hourOfWeek             dayOfWeek*24 + hourOfDay (0..167)
+  halfDayOfDay           0=[0,12), 1=[12,24)
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def cycle_index(ts: str | Column, cycle_type: str) -> Column:
+    c = _c(ts)
+    if cycle_type == "hourOfDay":
+        return F.hour(c)
+    if cycle_type == "dayOfWeek":
+        return F.dayofweek(c) - F.lit(1)
+    if cycle_type == "weekDayOrWeekendOfWeek":
+        return F.when(F.dayofweek(c).isin(1, 7), F.lit(1)).otherwise(F.lit(0))
+    if cycle_type == "hourOfWeek":
+        return (F.dayofweek(c) - F.lit(1)) * F.lit(24) + F.hour(c)
+    if cycle_type == "halfDayOfDay":
+        return F.when(F.hour(c) < 12, F.lit(0)).otherwise(F.lit(1))
+    raise ValueError(f"unknown cycle type: {cycle_type}")
+
+
+#: DuckDB SQL templates for each cycle type ({ts} is the timestamp column);
+#: used by oracle queries so both engines key identically.
+CYCLE_TYPES = {
+    "hourOfDay": "hour({ts})",
+    "dayOfWeek": "dayofweek({ts})",
+    "weekDayOrWeekendOfWeek": "(CASE WHEN dayofweek({ts}) IN (0, 6) THEN 1 ELSE 0 END)",
+    "hourOfWeek": "(dayofweek({ts}) * 24 + hour({ts}))",
+    "halfDayOfDay": "(CASE WHEN hour({ts}) < 12 THEN 0 ELSE 1 END)",
+}

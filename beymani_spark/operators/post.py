@@ -1,0 +1,160 @@
+"""Post-processing operators over tagged (score,label) outputs.
+
+Rebuilds of (SURVEY.md §2.1 #19, #22, #23, #24, #25):
+  outlier_counts        ≙ OutlierCounter (/root/reference/spark/src/main/scala/
+                          org/beymani/spark/common/OutlierCounter.scala:38-125)
+  remove_outliers /
+  only_outliers         ≙ OutlierUtility post-filters (/root/reference/spark/
+                          src/main/scala/org/beymani/spark/common/
+                          OutlierUtility.scala:45-82) — anti-join instead of
+                          RDD subtract
+  threshold_learner     ≙ ThresholdLearner (/root/reference/spark/.../common/
+                          ThresholdLearner.scala:38-159): decision-stump
+                          weighted-entropy search over candidate score splits
+  pseudo_relevance_threshold ≙ PseudoRelevanceThresholdFinder (/root/reference/
+                          spark/.../common/PseudoRelevanceThresholdFinder.scala:38-106)
+  score_level_shift     ≙ OutlierScoreLevelShift (/root/reference/spark/.../
+                          common/OutlierScoreLevelShift.scala:40-120): z of
+                          short-window mean vs long-window mean/std of score
+
+All are shuffle-minimal: one groupBy or one window pass; the threshold learner
+fans out candidate splits with ``explode`` so the whole search is a single
+aggregation (the reference does the same fan-out via flatMap, :69-96).
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def outlier_counts(df: DataFrame, keys: Sequence[str], label_col: str = "label") -> DataFrame:
+    """Per-key counts and percentages of O/N/I labels + total."""
+    lbl = F.col(label_col)
+    total = F.count("*").alias("total")
+    aggs = [total]
+    for tag, name in (("O", "outlier"), ("N", "normal"), ("I", "invalid")):
+        aggs.append(F.sum(F.when(lbl == tag, 1).otherwise(0)).alias(f"{name}_count"))
+    out = df.groupBy(*keys).agg(*aggs)
+    for name in ("outlier", "normal", "invalid"):
+        out = out.withColumn(
+            f"{name}_pct", F.col(f"{name}_count") * 100.0 / F.col("total")
+        )
+    return out
+
+
+def only_outliers(df: DataFrame, label_col: str = "label") -> DataFrame:
+    return df.filter(F.col(label_col) == "O")
+
+
+def remove_outliers(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """Clean dataset: original columns of non-outlier rows (replaces the
+    reference's cached-input ``subtract`` shuffle with a plain filter)."""
+    return df.filter(F.col(label_col) != "O").drop("score", label_col)
+
+
+def threshold_learner(
+    scored: DataFrame,
+    keys: Sequence[str],
+    class_col: str,
+    splits: Sequence[float],
+    score_col: str = "score",
+    criterion: str = "entropy",
+) -> DataFrame:
+    """Per-key weighted impurity of the binary partition at each candidate
+    split of the score column; lowest impurity = learned threshold.
+
+    Output: (keys..., split, weighted_impurity). One explode + one groupBy.
+    """
+    split_arr = F.array(*[F.lit(float(s)) for s in splits])
+    fan = scored.select(
+        *keys,
+        F.col(score_col).alias("_score"),
+        F.col(class_col).alias("_cls"),
+        F.explode(split_arr).alias("split"),
+    ).withColumn("side", F.when(F.col("_score") <= F.col("split"), "le").otherwise("gt"))
+    cnt = fan.groupBy(*keys, "split", "side", "_cls").agg(F.count("*").alias("n"))
+    side_tot = cnt.groupBy(*keys, "split", "side").agg(F.sum("n").alias("n_side"))
+    joined = cnt.join(side_tot, [*keys, "split", "side"])
+    p = F.col("n") / F.col("n_side")
+    if criterion == "entropy":
+        impurity_term = -p * F.log(p)
+    elif criterion == "gini":
+        impurity_term = p * (1 - p)
+    else:
+        raise ValueError(f"unknown criterion: {criterion}")
+    per_side = joined.groupBy(*keys, "split", "side").agg(
+        F.sum(impurity_term).alias("impurity"), F.first("n_side").alias("n_side")
+    )
+    return (
+        per_side.groupBy(*keys, "split")
+        .agg(
+            (F.sum(F.col("impurity") * F.col("n_side")) / F.sum("n_side")).alias(
+                "weighted_impurity"
+            )
+        )
+    )
+
+
+def pseudo_relevance_threshold(
+    scored: DataFrame,
+    keys: Sequence[str],
+    top_fraction: float = 0.05,
+    min_count: int = 20,
+    default_threshold: float | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-key threshold = score at the top-``top_fraction`` quantile (exact
+    percentile of the score distribution); keys with fewer than ``min_count``
+    rows fall back to ``default_threshold`` (reference behavior :62-86)."""
+    q = 1.0 - top_fraction
+    out = scored.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.percentile(score_col, F.lit(q)).alias("_thr"),
+    )
+    thr = F.when(F.col("n") >= min_count, F.col("_thr"))
+    if default_threshold is not None:
+        thr = F.coalesce(thr, F.lit(float(default_threshold)))
+    return out.select(*keys, F.col("n"), thr.alias("threshold"))
+
+
+def score_level_shift(
+    scored: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    short_window: int = 5,
+    long_window: int = 50,
+    z_threshold: float = 2.0,
+    score_col: str = "score",
+) -> DataFrame:
+    """z = (mean(score) over short trailing window − mean over long trailing
+    window) / stddev over long trailing window; rows with z > threshold are
+    re-tagged ``O`` and the tag is spread back across the short window
+    (reference :78-105) via a forward-looking window max."""
+    ws = (
+        Window.partitionBy(*keys)
+        .orderBy(ts)
+        .rowsBetween(-(short_window - 1), 0)
+    )
+    wl = (
+        Window.partitionBy(*keys)
+        .orderBy(ts)
+        .rowsBetween(-(long_window - 1), 0)
+    )
+    wfwd = (
+        Window.partitionBy(*keys)
+        .orderBy(ts)
+        .rowsBetween(0, short_window - 1)
+    )
+    z = (F.avg(score_col).over(ws) - F.avg(score_col).over(wl)) / F.stddev_samp(
+        score_col
+    ).over(wl)
+    out = scored.withColumn("shift_z", z).withColumn(
+        "_shift_here", F.when(F.col("shift_z") > z_threshold, 1).otherwise(0)
+    )
+    out = out.withColumn(
+        "shift_label",
+        F.when(F.max("_shift_here").over(wfwd) == 1, F.lit("O")).otherwise(F.lit("N")),
+    )
+    return out.drop("_shift_here")

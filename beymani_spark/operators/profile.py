@@ -1,0 +1,130 @@
+"""Model/profile builders: the chombo model-builder jobs every reference
+pipeline depends on (SURVEY.md §2.4), rebuilt as single groupBy aggregations.
+
+- numerical_stats  ≙ org.chombo.spark.explore.NumericalAttrStats
+  (invoked by resource/and_spark.sh:45; consumers read mean/stddev from the
+  stats file, /root/reference/src/main/java/org/beymani/predictor/
+  ZscorePredictor.java:95-98)
+- median_mad       ≙ NumericalAttrMedian op med/mad (resource/ecomm.sh:28-37)
+- temporal_aggregate ≙ TemporalAggregator (resource/and.conf:61-74)
+- auto_correlation ≙ AutoCorrelation (resource/and.conf:76-88)
+
+All builders emit LONG format: one row per (keys..., [cycle_index], attr) so a
+single model DataFrame covers many attributes and broadcast-joins back onto
+scoring input — replacing the reference's driver-side model files.
+
+Scale notes: one shuffle each (groupBy with map-side partial aggregation);
+median/MAD uses exact ``percentile`` (two passes) for oracle parity — swap to
+``percentile_approx`` at very high key cardinality if needed.
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.seasonal import cycle_index
+
+
+def _explode_attrs(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    cycle: str | None = None,
+    ts: str | None = None,
+    extra: Sequence[str] = (),
+) -> DataFrame:
+    """(keys..., [cycle_index], attr, value) long form for multi-attr builders."""
+    cols = [F.col(k) for k in keys]
+    names = list(keys)
+    if cycle is not None:
+        if ts is None:
+            raise ValueError("cycle requires ts column")
+        cols.append(cycle_index(ts, cycle).alias("cycle_index"))
+        names.append("cycle_index")
+    pairs = F.array(
+        *[
+            F.struct(F.lit(v).alias("attr"), F.col(v).cast("double").alias("value"))
+            for v in values
+        ]
+    )
+    sel = cols + [F.col(e) for e in extra] + [F.explode(pairs).alias("p")]
+    return df.select(*sel).select(*names, *extra, "p.attr", "p.value")
+
+
+def numerical_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    cycle: str | None = None,
+    ts: str | None = None,
+) -> DataFrame:
+    """Per (keys,[cycle],attr): count/sum/sumSq/mean/stddev(sample)/min/max."""
+    long = _explode_attrs(df, keys, values, cycle, ts)
+    group = [c for c in long.columns if c not in ("attr", "value")] + ["attr"]
+    return long.groupBy(*group).agg(
+        F.count("value").alias("cnt"),
+        F.sum("value").alias("sum"),
+        F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
+        F.avg("value").alias("mean"),
+        F.stddev_samp("value").alias("std"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+    )
+
+
+def median_mad(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    cycle: str | None = None,
+    ts: str | None = None,
+) -> DataFrame:
+    """Per (keys,[cycle],attr): exact median and MAD (median of |x - median|)."""
+    long = _explode_attrs(df, keys, values, cycle, ts)
+    group = [c for c in long.columns if c not in ("attr", "value")] + ["attr"]
+    med = long.groupBy(*group).agg(F.percentile("value", F.lit(0.5)).alias("median"))
+    return (
+        long.join(med, group)
+        .withColumn("absdev", F.abs(F.col("value") - F.col("median")))
+        .groupBy(*group, "median")
+        .agg(F.percentile("absdev", F.lit(0.5)).alias("mad"))
+    )
+
+
+def temporal_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    window: str = "1 hour",
+    agg: str = "avg",
+) -> DataFrame:
+    """Tumbling-window aggregate of a metric per key (≙ TemporalAggregator)."""
+    agg_fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[agg]
+    w = F.window(F.col(ts), window)
+    return (
+        df.groupBy(*keys, w.alias("w"))
+        .agg(agg_fn(F.col(value)).alias(f"{agg}_{value}"))
+        .select(*keys, F.col("w.start").alias("window_start"), f"{agg}_{value}")
+    )
+
+
+def auto_correlation(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    lags: Sequence[int] = (1,),
+) -> DataFrame:
+    """Per-key autocorrelation at configured lags (≙ chombo AutoCorrelation).
+
+    corr(x_t, x_{t-L}) over the seq-ordered series; one window pass builds all
+    lag columns, one aggregation computes all correlations.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts)
+    cols = [F.lag(value, lag).over(w).alias(f"_lag{lag}") for lag in lags]
+    lagged = df.select(*keys, F.col(value), *cols)
+    aggs = [F.corr(F.col(value), F.col(f"_lag{lag}")).alias(f"acf_{lag}") for lag in lags]
+    return lagged.groupBy(*keys).agg(*aggs)

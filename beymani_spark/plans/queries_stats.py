@@ -1,0 +1,373 @@
+"""Registry entries: stats/profile family (SURVEY.md §2.2 K1-K3/K8, §2.4
+builders, §2.1 #19 #22 #23 #24) on the ``events`` table.
+
+Key/value convention for events: key = event_type, ts = ts, value = value.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import post, profile, zscore
+from ..sources import load_table
+from .registry import register
+
+R = 6  # rounding digits for float parity with the oracle
+
+
+def _round(df: DataFrame, cols: list[str]) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.round(F.col(c).cast("double"), R))
+    return out
+
+
+# ---------------------------------------------------------------- builders
+
+_STATS_ORACLE = """
+SELECT event_type, 'value' AS attr, count(value) AS cnt,
+       round(sum(value), 6) AS sum, round(sum(value*value), 6) AS sum_sq,
+       round(avg(value), 6) AS mean, round(stddev_samp(value), 6) AS std,
+       round(min(value), 6) AS min, round(max(value), 6) AS max
+FROM events GROUP BY event_type
+"""
+
+
+@register("numerical_stats", _STATS_ORACLE)
+def q_numerical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = profile.numerical_stats(ev, ["event_type"], ["value"])
+    return _round(out, ["sum", "sum_sq", "mean", "std", "min", "max"])
+
+
+_MEDIAN_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, 'value' AS attr,
+       round(any_value(m.median), 6) AS median,
+       round(quantile_cont(abs(e.value - m.median), 0.5), 6) AS mad
+FROM events e JOIN med m USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("median_mad", _MEDIAN_MAD_ORACLE)
+def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = profile.median_mad(ev, ["event_type"], ["value"])
+    return _round(out, ["median", "mad"])
+
+
+_QUARTILES_ORACLE = """
+SELECT event_type, 'value' AS attr,
+       round(quantile_cont(value, 0.25), 6) AS q1,
+       round(quantile_cont(value, 0.75), 6) AS q3,
+       round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
+FROM events GROUP BY event_type
+"""
+
+
+@register("quartiles", _QUARTILES_ORACLE)
+def q_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = zscore.quartiles(ev, ["event_type"], ["value"])
+    return _round(out, ["q1", "q3", "iqr"])
+
+
+# ---------------------------------------------------------------- scoring K1-K3/K8
+
+_ZSCORE_CTE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         CASE WHEN s.std > 0 THEN abs(e.value - s.mean) / s.std END AS raw
+  FROM events e LEFT JOIN stats s USING (event_type)
+)
+"""
+
+_ZSCORE_ORACLE = _ZSCORE_CTE + """
+SELECT event_id, event_type, value, round(raw, 6) AS score,
+       CASE WHEN raw IS NULL THEN 'I' WHEN raw > 3.0 THEN 'O' ELSE 'N' END AS label
+FROM scored
+"""
+
+
+@register("zscore", _ZSCORE_ORACLE)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    out = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+    return _round(out.select("event_id", "event_type", "value", "score", "label"), ["score"])
+
+
+_ZSCORE_SEASONAL_ORACLE = """
+WITH keyed AS (
+  SELECT *, (CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS cycle_index
+  FROM events
+), stats AS (
+  SELECT event_type, cycle_index, avg(value) AS mean, stddev_samp(value) AS std
+  FROM keyed GROUP BY event_type, cycle_index
+)
+SELECT e.event_id, e.event_type, e.cycle_index, e.value,
+       round(CASE WHEN s.std > 0 THEN abs(e.value - s.mean) / s.std END, 6) AS score,
+       CASE WHEN s.std IS NULL OR s.std <= 0 THEN 'I'
+            WHEN abs(e.value - s.mean) / s.std > 3.0 THEN 'O' ELSE 'N' END AS label
+FROM keyed e LEFT JOIN stats s USING (event_type, cycle_index)
+"""
+
+
+@register("zscore_seasonal", _ZSCORE_SEASONAL_ORACLE)
+def q_zscore_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(
+        ev, ["event_type"], ["value"], cycle="weekDayOrWeekendOfWeek", ts="ts"
+    )
+    out = zscore.zscore(
+        ev, stats, ["event_type"], ["value"], threshold=3.0,
+        cycle="weekDayOrWeekendOfWeek", ts="ts",
+    )
+    return _round(
+        out.select("event_id", "event_type", "cycle_index", "value", "score", "label"),
+        ["score"],
+    )
+
+
+_ROBUST_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, any_value(m.median) AS median,
+         quantile_cont(abs(e.value - m.median), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+), scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         CASE WHEN d.mad > 0 THEN abs(e.value - d.median) / d.mad END AS raw
+  FROM events e LEFT JOIN mad d USING (event_type)
+)
+SELECT event_id, event_type, value, round(raw, 6) AS score,
+       CASE WHEN raw IS NULL THEN 'I' WHEN raw > 3.5 THEN 'O' ELSE 'N' END AS label
+FROM scored
+"""
+
+
+@register("robust_zscore", _ROBUST_ORACLE)
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    model = profile.median_mad(ev, ["event_type"], ["value"])
+    out = zscore.robust_zscore(ev, model, ["event_type"], ["value"], threshold=3.5)
+    return _round(out.select("event_id", "event_type", "value", "score", "label"), ["score"])
+
+
+_EXTREME_ORACLE = _ZSCORE_CTE.replace(
+    "abs(e.value - s.mean) / s.std",
+    "exp(-exp(-abs(e.value - s.mean) / s.std))",
+) + """
+SELECT event_id, event_type, value, round(raw, 6) AS score,
+       CASE WHEN raw IS NULL THEN 'I' WHEN raw > 0.9 THEN 'O' ELSE 'N' END AS label
+FROM scored
+"""
+
+
+@register("extreme_value", _EXTREME_ORACLE)
+def q_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    out = zscore.extreme_value(ev, stats, ["event_type"], ["value"], threshold=0.9)
+    return _round(out.select("event_id", "event_type", "value", "score", "label"), ["score"])
+
+
+_IQR_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3,
+         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         CASE WHEN q.iqr IS NULL OR q.iqr <= 0 THEN NULL
+              WHEN e.value < q.q1 THEN (q.q1 - e.value) / q.iqr
+              WHEN e.value > q.q3 THEN (e.value - q.q3) / q.iqr
+              ELSE 0.0 END AS raw
+  FROM events e LEFT JOIN q USING (event_type)
+)
+SELECT event_id, event_type, value, round(raw, 6) AS score,
+       CASE WHEN raw IS NULL THEN 'I' WHEN raw > 1.5 THEN 'O' ELSE 'N' END AS label
+FROM scored
+"""
+
+
+@register("iqr_score", _IQR_ORACLE)
+def q_iqr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    model = zscore.quartiles(ev, ["event_type"], ["value"])
+    out = zscore.iqr_score(ev, model, ["event_type"], ["value"], threshold=1.5)
+    return _round(out.select("event_id", "event_type", "value", "score", "label"), ["score"])
+
+
+# ---------------------------------------------------------------- post ops
+
+_COUNTER_ORACLE = _ZSCORE_CTE + """
+, tagged AS (
+  SELECT event_type,
+         CASE WHEN raw IS NULL THEN 'I' WHEN raw > 3.0 THEN 'O' ELSE 'N' END AS label
+  FROM scored
+)
+SELECT event_type, count(*) AS total,
+       sum(CASE WHEN label = 'O' THEN 1 ELSE 0 END)::BIGINT AS outlier_count,
+       sum(CASE WHEN label = 'N' THEN 1 ELSE 0 END)::BIGINT AS normal_count,
+       sum(CASE WHEN label = 'I' THEN 1 ELSE 0 END)::BIGINT AS invalid_count,
+       round(sum(CASE WHEN label = 'O' THEN 1 ELSE 0 END) * 100.0 / count(*), 6) AS outlier_pct,
+       round(sum(CASE WHEN label = 'N' THEN 1 ELSE 0 END) * 100.0 / count(*), 6) AS normal_pct,
+       round(sum(CASE WHEN label = 'I' THEN 1 ELSE 0 END) * 100.0 / count(*), 6) AS invalid_pct
+FROM tagged GROUP BY event_type
+"""
+
+
+@register("outlier_counts", _COUNTER_ORACLE)
+def q_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+    out = post.outlier_counts(scored, ["event_type"])
+    return _round(out, ["outlier_pct", "normal_pct", "invalid_pct"])
+
+
+_PSEUDO_REL_ORACLE = _ZSCORE_CTE + """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(raw, 0.95), 6) AS threshold
+FROM scored GROUP BY event_type
+"""
+
+
+@register("pseudo_relevance_threshold", _PSEUDO_REL_ORACLE)
+def q_pseudo_relevance_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+    out = post.pseudo_relevance_threshold(scored, ["event_type"], top_fraction=0.05, min_count=20)
+    return _round(out, ["threshold"])
+
+
+_THRESHOLD_LEARNER_SPLITS = [0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
+
+_THRESHOLD_LEARNER_ORACLE = _ZSCORE_CTE + """
+, cls AS (
+  SELECT event_type, raw AS score,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS cls
+  FROM scored WHERE raw IS NOT NULL
+), fan AS (
+  SELECT event_type, score, cls, split,
+         CASE WHEN score <= split THEN 'le' ELSE 'gt' END AS side
+  FROM cls CROSS JOIN (SELECT unnest([0.5, 1.0, 1.5, 2.0, 2.5, 3.0]) AS split) sp
+), cnt AS (
+  SELECT event_type, split, side, cls, count(*) AS n
+  FROM fan GROUP BY event_type, split, side, cls
+), side_tot AS (
+  SELECT event_type, split, side, sum(n) AS n_side
+  FROM cnt GROUP BY event_type, split, side
+), imp AS (
+  SELECT c.event_type, c.split, c.side,
+         sum(-(c.n * 1.0 / s.n_side) * ln(c.n * 1.0 / s.n_side)) AS impurity,
+         any_value(s.n_side) AS n_side
+  FROM cnt c JOIN side_tot s USING (event_type, split, side)
+  GROUP BY c.event_type, c.split, c.side
+)
+SELECT event_type, split,
+       round(sum(impurity * n_side) / sum(n_side), 6) AS weighted_impurity
+FROM imp GROUP BY event_type, split
+"""
+
+
+@register("threshold_learner", _THRESHOLD_LEARNER_ORACLE)
+def q_threshold_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = (
+        zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+        .filter(F.col("score").isNotNull())
+        .withColumn("cls", F.when(F.col("value") > 50, 1).otherwise(0))
+    )
+    out = post.threshold_learner(
+        scored, ["event_type"], "cls", _THRESHOLD_LEARNER_SPLITS
+    )
+    return _round(out, ["split", "weighted_impurity"])
+
+
+# ---------------------------------------------------------------- temporal
+
+_TEMPORAL_ORACLE = """
+SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS window_start_epoch,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+@register("temporal_aggregate", _TEMPORAL_ORACLE)
+def q_temporal_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = profile.temporal_aggregate(ev, ["event_type"], "ts", "value", "1 hour", "avg")
+    out = out.select(
+        "event_type",
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        F.col("avg_value"),
+    )
+    return _round(out, ["avg_value"])
+
+
+_AUTOCORR_ORACLE = """
+WITH lagged AS (
+  SELECT event_type, value,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lag1,
+         lag(value, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lag2
+  FROM events
+)
+SELECT event_type, round(corr(value, lag1), 6) AS acf_1, round(corr(value, lag2), 6) AS acf_2
+FROM lagged GROUP BY event_type
+"""
+
+
+@register("auto_correlation", _AUTOCORR_ORACLE)
+def q_auto_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = profile.auto_correlation(ev, ["event_type"], "ts", "value", lags=(1, 2))
+    return _round(out, ["acf_1", "acf_2"])
+
+
+_LEVEL_SHIFT_ORACLE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT e.event_id, e.event_type, e.ts,
+         CASE WHEN s.std > 0 THEN abs(e.value - s.mean) / s.std END AS score
+  FROM events e LEFT JOIN stats s USING (event_type)
+), z AS (
+  SELECT event_id, event_type, ts,
+         (avg(score) OVER ws - avg(score) OVER wl) / stddev_samp(score) OVER wl AS shift_z
+  FROM scored
+  WINDOW ws AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         wl AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, round(shift_z, 6) AS shift_z,
+       CASE WHEN max(CASE WHEN shift_z > 2.0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY event_type ORDER BY ts
+                    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1
+            THEN 'O' ELSE 'N' END AS shift_label
+FROM z
+"""
+
+
+@register("score_level_shift", _LEVEL_SHIFT_ORACLE)
+def q_score_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+    out = post.score_level_shift(
+        scored, ["event_type"], "ts", short_window=5, long_window=50, z_threshold=2.0
+    )
+    return _round(out.select("event_id", "event_type", "shift_z", "shift_label"), ["shift_z"])

@@ -1,0 +1,39 @@
+"""Query registry: every implemented operator exposed as a (Spark builder,
+DuckDB oracle SQL) pair for the driver's correctness harness.
+
+Conventions (driver contract, see __spark_entry__.py):
+- builder(spark, sf_dir) -> DataFrame; oracle is ANSI SQL over pre-registered
+  views of the same parquet tables.
+- Column names match exactly on both sides; every computed double is rounded
+  to 6 decimals on both sides so order-of-summation float noise doesn't break
+  the value hash.
+- Session timezone is pinned to UTC (sources.tables.utc_session) so datetime
+  functions agree with DuckDB's naive-UTC timestamps.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, "Query"] = {}
+
+
+@dataclass
+class Query:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = Query(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+# importing the modules populates QUERIES
+from . import queries_stats  # noqa: E402,F401

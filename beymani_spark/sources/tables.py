@@ -1,0 +1,86 @@
+"""Table sources.
+
+The reference reads delimited text via ``sparkContext.textFile``
+(/root/reference/spark/src/main/scala/org/beymani/spark/dist/
+StatsBasedOutlierPredictor.scala:202); we read typed parquet (or csv) into
+DataFrames so Catalyst gets schemas, column pruning, and predicate pushdown.
+"""
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def get_spark(app: str = "beymani-spark", shuffle_partitions: int = 32) -> SparkSession:
+    """Local session for tests/bench. The driver may hand us its own session;
+    callers that receive one should use it as-is (plus ``utc_session``)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return utc_session(active)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    spark = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    return spark
+
+
+def utc_session(spark: SparkSession) -> SparkSession:
+    # Pin the session timezone so hour()/dayofweek() on parquet timestamps
+    # agree with DuckDB's naive-UTC interpretation in oracle comparisons.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver fixture tables (TESTDATA.md).
+
+    The fixtures store TIMESTAMP(NANOS) which Spark's parquet reader rejects;
+    we read nanos as long (legacy conf) and rebuild proper timestamp columns
+    (microsecond truncation — the fixtures are microsecond-spaced, lossless).
+    """
+    utc_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col_name in _nano_ts_columns(path):
+        df = df.withColumn(
+            col_name,
+            F.timestamp_micros((F.col(col_name) / F.lit(1000)).cast("long")),
+        )
+    return df
+
+
+@lru_cache(maxsize=256)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    )
