@@ -7,8 +7,11 @@ ZscorePredictor.java:195-197) and ``MathUtils.logisticScale``
 InRangeBasedPredictor.scala:94). chombo is not vendored, so we define the
 normalizations precisely here (both map [0,inf) -> [0,1), monotone):
 
-  exp_scale(k, x)      = 1 - exp(-k*x)
-  logistic_scale(k, x) = 2 / (1 + exp(-k*x)) - 1
+  exp_scale(k, x)      = 1 - exp(-k*x)          (x >= 0 -> [0,1))
+  logistic_scale(k, x) = 1 / (1 + exp(-k*x))    (sigmoid over R -> (0,1);
+                          the range predictors rely on negative deltas
+                          mapping below 0.5, see OutRangeBasedPredictor.scala
+                          delta/logisticScale usage at :110-117)
 """
 from __future__ import annotations
 
@@ -21,9 +24,9 @@ def exp_scale(k: float, score: Column) -> Column:
 
 
 def logistic_scale(k: float, score: Column) -> Column:
-    return F.lit(2.0) / (F.lit(1.0) + F.exp(-F.lit(float(k)) * score)) - F.lit(1.0)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(float(k)) * score))
 
 
 # DuckDB-side templates (same formulas) for oracle parity.
 EXP_SCALE_SQL = "(1.0 - exp(-({k}) * ({x})))"
-LOGISTIC_SCALE_SQL = "(2.0 / (1.0 + exp(-({k}) * ({x}))) - 1.0)"
+LOGISTIC_SCALE_SQL = "(1.0 / (1.0 + exp(-({k}) * ({x}))))"

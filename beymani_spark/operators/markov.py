@@ -1,0 +1,104 @@
+"""Markov-chain sequence family (SURVEY.md §2.1 #3, §2.4 transition builder).
+
+transition_model ≙ avenir MarkovStateTransitionModel (pipeline usage
+/root/reference/resource/real_time_fraud_prediction_tutorial.txt:44-56): lag
+pairs per entity -> (prev,cur) counts -> row-normalized probabilities. One
+window pass + one aggregation; the model is tiny (|states|²) and broadcast.
+
+markov_score ≙ MarkovChainPredictor (/root/reference/spark/src/main/scala/org/
+beymani/spark/seq/MarkovChainPredictor.scala:90-135) with the four metrics of
+MarkovModelPredictor.java:
+  conditionalProbability  -ln p(cur|prev)                      (:471-482)
+  missProbability         Σ_{j≠cur} p(j|prev) = 1 - p(cur|prev) (:399-417)
+  missRate                1 if cur != argmax_j p(j|prev)        (:424-431)
+  entropyReduction        H(prev without cur) / H(prev)         (:437-462)
+averaged over a trailing window of transitions per key — the reference's
+hand-rolled groupByKey+sort+scan becomes Window.partitionBy(keys).orderBy(ts)
+.rowsBetween(-(w-1), 0), which sorts/spills instead of materializing key groups.
+
+The reference tags the whole window 'O' when the windowed metric crosses the
+threshold (:124-131); we expose the per-row windowed score plus label.
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scores import tag_label
+
+METRICS = ("conditionalProbability", "missProbability", "missRate", "entropyReduction")
+
+
+def transition_model(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    state: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Row-stochastic transition matrix pooled over all keys:
+    (prev_state, cur_state, cnt, prob)."""
+    w = Window.partitionBy(*keys).orderBy(ts, *order_cols)
+    pairs = (
+        df.select(*keys, F.col(state).alias("cur_state"), F.lag(state).over(w).alias("prev_state"))
+        .filter(F.col("prev_state").isNotNull())
+    )
+    cnt = pairs.groupBy("prev_state", "cur_state").agg(F.count("*").alias("cnt"))
+    wp = Window.partitionBy("prev_state")
+    return cnt.withColumn("prob", F.col("cnt") / F.sum("cnt").over(wp))
+
+
+def enrich_model(model: DataFrame) -> DataFrame:
+    """Add per-row argmax flag and per-prev-state entropy to a transition model."""
+    wp = Window.partitionBy("prev_state")
+    wr = wp.orderBy(F.col("prob").desc(), F.col("cur_state").asc())
+    return (
+        model.withColumn("is_max", (F.row_number().over(wr) == 1).cast("int"))
+        .withColumn("row_entropy", F.sum(-F.col("prob") * F.log("prob")).over(wp))
+    )
+
+
+def markov_score(
+    df: DataFrame,
+    model: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    state: str,
+    metric: str = "conditionalProbability",
+    window: int = 5,
+    threshold: float = 2.0,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-row windowed Markov anomaly score over keyed state sequences.
+
+    Rows without a previous state (first per key) are dropped, matching the
+    reference's window scan which emits from the second element on.
+    """
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric: {metric}")
+    wseq = Window.partitionBy(*keys).orderBy(ts, *order_cols)
+    seq = (
+        df.withColumn("prev_state", F.lag(state).over(wseq))
+        .filter(F.col("prev_state").isNotNull())
+        .withColumnRenamed(state, "cur_state")
+    )
+    m = enrich_model(model)
+    joined = seq.join(
+        F.broadcast(m.select("prev_state", "cur_state", "prob", "is_max", "row_entropy")),
+        ["prev_state", "cur_state"],
+        "left",
+    )
+    if metric == "conditionalProbability":
+        t = F.when(F.col("prob") > 0, -F.log("prob"))
+    elif metric == "missProbability":
+        t = F.lit(1.0) - F.col("prob")
+    elif metric == "missRate":
+        t = F.when(F.col("is_max") == 1, F.lit(0.0)).otherwise(F.lit(1.0))
+    else:  # entropyReduction
+        t = (F.col("row_entropy") + F.col("prob") * F.log("prob")) / F.col("row_entropy")
+    wtrail = Window.partitionBy(*keys).orderBy(ts, *order_cols).rowsBetween(-(window - 1), 0)
+    out = joined.withColumn("_t", t).withColumn("score", F.avg("_t").over(wtrail))
+    out = out.withColumn("label", tag_label(F.col("score"), threshold))
+    return out.drop("_t", "prob", "is_max", "row_entropy")

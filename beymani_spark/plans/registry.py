@@ -37,3 +37,5 @@ def register(name: str, oracle: str | None = None):
 
 # importing the modules populates QUERIES
 from . import queries_stats  # noqa: E402,F401
+from . import queries_histogram  # noqa: E402,F401
+from . import queries_markov  # noqa: E402,F401
