@@ -1,0 +1,245 @@
+"""Registry entries: text analysis, dedup, and similarity search on the
+documents/embeddings tables (north-star operators)."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..sources import load_table
+from .queries_stats import _round
+from .registry import register
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+"""
+
+
+@register("token_count", _TOKEN_COUNT_ORACLE)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_count(docs).select("doc_id", "n_tokens")
+
+
+_FEATURES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+)
+SELECT doc_id, len(toks) AS n_tokens,
+       round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6) AS avg_token_len,
+       round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
+       round(len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks), 6) AS stopword_ratio,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio
+FROM t
+"""
+
+
+@register("text_features", _FEATURES_ORACLE)
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.text_features(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio",
+        "type_token_ratio",
+    )
+    return _round(out, ["avg_token_len", "punct_ratio", "stopword_ratio", "type_token_ratio"])
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+), f AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+  FROM t
+)
+SELECT doc_id,
+       round(0.25 * least(1.0, n_tokens / 50.0)
+           + 0.25 * (1.0 - least(1.0, punct_ratio * 4.0))
+           + 0.25 * least(1.0, stopword_ratio * 5.0)
+           + 0.25 * type_token_ratio, 6) AS quality
+FROM f
+"""
+
+
+@register("quality_score", _QUALITY_ORACLE)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _round(text.quality_score(docs).select("doc_id", "quality"), ["quality"])
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = text.LANG_MARKERS[lang]
+    return f"len(list_filter(toks, x -> list_contains({markers!r}, x)))"
+
+
+_LANG_ID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKS_SQL.replace("trim(text)", "trim(lower(text))")} AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         {_lang_hits_sql("en")} AS h_en, {_lang_hits_sql("es")} AS h_es,
+         {_lang_hits_sql("de")} AS h_de, {_lang_hits_sql("fr")} AS h_fr,
+         {_lang_hits_sql("zh")} AS h_zh
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+            WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+            WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de'
+            WHEN h_fr >= h_zh THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+FROM h
+"""
+
+
+@register("lang_id", _LANG_ID_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs).select("doc_id", "lang", "pred_lang")
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), c AS (
+  SELECT doc_id,
+         list_transform(toks, x -> (31 * length(x) + unicode(x)) % {text.FP_TOKEN_MOD}) AS codes
+  FROM t
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, codes::BIGINT[]),
+                   (acc, c) -> (acc * {text.FP_MULT} + c) % {text.FP_MOD}) AS fingerprint
+FROM c
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+_EXACT_DUP_ORACLE = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents
+), c AS (
+  SELECT content_hash, count(*) AS dup_count FROM h GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, c.dup_count FROM h JOIN c USING (content_hash)
+"""
+
+
+@register("dedup_exact", _EXACT_DUP_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "doc_id")
+
+
+_SHINGLE_SQL = """
+list_distinct(CASE WHEN len(toks) >= 3
+  THEN list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+  ELSE [] END)
+"""
+
+_JACCARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s, (len(toks) // 20)::BIGINT AS band FROM t
+)
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+"""
+
+
+@register("dedup_jaccard", _JACCARD_ORACLE)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.jaccard_pairs(docs, "doc_id", n=3, band_width=20, min_jaccard=0.5)
+    return _round(out, ["jaccard"])
+
+
+# MinHash-LSH and SimHash use Spark xxhash64 (not reproducible in DuckDB):
+# registered without oracle -> driver records rows-only checks.
+@register("dedup_minhash_lsh", None)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5
+    )
+    return _round(out, ["jaccard"])
+
+
+@register("dedup_simhash", None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_dup_pairs(docs, "doc_id", bits=16, max_hamming=3)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+_COSINE_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, vec FROM v WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.vec", b="v.vec")} AS cosine
+  FROM q JOIN v ON q.query_id <> v.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS knn_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, knn_rank
+FROM ranked WHERE knn_rank <= 5
+"""
+
+
+@register("cosine_topk", _COSINE_TOPK_ORACLE)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    return _round(out, ["cosine"])
+
+
+_COSINE_DUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+)
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       round({_COS_SQL.format(a="a.vec", b="b.vec")}, 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.vec", b="b.vec")} >= 0.4
+"""
+
+
+@register("cosine_dup_pairs", _COSINE_DUP_ORACLE)
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return _round(out, ["cosine"])
+
+
+@register("ann_lsh_topk", None)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=4)
+    return _round(out, ["cosine"])

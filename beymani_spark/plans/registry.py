@@ -39,3 +39,5 @@ def register(name: str, oracle: str | None = None):
 from . import queries_stats  # noqa: E402,F401
 from . import queries_histogram  # noqa: E402,F401
 from . import queries_markov  # noqa: E402,F401
+from . import queries_knn  # noqa: E402,F401
+from . import queries_text  # noqa: E402,F401
