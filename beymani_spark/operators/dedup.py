@@ -58,25 +58,69 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity for doc pairs in the same token-length
     band: (src, dst, jaccard). Blocking: floor(n_tokens/band_width) equality —
     near-dups have near-equal lengths, so recall loss is at band boundaries
-    only (documented approximation, identical on the oracle side)."""
-    base = df.select(
+    only (documented approximation, identical on the oracle side).
+
+    Count-based explode-join: |A∩B| from an equi-join on (band, shingle) with
+    partial-aggregated counts; join volume is Σ_shingle freq². Everything is
+    row-based and codegen (see exploded_shingles); the shingle table is
+    persisted because three plan branches consume it."""
+    sh = exploded_shingles(df, id_col, text_col, n)
+    bands = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), n).alias("_sh"),
         (F.size(tokens(F.col(text_col))) / F.lit(band_width)).cast("long").alias("_band"),
     )
-    a = base.select(
-        F.col("_id").alias("src"), F.col("_sh").alias("_sa"), F.col("_band").alias("_band")
+    ex = sh.join(bands, "_id").persist()
+    sizes = ex.groupBy("_id", "_band").agg(F.count("*").alias("_n"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("src"), F.col("b._id").alias("dst"))
+        .agg(F.count("*").alias("_inter"))
     )
-    b = base.select(
-        F.col("_id").alias("dst"), F.col("_sh").alias("_sb"), F.col("_band").alias("_band")
+    return (
+        inter.join(
+            sizes.select(F.col("_id").alias("src"), F.col("_n").alias("_na")), "src"
+        )
+        .join(
+            sizes.select(F.col("_id").alias("dst"), F.col("_n").alias("_nb")), "dst"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("src", "dst", "jaccard")
     )
-    pairs = a.join(b, "_band").filter(F.col("src") < F.col("dst"))
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size(F.array_distinct(F.concat("_sa", "_sb")))
-    out = pairs.withColumn("jaccard", inter / union).filter(
-        F.col("jaccard") >= min_jaccard
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(_id, sh) — one row per distinct shingle per doc.
+
+    Row-based n-gram assembly: posexplode the tokens once (the generator
+    evaluates the split a single time per row, unlike array expressions whose
+    token subexpression gets re-inlined into every element access), then
+    stitch n-grams with lead() windows — every step whole-stage codegen.
+    The repartition spreads work when the source has few input splits and
+    doubles as the window's partitioning exchange."""
+    from pyspark.sql import Window
+
+    tok = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
     )
-    return out.select("src", "dst", "jaccard")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
+    sh = tok.select(
+        "_id",
+        F.concat_ws(" ", *parts).alias("sh"),
+        F.lead("_tok", n - 1).over(w).isNotNull().alias("_full"),
+    )
+    return sh.filter("_full").drop("_full").distinct()
 
 
 def minhash_signatures(
@@ -86,17 +130,14 @@ def minhash_signatures(
     num_hashes: int = 16,
     n: int = 3,
 ) -> DataFrame:
-    """k minhashes per doc: minhash_i = min over shingles of xxhash64(sh, i)."""
-    sh = shingles(F.col(text_col), n)
+    """k minhashes per doc: minhash_i = min over shingles of xxhash64(sh, i).
 
-    def _mh(seed):
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    cols = [
-        F.array_min(F.transform(sh, _mh(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return df.select(F.col(id_col).alias("_id"), *cols)
+    One explode + one partial-aggregated groupBy — k codegen'd hash/min
+    aggregates in a single pass."""
+    ex = exploded_shingles(df, id_col, text_col, n)
+    return ex.groupBy("_id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -133,16 +174,22 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("src"), F.col("b._id").alias("dst"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+    sh = exploded_shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    inter = (
+        cand.join(sh.select(F.col("_id").alias("src"), "sh"), "src")
+        .join(sh.select(F.col("_id").alias("dst"), "sh"), ["dst", "sh"])
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("_inter"))
     )
     verified = (
-        cand.join(sh.select(F.col("_id").alias("src"), F.col("_sh").alias("_sa")), "src")
-        .join(sh.select(F.col("_id").alias("dst"), F.col("_sh").alias("_sb")), "dst")
+        cand.join(inter, ["src", "dst"], "left")
+        .join(sizes.select(F.col("_id").alias("src"), F.col("_n").alias("_na")), "src")
+        .join(sizes.select(F.col("_id").alias("dst"), F.col("_n").alias("_nb")), "dst")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("_sa", "_sb"))
-            / F.size(F.array_distinct(F.concat("_sa", "_sb"))),
+            F.coalesce(F.col("_inter"), F.lit(0))
+            / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_inter"), F.lit(0))),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
@@ -152,19 +199,22 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash sketch: bit b of the sketch is the sign of Σ_tokens ±1 where
     the sign is bit b of xxhash64(token)."""
-    t = F.array_distinct(tokens(F.col(text_col)))
-    hashes = F.transform(t, lambda x: F.xxhash64(x))
-    def _bit_sum(b):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_sums = [F.aggregate(hashes, F.lit(0), _bit_sum(b)) for b in range(bits)]
+    ex = df.select(
+        F.col(id_col).alias("_sid"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_bit_{b}")
+        for b in range(bits)
+    ]
+    sums = ex.groupBy("_sid").agg(*bit_aggs)
     sketch = None
-    for b, s in enumerate(bit_sums):
-        term = F.when(s > 0, F.lit(2**b)).otherwise(F.lit(0))
+    for b in range(bits):
+        term = F.when(F.col(f"_bit_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sketch = term if sketch is None else sketch + term
-    return df.select(F.col(id_col), sketch.cast("long").alias("simhash"))
+    return sums.select(F.col("_sid").alias(id_col), sketch.cast("long").alias("simhash"))
 
 
 def simhash_dup_pairs(

@@ -1,0 +1,352 @@
+"""Multivariate detectors (SURVEY.md §2.2 K9, §2.1 #12-#14, #16, #17).
+
+  mahalanobis_* ≙ MahalanobisDistancePredictor (/root/reference/src/main/java/
+      org/beymani/predictor/MahalanobisDistancePredictor.java:78-105):
+      score = (x-μ)ᵀ Σ⁻¹ (x-μ) from keyed mean vector + covariance. The model
+      is one aggregation (avg + covar_samp per pair); the 2-attr path inverts
+      Σ in closed form so scoring stays a pure column expression; higher
+      dimensions invert per-key with numpy on the (tiny) model DataFrame.
+  pca_score ≙ PrincipalComponentPredictor (/root/reference/spark/src/main/
+      scala/org/beymani/spark/pc/PrincipalComponentPredictor.scala:42-112):
+      reconstruction error ‖x - x̂‖ after projecting on the top-k principal
+      components — per-key SVD inside applyInPandas (subspace is
+      deterministic; reconstruction error is sign-invariant).
+  kmeans_* ≙ ClusterBasedPredictor (/root/reference/spark/.../cluster/
+      ClusterBasedPredictor.scala:45-130): distance to nearest large-enough
+      centroid; small clusters fall through to the nearest large cluster.
+      Seeded per-key Lloyd iterations in applyInPandas (centroid model is a
+      DataFrame, broadcast back for scoring).
+  isolation_forest_* ≙ IsolationForestModel/Predictor (/root/reference/spark/
+      .../multi/IsolationForestModel.scala:39-233, IsolationForestPredictor
+      .scala:37-174): per-key forest fit on bootstrap subsamples; scoring
+      score = 2^(-avgPathLen / c(subsample)). The reference grows trees with
+      one shuffle per depth level and scores via a cartesian product; here
+      each key's forest fits in-memory inside one applyInPandas pass
+      (subsample <= a few hundred rows by design) and scoring joins the
+      serialized model per key via cogroup — no cartesian, no per-depth
+      shuffles, and an explicit seed replaces the reference's Math.random()
+      (IsolationForestModel.scala:203) for reproducibility.
+"""
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..functions.scores import tag_label
+
+
+# ---------------------------------------------------------------- Mahalanobis
+
+def mahalanobis_model(df: DataFrame, keys: Sequence[str], values: Sequence[str]) -> DataFrame:
+    """Per-key mean vector + sample covariance matrix (wide columns)."""
+    aggs = []
+    for v in values:
+        aggs.append(F.avg(v).alias(f"mean_{v}"))
+    for i, a in enumerate(values):
+        for b in values[i:]:
+            aggs.append(F.covar_samp(F.col(a), F.col(b)).alias(f"cov_{a}_{b}"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def mahalanobis_score(
+    df: DataFrame,
+    model: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    threshold: float = 9.0,
+) -> DataFrame:
+    """Squared Mahalanobis distance. d==2 uses the closed-form inverse as a
+    column expression; d>2 inverts per key with numpy (model stays tiny)."""
+    if len(values) == 2:
+        va, vb = values
+        joined = df.join(F.broadcast(model), list(keys), "left")
+        a = F.col(f"cov_{va}_{va}")
+        b = F.col(f"cov_{vb}_{vb}")
+        c = F.col(f"cov_{va}_{vb}")
+        det = a * b - c * c
+        dx = F.col(va) - F.col(f"mean_{va}")
+        dy = F.col(vb) - F.col(f"mean_{vb}")
+        score = F.when(
+            F.abs(det) > 0, (b * dx * dx - 2 * c * dx * dy + a * dy * dy) / det
+        )
+        out = joined.withColumn("score", score)
+        drop = [f"mean_{v}" for v in values] + [
+            f"cov_{x}_{y}" for i, x in enumerate(values) for y in values[i:]
+        ]
+        return out.withColumn("label", tag_label(F.col("score"), threshold)).drop(*drop)
+
+    d = len(values)
+
+    def invert(pdf: pd.DataFrame) -> pd.DataFrame:
+        cov = np.zeros((d, d))
+        for i, a_ in enumerate(values):
+            for j_, b_ in enumerate(values):
+                lo, hi = (a_, b_) if i <= j_ else (b_, a_)
+                cov[i, j_] = pdf[f"cov_{lo}_{hi}"].iloc[0]
+        inv = np.linalg.pinv(cov)
+        row = {k: pdf[k].iloc[0] for k in pdf.columns}
+        for i in range(d):
+            for j_ in range(d):
+                row[f"inv_{i}_{j_}"] = float(inv[i, j_])
+        return pd.DataFrame([row])
+
+    inv_fields = ", ".join(f"inv_{i}_{j} double" for i in range(d) for j in range(d))
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in model.schema)
+    enriched = model.groupBy(*keys).applyInPandas(invert, schema=f"{schema}, {inv_fields}")
+    joined = df.join(F.broadcast(enriched), list(keys), "left")
+    score = None
+    for i, a_ in enumerate(values):
+        for j_, b_ in enumerate(values):
+            term = (
+                F.col(f"inv_{i}_{j_}")
+                * (F.col(a_) - F.col(f"mean_{a_}"))
+                * (F.col(b_) - F.col(f"mean_{b_}"))
+            )
+            score = term if score is None else score + term
+    out = joined.withColumn("score", score)
+    drop = (
+        [f"mean_{v}" for v in values]
+        + [f"cov_{x}_{y}" for i, x in enumerate(values) for y in values[i:]]
+        + [f"inv_{i}_{j}" for i in range(d) for j in range(d)]
+    )
+    return out.withColumn("label", tag_label(F.col("score"), threshold)).drop(*drop)
+
+
+# ---------------------------------------------------------------- PCA
+
+def pca_score(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    n_components: int = 1,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key PCA reconstruction-error score via applyInPandas + numpy SVD.
+
+    Memory bound: one key group per Arrow batch — bounded by the largest key,
+    like every applyInPandas operator here; chunk upstream for giant keys.
+    """
+    out_schema = StructType(
+        [f for f in df.schema if f.name in set(df.columns)]
+    ).add("score", "double").add("label", "string")
+    k = n_components
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[list(values)].to_numpy(dtype=float)
+        mu = x.mean(axis=0)
+        xc = x - mu
+        if len(pdf) <= k:
+            err = np.zeros(len(pdf))
+        else:
+            # right singular vectors = principal axes; deterministic subspace
+            _, _, vt = np.linalg.svd(xc, full_matrices=False)
+            basis = vt[:k]
+            proj = xc @ basis.T @ basis
+            err = np.sqrt(((xc - proj) ** 2).sum(axis=1))
+        res = pdf.copy()
+        res["score"] = err
+        res["label"] = np.where(err > threshold, "O", "N")
+        return res
+
+    return df.groupBy(*keys).applyInPandas(score_group, schema=out_schema)
+
+
+# ---------------------------------------------------------------- KMeans cluster
+
+def kmeans_model(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    n_clusters: int = 4,
+    iterations: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded per-key Lloyd k-means; returns (keys..., cluster_id, size,
+    centroid components)."""
+    d = len(values)
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[list(values)].to_numpy(dtype=float)
+        rng = np.random.RandomState(seed)
+        kk = min(n_clusters, len(x))
+        centers = x[rng.choice(len(x), size=kk, replace=False)]
+        for _ in range(iterations):
+            dist = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(kk):
+                pts = x[assign == c]
+                if len(pts):
+                    centers[c] = pts.mean(axis=0)
+        dist = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = dist.argmin(axis=1)
+        rows = []
+        for c in range(kk):
+            row = {k_: v_ for k_, v_ in zip(keys, key)}
+            row["cluster_id"] = c
+            row["size"] = int((assign == c).sum())
+            for j, v_ in enumerate(values):
+                row[f"centroid_{v_}"] = float(centers[c, j])
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
+    )
+    cent = ", ".join(f"centroid_{v} double" for v in values)
+    return df.groupBy(*keys).applyInPandas(
+        fit, schema=f"{key_schema}, cluster_id int, size long, {cent}"
+    )
+
+
+def kmeans_score(
+    df: DataFrame,
+    model: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    min_cluster_fraction: float = 0.05,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Distance to the nearest *large* centroid (small clusters are anomaly
+    pockets, cf. ClusterBasedPredictor.scala:88-103)."""
+    total = model.groupBy(*keys).agg(F.sum("size").alias("_total"))
+    large = (
+        model.join(total, list(keys))
+        .filter(F.col("size") >= F.col("_total") * min_cluster_fraction)
+    )
+    joined = df.join(F.broadcast(large), list(keys))
+    dist = None
+    for v in values:
+        term = (F.col(v) - F.col(f"centroid_{v}")) ** 2
+        dist = term if dist is None else dist + term
+    per_row = joined.withColumn("_dist", F.sqrt(dist))
+    agg = per_row.groupBy(*df.columns).agg(F.min("_dist").alias("score"))
+    return agg.withColumn("label", tag_label(F.col("score"), threshold))
+
+
+# ---------------------------------------------------------------- Isolation forest
+
+def _c_factor(n: int) -> float:
+    """Average unsuccessful-search path length c(n) in a BST
+    (IsolationForestPredictor.scala:171-174)."""
+    if n <= 1:
+        return 1.0
+    h = math.log(n - 1) + 0.5772156649
+    return 2.0 * h - 2.0 * (n - 1) / n
+
+
+def _grow_tree(x: np.ndarray, rng: np.random.RandomState, max_depth: int) -> dict:
+    if len(x) <= 1 or max_depth <= 0:
+        return {"n": int(len(x))}
+    attr = int(rng.randint(x.shape[1]))
+    lo, hi = x[:, attr].min(), x[:, attr].max()
+    if lo == hi:
+        return {"n": int(len(x))}
+    split = float(rng.uniform(lo, hi))
+    mask = x[:, attr] < split
+    return {
+        "a": attr,
+        "s": split,
+        "l": _grow_tree(x[mask], rng, max_depth - 1),
+        "r": _grow_tree(x[~mask], rng, max_depth - 1),
+    }
+
+
+def _path_len_vec(tree: dict, x: np.ndarray) -> np.ndarray:
+    """Vectorized path lengths for all rows of x through one tree (iterative
+    mask traversal — no per-row recursion)."""
+    out = np.zeros(len(x))
+    stack = [(tree, np.arange(len(x)), 0)]
+    while stack:
+        node, idx, depth = stack.pop()
+        if len(idx) == 0:
+            continue
+        if "a" not in node:
+            out[idx] = depth + _c_factor(node.get("n", 1))
+            continue
+        mask = x[idx, node["a"]] < node["s"]
+        stack.append((node["l"], idx[mask], depth + 1))
+        stack.append((node["r"], idx[~mask], depth + 1))
+    return out
+
+
+def isolation_forest_fit(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    num_trees: int = 100,
+    subsample: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-key isolation forest; model = (keys..., tree_id, tree_json).
+
+    Each key's forest is fit in one applyInPandas pass over a bounded
+    bootstrap subsample — replaces the reference's per-depth-shuffle loop."""
+    max_depth = int(math.ceil(math.log2(max(subsample, 2))))
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[list(values)].to_numpy(dtype=float)
+        rng = np.random.RandomState(seed)
+        rows = []
+        for t in range(num_trees):
+            idx = rng.choice(len(x), size=min(subsample, len(x)), replace=False)
+            tree = _grow_tree(x[idx], rng, max_depth)
+            row = {k_: v_ for k_, v_ in zip(keys, key)}
+            row["tree_id"] = t
+            row["tree_json"] = json.dumps(tree)
+            row["sample_n"] = int(len(idx))
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
+    )
+    return df.groupBy(*keys).applyInPandas(
+        fit, schema=f"{key_schema}, tree_id int, tree_json string, sample_n long"
+    )
+
+
+def isolation_forest_score(
+    df: DataFrame,
+    model: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    threshold: float = 0.6,
+) -> DataFrame:
+    """score = 2^(-avg path length / c(sample_n)); cogroup joins each key's
+    forest with its rows — broadcast-free, cartesian-free."""
+    out_schema = StructType(
+        [f for f in df.schema if f.name in set(df.columns)]
+    ).add("score", "double").add("label", "string")
+
+    def score_group(data: pd.DataFrame, mdl: pd.DataFrame) -> pd.DataFrame:
+        if len(data) == 0:
+            return pd.DataFrame(columns=[*data.columns, "score", "label"])
+        res = data.copy()
+        if len(mdl) == 0:
+            res["score"] = None
+            res["label"] = "I"
+            return res
+        trees = [json.loads(t) for t in mdl["tree_json"]]
+        cn = _c_factor(int(mdl["sample_n"].iloc[0]))
+        x = data[list(values)].to_numpy(dtype=float)
+        paths = np.zeros(len(x))
+        for tree in trees:
+            paths += _path_len_vec(tree, x)
+        avg_path = paths / len(trees)
+        score = np.power(2.0, -avg_path / cn)
+        res["score"] = score
+        res["label"] = np.where(score > threshold, "O", "N")
+        return res
+
+    return (
+        df.groupBy(*keys)
+        .cogroup(model.groupBy(*keys))
+        .applyInPandas(score_group, schema=out_schema)
+    )

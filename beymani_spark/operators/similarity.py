@@ -58,17 +58,39 @@ def cosine_topk(
 def cosine_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding near-dup)."""
-    base = with_norm(df, vec_col).select(
-        F.col(id_col).alias("_id"), "_vec", "_norm"
-    )
-    a = base.select(F.col("_id").alias("src"), F.col("_vec").alias("_va"), F.col("_norm").alias("_na"))
-    b = base.select(F.col("_id").alias("dst"), F.col("_vec").alias("_vb"), F.col("_norm").alias("_nb"))
-    pairs = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
-    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    return pairs.withColumn("cosine", cos).filter(F.col("cosine") >= threshold).select(
-        "src", "dst", "cosine"
-    )
+    """All pairs with cosine >= threshold (embedding near-dup).
+
+    Vectorized like knn.pair_distances_np: reference matrix broadcast, each
+    partition computes its rows against it with numpy; only the (sparse)
+    above-threshold pairs are emitted."""
+    import numpy as np
+    import pandas as pd
+
+    ref = df.select(id_col, vec_col).toPandas()
+    ref_ids = ref[id_col].to_numpy()
+    ref_mat = np.array([np.asarray(v, dtype=float) for v in ref[vec_col]])
+    bc = df.sparkSession.sparkContext.broadcast((ref_ids, ref_mat))
+
+    def gen(batches):
+        ids, mat = bc.value
+        norms = np.sqrt((mat**2).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            src_ids = pdf[id_col].to_numpy()
+            src = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            for i in range(len(src)):
+                # mirror the SQL formula term-for-term: dot / (norm_a * norm_b)
+                dots = (src[i] * mat).sum(axis=1)
+                na = np.sqrt((src[i] ** 2).sum())
+                cos = dots / (na * norms)
+                mask = (ids > src_ids[i]) & (cos >= threshold)
+                if mask.any():
+                    yield pd.DataFrame(
+                        {"src": src_ids[i], "dst": ids[mask], "cosine": cos[mask]}
+                    )
+
+    return df.mapInPandas(gen, "src long, dst long, cosine double")
 
 
 def ann_lsh_topk(

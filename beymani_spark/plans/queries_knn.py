@@ -30,7 +30,7 @@ WITH v AS (
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn.pair_distances(emb, "vec_id", "embedding")
+    return knn.pair_distances_np(emb, "vec_id", "embedding")
 
 
 _AVG_DIST_ORACLE = _PAIRS_CTE + """

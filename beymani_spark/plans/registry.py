@@ -41,3 +41,4 @@ from . import queries_histogram  # noqa: E402,F401
 from . import queries_markov  # noqa: E402,F401
 from . import queries_knn  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
+from . import queries_multivariate  # noqa: E402,F401
