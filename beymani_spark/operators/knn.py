@@ -184,6 +184,21 @@ def relative_density(
     )
 
 
+def neighbor_density(
+    pairs: DataFrame, k: int, keys: Sequence[str] = (), scale: float = 1000.0
+) -> DataFrame:
+    """M5 NeighborDensity (/root/reference/src/main/java/org/beymani/
+    proximity/NeighborDensity.java:40-130): each entity's density joined onto
+    its neighbor-group membership rows -> (keys..., src, dst, dst_density).
+    The reference does this with a map-side file tag + secondary sort; here a
+    plain equi-join."""
+    dens = average_distance(pairs, k, keys, scale).select(
+        *keys, F.col("src").alias("dst"), F.col("density").alias("dst_density")
+    )
+    nn = knn(pairs, k, keys).select(*keys, "src", "dst")
+    return nn.join(dens, [*keys, "dst"])
+
+
 def lof(pairs: DataFrame, k: int, keys: Sequence[str] = ()) -> DataFrame:
     """Local Outlier Factor from a pair-distance set.
 

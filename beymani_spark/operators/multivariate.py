@@ -312,6 +312,26 @@ def isolation_forest_fit(
     )
 
 
+def isolation_forest_merge(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    num_trees: int = 100,
+    subsample: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """#14 IsolationForestMerge (/root/reference/spark/src/main/scala/org/
+    beymani/spark/multi/IsolationForestMerge.scala:35-203): incremental
+    retraining hook. The reference merges stored per-tree samples with new
+    records; since our fit is a single bounded pass per key, the idiomatic
+    equivalent is union + refit — same model contract, one job."""
+    return isolation_forest_fit(
+        df_old.select(*keys, *values).unionByName(df_new.select(*keys, *values)),
+        keys, values, num_trees, subsample, seed,
+    )
+
+
 def isolation_forest_score(
     df: DataFrame,
     model: DataFrame,

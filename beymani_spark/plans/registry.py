@@ -42,3 +42,4 @@ from . import queries_markov  # noqa: E402,F401
 from . import queries_knn  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_multivariate  # noqa: E402,F401
+from . import queries_drift  # noqa: E402,F401

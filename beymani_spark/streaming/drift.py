@@ -1,0 +1,201 @@
+"""Concept-drift detectors (SURVEY.md §2.5), batch form: per-key
+applyInPandas over seq-ordered 0/1 error streams, emitting the reference's
+per-row diagnostics + drift flag. State in/out is explicit (a dict of
+counters), mirroring the reference's save/restore files so the same kernels
+drive the Structured Streaming wrappers.
+
+Reference: /root/reference/python/lib/sucodr.py —
+  ddm   :59-89   (Gama DDM: error rate + binomial sd vs running minimum)
+  eddm  :115-161 (distance-between-errors running stats vs max)
+  fhddm :186-219 (sliding-window accuracy vs max, Hoeffding bound). The
+                 reference's bound sqrt(0.5*ln(2/δ)*w) exceeds 1 for all
+                 realistic (δ, w) so it can never fire; we use the standard
+                 FHDDM bound sqrt(ln(1/δ)/(2w)) and document the deviation.
+  lp    :235-262 (signed prediction-disagreement rate)
+  ecdd  :281-310 (EWMA chart with dynamic control limit)
+  aggregateDrift/anyDrift/allDrift :335-361 (consensus across detectors)
+"""
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ddm_scan(values: np.ndarray, threshold: float = 3.0, warmup: int = 30, state: dict | None = None):
+    """DDM over a 0/1 error array -> (DataFrame cols dict, end state)."""
+    st = dict(state or {})
+    count = st.get("count", 0)
+    ecount = st.get("ecount", 0)
+    pr_min = st.get("pr_min")
+    sd_min = st.get("sd_min")
+    n = len(values)
+    pr_out = np.full(n, np.nan)
+    sd_out = np.full(n, np.nan)
+    drift = np.zeros(n, dtype=int)
+    start = 0
+    if pr_min is None:
+        w = min(warmup, n)
+        for i in range(w):
+            ecount += int(values[i] == 1)
+            count += 1
+        pr_min = ecount / count if count else 0.0
+        sd_min = math.sqrt(pr_min * (1 - pr_min) / count) if count else 0.0
+        start = w
+    for i in range(start, n):
+        ecount += int(values[i] == 1)
+        count += 1
+        pr = ecount / count
+        sd = math.sqrt(pr * (1 - pr) / count)
+        pr_out[i] = pr
+        sd_out[i] = sd
+        drift[i] = 1 if (pr + sd) > (pr_min + threshold * sd_min) else 0
+        if (pr + sd) < (pr_min + sd_min):
+            pr_min, sd_min = pr, sd
+    end = {"count": count, "ecount": ecount, "pr_min": pr_min, "sd_min": sd_min}
+    return {"pr": pr_out, "sd": sd_out, "drift": drift}, end
+
+
+def eddm_scan(values: np.ndarray, threshold: float = 0.9, warmup: int = 30, state: dict | None = None):
+    """EDDM: running mean/sd of distance-between-errors vs historical max."""
+    st = dict(state or {})
+    cnt = st.get("count", 0)
+    s1 = st.get("sum", 0.0)
+    s2 = st.get("sum_sq", 0.0)
+    last_er = st.get("last_er")
+    mean_max = st.get("mean_max")
+    sd_max = st.get("sd_max")
+    max_lim = (mean_max + 2.0 * sd_max) if mean_max is not None else 0.0
+    n = len(values)
+    cur_out = np.full(n, np.nan)
+    drift = np.zeros(n, dtype=int)
+    pdr = 0
+    pos0 = st.get("pos", 0)
+    for i in range(n):
+        pos = pos0 + i
+        if values[i] == 1:
+            if last_er is not None:
+                dist = pos - last_er
+                cnt += 1
+                s1 += dist
+                s2 += dist * dist
+                if cnt >= 2:
+                    mean = s1 / cnt
+                    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+                    sd = math.sqrt(var) if var > 0 else 0.0
+                    cur = mean + 2.0 * sd
+                    if cur > max_lim:
+                        mean_max, sd_max, max_lim = mean, sd, cur
+                    if max_lim > 0 and pos >= warmup:
+                        pdr = 1 if (cur / max_lim) < threshold else 0
+                    cur_out[i] = cur
+            last_er = pos
+        drift[i] = pdr
+    end = {
+        "count": cnt, "sum": s1, "sum_sq": s2, "last_er": last_er,
+        "mean_max": mean_max, "sd_max": sd_max, "pos": pos0 + n,
+    }
+    return {"cur": cur_out, "drift": drift}, end
+
+
+def fhddm_scan(values: np.ndarray, conf_level: float = 0.000001, win_size: int = 100, state: dict | None = None):
+    """FHDDM: sliding accuracy window vs max accuracy, Hoeffding bound
+    sqrt(ln(1/δ)/(2w)) (standard form; see module docstring)."""
+    st = dict(state or {})
+    max_acc = st.get("max_acc")
+    n = len(values)
+    thr = math.sqrt(math.log(1.0 / conf_level) / (2.0 * win_size))
+    acc_out = np.full(n, np.nan)
+    drift = np.zeros(n, dtype=int)
+    if n < win_size:
+        return {"acc": acc_out, "drift": drift}, st
+    acc_count = int((values[:win_size] == 0).sum())
+    for i in range(win_size, n):
+        if values[i - win_size] == 0:
+            acc_count -= 1
+        if values[i] == 0:
+            acc_count += 1
+        acc = acc_count / win_size
+        if max_acc is None or acc > max_acc:
+            max_acc = acc
+        acc_out[i] = acc
+        drift[i] = 1 if (max_acc - acc) > thr else 0
+    return {"acc": acc_out, "drift": drift}, {"max_acc": max_acc}
+
+
+def ecdd_scan(values: np.ndarray, threshold: float = 3.0, expf: float = 0.2, warmup: int = 30, state: dict | None = None):
+    """ECDD: EWMA chart z vs pr + L*sd_z (reference ecddStep :300-310)."""
+    st = dict(state or {})
+    count = st.get("count", 0)
+    pr = st.get("pr", 0.0)
+    z = st.get("z", 0.0)
+    n = len(values)
+    z_out = np.full(n, np.nan)
+    drift = np.zeros(n, dtype=int)
+    e = 1.0 - expf
+    for i in range(n):
+        t = count + 1
+        pr = (count * pr) / t + values[i] / t
+        sd = pr * (1.0 - pr)
+        sdz = math.sqrt(sd * expf * (1.0 - e ** (2 * count)) / (2.0 - expf))
+        z = e * z + expf * values[i]
+        count = t
+        z_out[i] = z
+        if count > warmup:
+            drift[i] = 1 if z > pr + threshold * sdz else 0
+    return {"z": z_out, "drift": drift}, {"count": count, "pr": pr, "z": z}
+
+
+_SCANS = {"ddm": ddm_scan, "eddm": eddm_scan, "fhddm": fhddm_scan, "ecdd": ecdd_scan}
+
+
+def drift_detect(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    error_col: str,
+    detector: str = "ddm",
+    **params,
+) -> DataFrame:
+    """Per-key drift scan; output adds the detector's diagnostic columns."""
+    if detector not in _SCANS:
+        raise ValueError(f"unknown detector: {detector}")
+    scan = _SCANS[detector]
+    diag_cols = {"ddm": ["pr", "sd"], "eddm": ["cur"], "fhddm": ["acc"], "ecdd": ["z"]}[
+        detector
+    ]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        vals = pdf[error_col].to_numpy()
+        out_cols, _ = scan(vals, **params)
+        res = pdf.copy()
+        for c in diag_cols:
+            res[c] = out_cols[c]
+        res["drift"] = out_cols["drift"]
+        return res
+
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema]
+        + [f"{c} double" for c in diag_cols]
+        + ["drift int"]
+    )
+    return df.groupBy(*keys).applyInPandas(kernel, schema=schema)
+
+
+def consensus_drift(
+    df: DataFrame, drift_cols: Sequence[str], consensus: int | str = 1
+) -> DataFrame:
+    """aggregateDrift/anyDrift/allDrift: combine detector flags per row."""
+    total = sum((F.col(c) for c in drift_cols), F.lit(0))
+    if consensus == "any":
+        consensus = 1
+    elif consensus == "all":
+        consensus = len(drift_cols)
+    return df.withColumn(
+        "drift_consensus", (total >= F.lit(int(consensus))).cast("int")
+    )

@@ -1,0 +1,152 @@
+"""Structured Streaming counterparts of the batch scorers (SURVEY.md §3.2).
+
+The reference's real-time path is a Storm topology: Redis spout ->
+fieldsGrouping by entity -> stateful predictor bolt -> Redis alert queue
+(/root/reference/src/main/java/org/beymani/predictor/OutlierPredictor.java:
+40-61). The Structured Streaming translation:
+
+  spout                 -> readStream (kafka/file/rate source)
+  fieldsGrouping(entity)-> state-store hash partitioning of groupBy(entity)
+  predictor bolt state  -> broadcast model join (stateless kernels) or
+                           applyInPandasWithState (windowed kernels)
+  alert queue           -> writeStream sink of filter(label == 'O')
+
+Watermark + late-data policy is a new capability — the reference has none.
+The scoring expressions are the *same* column expressions as the batch
+operators (stats join + tag), so batch/stream parity is by construction.
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from ..functions.scores import tag_label
+
+
+def stream_zscore(
+    stream_df: DataFrame,
+    stats: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Stateless streaming z-score: broadcast static stats model joined onto
+    the stream; identical formula to operators.zscore.zscore."""
+    from ..operators.zscore import zscore
+
+    return zscore(stream_df, stats, keys, values, threshold=threshold)
+
+
+def stream_temporal_aggregate(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate (≙ TemporalAggregator, plus the
+    late-data policy the reference lacks)."""
+    return (
+        stream_df.withWatermark(ts, watermark)
+        .groupBy(*keys, F.window(F.col(ts), window).alias("w"))
+        .agg(
+            F.avg(value).alias(f"avg_{value}"),
+            F.count("*").alias("cnt"),
+        )
+        .select(*keys, F.col("w.start").alias("window_start"), f"avg_{value}", "cnt")
+    )
+
+
+def alerts(scored: DataFrame, label_col: str = "label") -> DataFrame:
+    """Alert stream: outliers only (≙ the Redis out-queue filter,
+    ZscorePredictor.java:152-157)."""
+    return scored.filter(F.col(label_col) == "O")
+
+
+def stream_ewma_score(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    alpha: float = 0.2,
+    threshold: float = 3.0,
+    state_timeout_ms: int = 0,
+):
+    """Per-entity stateful scoring with applyInPandasWithState: keeps an EWMA
+    mean/variance per key (the reference's per-entity record buffer,
+    MarkovModelPredictor.java:286-310, generalized to a numeric stream) and
+    scores each arriving value as |x - ewma| / sqrt(ewvar).
+
+    Returns a function of (keys..., batch iterator, state) suitable for
+    ``stream.groupBy(*keys).applyInPandasWithState(...)``; use
+    ``apply_stream_ewma`` to wire it.
+    """
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in stream_df.schema if f.name in (*keys, ts, value)]
+        + ["score double", "label string"]
+    )
+    state_schema = "mean double, var double, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            mean, var, n = state.get
+        else:
+            mean, var, n = 0.0, 0.0, 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            for _, row in pdf.iterrows():
+                x = float(row[value])
+                if n > 0:
+                    sd = var**0.5
+                    score = abs(x - mean) / sd if sd > 0 else 0.0
+                else:
+                    score = 0.0
+                rows.append(
+                    {
+                        **{k: row[k] for k in keys},
+                        ts: row[ts],
+                        value: x,
+                        "score": score,
+                        "label": "O" if score > threshold else "N",
+                    }
+                )
+                if n == 0:
+                    mean, var, n = x, 0.0, 1
+                else:
+                    mean = (1 - alpha) * mean + alpha * x
+                    var = (1 - alpha) * var + alpha * (x - mean) ** 2
+                    n += 1
+        state.update((mean, var, n))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(rows)
+
+    return fn, out_schema, state_schema
+
+
+def apply_stream_ewma(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    alpha: float = 0.2,
+    threshold: float = 3.0,
+) -> DataFrame:
+    fn, out_schema, state_schema = stream_ewma_score(
+        stream_df, keys, ts, value, alpha, threshold
+    )
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

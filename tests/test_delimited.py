@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+
+from beymani_spark.sources.delimited import read_delimited, write_tagged
+
+
+def test_delimited_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="beymani_csv_")
+    out = tempfile.mkdtemp(prefix="beymani_out_")
+    try:
+        spark.createDataFrame(
+            [("s1", 100, 42.5), ("s2", 200, 7.25)], "server string, ts long, usage double"
+        ).select(F.concat_ws(",", "server", "ts", "usage").alias("value")).coalesce(
+            1
+        ).write.mode("overwrite").text(src)
+
+        df = read_delimited(spark, src, names=["server", "ts", "usage"])
+        assert df.columns == ["server", "ts", "usage"]
+        assert df.count() == 2
+
+        scored = df.withColumn("score", F.col("usage").cast("double") / 10).withColumn(
+            "label", F.lit("N")
+        )
+        write_tagged(scored, out, precision=3)
+        lines = []
+        for f in glob.glob(out + "/part-*"):
+            lines += open(f).read().splitlines()
+        assert sorted(lines) == ["s1,100,42.5,4.250,N", "s2,200,7.25,0.725,N"]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
