@@ -240,6 +240,49 @@ def est_cum_prob_score(
     )
 
 
+def entropy_increase_score(
+    df: DataFrame,
+    hist: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    width: float,
+    threshold: float = 0.01,
+) -> DataFrame:
+    """K11 EntropyIncreaseBasedPredictor (/root/reference/src/main/java/org/
+    beymani/predictor/EntropyIncreaseBasedPredictor.java:44-80), batch form:
+    score = relative entropy increase of the keyed distribution if the
+    record's bucket gained one more member.
+
+    With N = Σ counts, S = Σ cnt·ln(cnt): H = ln N − S/N and adding one
+    record to bucket b gives H'(b) = ln(N+1) − (S − cnt_b·ln cnt_b +
+    (cnt_b+1)·ln(cnt_b+1))/(N+1); score = (H' − H)/H. Unseen bucket:
+    cnt_b = 0. Pure aggregates + a broadcast bucket join."""
+    agg = hist.filter(F.col("attr") == value).groupBy(*keys).agg(
+        F.sum("cnt").alias("_N"),
+        F.sum(F.col("cnt") * F.log("cnt")).alias("_S"),
+    )
+    buckets = hist.filter(F.col("attr") == value).select(
+        *keys, "bucket", F.col("cnt").alias("_cnt_b")
+    )
+    out = (
+        df.withColumn("bucket", bucket_col(value, width))
+        .join(F.broadcast(buckets), [*keys, "bucket"], "left")
+        .join(F.broadcast(agg), list(keys), "left")
+        .withColumn("_cnt_b", F.coalesce(F.col("_cnt_b"), F.lit(0)))
+    )
+    n, s, cb = F.col("_N"), F.col("_S"), F.col("_cnt_b")
+    h = F.log(n) - s / n
+    s_new = s - F.when(cb > 0, cb * F.log(cb)).otherwise(F.lit(0.0)) + (cb + 1) * F.log(
+        cb + 1
+    )
+    h_new = F.log(n + 1) - s_new / (n + 1)
+    score = F.when(n.isNotNull() & (h > 0), (h_new - h) / h)
+    out = out.withColumn("score", score).withColumn(
+        "label", tag_label(F.col("score"), threshold)
+    )
+    return out.drop("_N", "_S", "_cnt_b")
+
+
 def sort_by_count(
     hist: DataFrame, keys: Sequence[str], ascending: bool = False, limit: int | None = None
 ) -> DataFrame:

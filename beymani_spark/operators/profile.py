@@ -93,6 +93,49 @@ def median_mad(
     )
 
 
+def discretize(
+    df: DataFrame,
+    value: str,
+    out_col: str = "state",
+    width: float | None = None,
+    quantiles: int | None = None,
+    keys: Sequence[str] = (),
+    labels: Sequence[str] | None = None,
+) -> DataFrame:
+    """≙ chombo DataTransformer discretizer (pipeline usage resource/bsm.sh,
+    resource/bsm.json:20-22 — Markov state extraction). Equal-width
+    (floor(v/width)) or per-key equal-probability (exact quantile bounds)
+    bins; ``labels`` maps bin index -> state symbol."""
+    if (width is None) == (quantiles is None):
+        raise ValueError("exactly one of width/quantiles required")
+    if width is not None:
+        idx = F.floor(F.col(value) / F.lit(float(width))).cast("int")
+        out = df.withColumn("_bin", idx)
+    else:
+        probs = [i / quantiles for i in range(1, quantiles)]
+        bounds = df.groupBy(*keys).agg(
+            *[
+                F.percentile(value, F.lit(p)).alias(f"_q{i}")
+                for i, p in enumerate(probs)
+            ]
+        )
+        out = df.join(F.broadcast(bounds), list(keys)) if keys else df.crossJoin(
+            F.broadcast(bounds)
+        )
+        idx = F.lit(0)
+        for i in range(len(probs)):
+            idx = idx + F.when(F.col(value) > F.col(f"_q{i}"), 1).otherwise(0)
+        out = out.withColumn("_bin", idx.cast("int")).drop(
+            *[f"_q{i}" for i in range(len(probs))]
+        )
+    if labels is not None:
+        mapping = F.array(*[F.lit(str(lab)) for lab in labels])
+        out = out.withColumn(out_col, F.get(mapping, F.col("_bin")))
+    else:
+        out = out.withColumn(out_col, F.col("_bin").cast("string"))
+    return out.drop("_bin")
+
+
 def temporal_aggregate(
     df: DataFrame,
     keys: Sequence[str],

@@ -192,6 +192,134 @@ def subsequence_distance(
     )
 
 
+def subsequence_distance_ref(
+    df: DataFrame,
+    ref_df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    window: int = 16,
+) -> DataFrame:
+    """Separate-reference-series discord mode (SubSequenceDistanceDetector
+    union/tag path, :79-84): each window of the test series is scored by its
+    min distance to any window of the reference series — cogroup joins the
+    two series per key."""
+
+    def kernel(data: pd.DataFrame, ref: pd.DataFrame) -> pd.DataFrame:
+        cols = [*keys, "offset", "start_ts", "discord_score"]
+        if len(data) == 0 or len(ref) < window:
+            return pd.DataFrame(columns=cols)
+        data = data.sort_values(ts).reset_index(drop=True)
+        ref = ref.sort_values(ts).reset_index(drop=True)
+        x = data[value].to_numpy(dtype=float)
+        r = ref[value].to_numpy(dtype=float)
+        n = len(x) - window + 1
+        if n <= 0:
+            return pd.DataFrame(columns=cols)
+        wx = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(x, window), dtype=np.float32
+        )
+        wr = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(r, window), dtype=np.float32
+        )
+        sqx = (wx.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+        sqr = (wr.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+        block = 2048
+        dmin = np.empty(n)
+        wr_t = wr.T.copy()
+        for b0 in range(0, n, block):
+            b1 = min(b0 + block, n)
+            d2 = sqx[b0:b1, None] + sqr[None, :] - 2.0 * (wx[b0:b1] @ wr_t)
+            dmin[b0:b1] = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+        key_cols = {k: data[k].iloc[0] for k in keys}
+        return pd.DataFrame(
+            {
+                **{k: [v] * n for k, v in key_cols.items()},
+                "offset": np.arange(n),
+                "start_ts": data[ts].iloc[:n].to_numpy(),
+                "discord_score": dmin,
+            }
+        )
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
+    )
+    ts_type = next(f.dataType.simpleString() for f in df.schema if f.name == ts)
+    return (
+        df.groupBy(*keys)
+        .cogroup(ref_df.groupBy(*keys))
+        .applyInPandas(
+            kernel,
+            schema=f"{key_schema}, offset long, start_ts {ts_type}, discord_score double",
+        )
+    )
+
+
+def ngram_frequency(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    n_bins: int = 10,
+    ngram: int = 2,
+    window: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """#4 NgramFrequencyPredictor (/root/reference/spark/src/main/scala/org/
+    beymani/spark/seq/NgramFrequencyPredictor.scala:87-195): values quantized
+    to equal-probability percentile bins; a sliding window maintains n-gram
+    counts; score = Σ (max-normalized window freq − reference freq)² where
+    the reference map is the max-normalized n-gram frequency of the full
+    per-key sequence. Rows before the window first fills receive the first
+    full-window score (reference backfill, :137-147)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        x = pdf[value].to_numpy(dtype=float)
+        n = len(x)
+        qs = np.quantile(x, np.linspace(0, 1, n_bins + 1)[1:-1])
+        syms = np.searchsorted(qs, x, side="right")
+        grams = [tuple(syms[i : i + ngram]) for i in range(n - ngram + 1)]
+        ref: dict = {}
+        for g in grams:
+            ref[g] = ref.get(g, 0) + 1
+        ref_max = max(ref.values()) if ref else 1
+        ref_norm = {g: c / ref_max for g, c in ref.items()}
+
+        scores = np.zeros(n)
+        if n >= window:
+            counts: dict = {}
+            first_score = None
+            for i in range(n):
+                if i >= ngram - 1:
+                    g = tuple(syms[i - ngram + 1 : i + 1])
+                    counts[g] = counts.get(g, 0) + 1
+                if i >= window:
+                    j = i - window
+                    if j >= ngram - 1:
+                        g_old = tuple(syms[j - ngram + 1 : j + 1])
+                        counts[g_old] -= 1
+                        if counts[g_old] == 0:
+                            del counts[g_old]
+                if i >= window - 1:
+                    mx = max(counts.values()) if counts else 1
+                    s = 0.0
+                    seen = set()
+                    for g, c in counts.items():
+                        s += (c / mx - ref_norm.get(g, 0.0)) ** 2
+                        seen.add(g)
+                    scores[i] = s
+                    if first_score is None:
+                        first_score = s
+                        scores[: window - 1] = s
+        out = pdf.copy()
+        out["ng_score"] = scores
+        out["label"] = np.where(scores > threshold, "O", "N")
+        return out
+
+    return _grouped(df, keys, kernel, "ng_score double, label string")
+
+
 def _ks_stat(a: np.ndarray, b: np.ndarray) -> float:
     """Two-sample Kolmogorov-Smirnov statistic (no scipy)."""
     all_v = np.sort(np.concatenate([a, b]))

@@ -102,6 +102,70 @@ def zscore(
     return _finish(joined, per_attr, weights, strategy, threshold, exp_const, drop)
 
 
+def apply_polarity(
+    scored: DataFrame,
+    stats: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    polarity: str = "both",
+    std_mult: float = 2.0,
+    cycle: str | None = None,
+    ts: str | None = None,
+    label_col: str = "label",
+) -> DataFrame:
+    """Polarity guard (StatsBasedOutlierPredictor.scala:436-470): an 'O' row
+    is demoted to 'N' unless the value lies on the configured side of
+    mean ± std_mult*σ (high / low / both). Missing stats keep the label."""
+    if polarity not in ("high", "low", "both"):
+        raise ValueError(f"unknown polarity: {polarity}")
+    if cycle is not None and "cycle_index" in scored.columns:
+        joined, extra = scored, ["cycle_index"]
+    else:
+        joined, extra = _with_cycle(scored, cycle, ts)
+    join_keys = list(keys) + extra
+    sub = stats.filter(F.col("attr") == value).select(
+        *join_keys, F.col("mean").alias("_pmean"), F.col("std").alias("_pstd")
+    )
+    out = joined.join(F.broadcast(sub), join_keys, "left")
+    hi = F.col("_pmean") + F.lit(float(std_mult)) * F.col("_pstd")
+    lo = F.col("_pmean") - F.lit(float(std_mult)) * F.col("_pstd")
+    v = F.col(value)
+    if polarity == "high":
+        demote = v < hi
+    elif polarity == "low":
+        demote = v > lo
+    else:
+        demote = (v > lo) & (v < hi)
+    new_label = F.when(
+        (F.col(label_col) == "O") & F.col("_pmean").isNotNull() & demote, F.lit("N")
+    ).otherwise(F.col(label_col))
+    return out.withColumn(label_col, new_label).drop("_pmean", "_pstd")
+
+
+def tag_with_keyed_threshold(
+    scored: DataFrame,
+    thresholds: DataFrame,
+    keys: Sequence[str],
+    default_threshold: float | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-key threshold tagging (OutlierUtility.scala:101-124): each key's
+    own threshold (e.g. from post.pseudo_relevance_threshold) replaces the
+    global one; keys without a threshold fall back to the default (label 'I'
+    when neither exists)."""
+    sub = thresholds.select(*keys, F.col("threshold").alias("_thr"))
+    out = scored.join(F.broadcast(sub), list(keys), "left")
+    thr = F.col("_thr")
+    if default_threshold is not None:
+        thr = F.coalesce(thr, F.lit(float(default_threshold)))
+    label = (
+        F.when(F.col(score_col).isNull() | thr.isNull(), F.lit("I"))
+        .when(F.col(score_col) > thr, F.lit("O"))
+        .otherwise(F.lit("N"))
+    )
+    return out.withColumn("label", label).drop("_thr")
+
+
 def robust_zscore(
     df: DataFrame,
     med_model: DataFrame,

@@ -1,0 +1,228 @@
+"""Registry entries: coverage gap-fill — polarity guard, per-key threshold
+tagging, entropy-increase kernel, discretizer, ngram-frequency, lp drift,
+unsupervised local drift, reference-series discord."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import histogram, profile, post, sequence, zscore
+from ..sources import load_table
+from ..streaming import drift as drift_mod
+from .registry import register
+from .queries_stats import _round
+
+_POLARITY_ORACLE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT e.event_id, e.event_type, e.value, s.mean, s.std,
+         CASE WHEN s.std > 0 THEN abs(e.value - s.mean) / s.std END AS raw
+  FROM events e LEFT JOIN stats s USING (event_type)
+), tagged AS (
+  SELECT event_id, event_type, value, mean, std, round(raw, 6) AS score,
+         CASE WHEN raw IS NULL THEN 'I' WHEN raw > 2.0 THEN 'O' ELSE 'N' END AS label
+  FROM scored
+)
+SELECT event_id, event_type, value, score,
+       CASE WHEN label = 'O' AND mean IS NOT NULL AND value < mean + 2.0 * std
+            THEN 'N' ELSE label END AS label
+FROM tagged
+"""
+
+
+@register("zscore_polarity_high", _POLARITY_ORACLE)
+def q_zscore_polarity_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=2.0)
+    out = zscore.apply_polarity(
+        scored, stats, ["event_type"], "value", polarity="high", std_mult=2.0
+    )
+    return _round(out.select("event_id", "event_type", "value", "score", "label"), ["score"])
+
+
+_KEYED_THRESHOLD_ORACLE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT e.event_id, e.event_type,
+         CASE WHEN s.std > 0 THEN abs(e.value - s.mean) / s.std END AS raw
+  FROM events e LEFT JOIN stats s USING (event_type)
+), thr AS (
+  SELECT event_type, quantile_cont(raw, 0.95) AS threshold FROM scored GROUP BY event_type
+)
+SELECT s.event_id, s.event_type, round(s.raw, 6) AS score,
+       round(t.threshold, 6) AS threshold,
+       CASE WHEN s.raw IS NULL OR t.threshold IS NULL THEN 'I'
+            WHEN s.raw > t.threshold THEN 'O' ELSE 'N' END AS label
+FROM scored s LEFT JOIN thr t USING (event_type)
+"""
+
+
+@register("keyed_threshold_tagging", _KEYED_THRESHOLD_ORACLE)
+def q_keyed_threshold_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+    thr = post.pseudo_relevance_threshold(
+        scored, ["event_type"], top_fraction=0.05, min_count=20
+    ).drop("n")
+    out = zscore.tag_with_keyed_threshold(scored, thr, ["event_type"]).join(
+        F.broadcast(thr.withColumnRenamed("threshold", "_t2")), ["event_type"], "left"
+    )
+    res = out.select(
+        "event_id", "event_type", "score", F.col("_t2").alias("threshold"), "label"
+    )
+    return _round(res, ["score", "threshold"])
+
+
+_ENTROPY_INC_ORACLE = """
+WITH b AS (
+  SELECT event_type, 'value' AS attr, CAST(floor(value / 10.0) AS BIGINT) AS bucket
+  FROM events
+), hcnt AS (
+  SELECT event_type, attr, bucket, count(*) AS cnt FROM b GROUP BY event_type, attr, bucket
+), agg AS (
+  SELECT event_type, sum(cnt) AS N, sum(cnt * ln(cnt)) AS S
+  FROM hcnt GROUP BY event_type
+), j AS (
+  SELECT e.event_id, e.event_type, e.value,
+         coalesce(h.cnt, 0) AS cnt_b, a.N, a.S
+  FROM events e
+  LEFT JOIN hcnt h ON e.event_type = h.event_type
+    AND CAST(floor(e.value / 10.0) AS BIGINT) = h.bucket
+  LEFT JOIN agg a ON e.event_type = a.event_type
+), c AS (
+  SELECT event_id, event_type, value,
+         (ln(N) - S / N) AS h,
+         (ln(N + 1) - (S - CASE WHEN cnt_b > 0 THEN cnt_b * ln(cnt_b) ELSE 0.0 END
+                        + (cnt_b + 1) * ln(cnt_b + 1)) / (N + 1)) AS h_new
+  FROM j
+)
+SELECT event_id, event_type, value,
+       round(CASE WHEN h > 0 THEN (h_new - h) / h END, 6) AS score,
+       CASE WHEN h IS NULL OR h <= 0 THEN 'I'
+            WHEN (h_new - h) / h > 0.001 THEN 'O' ELSE 'N' END AS label
+FROM c
+"""
+
+
+@register("entropy_increase", _ENTROPY_INC_ORACLE)
+def q_entropy_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = histogram.attr_histogram(ev, ["event_type"], ["value"], [10.0])
+    out = histogram.entropy_increase_score(
+        ev, hist, ["event_type"], "value", 10.0, threshold=0.001
+    )
+    return _round(out.select("event_id", "event_type", "value", "score", "label"), ["score"])
+
+
+_DISCRETIZE_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q0, quantile_cont(value, 0.50) AS q1,
+         quantile_cont(value, 0.75) AS q2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CAST((CASE WHEN e.value > q.q0 THEN 1 ELSE 0 END)
+          + (CASE WHEN e.value > q.q1 THEN 1 ELSE 0 END)
+          + (CASE WHEN e.value > q.q2 THEN 1 ELSE 0 END) AS VARCHAR) AS state
+FROM events e JOIN q USING (event_type)
+"""
+
+
+@register("discretize_quantile", _DISCRETIZE_ORACLE)
+def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = profile.discretize(ev, "value", quantiles=4, keys=["event_type"])
+    return out.select("event_id", "event_type", "value", "state")
+
+
+@register("ngram_frequency", None)
+def q_ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = sequence.ngram_frequency(
+        ev, ["event_type"], "ts", "value", n_bins=8, ngram=2, window=30, threshold=1.0
+    )
+    return _round(out.select("event_id", "event_type", "ng_score", "label"), ["ng_score"])
+
+
+_LP_DRIFT_ORACLE = """
+WITH lab AS (
+  SELECT event_type, event_id, ts,
+         CASE WHEN value > 100 THEN 1 ELSE 0 END AS actual,
+         CASE WHEN value > 120 THEN 1 ELSE 0 END AS predicted
+  FROM events
+), d AS (
+  SELECT *,
+         CASE WHEN predicted = 1 AND actual = 0 THEN 1
+              WHEN predicted = 0 AND actual = 1 THEN -1 ELSE 0 END AS delta
+  FROM lab
+), c AS (
+  SELECT event_type, event_id,
+         sum(delta) OVER w AS ecount,
+         count(*) OVER w AS count
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, event_id, ecount, count,
+       round(ecount * 1.0 / count, 6) AS ediff,
+       CASE WHEN ecount * 1.0 / count > 0.05 THEN 1 ELSE 0 END AS drift
+FROM c
+"""
+
+
+@register("lp_drift", _LP_DRIFT_ORACLE)
+def q_lp_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lab = ev.select(
+        "event_type", "event_id", "ts",
+        (F.col("value") > 100).cast("int").alias("actual"),
+        (F.col("value") > 120).cast("int").alias("predicted"),
+    )
+    out = drift_mod.lp_drift(
+        lab, ["event_type"], "ts", "predicted", "actual", threshold=0.05
+    )
+    # deterministic ordering: ts ties broken by event_id on the oracle side;
+    # events ts are unique so plain ts ordering matches
+    return _round(
+        out.select("event_type", "event_id", "ecount", "count", "ediff", "drift"),
+        ["ediff"],
+    )
+
+
+@register("local_drift", None)
+def q_local_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = drift_mod.local_drift(
+        ev, ["event_type"], "ts", ["value"], neighborhood_size=0.02, top_k=20
+    )
+    return _round(out, ["drift_score"])
+
+
+@register("subsequence_distance_ref", None)
+def q_subsequence_distance_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.groupBy("event_type").agg(F.percentile("event_id", F.lit(0.6)).alias("_m"))
+    # fresh scans per side: cogroup over two filters of one plan is ambiguous
+    ref = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(mid), "event_type")
+        .filter(F.col("event_id") <= F.col("_m"))
+        .drop("_m")
+    )
+    test = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(mid), "event_type")
+        .filter(F.col("event_id") > F.col("_m"))
+        .drop("_m")
+    )
+    out = sequence.subsequence_distance_ref(
+        test, ref, ["event_type"], "ts", "value", window=16
+    )
+    return _round(out.select("event_type", "offset", "discord_score"), ["discord_score"])

@@ -43,3 +43,4 @@ from . import queries_knn  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_multivariate  # noqa: E402,F401
 from . import queries_drift  # noqa: E402,F401
+from . import queries_gaps  # noqa: E402,F401

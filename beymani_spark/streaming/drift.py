@@ -153,6 +153,89 @@ def ecdd_scan(values: np.ndarray, threshold: float = 3.0, expf: float = 0.2, war
 _SCANS = {"ddm": ddm_scan, "eddm": eddm_scan, "fhddm": fhddm_scan, "ecdd": ecdd_scan}
 
 
+def lp_drift(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    predicted_col: str,
+    actual_col: str,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """sucodr lp (:235-262): signed prediction-disagreement rate — +1 when
+    (pred=1, actual=0), −1 when (pred=0, actual=1); drift when the cumulative
+    rate exceeds the threshold. Fully SQL: a cumulative-sum window."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    delta = (
+        F.when((F.col(predicted_col) == 1) & (F.col(actual_col) == 0), 1)
+        .when((F.col(predicted_col) == 0) & (F.col(actual_col) == 1), -1)
+        .otherwise(0)
+    )
+    out = (
+        df.withColumn("_d", delta)
+        .withColumn("ecount", F.sum("_d").over(w))
+        .withColumn("count", F.count("*").over(w))
+        .withColumn("ediff", F.col("ecount") / F.col("count"))
+        .withColumn(
+            "drift", (F.col("ediff") > F.lit(float(threshold))).cast("int")
+        )
+    )
+    return out.drop("_d")
+
+
+def local_drift(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    values: Sequence[str],
+    neighborhood_size: float = 0.05,
+    top_k: int = 20,
+) -> DataFrame:
+    """sucodr UnsupConceptDrift.localDrift (:363-395): split each key's
+    seq-ordered rows in half (old vs new window), take each point's
+    nCount = neighborhood_size * n nearest neighbors (brute-force numpy, no
+    KDTree dependency), and score drift = (other-half neighbors)/(own-half
+    neighbors) − 1; emit the top_k by |drift|."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        x = pdf[list(values)].to_numpy(dtype=float)
+        n = len(x)
+        key_cols = {k: pdf[k].iloc[0] for k in keys}
+        if n < 4:
+            return pd.DataFrame(columns=[*keys, "row_idx", "drift_score"])
+        lh = n // 2
+        ncount = max(1, int(n * neighborhood_size))
+        rows = []
+        for i in range(n):
+            d = ((x - x[i]) ** 2).sum(axis=1)
+            d[i] = np.inf
+            nbrs = np.argpartition(d, ncount)[:ncount]
+            other = (
+                int((nbrs >= lh).sum()) if i < lh else int((nbrs < lh).sum())
+            )
+            own = ncount - other
+            own = own if own > 0 else 1
+            rows.append({**key_cols, "row_idx": i, "drift_score": other / own - 1.0})
+        out = pd.DataFrame(rows)
+        out = out.reindex(
+            out.drift_score.abs().sort_values(ascending=False).index
+        ).head(top_k)
+        return out.reset_index(drop=True)
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
+    )
+    return df.groupBy(*keys).applyInPandas(
+        kernel, schema=f"{key_schema}, row_idx long, drift_score double"
+    )
+
+
 def drift_detect(
     df: DataFrame,
     keys: Sequence[str],
