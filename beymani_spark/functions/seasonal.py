@@ -39,6 +39,34 @@ def cycle_index(ts: str | Column, cycle_type: str) -> Column:
     raise ValueError(f"unknown cycle type: {cycle_type}")
 
 
+def register_sql_udfs(spark) -> None:
+    """Register ``cycle_<type>(ts)`` SQL functions (SURVEY.md §4.3.3) so
+    spark.sql parity queries can key seasonally. Arrow-vectorized pandas UDFs
+    mirroring the column expressions above (dayofweek: 1=Sunday in Spark)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dow(s: pd.Series) -> pd.Series:
+        # pandas dayofweek: 0=Monday..6=Sunday -> ours: 0=Sunday..6=Saturday
+        return (s.dt.dayofweek + 1) % 7
+
+    impls = {
+        "hourOfDay": lambda s: s.dt.hour,
+        "dayOfWeek": _dow,
+        "weekDayOrWeekendOfWeek": lambda s: _dow(s).isin([0, 6]).astype("int32"),
+        "hourOfWeek": lambda s: _dow(s) * 24 + s.dt.hour,
+        "halfDayOfDay": lambda s: (s.dt.hour >= 12).astype("int32"),
+    }
+    for ct, fn in impls.items():
+        def make(fn=fn):
+            def f(ts):
+                return fn(ts).astype("int32")
+            # explicit returnType form: string annotations from
+            # `from __future__ import annotations` break hint inference
+            return pandas_udf(f, "int")
+        spark.udf.register(f"cycle_{ct}", make())
+
+
 #: DuckDB SQL templates for each cycle type ({ts} is the timestamp column);
 #: used by oracle queries so both engines key identically.
 CYCLE_TYPES = {

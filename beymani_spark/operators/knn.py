@@ -81,7 +81,8 @@ def pair_distances_np(
     import numpy as np
     import pandas as pd
 
-    ref = df.select(id_col, vec_col).toPandas()
+    df = df.select(id_col, vec_col)  # prune before mapInPandas reads full rows
+    ref = df.toPandas()
     ref_ids = ref[id_col].to_numpy()
     ref_mat = np.array([np.asarray(v, dtype=float) for v in ref[vec_col]])
     bc = df.sparkSession.sparkContext.broadcast((ref_ids, ref_mat))

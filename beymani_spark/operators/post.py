@@ -44,6 +44,34 @@ def outlier_counts(df: DataFrame, keys: Sequence[str], label_col: str = "label")
     return out
 
 
+def score_stats(
+    scored: DataFrame,
+    keys: Sequence[str],
+    score_col: str = "score",
+    hist_width: float = 0.5,
+) -> DataFrame:
+    """≙ olss.py score statistics (/root/reference/python/app/olss.py:35-115):
+    per-key score distribution profile — count/mean/std/min/max/median/p95 +
+    per-bucket histogram counts folded into a map column."""
+    base = scored.groupBy(*keys).agg(
+        F.count(score_col).alias("cnt"),
+        F.avg(score_col).alias("mean"),
+        F.stddev_samp(score_col).alias("std"),
+        F.min(score_col).alias("min"),
+        F.max(score_col).alias("max"),
+        F.percentile(score_col, F.lit(0.5)).alias("median"),
+        F.percentile(score_col, F.lit(0.95)).alias("p95"),
+    )
+    hist = (
+        scored.withColumn(
+            "bucket", F.floor(F.col(score_col) / F.lit(float(hist_width))).cast("long")
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.count("*").alias("bucket_cnt"))
+    )
+    return base, hist
+
+
 def only_outliers(df: DataFrame, label_col: str = "label") -> DataFrame:
     return df.filter(F.col(label_col) == "O")
 

@@ -1,0 +1,116 @@
+"""Registry entries: general relational capability sanity (joins, grouped
+aggregation, top-k) + the olss score-statistics op — demonstrates that the
+engine's substrate handles the standard OLAP shapes the operators compose."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import post, profile, zscore
+from ..sources import load_table
+from .queries_stats import _round
+from .registry import register
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _PRICING_ORACLE)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return _round(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"])
+
+
+_TOP_CUSTOMERS_ORACLE = """
+WITH rev AS (
+  SELECT o.o_custkey, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey
+), ranked AS (
+  SELECT c.c_custkey, c.c_name, n.n_name, r.revenue,
+         row_number() OVER (PARTITION BY n.n_name ORDER BY r.revenue DESC, c.c_custkey ASC) AS rnk
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT c_custkey, c_name, n_name, round(revenue, 6) AS revenue, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("top_customers_by_nation", _TOP_CUSTOMERS_ORACLE)
+def q_top_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    ranked = (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(
+                    F.col("revenue").desc(), F.col("c_custkey").asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 5)
+        .select("c_custkey", "c_name", "n_name", "revenue", "rnk")
+    )
+    return _round(ranked, ["revenue"])
+
+
+_SCORE_STATS_ORACLE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT e.event_type,
+         CASE WHEN s.std > 0 THEN abs(e.value - s.mean) / s.std END AS score
+  FROM events e LEFT JOIN stats s USING (event_type)
+)
+SELECT event_type, count(score) AS cnt,
+       round(avg(score), 6) AS mean, round(stddev_samp(score), 6) AS std,
+       round(min(score), 6) AS min, round(max(score), 6) AS max,
+       round(quantile_cont(score, 0.5), 6) AS median,
+       round(quantile_cont(score, 0.95), 6) AS p95
+FROM scored GROUP BY event_type
+"""
+
+
+@register("score_stats", _SCORE_STATS_ORACLE)
+def q_score_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+    base, _hist = post.score_stats(scored, ["event_type"])
+    return _round(base, ["mean", "std", "min", "max", "median", "p95"])

@@ -44,3 +44,4 @@ from . import queries_text  # noqa: E402,F401
 from . import queries_multivariate  # noqa: E402,F401
 from . import queries_drift  # noqa: E402,F401
 from . import queries_gaps  # noqa: E402,F401
+from . import queries_relational  # noqa: E402,F401
