@@ -198,9 +198,20 @@ def q_lp_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("local_drift", None)
 def q_local_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
+    # localDrift compares a bounded old-vs-new window (reference feeds it two
+    # windows, not full history); keep the most recent 4000 rows per key so
+    # the O(n²) neighborhood scan stays bounded regardless of table size
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    recent = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 4000)
+        .drop("_rn")
+    )
     out = drift_mod.local_drift(
-        ev, ["event_type"], "ts", ["value"], neighborhood_size=0.02, top_k=20
+        recent, ["event_type"], "ts", ["value"], neighborhood_size=0.02, top_k=20
     )
     return _round(out, ["drift_score"])
 

@@ -211,18 +211,28 @@ def local_drift(
             return pd.DataFrame(columns=[*keys, "row_idx", "drift_score"])
         lh = n // 2
         ncount = max(1, int(n * neighborhood_size))
-        rows = []
-        for i in range(n):
-            d = ((x - x[i]) ** 2).sum(axis=1)
-            d[i] = np.inf
-            nbrs = np.argpartition(d, ncount)[:ncount]
-            other = (
-                int((nbrs >= lh).sum()) if i < lh else int((nbrs < lh).sum())
+        # blocked vectorized kNN: distance block (B, n) + argpartition per row
+        sq = (x**2).sum(axis=1)
+        block = 256
+        other_counts = np.empty(n, dtype=np.int64)
+        for b0 in range(0, n, block):
+            b1 = min(b0 + block, n)
+            d2 = sq[b0:b1, None] + sq[None, :] - 2.0 * (x[b0:b1] @ x.T)
+            d2[np.arange(b1 - b0), np.arange(b0, b1)] = np.inf
+            nbrs = np.argpartition(d2, ncount, axis=1)[:, :ncount]
+            in_new_half = nbrs >= lh
+            is_old = np.arange(b0, b1) < lh
+            other_counts[b0:b1] = np.where(
+                is_old, in_new_half.sum(axis=1), ncount - in_new_half.sum(axis=1)
             )
-            own = ncount - other
-            own = own if own > 0 else 1
-            rows.append({**key_cols, "row_idx": i, "drift_score": other / own - 1.0})
-        out = pd.DataFrame(rows)
+        own = np.maximum(ncount - other_counts, 1)
+        out = pd.DataFrame(
+            {
+                **{k: [v] * n for k, v in key_cols.items()},
+                "row_idx": np.arange(n),
+                "drift_score": other_counts / own - 1.0,
+            }
+        )
         out = out.reindex(
             out.drift_score.abs().sort_values(ascending=False).index
         ).head(top_k)
