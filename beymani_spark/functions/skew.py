@@ -1,0 +1,75 @@
+"""Skew mitigation helpers (100 TB posture).
+
+AQE's skew-join handling covers joins; for *aggregations* over skewed keys
+(one giant entity) the standard remedy is salting: a two-stage aggregate
+where stage 1 groups on (key, salt) — spreading the hot key over N partial
+groups — and stage 2 merges partials per key. Results are identical to the
+direct aggregate (the combine functions here are all reassociable), so
+salted variants stay oracle-compatible.
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_numerical_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage count/sum/sumSq/mean/std/min/max per key; equivalent to
+    operators.profile.numerical_stats for a single attribute but resilient
+    to a dominant key. Salt = deterministic hash of a uniform row id."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count(value).alias("_c"),
+        F.sum(value).alias("_s"),
+        F.sum(F.col(value) * F.col(value)).alias("_s2"),
+        F.min(value).alias("_mn"),
+        F.max(value).alias("_mx"),
+    )
+    merged = partial.groupBy(*keys).agg(
+        F.sum("_c").alias("cnt"),
+        F.sum("_s").alias("sum"),
+        F.sum("_s2").alias("sum_sq"),
+        F.min("_mn").alias("min"),
+        F.max("_mx").alias("max"),
+    )
+    n = F.col("cnt")
+    mean = F.col("sum") / n
+    var = (F.col("sum_sq") - F.col("sum") * F.col("sum") / n) / (n - 1)
+    return merged.select(
+        *keys,
+        F.lit(None).cast("string").alias("attr"),
+        "cnt",
+        "sum",
+        "sum_sq",
+        mean.alias("mean"),
+        F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0)).alias("std"),
+        "min",
+        "max",
+    ).withColumn("attr", F.lit("value"))
+
+
+def observed_label_counts(df: DataFrame, label_col: str = "label", name: str = "labels"):
+    """Reference accumulators (StatsBasedOutlierPredictor.scala:186-193) ->
+    Spark ``observe()``: O/N/I counts become query metrics collected on the
+    driver after the action, with no extra pass. Returns (df, observation)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    lbl = F.col(label_col)
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(lbl == "O", 1).otherwise(0)).alias("outliers"),
+        F.sum(F.when(lbl == "N", 1).otherwise(0)).alias("normals"),
+        F.sum(F.when(lbl == "I", 1).otherwise(0)).alias("invalid"),
+    )
+    return out, obs

@@ -132,6 +132,79 @@ def stream_ewma_score(
     return fn, out_schema, state_schema
 
 
+def apply_stream_markov(
+    stream_df: DataFrame,
+    model_rows: list[dict],
+    keys: Sequence[str],
+    ts: str,
+    state_col: str,
+    window: int = 5,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-entity stateful Markov scoring — the reference's real-time fraud
+    path (PredictorBolt keeps a per-entity record buffer,
+    MarkovModelPredictor.java:286-346). State = (last state symbol, ring
+    buffer of the last ``window`` transition scores). The transition model is
+    captured as plain rows (collect the tiny model DataFrame first) and
+    shipped in the closure — the streaming equivalent of the broadcast model.
+
+    Emits one row per event with the windowed conditional-probability score.
+    """
+    probs = {(r["prev_state"], r["cur_state"]): r["prob"] for r in model_rows}
+    out_schema = ", ".join(
+        [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in stream_df.schema
+            if f.name in (*keys, ts, state_col)
+        ]
+        + ["score double", "label string"]
+    )
+    state_schema = "last_state string, scores array<double>"
+
+    def fn(key, pdfs, state: GroupState):
+        import math
+
+        if state.exists:
+            last_state, scores = state.get
+            scores = list(scores)
+        else:
+            last_state, scores = None, []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            for _, row in pdf.iterrows():
+                cur = row[state_col]
+                if last_state is not None:
+                    p = probs.get((last_state, cur))
+                    t = -math.log(p) if p and p > 0 else 20.0
+                    scores.append(t)
+                    if len(scores) > window:
+                        scores.pop(0)
+                score = sum(scores) / len(scores) if scores else None
+                rows.append(
+                    {
+                        **{k: row[k] for k in keys},
+                        ts: row[ts],
+                        state_col: cur,
+                        "score": score,
+                        "label": "I"
+                        if score is None
+                        else ("O" if score > threshold else "N"),
+                    }
+                )
+                last_state = cur
+        state.update((last_state, scores))
+        yield pd.DataFrame(rows)
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def apply_stream_ewma(
     stream_df: DataFrame,
     keys: Sequence[str],
