@@ -154,6 +154,53 @@ def temporal_aggregate(
     )
 
 
+def resample(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    step_sec: int = 3600,
+    fill: str = "ffill",
+) -> DataFrame:
+    """Regularize a keyed series to a fixed cadence: bucket to step_sec
+    epochs, average within buckets, generate the full per-key grid between
+    each key's min/max bucket, and fill gaps (ffill = previous value,
+    'zero' = 0, 'null' = leave null). Gives the sequence detectors the
+    regular cadence the reference's generators assume. One aggregation + one
+    per-key grid explode + one window."""
+    bucket = (F.floor(F.unix_timestamp(F.col(ts)) / step_sec) * step_sec).cast("long")
+    agg = (
+        df.withColumn("_b", bucket)
+        .groupBy(*keys, "_b")
+        .agg(F.avg(value).alias("_v"))
+    )
+    span = agg.groupBy(*keys).agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+    grid = span.select(
+        *keys,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_sec))).alias("_b"),
+    )
+    joined = grid.join(agg, [*keys, "_b"], "left")
+    if fill == "ffill":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = F.last("_v", ignorenulls=True).over(w)
+    elif fill == "zero":
+        filled = F.coalesce(F.col("_v"), F.lit(0.0))
+    elif fill == "null":
+        filled = F.col("_v")
+    else:
+        raise ValueError(f"unknown fill: {fill}")
+    return joined.select(
+        *keys,
+        F.col("_b").alias("bucket_epoch"),
+        filled.alias(f"{value}_resampled"),
+        F.col("_v").isNull().alias("gap_filled"),
+    )
+
+
 def auto_correlation(
     df: DataFrame,
     keys: Sequence[str],

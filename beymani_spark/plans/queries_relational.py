@@ -89,6 +89,33 @@ def q_top_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(ranked, ["revenue"])
 
 
+_RESAMPLE_ORACLE = """
+WITH agg AS (
+  SELECT event_type, (floor(floor(epoch(ts)) / 3600) * 3600)::BIGINT AS b,
+         avg(value) AS v
+  FROM events GROUP BY event_type, (floor(floor(epoch(ts)) / 3600) * 3600)::BIGINT
+), span AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM agg GROUP BY event_type
+), grid AS (
+  SELECT s.event_type, unnest(generate_series(s.lo, s.hi, 3600)) AS b FROM span s
+), j AS (
+  SELECT g.event_type, g.b, a.v FROM grid g LEFT JOIN agg a USING (event_type, b)
+)
+SELECT event_type, b AS bucket_epoch,
+       round(last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_resampled,
+       (v IS NULL) AS gap_filled
+FROM j
+"""
+
+
+@register("resample_ffill", _RESAMPLE_ORACLE)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = profile.resample(ev, ["event_type"], "ts", "value", step_sec=3600, fill="ffill")
+    return _round(out, ["value_resampled"])
+
+
 _SCORE_STATS_ORACLE = """
 WITH stats AS (
   SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std

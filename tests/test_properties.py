@@ -1,0 +1,102 @@
+"""Hypothesis property tests for the score-aggregation/tagging semantics —
+the conventions every detector shares (OutlierScoreAggregator parity)."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from beymani_spark.functions.scaling import exp_scale, logistic_scale
+from beymani_spark.functions.scores import aggregate_scores, tag_label
+
+scores_strat = st.lists(
+    st.one_of(st.none(), st.floats(0, 100, allow_nan=False)), min_size=1, max_size=5
+)
+
+
+def _eval_agg(spark, scores, weights, strategy):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    cols = [
+        F.lit(float(s)).cast("double") if s is not None else F.lit(None).cast("double")
+        for s in scores
+    ]
+    return df.select(
+        aggregate_scores(cols, weights, strategy).alias("agg")
+    ).first()["agg"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(scores=scores_strat)
+def test_weighted_average_matches_numpy(spark, scores):
+    got = _eval_agg(spark, scores, None, "average")
+    avail = [s for s in scores if s is not None]
+    if not avail:
+        assert got is None
+    else:
+        assert got == pytest.approx(float(np.mean(avail)), rel=1e-12)
+
+
+@settings(max_examples=25, deadline=None)
+@given(scores=scores_strat)
+def test_median_strategy_matches_numpy(spark, scores):
+    got = _eval_agg(spark, scores, None, "median")
+    avail = sorted(s for s in scores if s is not None)
+    if not avail:
+        assert got is None
+    else:
+        assert got == pytest.approx(float(np.median(avail)), rel=1e-12)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    scores=st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=5),
+    weights=st.data(),
+)
+def test_weighted_average_weights(spark, scores, weights):
+    w = weights.draw(
+        st.lists(
+            st.floats(0.1, 10, allow_nan=False),
+            min_size=len(scores),
+            max_size=len(scores),
+        )
+    )
+    got = _eval_agg(spark, scores, w, "weightedAverage")
+    expected = float(np.average(scores, weights=w))
+    assert got == pytest.approx(expected, rel=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(x=st.floats(0, 50, allow_nan=False), k=st.floats(0.01, 5, allow_nan=False))
+def test_scalings_bounded_monotone(spark, x, k):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    row = df.select(
+        exp_scale(k, F.lit(x)).alias("e"),
+        logistic_scale(k, F.lit(x)).alias("l"),
+        exp_scale(k, F.lit(x + 1.0)).alias("e2"),
+        logistic_scale(k, F.lit(x + 1.0)).alias("l2"),
+    ).first()
+    # saturation to exactly 1.0 at float64 precision is expected for large k*x
+    assert 0.0 <= row.e <= 1.0 and 0.0 < row.l <= 1.0
+    assert row.e2 >= row.e and row.l2 >= row.l  # monotone in the score
+    assert row.e == pytest.approx(1 - math.exp(-k * x), rel=1e-12)
+    assert row.l == pytest.approx(1 / (1 + math.exp(-k * x)), rel=1e-12)
+
+
+def test_tag_label_truth_table(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    row = df.select(
+        tag_label(F.lit(None).cast("double"), 1.0).alias("i"),
+        tag_label(F.lit(2.0), 1.0).alias("o"),
+        tag_label(F.lit(1.0), 1.0).alias("n_eq"),
+        tag_label(F.lit(0.5), 1.0).alias("n"),
+    ).first()
+    assert (row.i, row.o, row.n_eq, row.n) == ("I", "O", "N", "N")
