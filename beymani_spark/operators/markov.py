@@ -70,6 +70,7 @@ def markov_score(
     window: int = 5,
     threshold: float = 2.0,
     order_cols: Sequence[str] = (),
+    spread_label: bool = False,
 ) -> DataFrame:
     """Per-row windowed Markov anomaly score over keyed state sequences.
 
@@ -101,4 +102,16 @@ def markov_score(
     wtrail = Window.partitionBy(*keys).orderBy(ts, *order_cols).rowsBetween(-(window - 1), 0)
     out = joined.withColumn("_t", t).withColumn("score", F.avg("_t").over(wtrail))
     out = out.withColumn("label", tag_label(F.col("score"), threshold))
+    if spread_label:
+        # reference tag spread (MarkovChainPredictor.scala:124-131): when the
+        # windowed metric crosses the threshold, every row of that window is
+        # tagged 'O' — a forward-looking window max over the outlier flag
+        wfwd = Window.partitionBy(*keys).orderBy(ts, *order_cols).rowsBetween(0, window - 1)
+        flag = F.when(F.col("label") == "O", 1).otherwise(0)
+        out = out.withColumn(
+            "label",
+            F.when(F.col("label") == "I", F.lit("I"))
+            .when(F.max(flag).over(wfwd) == 1, F.lit("O"))
+            .otherwise(F.lit("N")),
+        )
     return out.drop("_t", "prob", "is_max", "row_entropy")

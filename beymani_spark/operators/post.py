@@ -82,6 +82,16 @@ def remove_outliers(df: DataFrame, label_col: str = "label") -> DataFrame:
     return df.filter(F.col(label_col) != "O").drop("score", label_col)
 
 
+def remove_outliers_anti(
+    original: DataFrame, outliers: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Clean output via anti-join on record identity — the faithful
+    translation of the reference's data.subtract(taggedData) shuffle
+    (OutlierUtility.scala:64) for when the outlier set comes from a separate
+    pipeline rather than a label column on the same frame."""
+    return original.join(outliers.select(*keys).distinct(), list(keys), "left_anti")
+
+
 def threshold_learner(
     scored: DataFrame,
     keys: Sequence[str],

@@ -77,6 +77,42 @@ def q_markov_cond_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COND_PROB_SPREAD_ORACLE = _SEQ_CTE + """
+, scored AS (
+  SELECT s.user_id, s.event_id, s.ts, s.prev_state, s.cur_state, -ln(m.prob) AS t
+  FROM seq s JOIN model m ON s.prev_state = m.prev_state AND s.cur_state = m.cur_state
+  WHERE s.prev_state IS NOT NULL
+), win AS (
+  SELECT user_id, event_id, ts, prev_state, cur_state,
+         avg(t) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS score
+  FROM scored
+), lab AS (
+  SELECT *, CASE WHEN score > 1.65 THEN 1 ELSE 0 END AS hit FROM win
+)
+SELECT user_id, event_id, prev_state, cur_state, round(score, 6) AS score,
+       CASE WHEN max(hit) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1
+            THEN 'O' ELSE 'N' END AS label
+FROM lab
+"""
+
+
+@register("markov_cond_prob_spread", _COND_PROB_SPREAD_ORACLE)
+def q_markov_cond_prob_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    model = markov.transition_model(ev, ["user_id"], "ts", "event_type", order_cols=["event_id"])
+    out = markov.markov_score(
+        ev, model, ["user_id"], "ts", "event_type",
+        metric="conditionalProbability", window=5, threshold=1.65,
+        order_cols=["event_id"], spread_label=True,
+    )
+    return _round(
+        out.select("user_id", "event_id", "prev_state", "cur_state", "score", "label"),
+        ["score"],
+    )
+
+
 _MISS_PROB_ORACLE = _markov_scoring_oracle("1.0 - m.prob", "", 0.85)
 
 

@@ -116,6 +116,30 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, ["value_resampled"])
 
 
+_CLEAN_OUTPUT_ORACLE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std
+  FROM events GROUP BY event_type
+), outliers AS (
+  SELECT e.event_id
+  FROM events e JOIN stats s USING (event_type)
+  WHERE s.std > 0 AND abs(e.value - s.mean) / s.std > 2.5
+)
+SELECT e.event_id, e.event_type, e.user_id, e.value
+FROM events e ANTI JOIN outliers o ON e.event_id = o.event_id
+"""
+
+
+@register("clean_output_anti_join", _CLEAN_OUTPUT_ORACLE)
+def q_clean_output_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=2.5)
+    outliers = scored.filter("label = 'O'")
+    clean = post.remove_outliers_anti(ev, outliers, ["event_id"])
+    return clean.select("event_id", "event_type", "user_id", "value")
+
+
 _SCORE_STATS_ORACLE = """
 WITH stats AS (
   SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std
