@@ -39,14 +39,53 @@ def _drift_query(detector: str, **params):
         diag = {"ddm": ["pr", "sd"], "eddm": ["cur"], "fhddm": ["acc"], "ecdd": ["z"]}[
             detector
         ]
-        return _round(
+        out = _round(
             out.select("event_type", "event_id", "is_error", *diag, "drift"), diag
         )
+        # numpy kernels emit NaN for pre-warmup rows; normalize to NULL so the
+        # value hash matches SQL oracles
+        for c in diag:
+            out = out.withColumn(
+                c, F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+            )
+        return out
 
     return q
 
 
-register("drift_ddm", None)(_drift_query("ddm", threshold=3.0, warmup=50))
+_DDM_ORACLE = """
+WITH thr AS (
+  SELECT event_type, quantile_cont(value, 0.9) AS p90 FROM events GROUP BY event_type
+), err AS (
+  SELECT e.event_type, e.event_id, e.ts,
+         CASE WHEN e.value > t.p90 THEN 1 ELSE 0 END AS is_error
+  FROM events e JOIN thr t USING (event_type)
+), c AS (
+  SELECT *,
+         sum(is_error) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ec,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM err
+), p AS (
+  SELECT *, ec * 1.0 / rn AS pr,
+         sqrt((ec * 1.0 / rn) * (1 - ec * 1.0 / rn) / rn) AS sd
+  FROM c
+), m AS (
+  SELECT *,
+         arg_min(struct_pack(pr := pr, sd := sd),
+                 CASE WHEN rn >= 50 THEN pr + sd END)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mn
+  FROM p
+)
+SELECT event_type, event_id, is_error,
+       round(CASE WHEN rn > 50 THEN pr END, 6) AS pr,
+       round(CASE WHEN rn > 50 THEN sd END, 6) AS sd,
+       CASE WHEN rn > 50 AND (pr + sd) > (mn.pr + 3.0 * mn.sd) THEN 1 ELSE 0 END AS drift
+FROM m
+"""
+
+register("drift_ddm", _DDM_ORACLE)(_drift_query("ddm", threshold=3.0, warmup=50))
 register("drift_eddm", None)(_drift_query("eddm", threshold=0.7, warmup=50))
 register("drift_fhddm", None)(_drift_query("fhddm", conf_level=1e-6, win_size=100))
 register("drift_ecdd", None)(_drift_query("ecdd", threshold=4.0, expf=0.1, warmup=50))
