@@ -86,8 +86,92 @@ FROM m
 """
 
 register("drift_ddm", _DDM_ORACLE)(_drift_query("ddm", threshold=3.0, warmup=50))
-register("drift_eddm", None)(_drift_query("eddm", threshold=0.7, warmup=50))
-register("drift_fhddm", None)(_drift_query("fhddm", conf_level=1e-6, win_size=100))
+# EDDM: running mean/std of inter-error distances vs the historical max of
+# mean+2sd. Positions are 0-based (python kernel); distances exist from the
+# second error on; cur/dr emitted on qualifying error rows and the drift flag
+# carried forward across non-error rows.
+_EDDM_ORACLE = """
+WITH thr AS (
+  SELECT event_type, quantile_cont(value, 0.9) AS p90 FROM events GROUP BY event_type
+), err AS (
+  SELECT e.event_type, e.event_id, e.ts,
+         CASE WHEN e.value > t.p90 THEN 1 ELSE 0 END AS is_error
+  FROM events e JOIN thr t USING (event_type)
+), pos AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS p
+  FROM err
+), d AS (
+  SELECT *, CASE WHEN is_error = 1
+                 THEN p - lag(p) OVER (PARTITION BY event_type, is_error ORDER BY ts, event_id)
+            END AS dist
+  FROM pos
+), rs AS (
+  SELECT *, count(dist) OVER w AS cnt, sum(dist) OVER w AS s1,
+            sum(dist * dist) OVER w AS s2
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st AS (
+  SELECT *, CASE WHEN dist IS NOT NULL AND cnt >= 2 THEN
+              s1 * 1.0 / cnt
+              + 2.0 * CASE WHEN (s2 - s1 * s1 * 1.0 / cnt) / (cnt - 1) > 0
+                           THEN sqrt((s2 - s1 * s1 * 1.0 / cnt) / (cnt - 1))
+                           ELSE 0.0 END
+            END AS cur
+  FROM rs
+), mx AS (
+  SELECT *, max(cur) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_lim
+  FROM st
+), dr AS (
+  SELECT *, CASE WHEN cur IS NOT NULL AND max_lim > 0 AND p >= 50
+                 THEN CASE WHEN cur / max_lim < 0.7 THEN 1 ELSE 0 END
+            END AS dr_here
+  FROM mx
+)
+SELECT event_type, event_id, is_error, round(cur, 6) AS cur,
+       coalesce(last_value(dr_here IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS drift
+FROM dr
+"""
+
+register("drift_eddm", _EDDM_ORACLE)(_drift_query("eddm", threshold=0.7, warmup=50))
+
+# FHDDM: sliding accuracy window vs running max accuracy with the Hoeffding
+# bound sqrt(ln(1/δ)/(2w)); the first emitted accuracy is at rn = w+1
+# (python kernel seeds the window with rows 1..w then slides), covering rows
+# rn-w+1..rn.
+_FHDDM_ORACLE = """
+WITH thr AS (
+  SELECT event_type, quantile_cont(value, 0.9) AS p90 FROM events GROUP BY event_type
+), err AS (
+  SELECT e.event_type, e.event_id, e.ts,
+         CASE WHEN e.value > t.p90 THEN 1 ELSE 0 END AS is_error
+  FROM events e JOIN thr t USING (event_type)
+), c AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         avg(1.0 - is_error) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                   ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS acc_raw
+  FROM err
+), a AS (
+  SELECT *, CASE WHEN rn > 100 THEN acc_raw END AS acc FROM c
+), m AS (
+  SELECT *, max(acc) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_acc
+  FROM a
+)
+SELECT event_type, event_id, is_error, round(acc, 6) AS acc,
+       CASE WHEN acc IS NOT NULL
+              AND (max_acc - acc) > sqrt(ln(1000000.0) / 200.0)
+            THEN 1 ELSE 0 END AS drift
+FROM m
+"""
+
+register("drift_fhddm", _FHDDM_ORACLE)(
+    _drift_query("fhddm", conf_level=1e-6, win_size=100)
+)
 register("drift_ecdd", None)(_drift_query("ecdd", threshold=4.0, expf=0.1, warmup=50))
 
 
