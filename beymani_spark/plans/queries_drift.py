@@ -172,7 +172,39 @@ FROM m
 register("drift_fhddm", _FHDDM_ORACLE)(
     _drift_query("fhddm", conf_level=1e-6, win_size=100)
 )
-register("drift_ecdd", None)(_drift_query("ecdd", threshold=4.0, expf=0.1, warmup=50))
+# ECDD: EWMA chart z_t = 0.9 z_{t-1} + 0.1 v_t vs pr + L*sd_z. The recursion
+# expands to a geometric-weighted sum; truncating the window at 300 rows
+# leaves error <= 0.9^300 ~ 2e-14, far below the round-6 tolerance. sd_z uses
+# the pre-increment count (rn-1), matching the python kernel.
+_ECDD_ORACLE = """
+WITH thr AS (
+  SELECT event_type, quantile_cont(value, 0.9) AS p90 FROM events GROUP BY event_type
+), err AS (
+  SELECT e.event_type, e.event_id, e.ts,
+         CASE WHEN e.value > t.p90 THEN 1 ELSE 0 END AS is_error
+  FROM events e JOIN thr t USING (event_type)
+), c AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         avg(is_error * 1.0) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+         list(is_error) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN 299 PRECEDING AND CURRENT ROW) AS lst
+  FROM err
+), zc AS (
+  SELECT *,
+         0.1 * list_sum(list_transform(lst, (x, i) -> x * power(0.9, len(lst) - i))) AS z,
+         sqrt(pr * (1 - pr) * 0.1 * (1 - power(0.81, rn - 1)) / 1.9) AS sdz
+  FROM c
+)
+SELECT event_type, event_id, is_error, round(z, 6) AS z,
+       CASE WHEN rn > 50 AND z > pr + 4.0 * sdz THEN 1 ELSE 0 END AS drift
+FROM zc
+"""
+
+register("drift_ecdd", _ECDD_ORACLE)(
+    _drift_query("ecdd", threshold=4.0, expf=0.1, warmup=50)
+)
 
 
 _NEIGHBOR_DENSITY_ORACLE = """
