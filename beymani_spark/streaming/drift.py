@@ -39,13 +39,19 @@ def ddm_scan(values: np.ndarray, threshold: float = 3.0, warmup: int = 30, state
     drift = np.zeros(n, dtype=int)
     start = 0
     if pr_min is None:
-        w = min(warmup, n)
+        # warmup seeding is resumable: a restored state with count < warmup
+        # (first micro-batch shorter than warmup) continues seeding here
+        w = min(max(warmup - count, 0), n)
         for i in range(w):
             ecount += int(values[i] == 1)
             count += 1
-        pr_min = ecount / count if count else 0.0
-        sd_min = math.sqrt(pr_min * (1 - pr_min) / count) if count else 0.0
         start = w
+        if count >= warmup and count:
+            pr_min = ecount / count
+            sd_min = math.sqrt(pr_min * (1 - pr_min) / count)
+        else:
+            end = {"count": count, "ecount": ecount, "pr_min": None, "sd_min": None}
+            return {"pr": pr_out, "sd": sd_out, "drift": drift}, end
     for i in range(start, n):
         ecount += int(values[i] == 1)
         count += 1

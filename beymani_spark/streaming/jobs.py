@@ -205,6 +205,90 @@ def apply_stream_markov(
     )
 
 
+def apply_stream_drift(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    error_col: str,
+    detector: str = "ddm",
+    **params,
+) -> DataFrame:
+    """Per-entity stateful concept-drift detection on a stream — the
+    streaming form of ``streaming.drift.drift_detect`` (reference semantics
+    sucodr.py:59-310, whose detectors expose save/restore state for exactly
+    this resume-across-runs use).
+
+    The batch scan kernels take and return an explicit state dict; here that
+    dict is JSON-encoded into the state store, so stream scores are equal by
+    construction to one batch scan over the concatenated micro-batches.
+    FHDDM's sliding accuracy window is not a pure scalar recursion, so its
+    state additionally carries the trailing ``win_size`` error values
+    (``_tail``); prepending them re-seeds the window across the batch
+    boundary and the overlap rows are trimmed from the output.
+
+    Assumes micro-batches arrive in per-key ``ts`` order (same contract as
+    ``apply_stream_markov``); rows are sorted by ``ts`` within each batch.
+    """
+    import json
+
+    import numpy as np
+
+    from . import drift as drift_mod
+
+    if detector not in drift_mod._SCANS:
+        raise ValueError(f"unknown detector: {detector}")
+    scan = drift_mod._SCANS[detector]
+    diag_cols = {"ddm": ["pr", "sd"], "eddm": ["cur"], "fhddm": ["acc"], "ecdd": ["z"]}[
+        detector
+    ]
+    win_size = int(params.get("win_size", 100))
+
+    out_schema = ", ".join(
+        [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in stream_df.schema
+            if f.name in (*keys, ts, error_col)
+        ]
+        + [f"{c} double" for c in diag_cols]
+        + ["drift int"]
+    )
+    state_schema = "state_json string"
+
+    def _py(v):
+        return v.item() if hasattr(v, "item") else v
+
+    def fn(key, pdfs, state: GroupState):
+        st = json.loads(state.get[0]) if state.exists else {}
+        tail = st.pop("_tail", [])
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ts, ignore_index=True
+        )
+        vals = batch[error_col].to_numpy()
+        if detector == "fhddm":
+            run = np.concatenate([np.asarray(tail, dtype=vals.dtype), vals])
+            skip = len(tail)
+        else:
+            run, skip = vals, 0
+        out_cols, end = scan(run, **params, state=st or None)
+        res = batch[[k for k in (*keys, ts, error_col)]].copy()
+        for c in diag_cols:
+            res[c] = out_cols[c][skip:]
+        res["drift"] = out_cols["drift"][skip:]
+        end = {k: _py(v) for k, v in dict(end).items()}
+        if detector == "fhddm":
+            end["_tail"] = [int(v) for v in run[-win_size:]]
+        state.update((json.dumps(end),))
+        yield res
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def apply_stream_ewma(
     stream_df: DataFrame,
     keys: Sequence[str],

@@ -64,6 +64,83 @@ def test_consensus_drift(spark, error_stream):
     assert (out.drift_consensus <= out[["drift_ddm", "drift_ecdd"]].min(axis=1)).all()
 
 
+@pytest.mark.parametrize(
+    "detector,params",
+    [
+        ("ddm", {"threshold": 3.0, "warmup": 50}),
+        ("eddm", {"threshold": 0.7, "warmup": 50}),
+        ("fhddm", {"conf_level": 1e-6, "win_size": 100}),
+        ("ecdd", {"threshold": 4.0, "expf": 0.1, "warmup": 50}),
+    ],
+)
+def test_stream_drift_matches_batch(spark, error_stream, detector, params):
+    """applyInPandasWithState drift == one batch scan over the same rows.
+    The first micro-batch is 30 rows (< warmup/win_size) so the state
+    resume path — including DDM's warmup seeding and FHDDM's value tail —
+    crosses the batch boundary."""
+    from beymani_spark.streaming.jobs import apply_stream_drift
+
+    batch = (
+        drift_mod.drift_detect(
+            error_stream, ["model_id"], "ts", "is_error", detector, **params
+        )
+        .toPandas()
+        .sort_values("ts", ignore_index=True)
+    )
+
+    src = tempfile.mkdtemp(prefix=f"beymani_drift_src_{detector}_")
+    chk = tempfile.mkdtemp(prefix=f"beymani_drift_chk_{detector}_")
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = error_stream.toPandas().sort_values("ts", ignore_index=True)
+        for i, part in enumerate([pdf.iloc[:30], pdf.iloc[30:]]):
+            path = os.path.join(src, f"part-{i:03d}.parquet")
+            pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+            os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(error_stream.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = apply_stream_drift(
+            stream, ["model_id"], "ts", "is_error", detector, **params
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"drift_{detector}_t")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = (
+            spark.sql(f"select * from drift_{detector}_t")
+            .toPandas()
+            .sort_values("ts", ignore_index=True)
+        )
+        assert len(got) == len(batch)
+        diag = {"ddm": ["pr", "sd"], "eddm": ["cur"], "fhddm": ["acc"], "ecdd": ["z"]}[
+            detector
+        ]
+        for c in diag:
+            assert np.allclose(
+                got[c].to_numpy(dtype=float),
+                batch[c].to_numpy(dtype=float),
+                rtol=1e-9,
+                equal_nan=True,
+            ), f"{detector}: diag col {c} diverges between stream and batch"
+        assert (got.drift.to_numpy() == batch.drift.to_numpy()).all(), (
+            f"{detector}: drift flags diverge"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def stream_dirs(spark):
     src = tempfile.mkdtemp(prefix="beymani_stream_src_")
