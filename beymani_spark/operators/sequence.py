@@ -154,24 +154,23 @@ def subsequence_distance(
         key_cols = {k: pdf[k].iloc[0] for k in keys}
         if n <= 1:
             return pd.DataFrame(columns=[*keys, "offset", "start_ts", "discord_score"])
-        # windows matrix (n, window) via stride trick; blocked row sweep keeps
-        # memory at O(block * n) instead of O(n^2). float32 matmul: scores are
-        # relative discord rankings, not oracle-compared values
-        win = np.ascontiguousarray(
-            np.lib.stride_tricks.sliding_window_view(x, window), dtype=np.float32
-        )
-        win_t = win.T.copy()
-        sq = (win.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
-        block = 2048
-        dmin = np.empty(n)
-        for b0 in range(0, n, block):
-            b1 = min(b0 + block, n)
-            d2 = sq[b0:b1, None] + sq[None, :] - 2.0 * (win[b0:b1] @ win_t)
-            for i in range(b0, b1):  # exclude self + trivially-overlapping
-                lo = max(0, i - excl + 1)
-                hi = min(n, i + excl)
-                d2[i - b0, lo:hi] = np.inf
-            dmin[b0:b1] = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+        # diagonal sliding-dot sweep (STOMP-style): along diagonal k,
+        # dot(i, i+k) is a window-length sliding sum of the elementwise
+        # product x[m]*x[m+k], computed by cumsum difference — O(n^2) scalar
+        # ops vs O(n^2 * window) for a windows-matrix matmul, symmetric pairs
+        # visited once, O(n) memory, full float64 precision
+        csq = np.concatenate([[0.0], np.cumsum(x * x)])
+        sq = csq[window : window + n] - csq[:n]
+        dmin = np.full(n, np.inf)
+        for k in range(max(excl, 1), n):  # |i-j| < excl excluded (incl. self)
+            m = n - k
+            p = x[: len(x) - k] * x[k:]
+            cp = np.concatenate([[0.0], np.cumsum(p)])
+            dot = cp[window : window + m] - cp[:m]
+            d2 = sq[:m] + sq[k : k + m] - 2.0 * dot
+            np.minimum(dmin[:m], d2, out=dmin[:m])
+            np.minimum(dmin[k : k + m], d2, out=dmin[k : k + m])
+        dmin = np.sqrt(np.maximum(dmin, 0.0))
         out = pd.DataFrame(
             {
                 **{k: [v] * n for k, v in key_cols.items()},
@@ -216,21 +215,26 @@ def subsequence_distance_ref(
         n = len(x) - window + 1
         if n <= 0:
             return pd.DataFrame(columns=cols)
-        wx = np.ascontiguousarray(
-            np.lib.stride_tricks.sliding_window_view(x, window), dtype=np.float32
-        )
-        wr = np.ascontiguousarray(
-            np.lib.stride_tricks.sliding_window_view(r, window), dtype=np.float32
-        )
-        sqx = (wx.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
-        sqr = (wr.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
-        block = 2048
-        dmin = np.empty(n)
-        wr_t = wr.T.copy()
-        for b0 in range(0, n, block):
-            b1 = min(b0 + block, n)
-            d2 = sqx[b0:b1, None] + sqr[None, :] - 2.0 * (wx[b0:b1] @ wr_t)
-            dmin[b0:b1] = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+        # cross-series diagonal sliding-dot sweep (see subsequence_distance):
+        # diagonal k = ref_offset - test_offset, O(n*nref) scalar ops total
+        nref = len(r) - window + 1
+        csx = np.concatenate([[0.0], np.cumsum(x * x)])
+        csr = np.concatenate([[0.0], np.cumsum(r * r)])
+        sqx = csx[window : window + n] - csx[:n]
+        sqr = csr[window : window + nref] - csr[:nref]
+        dmin = np.full(n, np.inf)
+        for k in range(-(n - 1), nref):
+            i0, i1 = max(0, -k), min(n, nref - k)
+            if i1 <= i0:
+                continue
+            m0, m1 = i0, i1 + window - 1
+            p = x[m0:m1] * r[m0 + k : m1 + k]
+            cp = np.concatenate([[0.0], np.cumsum(p)])
+            cnt = i1 - i0
+            dot = cp[window : window + cnt] - cp[:cnt]
+            d2 = sqx[i0:i1] + sqr[i0 + k : i1 + k] - 2.0 * dot
+            np.minimum(dmin[i0:i1], d2, out=dmin[i0:i1])
+        dmin = np.sqrt(np.maximum(dmin, 0.0))
         key_cols = {k: data[k].iloc[0] for k in keys}
         return pd.DataFrame(
             {
