@@ -220,33 +220,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) 
 def simhash_dup_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16, max_hamming: int = 2
 ) -> DataFrame:
-    """Near-dup candidates by SimHash: join on identical sketch halves
-    (any pair within max_hamming<=bits/2 shares at least one half), then
-    filter by true hamming distance via bit_count(xor)."""
-    sk = simhash(df, id_col, text_col, bits)
-    half = bits // 2
+    """Near-dup pairs by SimHash with exact Hamming-LSH banding: the sketch
+    is split into max_hamming+1 bands, so a pair within max_hamming differing
+    bits leaves at least one band identical (pigeonhole) — the
+    (band_idx, band_value) equi-join has FULL recall, and bit_count(xor)
+    verifies the true hamming distance. One exploded self-join replaces a
+    per-band join union; the N-row sketch is persisted so the token explode
+    + bit aggregation runs once, not once per join side."""
+    n_bands = max_hamming + 1
+    band_w = max(1, bits // n_bands)
+    sk = simhash(df, id_col, text_col, bits).persist()
+    bands = []
+    for i in range(n_bands):
+        shifted = F.shiftright(F.col("simhash"), i * band_w)
+        if i < n_bands - 1:
+            shifted = shifted.bitwiseAND(F.lit(2**band_w - 1))
+        bands.append(shifted.cast("long"))
     keyed = sk.select(
         F.col(id_col).alias("_id"),
         "simhash",
-        (F.col("simhash") % F.lit(2**half)).alias("lo"),
-        (F.col("simhash") / F.lit(2**half)).cast("long").alias("hi"),
+        F.posexplode(F.array(*bands)),  # -> pos (band idx), col (band value)
     )
-    cands = None
-    for part in ("lo", "hi"):
-        c = (
-            keyed.alias("a")
-            .join(keyed.alias("b"), part)
-            .filter(F.col("a._id") < F.col("b._id"))
-            .select(
-                F.col("a._id").alias("src"),
-                F.col("b._id").alias("dst"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.simhash").alias("sh_b"),
-            )
-        )
-        cands = c if cands is None else cands.unionByName(c)
     return (
-        cands.distinct()
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["pos", "col"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("src"),
+            F.col("b._id").alias("dst"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("src", "dst", "hamming")

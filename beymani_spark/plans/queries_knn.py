@@ -29,8 +29,11 @@ WITH v AS (
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every consumer takes top-5 neighbors, so push k into the pair builder:
+    # the exchange carries N*5 rows instead of N^2 (oracle-identical — the
+    # kernel's (dist, dst) tie order matches knn()'s row_number window)
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn.pair_distances_np(emb, "vec_id", "embedding")
+    return knn.pair_distances_np(emb, "vec_id", "embedding", k=5)
 
 
 _AVG_DIST_ORACLE = _PAIRS_CTE + """

@@ -183,7 +183,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash", None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_dup_pairs(docs, "doc_id", bits=16, max_hamming=3)
+    # 32-bit sketch -> 4 bands of 8 bits: wide enough that band buckets stay
+    # small (16-bit/4-bit bands collapse similar docs into huge buckets)
+    return dedup.simhash_dup_pairs(docs, "doc_id", bits=32, max_hamming=3)
 
 
 _COS_SQL = (
