@@ -220,14 +220,25 @@ def kmeans_score(
         model.join(total, list(keys))
         .filter(F.col("size") >= F.col("_total") * min_cluster_fraction)
     )
-    joined = df.join(F.broadcast(large), list(keys))
-    dist = None
-    for v in values:
-        term = (F.col(v) - F.col(f"centroid_{v}")) ** 2
-        dist = term if dist is None else dist + term
-    per_row = joined.withColumn("_dist", F.sqrt(dist))
-    agg = per_row.groupBy(*df.columns).agg(F.min("_dist").alias("score"))
-    return agg.withColumn("label", tag_label(F.col("score"), threshold))
+    # fold the (few) large centroids into one array per key: the fact table
+    # joins 1:1 (no xK row explosion) and min-distance is an array_min over
+    # a codegen transform — no post-join shuffle
+    cent = F.struct(*[F.col(f"centroid_{v}").alias(v) for v in values])
+    per_key = large.groupBy(*keys).agg(F.collect_list(cent).alias("_cents"))
+    joined = df.join(F.broadcast(per_key), list(keys))
+
+    def _dist(c):
+        d = None
+        for v in values:
+            term = (F.col(v) - c[v]) ** 2
+            d = term if d is None else d + term
+        return F.sqrt(d)
+
+    return (
+        joined.withColumn("score", F.array_min(F.transform(F.col("_cents"), _dist)))
+        .drop("_cents")
+        .withColumn("label", tag_label(F.col("score"), threshold))
+    )
 
 
 # ---------------------------------------------------------------- Isolation forest
