@@ -294,12 +294,36 @@ def isolation_forest_fit(
     num_trees: int = 100,
     subsample: int = 256,
     seed: int = 42,
+    presample: int | None = 16,
 ) -> DataFrame:
     """Per-key isolation forest; model = (keys..., tree_id, tree_json).
 
     Each key's forest is fit in one applyInPandas pass over a bounded
-    bootstrap subsample — replaces the reference's per-depth-shuffle loop."""
+    bootstrap subsample — replaces the reference's per-depth-shuffle loop.
+
+    With ``presample`` set (default), the fit exchange carries a
+    deterministic hash-thresholded pool of ~presample*subsample rows per key
+    instead of the whole fact table: a keys-only count aggregate fixes each
+    key's keep-fraction, then a narrow xxhash64 filter selects the pool
+    before the group shuffle. At 100 TB this is the difference between
+    shuffling the dataset and shuffling ~4k rows per key. Sampling stays
+    deterministic under any partitioning (hash of the value columns + seed,
+    not F.rand)."""
     max_depth = int(math.ceil(math.log2(max(subsample, 2))))
+
+    if presample:
+        target = int(presample) * subsample
+        denom = 1_000_000
+        cnt = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+        df = (
+            df.join(F.broadcast(cnt), list(keys))
+            .withColumn(
+                "_hv", F.pmod(F.xxhash64(*values, F.lit(seed)), F.lit(denom))
+            )
+            # keeps ~target rows per key; every row when the key has <= target
+            .filter(F.col("_hv") * F.col("_n") < F.lit(target) * F.lit(denom))
+            .drop("_hv", "_n")
+        )
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[list(values)].to_numpy(dtype=float)
@@ -350,34 +374,69 @@ def isolation_forest_score(
     values: Sequence[str],
     threshold: float = 0.6,
 ) -> DataFrame:
-    """score = 2^(-avg path length / c(sample_n)); cogroup joins each key's
-    forest with its rows — broadcast-free, cartesian-free."""
+    """score = 2^(-avg path length / c(sample_n)). The model is bounded
+    (|keys| * num_trees JSON paths), so it is collected and broadcast and
+    each partition scores its own rows via vectorized mask traversal
+    (mapInPandas) — the fact table never shuffles, replacing both the
+    reference's cartesian (IsolationForestPredictor.scala:108) and the
+    earlier cogroup exchange. Keys absent from the model tag 'I'."""
     out_schema = StructType(
         [f for f in df.schema if f.name in set(df.columns)]
     ).add("score", "double").add("label", "string")
 
-    def score_group(data: pd.DataFrame, mdl: pd.DataFrame) -> pd.DataFrame:
-        if len(data) == 0:
-            return pd.DataFrame(columns=[*data.columns, "score", "label"])
-        res = data.copy()
-        if len(mdl) == 0:
-            res["score"] = None
-            res["label"] = "I"
-            return res
-        trees = [json.loads(t) for t in mdl["tree_json"]]
-        cn = _c_factor(int(mdl["sample_n"].iloc[0]))
-        x = data[list(values)].to_numpy(dtype=float)
-        paths = np.zeros(len(x))
-        for tree in trees:
-            paths += _path_len_vec(tree, x)
-        avg_path = paths / len(trees)
-        score = np.power(2.0, -avg_path / cn)
-        res["score"] = score
-        res["label"] = np.where(score > threshold, "O", "N")
+    mdl_rows = model.select(*keys, "tree_json", "sample_n").collect()
+    forests: dict = {}
+    for r in mdl_rows:
+        k = tuple(r[kk] for kk in keys)
+        ent = forests.setdefault(k, {"trees": [], "n": int(r["sample_n"])})
+        ent["trees"].append(json.loads(r["tree_json"]))
+    bc = df.sparkSession.sparkContext.broadcast(forests)
+
+    def score_chunk(pdf):
+        fmap = bc.value
+        res = pdf.reset_index(drop=True)
+        score_col = np.full(len(res), np.nan)
+        label_col = np.full(len(res), "I", dtype=object)
+        for k, sub in res.groupby(list(keys), sort=False):
+            kt = k if isinstance(k, tuple) else (k,)
+            ent = fmap.get(kt)
+            if ent is None:
+                continue
+            x = sub[list(values)].to_numpy(dtype=float)
+            paths = np.zeros(len(x))
+            for tree in ent["trees"]:
+                paths += _path_len_vec(tree, x)
+            score = np.power(2.0, -(paths / len(ent["trees"])) / _c_factor(ent["n"]))
+            idx = sub.index.to_numpy()
+            score_col[idx] = score
+            label_col[idx] = np.where(score > threshold, "O", "N")
+        res["score"] = score_col
+        res["label"] = label_col
+        if np.isnan(score_col).any():  # missing-model rows: null, not NaN
+            res["score"] = res["score"].astype(object).where(res["score"].notna(), None)
         return res
 
-    return (
-        df.groupBy(*keys)
-        .cogroup(model.groupBy(*keys))
-        .applyInPandas(score_group, schema=out_schema)
-    )
+    def gen(batches):
+        # tree traversal costs O(nodes) python ops per chunk regardless of
+        # chunk size — accumulate arrow batches to ~100k rows so the numpy
+        # work dominates, with memory still bounded per chunk
+        buf, buffered = [], 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            buf.append(pdf)
+            buffered += len(pdf)
+            if buffered >= 100_000:
+                yield score_chunk(pd.concat(buf, ignore_index=True))
+                buf, buffered = [], 0
+        if buf:
+            yield score_chunk(pd.concat(buf, ignore_index=True))
+
+    # few-split sources (one parquet file) would run every chunk in a single
+    # python worker; round-robin them across the cluster first. On a real
+    # multi-split table this branch never fires and the fact table stays
+    # shuffle-free.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism // 2:
+        df = df.repartition(parallelism)
+    return df.mapInPandas(gen, out_schema)
