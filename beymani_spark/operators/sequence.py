@@ -30,6 +30,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -142,10 +143,22 @@ def subsequence_distance(
     window: int = 16,
     threshold: float | None = None,
     exclusion: int | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Discord detection: one output row per window offset with the min
-    distance to any non-overlapping window (self-join of subsequences)."""
+    distance to any non-overlapping window (self-join of subsequences).
+
+    ``parallelism=C`` splits each key's O(n^2) profile across C tasks — the
+    SCALE.md "chunk the giant key" off-ramp for low-key-cardinality inputs:
+    rows are duplicated per chunk, each (key, chunk) task sweeps every C-th
+    diagonal (round-robin, so the linearly-shrinking diagonals balance), and
+    a codegen groupBy(offset).min combines the partial squared distances.
+    Two extra narrow shuffles of n*C rows buy C-fold kernel parallelism."""
     excl = exclusion if exclusion is not None else window
+    if parallelism and parallelism > 1:
+        return _subsequence_distance_chunked(
+            df, keys, ts, value, window, excl, int(parallelism)
+        )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts).reset_index(drop=True)
@@ -188,6 +201,62 @@ def subsequence_distance(
     return df.groupBy(*keys).applyInPandas(
         kernel,
         schema=f"{key_schema}, offset long, start_ts {ts_type}, discord_score double",
+    )
+
+
+def _subsequence_distance_chunked(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    window: int,
+    excl: int,
+    n_chunks: int,
+) -> DataFrame:
+    """Within-key parallel discord profile (see subsequence_distance)."""
+
+    def pkernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        chunk = int(key[-1])
+        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        x = pdf[value].to_numpy(dtype=float)
+        n = len(x) - window + 1
+        cols = [*keys, "offset", "start_ts", "_d2"]
+        if n <= 1:
+            return pd.DataFrame(columns=cols)
+        csq = np.concatenate([[0.0], np.cumsum(x * x)])
+        sq = csq[window : window + n] - csq[:n]
+        dmin = np.full(n, np.inf)
+        for k in range(max(excl, 1) + chunk, n, n_chunks):
+            m = n - k
+            p = x[: len(x) - k] * x[k:]
+            cp = np.concatenate([[0.0], np.cumsum(p)])
+            dot = cp[window : window + m] - cp[:m]
+            d2 = sq[:m] + sq[k : k + m] - 2.0 * dot
+            np.minimum(dmin[:m], d2, out=dmin[:m])
+            np.minimum(dmin[k : k + m], d2, out=dmin[k : k + m])
+        key_cols = {kc: pdf[kc].iloc[0] for kc in keys}
+        return pd.DataFrame(
+            {
+                **{kc: [v] * n for kc, v in key_cols.items()},
+                "offset": np.arange(n),
+                "start_ts": pdf[ts].iloc[:n].to_numpy(),
+                "_d2": dmin,
+            }
+        )
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
+    )
+    ts_type = next(f.dataType.simpleString() for f in df.schema if f.name == ts)
+    dup = df.withColumn(
+        "_chunk", F.explode(F.array(*[F.lit(i) for i in range(n_chunks)]))
+    )
+    partial = dup.groupBy(*keys, "_chunk").applyInPandas(
+        pkernel,
+        schema=f"{key_schema}, offset long, start_ts {ts_type}, _d2 double",
+    )
+    return partial.groupBy(*keys, "offset", "start_ts").agg(
+        F.sqrt(F.greatest(F.min("_d2"), F.lit(0.0))).alias("discord_score")
     )
 
 

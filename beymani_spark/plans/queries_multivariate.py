@@ -121,7 +121,9 @@ def q_one_step_ahead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("subsequence_distance", None)
 def q_subsequence_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    out = sequence.subsequence_distance(ev, ["event_type"], "ts", "value", window=16)
+    out = sequence.subsequence_distance(
+        ev, ["event_type"], "ts", "value", window=16, parallelism=8
+    )
     return _round(
         out.select("event_type", "offset", "discord_score"), ["discord_score"]
     )
