@@ -174,6 +174,9 @@ def kmeans_model(
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[list(values)].to_numpy(dtype=float)
+        # canonical row order: group rows arrive in partition order, so the
+        # index-based subsample would otherwise change under repartitioning
+        x = x[np.lexsort(x.T[::-1])]
         rng = np.random.RandomState(seed)
         kk = min(n_clusters, len(x))
         centers = x[rng.choice(len(x), size=kk, replace=False)]
@@ -327,6 +330,9 @@ def isolation_forest_fit(
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[list(values)].to_numpy(dtype=float)
+        # canonical row order: group rows arrive in partition order, so the
+        # index-based subsample would otherwise change under repartitioning
+        x = x[np.lexsort(x.T[::-1])]
         rng = np.random.RandomState(seed)
         rows = []
         for t in range(num_trees):

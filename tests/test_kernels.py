@@ -124,6 +124,23 @@ def test_isolation_forest_deterministic_and_recall(spark, mv_df):
     np.testing.assert_allclose(out1.score, out2.score)  # seeded determinism
 
 
+def test_isolation_forest_partition_invariant(spark, mv_df):
+    """Same seed -> same model regardless of input partitioning (canonical
+    row order inside the fit kernel + hash-threshold presample, not F.rand)."""
+    kwargs = dict(num_trees=10, subsample=64, seed=7)
+    m1 = (
+        multivariate.isolation_forest_fit(mv_df, ["key"], ["x", "y"], **kwargs)
+        .toPandas().sort_values("tree_id", ignore_index=True)
+    )
+    m2 = (
+        multivariate.isolation_forest_fit(
+            mv_df.repartition(7), ["key"], ["x", "y"], **kwargs
+        )
+        .toPandas().sort_values("tree_id", ignore_index=True)
+    )
+    assert list(m1.tree_json) == list(m2.tree_json)
+
+
 def test_isolation_forest_recall_far_point(spark):
     # axis-parallel IF can't catch correlation anomalies (like mv_df's pid 0),
     # so recall is asserted on an unambiguous coordinate-wise outlier
