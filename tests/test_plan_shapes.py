@@ -1,0 +1,58 @@
+"""Physical-plan regression tests for the SCALE.md posture claims.
+
+These assert the plan *shape*, not timings: stats scoring must broadcast the
+model and leave the fact table exchange-free, parquet scans must receive
+pushed filters and pruned schemas, and model builders must partial-aggregate.
+A regression here is a 100 TB problem long before it is a benchmark problem.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beymani_spark.operators import profile, zscore
+from beymani_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stats_scoring_broadcasts_model_no_fact_exchange(spark):
+    ev = load_table(spark, SF, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+    scored.count()
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan, "stats model must broadcast-join"
+    # the only exchanges allowed are on the (tiny) model side: the stats
+    # aggregation shuffle and the broadcast itself — never a sort-merge
+    # repartition of the fact table
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_model_builder_partial_aggregates(spark):
+    ev = load_table(spark, SF, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    plan = _plan(stats)
+    # partial (map-side) + final aggregation: shuffle volume is |keys|
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    ev = load_table(spark, SF, "events").filter(F.col("event_type") == "click")
+    plan = ev._jdf.queryExecution().toString()
+    assert "PushedFilters: [" in plan
+    assert "event_type" in plan.split("PushedFilters:")[1][:200], (
+        "filter on event_type must reach the parquet scan"
+    )
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    plan = ev._jdf.queryExecution().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read_schema and "value" in read_schema
+    assert "props" not in read_schema, "unused columns must be pruned from the scan"
