@@ -267,32 +267,30 @@ def subsequence_distance_ref(
     ts: str,
     value: str,
     window: int = 16,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Separate-reference-series discord mode (SubSequenceDistanceDetector
     union/tag path, :79-84): each window of the test series is scored by its
     min distance to any window of the reference series — cogroup joins the
-    two series per key."""
+    two series per key. ``parallelism=C`` chunks the cross profile exactly
+    like subsequence_distance: both sides are duplicated per chunk, each
+    (key, chunk) cogroup task sweeps every C-th diagonal, and
+    groupBy(offset).min combines the partial squared distances."""
+    n_chunks = int(parallelism) if parallelism and parallelism > 1 else 1
 
-    def kernel(data: pd.DataFrame, ref: pd.DataFrame) -> pd.DataFrame:
-        cols = [*keys, "offset", "start_ts", "discord_score"]
-        if len(data) == 0 or len(ref) < window:
-            return pd.DataFrame(columns=cols)
-        data = data.sort_values(ts).reset_index(drop=True)
-        ref = ref.sort_values(ts).reset_index(drop=True)
-        x = data[value].to_numpy(dtype=float)
-        r = ref[value].to_numpy(dtype=float)
+    def _sweep(x: np.ndarray, r: np.ndarray, chunk: int) -> np.ndarray:
+        """Partial (squared) min-distance profile over this chunk's
+        diagonals; cross-series diagonal sliding-dot sweep (see
+        subsequence_distance): diagonal k = ref_offset - test_offset,
+        O(n*nref/C) scalar ops."""
         n = len(x) - window + 1
-        if n <= 0:
-            return pd.DataFrame(columns=cols)
-        # cross-series diagonal sliding-dot sweep (see subsequence_distance):
-        # diagonal k = ref_offset - test_offset, O(n*nref) scalar ops total
         nref = len(r) - window + 1
         csx = np.concatenate([[0.0], np.cumsum(x * x)])
         csr = np.concatenate([[0.0], np.cumsum(r * r)])
         sqx = csx[window : window + n] - csx[:n]
         sqr = csr[window : window + nref] - csr[:nref]
         dmin = np.full(n, np.inf)
-        for k in range(-(n - 1), nref):
+        for k in range(-(n - 1) + chunk, nref, n_chunks):
             i0, i1 = max(0, -k), min(n, nref - k)
             if i1 <= i0:
                 continue
@@ -303,14 +301,32 @@ def subsequence_distance_ref(
             dot = cp[window : window + cnt] - cp[:cnt]
             d2 = sqx[i0:i1] + sqr[i0 + k : i1 + k] - 2.0 * dot
             np.minimum(dmin[i0:i1], d2, out=dmin[i0:i1])
-        dmin = np.sqrt(np.maximum(dmin, 0.0))
+        return dmin
+
+    out_col = "discord_score" if n_chunks == 1 else "_d2"
+
+    def kernel(key, data: pd.DataFrame, ref: pd.DataFrame) -> pd.DataFrame:
+        cols = [*keys, "offset", "start_ts", out_col]
+        if len(data) == 0 or len(ref) < window:
+            return pd.DataFrame(columns=cols)
+        data = data.sort_values(ts).reset_index(drop=True)
+        ref = ref.sort_values(ts).reset_index(drop=True)
+        x = data[value].to_numpy(dtype=float)
+        r = ref[value].to_numpy(dtype=float)
+        n = len(x) - window + 1
+        if n <= 0:
+            return pd.DataFrame(columns=cols)
+        chunk = int(key[-1]) if n_chunks > 1 else 0
+        dmin = _sweep(x, r, chunk)
+        if n_chunks == 1:
+            dmin = np.sqrt(np.maximum(dmin, 0.0))
         key_cols = {k: data[k].iloc[0] for k in keys}
         return pd.DataFrame(
             {
                 **{k: [v] * n for k, v in key_cols.items()},
                 "offset": np.arange(n),
                 "start_ts": data[ts].iloc[:n].to_numpy(),
-                "discord_score": dmin,
+                out_col: dmin,
             }
         )
 
@@ -318,13 +334,27 @@ def subsequence_distance_ref(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
     )
     ts_type = next(f.dataType.simpleString() for f in df.schema if f.name == ts)
-    return (
-        df.groupBy(*keys)
-        .cogroup(ref_df.groupBy(*keys))
+    if n_chunks == 1:
+        return (
+            df.groupBy(*keys)
+            .cogroup(ref_df.groupBy(*keys))
+            .applyInPandas(
+                kernel,
+                schema=f"{key_schema}, offset long, start_ts {ts_type}, discord_score double",
+            )
+        )
+    chunk_arr = F.array(*[F.lit(i) for i in range(n_chunks)])
+    partial = (
+        df.withColumn("_chunk", F.explode(chunk_arr))
+        .groupBy(*keys, "_chunk")
+        .cogroup(ref_df.withColumn("_chunk", F.explode(chunk_arr)).groupBy(*keys, "_chunk"))
         .applyInPandas(
             kernel,
-            schema=f"{key_schema}, offset long, start_ts {ts_type}, discord_score double",
+            schema=f"{key_schema}, offset long, start_ts {ts_type}, _d2 double",
         )
+    )
+    return partial.groupBy(*keys, "offset", "start_ts").agg(
+        F.sqrt(F.greatest(F.min("_d2"), F.lit(0.0))).alias("discord_score")
     )
 
 

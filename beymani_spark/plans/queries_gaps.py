@@ -234,6 +234,6 @@ def q_subsequence_distance_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_m")
     )
     out = sequence.subsequence_distance_ref(
-        test, ref, ["event_type"], "ts", "value", window=16
+        test, ref, ["event_type"], "ts", "value", window=16, parallelism=8
     )
     return _round(out.select("event_type", "offset", "discord_score"), ["discord_score"])
