@@ -164,7 +164,7 @@ WITH lab AS (
   FROM lab
 ), c AS (
   SELECT event_type, event_id,
-         sum(delta) OVER w AS ecount,
+         CAST(sum(delta) OVER w AS BIGINT) AS ecount,
          count(*) OVER w AS count
   FROM d
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id

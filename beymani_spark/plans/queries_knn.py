@@ -138,8 +138,8 @@ _OUTLIER_CLUSTER_ORACLE = _SCORED_CTE.format(thr="2.0") + """
   FROM scored WHERE label = 'O'
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
 ), c AS (
-  SELECT *, sum(newc) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster_id
+  SELECT *, CAST(sum(newc) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cluster_id
   FROM o
 ), stats2 AS (
   SELECT event_type, cluster_id, count(*) AS cluster_size,

@@ -45,3 +45,11 @@ from . import queries_multivariate  # noqa: E402,F401
 from . import queries_drift  # noqa: E402,F401
 from . import queries_gaps  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
+
+# The driver's correctness harness checks a bounded prefix of queries() in
+# registration order. Put every oracle-bearing query ahead of the rows-only
+# ones so the checked prefix maximizes hash-verified coverage; the sort is
+# stable, preserving within-group registration order.
+_ordered = sorted(QUERIES.items(), key=lambda kv: kv[1].oracle is None)
+QUERIES.clear()
+QUERIES.update(_ordered)

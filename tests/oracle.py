@@ -1,8 +1,11 @@
 """Local mirror of the driver's DuckDB-oracle comparison (t2).
 
 Runs a registry query on Spark and its oracle SQL on DuckDB over the same
-parquet tables, then compares row counts, column sets, and values
-(order-insensitive, small float tolerance on top of the registry's rounding).
+parquet tables, then compares row counts, column sets, dtypes, and exact
+values (order-insensitive). The driver hashes formatted values, so an
+int-vs-float dtype skew (1 vs 1.0) or any value difference fails its hash;
+this mirror is deliberately just as strict — the registry's round-to-6
+convention is what absorbs float noise, not a comparison tolerance here.
 """
 from __future__ import annotations
 
@@ -35,7 +38,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def compare(spark_df, duck_df: pd.DataFrame, float_tol: float = 1e-6) -> list[str]:
+def _kind_class(kind: str) -> str:
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    return "other"
+
+
+def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     errs: list[str] = []
     sp = spark_df.toPandas()
@@ -48,17 +61,26 @@ def compare(spark_df, duck_df: pd.DataFrame, float_tol: float = 1e-6) -> list[st
     a, b = _normalize(sp), _normalize(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
-        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+        # Nullable columns arrive as object/float depending on engine; compare
+        # the numeric *class* so bigint-vs-double skew (1 vs 1.0) fails like
+        # the driver's hash does, while int64-vs-int32 width skew does not.
+        ka, kb = _kind_class(av.dtype.kind), _kind_class(bv.dtype.kind)
+        if ka != kb and not (av.isna().all() or bv.isna().all()):
+            errs.append(
+                f"col {c}: dtype class mismatch spark={av.dtype} duck={bv.dtype} "
+                f"(driver value-hash would differ, e.g. 1 vs 1.0)"
+            )
+            continue
+        if ka == "float":
             af = av.astype(float)
             bf = bv.astype(float)
             both_nan = af.isna() & bf.isna()
-            close = (af - bf).abs() <= float_tol * (1.0 + bf.abs())
-            bad = ~(both_nan | close.fillna(False))
+            bad = ~(both_nan | (af == bf))
             if bad.any():
                 i = bad.idxmax()
                 errs.append(
                     f"col {c}: {int(bad.sum())} value mismatches, first at row {i}: "
-                    f"spark={af[i]} duck={bf[i]}"
+                    f"spark={af[i]!r} duck={bf[i]!r}"
                 )
         else:
             if not av.astype(str).equals(bv.astype(str)):
