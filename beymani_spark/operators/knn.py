@@ -15,9 +15,11 @@ Reference semantics sources:
       beymani/spark/knn/LocalDensityBasedPredictor.scala:41-251): kNN :101-106,
       reachability distance :116-139, lrd :144-156, LOF :183-214
 
-Scale posture: the brute-force pair builder is O(N²/key) and is the
-*correctness* path (cap N per key); the scale path is lsh_pair_distances,
-which buckets vectors with random hyperplane signatures so the self-join only
+Scale posture: exact pairs run on blocked_vec_pairs — a tiled cogroup
+block-nested-loop with numpy kernels, bounded task memory, and no driver
+collect (shuffle volume N²/target_block rows, the irreducible cost of exact
+all-pairs); the sub-quadratic approximate path is lsh_pair_distances, which
+buckets vectors with random hyperplane signatures so the self-join only
 compares within buckets. kNN/kdist/lrd/LOF are window + broadcast-join stages
 over the (much smaller) pair set — ~5 narrow shuffles, matching the
 reference's stage count but spillable and AQE-planned.
@@ -67,61 +69,125 @@ def pair_distances(
     )
 
 
+def blocked_vec_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    kernel,
+    out_schema: str,
+    tiles: int | None = None,
+    target_block: int = 4096,
+) -> DataFrame:
+    """Distributed block-nested-loop over all vector pairs — the exact-pairs
+    engine behind pair_distances_np / cosine_dup_pairs.
+
+    Both sides are tiled by pmod(xxhash64(id), t); src rows are replicated
+    across ref tiles and ref rows across src tiles, then cogrouped on the
+    (src_tile, ref_tile) grid so each task sees one bounded numpy block
+    (~target_block x target_block). No row ever reaches the driver and task
+    memory is O(target_block * dim) regardless of N — this is what replaces
+    the round-1 driver-side toPandas() collect. Replicated shuffle volume is
+    N^2/target_block rows, the irreducible cost of *exact* all-pairs; the
+    sub-quadratic path remains lsh_pair_distances.
+
+    ``kernel(src_ids, src_mat, ref_ids, ref_mat) -> pd.DataFrame`` computes
+    one block; per-pair arithmetic identical to the former broadcast path, so
+    results are bit-identical.
+    """
+    import pandas as pd
+
+    base = df
+    df = base.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if tiles is None:
+        # distributed count (a cheap aggregate, not a data collect)
+        tiles = max(1, -(-df.count() // target_block))
+    t = int(tiles)
+    src = df.withColumn("_i", F.pmod(F.xxhash64("_id"), F.lit(t))).withColumn(
+        "_j", F.explode(F.sequence(F.lit(0), F.lit(t - 1)))
+    )
+    # The right side MUST use distinct column names: cogrouping two frames cut
+    # from the same lineage trips Spark's self-join attribute dedup, which
+    # prunes the right side's same-named data columns out of the Arrow batch
+    # (observed on Spark 4.1: right frame arrives with only the grouping
+    # columns). Distinct names keep both sides intact.
+    ref = base.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rv"))
+    ref = ref.withColumn("_j", F.pmod(F.xxhash64("_rid"), F.lit(t))).withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.lit(t - 1)))
+    )
+
+    def block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({f.split()[0]: [] for f in out_schema.split(",")})
+        src_ids = left["_id"].to_numpy()
+        src_mat = np.array([np.asarray(v, dtype=float) for v in left["_v"]])
+        ref_ids = right["_rid"].to_numpy()
+        ref_mat = np.array([np.asarray(v, dtype=float) for v in right["_rv"]])
+        return kernel(src_ids, src_mat, ref_ids, ref_mat)
+
+    return (
+        src.groupBy("_i", "_j")
+        .cogroup(ref.groupBy("_i", "_j"))
+        .applyInPandas(block, out_schema)
+    )
+
+
 def pair_distances_np(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int | None = None,
+    tiles: int | None = None,
+    target_block: int = 4096,
 ) -> DataFrame:
-    """Vectorized pair distances: the (bounded) reference set is broadcast as
-    a numpy matrix and each partition computes its rows' distances against it
-    with vectorized arithmetic (mapInPandas). ~10-100x faster than the
-    interpreted higher-order-function expression path for dense vectors;
-    identical semantics. For unbounded reference sets use lsh_pair_distances.
+    """Vectorized exact pair distances via the blocked cogroup engine
+    (blocked_vec_pairs): numpy arithmetic per block, no driver collect,
+    bounded task memory. ~10-100x faster than the interpreted
+    higher-order-function expression path for dense vectors; identical
+    semantics. For sub-quadratic approximate pairs use lsh_pair_distances.
 
-    With ``k`` set, only each src's k nearest pairs are emitted (ties broken
-    by dst, the same (dist, dst) order as ``knn``'s row_number window) — the
-    downstream exchange shrinks from O(N^2) to O(N*k) rows, which is the
-    difference between shuffling 25M and 25k rows at 5k vectors. The
-    per-pair arithmetic is unchanged, so selected distances are bit-identical
-    to the full-pair path.
+    With ``k`` set, each block emits its local top-k per src (ties broken by
+    dst, the same (dist, dst) order as ``knn``'s row_number window) and a
+    final window keeps the global top-k — the union of per-block top-ks
+    always contains the global top-k, so results match the all-pairs path
+    exactly while the exchange carries O(N*k*t) instead of O(N^2) rows.
     """
     import numpy as np
     import pandas as pd
 
-    df = df.select(id_col, vec_col)  # prune before mapInPandas reads full rows
-    ref = df.toPandas()
-    ref_ids = ref[id_col].to_numpy()
-    ref_mat = np.array([np.asarray(v, dtype=float) for v in ref[vec_col]])
-    bc = df.sparkSession.sparkContext.broadcast((ref_ids, ref_mat))
+    def kernel(src_ids, src_mat, ref_ids, ref_mat):
+        srcs, dsts, dists = [], [], []
+        for i in range(len(src_mat)):
+            d = np.sqrt(((src_mat[i] - ref_mat) ** 2).sum(axis=1))
+            mask = ref_ids != src_ids[i]
+            dm, im = d[mask], ref_ids[mask]
+            if k is not None:
+                sel = np.lexsort((im, dm))[:k]
+                dm, im = dm[sel], im[sel]
+            srcs.append(np.full(len(im), src_ids[i]))
+            dsts.append(im)
+            dists.append(dm)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "dist": np.concatenate(dists),
+            }
+        )
 
-    def gen(batches):
-        ids, mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            src_ids = pdf[id_col].to_numpy()
-            src = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
-            srcs, dsts, dists = [], [], []
-            for i in range(len(src)):
-                d = np.sqrt(((src[i] - mat) ** 2).sum(axis=1))
-                mask = ids != src_ids[i]
-                dm, im = d[mask], ids[mask]
-                if k is not None:
-                    sel = np.lexsort((im, dm))[:k]
-                    dm, im = dm[sel], im[sel]
-                srcs.append(np.full(len(im), src_ids[i]))
-                dsts.append(im)
-                dists.append(dm)
-            yield pd.DataFrame(
-                {
-                    "src": np.concatenate(srcs),
-                    "dst": np.concatenate(dsts),
-                    "dist": np.concatenate(dists),
-                }
-            )
-
-    return df.mapInPandas(gen, "src long, dst long, dist double")
+    out = blocked_vec_pairs(
+        df, id_col, vec_col, kernel, "src long, dst long, dist double",
+        tiles=tiles, target_block=target_block,
+    )
+    if k is not None:
+        w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+    return out
 
 
 def lsh_pair_distances(

@@ -56,42 +56,46 @@ def cosine_topk(
 
 
 def cosine_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    tiles: int | None = None,
+    target_block: int = 4096,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup).
 
-    Vectorized like knn.pair_distances_np: reference matrix broadcast, each
-    partition computes its rows against it with numpy; only the (sparse)
-    above-threshold pairs are emitted."""
+    Runs on knn.blocked_vec_pairs — tiled cogroup blocks, numpy per block, no
+    driver collect, bounded task memory — emitting only the (sparse)
+    above-threshold upper-triangle pairs."""
     import numpy as np
     import pandas as pd
 
-    df = df.select(id_col, vec_col)  # prune before mapInPandas reads full rows
-    ref = df.toPandas()
-    ref_ids = ref[id_col].to_numpy()
-    ref_mat = np.array([np.asarray(v, dtype=float) for v in ref[vec_col]])
-    bc = df.sparkSession.sparkContext.broadcast((ref_ids, ref_mat))
+    from .knn import blocked_vec_pairs
 
-    def gen(batches):
-        ids, mat = bc.value
-        norms = np.sqrt((mat**2).sum(axis=1))
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            src_ids = pdf[id_col].to_numpy()
-            src = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
-            for i in range(len(src)):
-                # mirror the SQL formula term-for-term: dot / (norm_a * norm_b)
-                dots = (src[i] * mat).sum(axis=1)
-                na = np.sqrt((src[i] ** 2).sum())
-                cos = dots / (na * norms)
-                mask = (ids > src_ids[i]) & (cos >= threshold)
-                if mask.any():
-                    yield pd.DataFrame(
-                        {"src": src_ids[i], "dst": ids[mask], "cosine": cos[mask]}
+    def kernel(src_ids, src_mat, ref_ids, ref_mat):
+        norms = np.sqrt((ref_mat**2).sum(axis=1))
+        frames = []
+        for i in range(len(src_mat)):
+            # mirror the SQL formula term-for-term: dot / (norm_a * norm_b)
+            dots = (src_mat[i] * ref_mat).sum(axis=1)
+            na = np.sqrt((src_mat[i] ** 2).sum())
+            cos = dots / (na * norms)
+            mask = (ref_ids > src_ids[i]) & (cos >= threshold)
+            if mask.any():
+                frames.append(
+                    pd.DataFrame(
+                        {"src": src_ids[i], "dst": ref_ids[mask], "cosine": cos[mask]}
                     )
+                )
+        if not frames:
+            return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+        return pd.concat(frames, ignore_index=True)
 
-    return df.mapInPandas(gen, "src long, dst long, cosine double")
+    return blocked_vec_pairs(
+        df, id_col, vec_col, kernel, "src long, dst long, cosine double",
+        tiles=tiles, target_block=target_block,
+    )
 
 
 def ann_lsh_topk(

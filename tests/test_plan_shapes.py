@@ -56,3 +56,40 @@ def test_column_pruning_reaches_parquet_scan(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "event_id" in read_schema and "value" in read_schema
     assert "props" not in read_schema, "unused columns must be pruned from the scan"
+
+
+def test_pair_builders_never_collect_to_driver(spark, monkeypatch):
+    """The proximity/embedding family must be fully distributed: building AND
+    executing the pair-based queries may never pull a table to the driver
+    (round-1 verdict: toPandas() of the vector table = guaranteed OOM at
+    100 TB). toPandas/collect are patched to raise; only the final result
+    materialization is allowed."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    from beymani_spark.plans import QUERIES
+
+    real_to_pandas = cdf.DataFrame.toPandas
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver-side collect inside a pair builder")
+
+    for name in ["average_distance", "lof", "relative_density", "cosine_dup_pairs"]:
+        monkeypatch.setattr(cdf.DataFrame, "toPandas", boom)
+        monkeypatch.setattr(cdf.DataFrame, "collect", boom)
+        try:
+            df = QUERIES[name].builder(spark, SF)
+            assert df.count() >= 0  # forces full execution of the plan
+        finally:
+            monkeypatch.setattr(cdf.DataFrame, "toPandas", real_to_pandas)
+            monkeypatch.delattr(cdf.DataFrame, "collect", raising=False)
+
+
+def test_blocked_pair_builder_is_cogrouped(spark):
+    """Plan shape: pair distances run as FlatMapCoGroupsInPandas blocks (the
+    bounded-memory engine), not via a broadcast of a driver-built matrix."""
+    from beymani_spark.operators import knn
+    from beymani_spark.sources import load_table as lt
+
+    emb = lt(spark, SF, "embeddings")
+    pairs = knn.pair_distances_np(emb, "vec_id", "embedding", k=3, tiles=2)
+    assert "FlatMapCoGroupsInPandas" in _plan(pairs)
