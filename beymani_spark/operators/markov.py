@@ -30,6 +30,10 @@ from ..functions.scores import tag_label
 
 METRICS = ("conditionalProbability", "missProbability", "missRate", "entropyReduction")
 
+# score assigned to a transition absent from the model (-log prob cap); shared
+# semantics with the streaming scorer's unseen-transition cap
+UNSEEN_NEG_LOG_PROB = 20.0
+
 
 def transition_model(
     df: DataFrame,
@@ -91,14 +95,29 @@ def markov_score(
         ["prev_state", "cur_state"],
         "left",
     )
+    # Unseen (prev,cur) transitions — null after the left model join — are the
+    # MOST anomalous case and must contribute the metric's worst value, not
+    # drop out of the trailing average; the caps match the streaming
+    # counterpart (streaming/jobs.py apply_stream_markov: -log(p) capped 20.0).
     if metric == "conditionalProbability":
-        t = F.when(F.col("prob") > 0, -F.log("prob"))
+        t = F.when(F.col("prob") > 0, -F.log("prob")).otherwise(F.lit(UNSEEN_NEG_LOG_PROB))
     elif metric == "missProbability":
-        t = F.lit(1.0) - F.col("prob")
+        t = F.lit(1.0) - F.coalesce(F.col("prob"), F.lit(0.0))
     elif metric == "missRate":
+        # null is_max falls through to the otherwise-branch: unseen = miss
         t = F.when(F.col("is_max") == 1, F.lit(0.0)).otherwise(F.lit(1.0))
-    else:  # entropyReduction
-        t = (F.col("row_entropy") + F.col("prob") * F.log("prob")) / F.col("row_entropy")
+    else:  # entropyReduction — unseen transition = full entropy reduction;
+        # a seen transition out of a deterministic prev-state (row_entropy 0,
+        # i.e. prob 1) reduces nothing
+        t = (
+            F.when(
+                F.col("row_entropy") > 0,
+                (F.col("row_entropy") + F.col("prob") * F.log("prob"))
+                / F.col("row_entropy"),
+            )
+            .when(F.col("prob").isNotNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0))
+        )
     wtrail = Window.partitionBy(*keys).orderBy(ts, *order_cols).rowsBetween(-(window - 1), 0)
     out = joined.withColumn("_t", t).withColumn("score", F.avg("_t").over(wtrail))
     out = out.withColumn("label", tag_label(F.col("score"), threshold))

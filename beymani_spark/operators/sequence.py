@@ -156,9 +156,10 @@ def subsequence_distance(
     Two extra narrow shuffles of n*C rows buy C-fold kernel parallelism."""
     excl = exclusion if exclusion is not None else window
     if parallelism and parallelism > 1:
-        return _subsequence_distance_chunked(
+        out = _subsequence_distance_chunked(
             df, keys, ts, value, window, excl, int(parallelism)
         )
+        return _tag_discord(out, threshold)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts).reset_index(drop=True)
@@ -198,9 +199,22 @@ def subsequence_distance(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
     )
     ts_type = next(f.dataType.simpleString() for f in df.schema if f.name == ts)
-    return df.groupBy(*keys).applyInPandas(
+    out = df.groupBy(*keys).applyInPandas(
         kernel,
         schema=f"{key_schema}, offset long, start_ts {ts_type}, discord_score double",
+    )
+    return _tag_discord(out, threshold)
+
+
+def _tag_discord(out: DataFrame, threshold: float | None) -> DataFrame:
+    """O/N tag on the discord score (same contract as the sibling detectors:
+    high min-distance = anomalous subsequence). A cheap codegen projection so
+    every builder path — plain, chunked, reference-series — shares it."""
+    if threshold is None:
+        return out
+    return out.withColumn(
+        "label",
+        F.when(F.col("discord_score") > float(threshold), F.lit("O")).otherwise(F.lit("N")),
     )
 
 
@@ -267,6 +281,7 @@ def subsequence_distance_ref(
     ts: str,
     value: str,
     window: int = 16,
+    threshold: float | None = None,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Separate-reference-series discord mode (SubSequenceDistanceDetector
@@ -310,9 +325,9 @@ def subsequence_distance_ref(
         if len(data) == 0 or len(ref) < window:
             return pd.DataFrame(columns=cols)
         data = data.sort_values(ts).reset_index(drop=True)
-        ref = ref.sort_values(ts).reset_index(drop=True)
+        ref = ref.sort_values("_rts").reset_index(drop=True)
         x = data[value].to_numpy(dtype=float)
-        r = ref[value].to_numpy(dtype=float)
+        r = ref["_rval"].to_numpy(dtype=float)
         n = len(x) - window + 1
         if n <= 0:
             return pd.DataFrame(columns=cols)
@@ -334,28 +349,37 @@ def subsequence_distance_ref(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
     )
     ts_type = next(f.dataType.simpleString() for f in df.schema if f.name == ts)
+    # distinct column names on the reference side: cogrouping two frames cut
+    # from the same lineage (scoring a series against itself) trips Spark's
+    # self-join attribute dedup, which prunes same-named data columns out of
+    # the right Arrow batch (see knn.blocked_vec_pairs)
+    ref_sel = ref_df.select(
+        *keys, F.col(ts).alias("_rts"), F.col(value).alias("_rval")
+    )
     if n_chunks == 1:
-        return (
+        out = (
             df.groupBy(*keys)
-            .cogroup(ref_df.groupBy(*keys))
+            .cogroup(ref_sel.groupBy(*keys))
             .applyInPandas(
                 kernel,
                 schema=f"{key_schema}, offset long, start_ts {ts_type}, discord_score double",
             )
         )
+        return _tag_discord(out, threshold)
     chunk_arr = F.array(*[F.lit(i) for i in range(n_chunks)])
     partial = (
         df.withColumn("_chunk", F.explode(chunk_arr))
         .groupBy(*keys, "_chunk")
-        .cogroup(ref_df.withColumn("_chunk", F.explode(chunk_arr)).groupBy(*keys, "_chunk"))
+        .cogroup(ref_sel.withColumn("_chunk", F.explode(chunk_arr)).groupBy(*keys, "_chunk"))
         .applyInPandas(
             kernel,
             schema=f"{key_schema}, offset long, start_ts {ts_type}, _d2 double",
         )
     )
-    return partial.groupBy(*keys, "offset", "start_ts").agg(
+    out = partial.groupBy(*keys, "offset", "start_ts").agg(
         F.sqrt(F.greatest(F.min("_d2"), F.lit(0.0))).alias("discord_score")
     )
+    return _tag_discord(out, threshold)
 
 
 def ngram_frequency(

@@ -55,12 +55,14 @@ FROM win
 """
 
 
+# LEFT join: unseen (prev,cur) transitions stay in the sequence and score the
+# metric's worst value (mirrors markov_score's fallbacks / streaming cap)
 _JOIN = (
-    "JOIN model m ON s.prev_state = m.prev_state AND s.cur_state = m.cur_state "
+    "LEFT JOIN model m ON s.prev_state = m.prev_state AND s.cur_state = m.cur_state "
     "WHERE s.prev_state IS NOT NULL"
 )
 
-_COND_PROB_ORACLE = _markov_scoring_oracle("-ln(m.prob)", "", 2.0)
+_COND_PROB_ORACLE = _markov_scoring_oracle("CASE WHEN m.prob > 0 THEN -ln(m.prob) ELSE 20.0 END", "", 2.0)
 
 
 @register("markov_cond_prob", _COND_PROB_ORACLE)
@@ -79,8 +81,9 @@ def q_markov_cond_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COND_PROB_SPREAD_ORACLE = _SEQ_CTE + """
 , scored AS (
-  SELECT s.user_id, s.event_id, s.ts, s.prev_state, s.cur_state, -ln(m.prob) AS t
-  FROM seq s JOIN model m ON s.prev_state = m.prev_state AND s.cur_state = m.cur_state
+  SELECT s.user_id, s.event_id, s.ts, s.prev_state, s.cur_state,
+         CASE WHEN m.prob > 0 THEN -ln(m.prob) ELSE 20.0 END AS t
+  FROM seq s LEFT JOIN model m ON s.prev_state = m.prev_state AND s.cur_state = m.cur_state
   WHERE s.prev_state IS NOT NULL
 ), win AS (
   SELECT user_id, event_id, ts, prev_state, cur_state,
@@ -113,7 +116,7 @@ def q_markov_cond_prob_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MISS_PROB_ORACLE = _markov_scoring_oracle("1.0 - m.prob", "", 0.85)
+_MISS_PROB_ORACLE = _markov_scoring_oracle("1.0 - coalesce(m.prob, 0.0)", "", 0.85)
 
 
 @register("markov_miss_prob", _MISS_PROB_ORACLE)
@@ -143,7 +146,7 @@ _MISS_RATE_ORACLE = _SEQ_CTE + _MISS_RATE_CTE + """
 , scored AS (
   SELECT s.user_id, s.event_id, s.ts, s.prev_state, s.cur_state,
          CASE WHEN m.is_max = 1 THEN 0.0 ELSE 1.0 END AS t
-  FROM seq s JOIN enriched m ON s.prev_state = m.prev_state AND s.cur_state = m.cur_state
+  FROM seq s LEFT JOIN enriched m ON s.prev_state = m.prev_state AND s.cur_state = m.cur_state
   WHERE s.prev_state IS NOT NULL
 ), win AS (
   SELECT user_id, event_id, prev_state, cur_state,
@@ -182,8 +185,11 @@ _ENTROPY_RED_CTE = """
 _ENTROPY_RED_ORACLE = _SEQ_CTE + _ENTROPY_RED_CTE + """
 , scored AS (
   SELECT s.user_id, s.event_id, s.ts, s.prev_state, s.cur_state,
-         (m.row_entropy + m.prob * ln(m.prob)) / m.row_entropy AS t
-  FROM seq s JOIN enriched m ON s.prev_state = m.prev_state AND s.cur_state = m.cur_state
+         CASE WHEN m.row_entropy > 0
+              THEN (m.row_entropy + m.prob * ln(m.prob)) / m.row_entropy
+              WHEN m.prob IS NOT NULL THEN 0.0
+              ELSE 1.0 END AS t
+  FROM seq s LEFT JOIN enriched m ON s.prev_state = m.prev_state AND s.cur_state = m.cur_state
   WHERE s.prev_state IS NOT NULL
 ), win AS (
   SELECT user_id, event_id, prev_state, cur_state,

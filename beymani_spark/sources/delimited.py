@@ -53,7 +53,9 @@ def write_tagged(
     line = F.concat_ws(
         delim,
         *[F.col(c).cast("string") for c in cols],
-        F.format_number(F.col(score_col), precision).alias("_s"),
+        # format_string, not format_number: the latter inserts locale grouping
+        # separators (1234.568 -> "1,234.568"), corrupting the delimited line
+        F.format_string(f"%.{precision}f", F.col(score_col)).alias("_s"),
         F.col(label_col),
     )
     scored.select(line.alias("value")).write.mode(mode).text(path)

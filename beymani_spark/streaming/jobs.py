@@ -26,6 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from ..functions.scores import tag_label
+from ..operators.markov import UNSEEN_NEG_LOG_PROB
 
 
 def stream_zscore(
@@ -176,7 +177,7 @@ def apply_stream_markov(
                 cur = row[state_col]
                 if last_state is not None:
                     p = probs.get((last_state, cur))
-                    t = -math.log(p) if p and p > 0 else 20.0
+                    t = -math.log(p) if p and p > 0 else UNSEEN_NEG_LOG_PROB
                     scores.append(t)
                     if len(scores) > window:
                         scores.pop(0)

@@ -34,3 +34,22 @@ def test_delimited_roundtrip(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_write_tagged_large_scores_have_no_grouping_separators(spark):
+    """Scores >= 1000 must render as plain %.3f — a locale grouping comma
+    would corrupt the comma-delimited line itself."""
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="beymani_out_")
+    try:
+        scored = spark.createDataFrame(
+            [("s1", 1234.5678)], "server string, score double"
+        ).withColumn("label", F.lit("O"))
+        write_tagged(scored, out, precision=3)
+        lines = []
+        for f in glob.glob(out + "/part-*"):
+            lines += open(f).read().splitlines()
+        assert lines == ["s1,1234.568,O"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

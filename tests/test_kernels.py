@@ -172,3 +172,73 @@ def test_kmeans_far_point(spark):
     ).toPandas()
     top = out.sort_values("score", ascending=False).iloc[0]
     assert top.pid == 200 and top.label == "O"
+
+
+def test_markov_unseen_transition_scores_cap_not_null(spark):
+    """A (prev,cur) transition absent from the model must contribute the
+    metric's worst value (cap 20.0 for -log prob, matching the streaming
+    scorer), not silently drop out of the trailing average."""
+    from beymani_spark.operators import markov
+
+    train = pd.DataFrame(
+        {
+            "user_id": ["u"] * 6,
+            "event_id": range(6),
+            "ts": range(6),
+            "event_type": ["a", "b", "a", "b", "a", "b"],
+        }
+    )
+    score_rows = train.copy()
+    score_rows.loc[5, "event_type"] = "c"  # (a -> c) never seen in training
+    model = markov.transition_model(
+        spark.createDataFrame(train), ["user_id"], "ts", "event_type",
+        order_cols=["event_id"],
+    )
+    out = (
+        markov.markov_score(
+            spark.createDataFrame(score_rows), model, ["user_id"], "ts",
+            "event_type", metric="conditionalProbability", window=1,
+            threshold=2.0, order_cols=["event_id"],
+        )
+        .toPandas()
+        .sort_values("event_id")
+    )
+    unseen = out[out.cur_state == "c"].iloc[0]
+    assert unseen.score == markov.UNSEEN_NEG_LOG_PROB
+    assert unseen.label == "O"
+    # missProbability / missRate / entropyReduction fall back to their worst
+    # value (1.0) instead of null
+    for metric in ["missProbability", "missRate", "entropyReduction"]:
+        m = (
+            markov.markov_score(
+                spark.createDataFrame(score_rows), model, ["user_id"], "ts",
+                "event_type", metric=metric, window=1, threshold=0.9,
+                order_cols=["event_id"],
+            )
+            .toPandas()
+        )
+        assert m[m.cur_state == "c"].iloc[0].score == 1.0
+
+
+def test_subsequence_distance_threshold_emits_label(spark):
+    rng = np.random.RandomState(0)
+    n = 200
+    x = np.sin(np.arange(n) * 0.2)
+    x[100:116] = rng.normal(0, 2.0, 16)
+    pdf = pd.DataFrame({"key": "k", "ts": range(n), "value": x})
+    sdf = spark.createDataFrame(pdf)
+    plain = sequence.subsequence_distance(
+        sdf, ["key"], "ts", "value", window=16, threshold=2.0
+    ).toPandas()
+    assert set(plain.label) <= {"O", "N"}
+    assert (plain.label == "O").any() and (plain.label == "N").any()
+    assert ((plain.label == "O") == (plain.discord_score > 2.0)).all()
+    # chunked and reference-series paths share the tag
+    chunked = sequence.subsequence_distance(
+        sdf, ["key"], "ts", "value", window=16, threshold=2.0, parallelism=2
+    ).toPandas()
+    assert ((chunked.label == "O") == (chunked.discord_score > 2.0)).all()
+    ref = sequence.subsequence_distance_ref(
+        sdf, sdf, ["key"], "ts", "value", window=16, threshold=0.5
+    ).toPandas()
+    assert "label" in ref.columns
