@@ -6,11 +6,12 @@
       is one aggregation (avg + covar_samp per pair); the 2-attr path inverts
       Σ in closed form so scoring stays a pure column expression; higher
       dimensions invert per-key with numpy on the (tiny) model DataFrame.
-  pca_score ≙ PrincipalComponentPredictor (/root/reference/spark/src/main/
-      scala/org/beymani/spark/pc/PrincipalComponentPredictor.scala:42-112):
-      reconstruction error ‖x - x̂‖ after projecting on the top-k principal
-      components — per-key SVD inside applyInPandas (subspace is
-      deterministic; reconstruction error is sign-invariant).
+  pca_model/pca_score ≙ PrincipalComponentPredictor (/root/reference/spark/
+      src/main/scala/org/beymani/spark/pc/PrincipalComponentPredictor.scala:
+      42-112): reconstruction error ‖x - x̂‖ after projecting on the top-k
+      principal components. Fit = per-key numpy SVD over a presampled pool;
+      score = broadcast (μ, basis) projection as a codegen column expression
+      (subspace deterministic; reconstruction error sign-invariant).
   kmeans_* ≙ ClusterBasedPredictor (/root/reference/spark/.../cluster/
       ClusterBasedPredictor.scala:45-130): distance to nearest large-enough
       centroid; small clusters fall through to the nearest large cluster.
@@ -119,43 +120,123 @@ def mahalanobis_score(
     return out.withColumn("label", tag_label(F.col("score"), threshold)).drop(*drop)
 
 
+
+
+def hash_presample(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    target: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-key fit-pool cap: keep ~``target`` rows per key via
+    an xxhash64 threshold on the value columns (stable under any
+    partitioning, unlike F.rand). A keys-only count aggregate fixes each
+    key's keep-fraction, then a narrow codegen filter selects the pool
+    BEFORE the group shuffle — at 100 TB the fit exchange carries ~target
+    rows per key instead of the whole fact table. Keys with <= target rows
+    keep every row."""
+    denom = 1_000_000
+    cnt = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    return (
+        df.join(F.broadcast(cnt), list(keys))
+        .withColumn("_hv", F.pmod(F.xxhash64(*values, F.lit(seed)), F.lit(denom)))
+        # threshold folded in Python: int*int lit multiplication would
+        # overflow int32 under ANSI for target*denom > 2^31
+        .filter(F.col("_hv") * F.col("_n") < F.lit(int(target) * denom))
+        .drop("_hv", "_n")
+    )
+
+
 # ---------------------------------------------------------------- PCA
+
+def pca_model(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    n_components: int = 1,
+    seed: int = 42,
+    presample: int | None = 8192,
+) -> DataFrame:
+    """Per-key PCA fit: (keys..., n, mean_<v>..., pc_<c>_<v>...) via numpy
+    SVD over a hash_presample-bounded pool (at most ~presample rows per key
+    reach the fit task — no unbounded key-group pandas frame). The subspace
+    is deterministic: canonical row order + sign-invariant reconstruction."""
+    k = int(n_components)
+    if presample:
+        df = hash_presample(df, keys, values, presample, seed)
+    d = len(values)
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[list(values)].to_numpy(dtype=float)
+        # canonical row order so the fit is partition-invariant
+        x = x[np.lexsort(x.T[::-1])]
+        mu = x.mean(axis=0)
+        xc = x - mu
+        row = {k_: v_ for k_, v_ in zip(keys, key)}
+        row["n"] = int(len(x))
+        for j, v_ in enumerate(values):
+            row[f"mean_{v_}"] = float(mu[j])
+        if len(x) <= k:
+            for c in range(k):
+                for j, v_ in enumerate(values):
+                    row[f"pc_{c}_{v_}"] = 0.0
+        else:
+            # right singular vectors = principal axes; deterministic subspace
+            _, _, vt = np.linalg.svd(xc, full_matrices=False)
+            basis = vt[:k]
+            for c in range(k):
+                for j, v_ in enumerate(values):
+                    row[f"pc_{c}_{v_}"] = float(basis[c, j]) if c < len(basis) else 0.0
+        return pd.DataFrame([row])
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
+    )
+    mean_fields = ", ".join(f"mean_{v} double" for v in values)
+    pc_fields = ", ".join(f"pc_{c}_{v} double" for c in range(k) for v in values)
+    return df.groupBy(*keys).applyInPandas(
+        fit, schema=f"{key_schema}, n long, {mean_fields}, {pc_fields}"
+    )
+
 
 def pca_score(
     df: DataFrame,
+    model: DataFrame,
     keys: Sequence[str],
     values: Sequence[str],
     n_components: int = 1,
     threshold: float = 3.0,
 ) -> DataFrame:
-    """Per-key PCA reconstruction-error score via applyInPandas + numpy SVD.
-
-    Memory bound: one key group per Arrow batch — bounded by the largest key,
-    like every applyInPandas operator here; chunk upstream for giant keys.
-    """
-    out_schema = StructType(
-        [f for f in df.schema if f.name in set(df.columns)]
-    ).add("score", "double").add("label", "string")
-    k = n_components
-
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf[list(values)].to_numpy(dtype=float)
-        mu = x.mean(axis=0)
-        xc = x - mu
-        if len(pdf) <= k:
-            err = np.zeros(len(pdf))
-        else:
-            # right singular vectors = principal axes; deterministic subspace
-            _, _, vt = np.linalg.svd(xc, full_matrices=False)
-            basis = vt[:k]
-            proj = xc @ basis.T @ basis
-            err = np.sqrt(((xc - proj) ** 2).sum(axis=1))
-        res = pdf.copy()
-        res["score"] = err
-        res["label"] = np.where(err > threshold, "O", "N")
-        return res
-
-    return df.groupBy(*keys).applyInPandas(score_group, schema=out_schema)
+    """Reconstruction-error score ‖x - x̂‖ against a broadcast pca_model —
+    a pure codegen column expression (projection coefficients come from the
+    tiny model join), so the fact table never shuffles and never enters
+    Python. Keys absent from the model (or with a degenerate fit) tag 'I'."""
+    k = int(n_components)
+    joined = df.join(F.broadcast(model), list(keys), "left")
+    xc = [F.col(v) - F.col(f"mean_{v}") for v in values]
+    proj = [F.lit(0.0)] * len(values)
+    for c in range(k):
+        z = None
+        for j, v in enumerate(values):
+            term = xc[j] * F.col(f"pc_{c}_{v}")
+            z = term if z is None else z + term
+        for j, v in enumerate(values):
+            proj[j] = proj[j] + z * F.col(f"pc_{c}_{v}")
+    err = None
+    for j in range(len(values)):
+        term = (xc[j] - proj[j]) ** 2
+        err = term if err is None else err + term
+    score = F.when(F.col("n") > k, F.sqrt(err)).otherwise(F.lit(0.0))
+    out = joined.withColumn(
+        "score", F.when(F.col("n").isNotNull(), score)
+    ).withColumn("label", tag_label(F.col("score"), threshold))
+    drop = (
+        ["n"]
+        + [f"mean_{v}" for v in values]
+        + [f"pc_{c}_{v}" for c in range(k) for v in values]
+    )
+    return out.drop(*drop)
 
 
 # ---------------------------------------------------------------- KMeans cluster
@@ -167,10 +248,21 @@ def kmeans_model(
     n_clusters: int = 4,
     iterations: int = 20,
     seed: int = 42,
+    presample: int | None = 8192,
 ) -> DataFrame:
     """Seeded per-key Lloyd k-means; returns (keys..., cluster_id, size,
-    centroid components)."""
+    centroid components).
+
+    The Lloyd fit runs over a hash_presample-bounded pool (~presample rows
+    per key), so neither the O(n*k*d) iteration cost nor the fit task's
+    pandas frame grows with the key group; cluster ``size`` is then a
+    whole-data codegen count of nearest-centroid assignments, keeping the
+    small-cluster rule (kmeans_score's min_cluster_fraction) exact on the
+    full distribution rather than the sample."""
     d = len(values)
+    full = df
+    if presample:
+        df = hash_presample(df, keys, values, presample, seed)
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[list(values)].to_numpy(dtype=float)
@@ -187,13 +279,10 @@ def kmeans_model(
                 pts = x[assign == c]
                 if len(pts):
                     centers[c] = pts.mean(axis=0)
-        dist = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = dist.argmin(axis=1)
         rows = []
         for c in range(kk):
             row = {k_: v_ for k_, v_ in zip(keys, key)}
             row["cluster_id"] = c
-            row["size"] = int((assign == c).sum())
             for j, v_ in enumerate(values):
                 row[f"centroid_{v_}"] = float(centers[c, j])
             rows.append(row)
@@ -203,9 +292,50 @@ def kmeans_model(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
     )
     cent = ", ".join(f"centroid_{v} double" for v in values)
-    return df.groupBy(*keys).applyInPandas(
-        fit, schema=f"{key_schema}, cluster_id int, size long, {cent}"
+    # persist the (|keys|*k-row) centroid table: it feeds both the size count
+    # and the caller's scoring joins, and without pinning each consumer
+    # re-runs the presample + fit jobs
+    centroids = df.groupBy(*keys).applyInPandas(
+        fit, schema=f"{key_schema}, cluster_id int, {cent}"
+    ).persist()
+    # cluster sizes = full-data nearest-centroid counts (codegen pass over
+    # the unsampled table + a |keys|*k-row shuffle): the small-cluster rule
+    # stays exact on the true distribution even when the fit was presampled
+    assigned = _assign_nearest(full, centroids, keys, values)
+    sizes = assigned.groupBy(*keys, "cluster_id").agg(F.count("*").alias("size"))
+    return (
+        centroids.join(sizes, [*keys, "cluster_id"], "left")
+        .fillna(0, subset=["size"])
+        .persist()
     )
+
+
+def _assign_nearest(
+    df: DataFrame, centroids: DataFrame, keys: Sequence[str], values: Sequence[str]
+) -> DataFrame:
+    """Adds cluster_id = nearest centroid per row: broadcast the per-key
+    centroid array (sorted by cluster_id) and argmin with codegen array
+    expressions — 1:1 join, no row explosion (cf. kmeans_score)."""
+    cent = F.struct(
+        F.col("cluster_id"), *[F.col(f"centroid_{v}").alias(v) for v in values]
+    )
+    per_key = centroids.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(cent)).alias("_cents")
+    )
+
+    def _d2(c):
+        d = None
+        for v in values:
+            term = (F.col(v) - c[v]) ** 2
+            d = term if d is None else d + term
+        return d
+
+    joined = df.join(F.broadcast(per_key), list(keys))
+    dists = F.transform(F.col("_cents"), _d2)
+    # array_position is 1-based; ties resolve to the lowest cluster_id,
+    # matching numpy argmin's first-index rule
+    best = F.element_at(F.col("_cents"), F.array_position(dists, F.array_min(dists)).cast("int"))
+    return joined.withColumn("cluster_id", best["cluster_id"]).drop("_cents")
 
 
 def kmeans_score(
@@ -315,18 +445,7 @@ def isolation_forest_fit(
     max_depth = int(math.ceil(math.log2(max(subsample, 2))))
 
     if presample:
-        target = int(presample) * subsample
-        denom = 1_000_000
-        cnt = df.groupBy(*keys).agg(F.count("*").alias("_n"))
-        df = (
-            df.join(F.broadcast(cnt), list(keys))
-            .withColumn(
-                "_hv", F.pmod(F.xxhash64(*values, F.lit(seed)), F.lit(denom))
-            )
-            # keeps ~target rows per key; every row when the key has <= target
-            .filter(F.col("_hv") * F.col("_n") < F.lit(target) * F.lit(denom))
-            .drop("_hv", "_n")
-        )
+        df = hash_presample(df, keys, values, int(presample) * subsample, seed)
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[list(values)].to_numpy(dtype=float)

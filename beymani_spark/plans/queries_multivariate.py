@@ -53,8 +53,12 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("pca_reconstruction", None)
 def q_pca_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    out = multivariate.pca_score(
+    model = multivariate.pca_model(
         li, ["l_returnflag"], ["l_quantity", "l_extendedprice", "l_discount"],
+        n_components=1,
+    )
+    out = multivariate.pca_score(
+        li, model, ["l_returnflag"], ["l_quantity", "l_extendedprice", "l_discount"],
         n_components=1, threshold=3.0,
     )
     return _round(

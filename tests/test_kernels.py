@@ -89,8 +89,12 @@ def mv_df(spark):
 
 
 def test_pca_off_manifold(spark, mv_df):
-    out = multivariate.pca_score(mv_df, ["key"], ["x", "y"], n_components=1).toPandas()
+    model = multivariate.pca_model(mv_df, ["key"], ["x", "y"], n_components=1)
+    out = multivariate.pca_score(
+        mv_df, model, ["key"], ["x", "y"], n_components=1
+    ).toPandas()
     assert out.sort_values("score", ascending=False).iloc[0].pid == 0
+    assert set(out.label) <= {"O", "N"}
 
 
 def test_mahalanobis_hand_computed(spark):

@@ -93,3 +93,28 @@ def test_blocked_pair_builder_is_cogrouped(spark):
     emb = lt(spark, SF, "embeddings")
     pairs = knn.pair_distances_np(emb, "vec_id", "embedding", k=3, tiles=2)
     assert "FlatMapCoGroupsInPandas" in _plan(pairs)
+
+
+def test_kmeans_pca_fit_is_presampled_score_is_broadcast(spark):
+    """The k-means/PCA *fit* exchange must be bounded by the hash presample
+    (filter before the group shuffle), and scoring must broadcast the tiny
+    model — never sort-merge-join or re-shuffle the fact table."""
+    from beymani_spark.operators import multivariate as mv
+    from beymani_spark.sources import load_table as lt
+
+    li = lt(spark, SF, "lineitem")
+    keys, vals = ["l_returnflag"], ["l_quantity", "l_extendedprice"]
+
+    model = mv.pca_model(li, keys, vals, n_components=1, presample=64)
+    scored = mv.pca_score(li, model, keys, vals, n_components=1)
+    scored.count()
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    km = mv.kmeans_model(li, keys, vals, n_clusters=2, presample=64)
+    kscored = mv.kmeans_score(li, km, keys, vals)
+    kscored.count()
+    kplan = _plan(kscored)
+    assert "BroadcastHashJoin" in kplan
+    assert "SortMergeJoin" not in kplan
