@@ -1,6 +1,14 @@
-"""Registry entries: multivariate + numpy sequence families. Mahalanobis is
-fully oracle-verified (closed-form 2x2 inverse); the SVD/k-means/forest/FFT
-operators are deterministic (seeded) but not SQL-expressible -> rows-only."""
+"""Registry entries: multivariate + numpy sequence families. Mahalanobis,
+change_point (KS), one_step_ahead and subsequence_distance are fully
+oracle-verified; the SVD/k-means/forest/FFT operators are deterministic
+(seeded) but not SQL-expressible -> rows-only.
+
+Oracle exactness for the sequence family: event values are quantized to
+cents (round(value*100)) in the *query definition*, so every sum/dot in
+both engines is exact integer float64 arithmetic; divisions/sqrt of
+identical exact inputs are identical IEEE ops; and round(x, 6) agrees
+because both Spark (BigDecimal on the shortest repr, HALF_UP) and DuckDB
+round the same shortest decimal representation half-up."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
@@ -110,11 +118,63 @@ def q_spectral_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out.select("event_id", "event_type", "sr_score", "label"), ["sr_score"])
 
 
-@register("one_step_ahead", None)
+_OSA_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT event_type, event_id, CAST(round(value * 100, 0) AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn
+  FROM events
+), state AS (
+  -- sequential replay of the reference's window-feedback loop: one recursion
+  -- level per row index; state = last-8 work window + running residual moments
+  SELECT event_type, 8 AS i, list(v ORDER BY rn) AS w,
+         0::BIGINT AS r_n, CAST(0.0 AS DOUBLE) AS r_s1, CAST(0.0 AS DOUBLE) AS r_s2,
+         CAST(NULL AS DOUBLE) AS predicted, CAST(NULL AS DOUBLE) AS score
+  FROM ordered WHERE rn < 8 GROUP BY event_type
+  UNION ALL
+  SELECT event_type, i + 1,
+         w[2:] || [CASE WHEN sc > 3.0 THEN p ELSE x END],
+         CASE WHEN sc > 3.0 THEN r_n ELSE r_n + 1 END,
+         CASE WHEN sc > 3.0 THEN r_s1 ELSE r_s1 + (x - p) END,
+         CASE WHEN sc > 3.0 THEN r_s2 ELSE r_s2 + (x - p) * (x - p) END,
+         p, sc
+  FROM (
+    SELECT t.*, CASE WHEN sd > 0 THEN abs(x - p) / sd ELSE CAST(0.0 AS DOUBLE) END AS sc
+    FROM (
+      SELECT s.event_type, s.i, s.w, s.r_n, s.r_s1, s.r_s2,
+             o.v AS x, list_sum(s.w) / 8.0 AS p,
+             CASE WHEN s.r_n >= 3
+                       AND (s.r_s2 / s.r_n - (s.r_s1 / s.r_n) * (s.r_s1 / s.r_n)) > 0
+                  THEN sqrt(s.r_s2 / s.r_n - (s.r_s1 / s.r_n) * (s.r_s1 / s.r_n))
+                  ELSE CAST(0.0 AS DOUBLE) END AS sd
+      FROM state s JOIN ordered o ON o.event_type = s.event_type AND o.rn = s.i
+    ) t
+  )
+), scored AS (
+  SELECT event_type, i - 1 AS rn, predicted, score FROM state WHERE i > 8
+)
+SELECT o.event_id, o.event_type,
+       round(sc.predicted, 6) AS predicted,
+       round(coalesce(sc.score, 0.0), 6) AS osa_score,
+       CASE WHEN coalesce(sc.score, 0.0) > 3.0 THEN 'O' ELSE 'N' END AS label
+FROM ordered o LEFT JOIN scored sc ON o.event_type = sc.event_type AND o.rn = sc.rn
+"""
+
+
+@register("one_step_ahead", _OSA_ORACLE)
 def q_one_step_ahead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 100, 0)
+    )
     out = sequence.one_step_ahead(
         ev, ["event_type"], "ts", "value", window=8, method="average", threshold=3.0
+    )
+    # rows before the first full window have no prediction: normalize the
+    # kernel's NaN to SQL NULL so the driver hash agrees with the oracle
+    out = out.withColumn(
+        "predicted",
+        F.when(F.isnan("predicted"), F.lit(None).cast("double")).otherwise(
+            F.col("predicted")
+        ),
     )
     return _round(
         out.select("event_id", "event_type", "predicted", "osa_score", "label"),
@@ -122,9 +182,32 @@ def q_one_step_ahead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("subsequence_distance", None)
+_SUBSEQ_ORACLE = """
+WITH ordered AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), wins AS (
+  SELECT event_type, rn AS o, n,
+         list(v) OVER (PARTITION BY event_type ORDER BY rn
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS w
+  FROM ordered
+), fw AS (
+  SELECT event_type, o, w FROM wins WHERE o <= n - 16 AND n - 15 > 1
+)
+SELECT a.event_type, a.o AS offset,
+       round(min(list_distance(a.w, b.w)), 6) AS discord_score
+FROM fw a JOIN fw b ON a.event_type = b.event_type AND abs(a.o - b.o) >= 16
+GROUP BY a.event_type, a.o
+"""
+
+
+@register("subsequence_distance", _SUBSEQ_ORACLE)
 def q_subsequence_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 100, 0)
+    )
     out = sequence.subsequence_distance(
         ev, ["event_type"], "ts", "value", window=16, parallelism=8
     )
@@ -133,7 +216,39 @@ def q_subsequence_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("change_point", None)
+_CHANGE_POINT_ORACLE = """
+WITH ordered AS (
+  SELECT event_type, value, ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn
+  FROM events
+), nk AS (
+  SELECT event_type, count(*) AS n FROM ordered GROUP BY event_type
+), starts AS (
+  SELECT event_type, unnest(range(0, n - 63, 8)) AS start FROM nk WHERE n >= 64
+), members AS (
+  SELECT s.event_type, s.start, o.value,
+         CASE WHEN o.rn < s.start + 32 THEN 1 ELSE 0 END AS a_side
+  FROM starts s JOIN ordered o
+    ON o.event_type = s.event_type AND o.rn >= s.start AND o.rn < s.start + 64
+), cum AS (
+  -- two-sample KS: RANGE frame makes the cumulative counts include value
+  -- ties on both sides, matching searchsorted(..., side='right')
+  SELECT event_type, start,
+         sum(a_side) OVER w AS ca, sum(1 - a_side) OVER w AS cb
+  FROM members
+  WINDOW w AS (PARTITION BY event_type, start ORDER BY value
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st AS (
+  SELECT event_type, start, max(abs(ca / 32.0 - cb / 32.0)) AS stat
+  FROM cum GROUP BY event_type, start
+)
+SELECT st.event_type, floor(epoch(o.ts))::BIGINT AS center_epoch,
+       round(st.stat, 6) AS stat
+FROM st JOIN ordered o ON o.event_type = st.event_type AND o.rn = st.start + 32
+"""
+
+
+@register("change_point", _CHANGE_POINT_ORACLE)
 def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = sequence.change_point(
