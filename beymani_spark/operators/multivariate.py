@@ -12,6 +12,11 @@
       principal components. Fit = per-key numpy SVD over a presampled pool;
       score = broadcast (μ, basis) projection as a codegen column expression
       (subspace deterministic; reconstruction error sign-invariant).
+  autoencoder_* ≙ mvand `auen` (/root/reference/python/app/mvand.py:25-26,
+      avenir ticket.py:27-31): pyod-AutoEncoder analogue as a numpy
+      tied-weight linear AE (the container has no torch/pyod) — per-key
+      standardization, seeded full-batch gradient descent, reconstruction
+      error as the anomaly score via a broadcast codegen expression.
   kmeans_* ≙ ClusterBasedPredictor (/root/reference/spark/.../cluster/
       ClusterBasedPredictor.scala:45-130): distance to nearest large-enough
       centroid; small clusters fall through to the nearest large cluster.
@@ -235,6 +240,118 @@ def pca_score(
         ["n"]
         + [f"mean_{v}" for v in values]
         + [f"pc_{c}_{v}" for c in range(k) for v in values]
+    )
+    return out.drop(*drop)
+
+
+# ---------------------------------------------------------------- AutoEncoder
+
+def autoencoder_fit(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    hidden: int = 2,
+    epochs: int = 200,
+    lr: float = 0.05,
+    seed: int = 42,
+    presample: int | None = 8192,
+) -> DataFrame:
+    """Per-key tied-weight *linear* autoencoder fit — the env-feasible
+    equivalent of the reference's pyod AutoEncoder detector (`auen`,
+    /root/reference/python/app/mvand.py:25-26; avenir ticket.py:27-31):
+    inputs standardized per key, encoder z = W xs, decoder x̂ = Wᵀ z, W
+    trained by seeded full-batch gradient descent on the MSE. Model =
+    (keys..., n, mean_<v>, std_<v>, w_<c>_<v>).
+
+    Same scale posture as pca_model: the fit pool is hash_presample-bounded
+    and canonically ordered (partition-invariant), so no unbounded key group
+    ever materializes; gradient descent is deterministic given the seed."""
+    h = int(hidden)
+    if presample:
+        df = hash_presample(df, keys, values, presample, seed)
+    d = len(values)
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[list(values)].to_numpy(dtype=float)
+        x = x[np.lexsort(x.T[::-1])]  # canonical row order
+        n = len(x)
+        mu = x.mean(axis=0)
+        sd = x.std(axis=0)
+        sd_safe = np.where(sd > 0, sd, 1.0)
+        row = {k_: v_ for k_, v_ in zip(keys, key)}
+        row["n"] = int(n)
+        for j, v_ in enumerate(values):
+            row[f"mean_{v_}"] = float(mu[j])
+            row[f"std_{v_}"] = float(sd[j])
+        if n <= h:
+            w = np.zeros((h, d))
+        else:
+            xs = (x - mu) / sd_safe
+            rng = np.random.RandomState(seed)
+            w = rng.normal(scale=0.1, size=(h, d))
+            inv_n = 1.0 / n
+            for _ in range(int(epochs)):
+                z = xs @ w.T                      # (n, h)
+                xh = z @ w                        # (n, d)
+                e = (xh - xs) * (2.0 * inv_n)     # dL/dx̂ for L = mean ‖x̂-xs‖²
+                grad = z.T @ e + (e @ w.T).T @ xs
+                w -= lr * grad
+        for c in range(h):
+            for j, v_ in enumerate(values):
+                row[f"w_{c}_{v_}"] = float(w[c, j])
+        return pd.DataFrame([row])
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
+    )
+    stat_fields = ", ".join(f"mean_{v} double, std_{v} double" for v in values)
+    w_fields = ", ".join(f"w_{c}_{v} double" for c in range(h) for v in values)
+    return df.groupBy(*keys).applyInPandas(
+        fit, schema=f"{key_schema}, n long, {stat_fields}, {w_fields}"
+    )
+
+
+def autoencoder_score(
+    df: DataFrame,
+    model: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    hidden: int = 2,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Reconstruction-error score ‖xs - Wᵀ(W xs)‖ (standardized space)
+    against a broadcast autoencoder_fit model — like pca_score, a pure
+    codegen column expression: the fact table never shuffles and never
+    enters Python. Keys absent from the model tag 'I'."""
+    h = int(hidden)
+    joined = df.join(F.broadcast(model), list(keys), "left")
+    xs = [
+        F.when(
+            F.col(f"std_{v}") > 0, (F.col(v) - F.col(f"mean_{v}")) / F.col(f"std_{v}")
+        ).otherwise(F.lit(0.0))
+        for v in values
+    ]
+    recon = [F.lit(0.0)] * len(values)
+    for c in range(h):
+        z = None
+        for j, v in enumerate(values):
+            term = xs[j] * F.col(f"w_{c}_{v}")
+            z = term if z is None else z + term
+        for j, v in enumerate(values):
+            recon[j] = recon[j] + z * F.col(f"w_{c}_{v}")
+    err = None
+    for j in range(len(values)):
+        term = (xs[j] - recon[j]) ** 2
+        err = term if err is None else err + term
+    score = F.when(F.col("n") > h, F.sqrt(err)).otherwise(F.lit(0.0))
+    out = joined.withColumn(
+        "score", F.when(F.col("n").isNotNull(), score)
+    ).withColumn("label", tag_label(F.col("score"), threshold))
+    drop = (
+        ["n"]
+        + [f"mean_{v}" for v in values]
+        + [f"std_{v}" for v in values]
+        + [f"w_{c}_{v}" for c in range(h) for v in values]
     )
     return out.drop(*drop)
 

@@ -111,6 +111,28 @@ def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("autoencoder", None)
+def q_autoencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`auen` detector contract (mvand.py): fit on the data, score every row
+    by standardized reconstruction error. Seeded-deterministic numpy fit ->
+    rows-only (SGD weights are not SQL-expressible)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    values = ["l_quantity", "l_extendedprice", "l_discount"]
+    model = multivariate.autoencoder_fit(
+        li, ["l_returnflag"], values, hidden=2, seed=42
+    )
+    out = multivariate.autoencoder_score(
+        li, model, ["l_returnflag"], values, hidden=2, threshold=3.0
+    )
+    return _round(
+        out.select("l_orderkey", "l_linenumber", "l_returnflag", "score", "label"),
+        ["score"],
+    )
+
+
 @register("spectral_residual", None)
 def q_spectral_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

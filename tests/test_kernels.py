@@ -97,6 +97,40 @@ def test_pca_off_manifold(spark, mv_df):
     assert set(out.label) <= {"O", "N"}
 
 
+def test_autoencoder_off_manifold_recall(spark, mv_df):
+    """auen contract (mvand.py): the off-subspace injected point must rank
+    first by reconstruction error."""
+    model = multivariate.autoencoder_fit(mv_df, ["key"], ["x", "y"], hidden=1, seed=7)
+    out = multivariate.autoencoder_score(
+        mv_df, model, ["key"], ["x", "y"], hidden=1
+    ).toPandas()
+    assert out.sort_values("score", ascending=False).iloc[0].pid == 0
+    assert set(out.label) <= {"O", "N"}
+
+
+def test_autoencoder_deterministic_partition_invariant(spark, mv_df):
+    kwargs = dict(hidden=1, seed=7)
+    m1 = multivariate.autoencoder_fit(mv_df, ["key"], ["x", "y"], **kwargs).toPandas()
+    m2 = multivariate.autoencoder_fit(
+        mv_df.repartition(7), ["key"], ["x", "y"], **kwargs
+    ).toPandas()
+    np.testing.assert_allclose(
+        m1.sort_index(axis=1).select_dtypes("number").to_numpy(),
+        m2.sort_index(axis=1).select_dtypes("number").to_numpy(),
+    )
+
+
+def test_autoencoder_missing_key_tags_I(spark, mv_df):
+    model = multivariate.autoencoder_fit(mv_df, ["key"], ["x", "y"], hidden=1)
+    other = spark.createDataFrame(
+        pd.DataFrame({"key": ["zz"], "pid": [9], "x": [1.0], "y": [2.0]})
+    )
+    out = multivariate.autoencoder_score(
+        other, model, ["key"], ["x", "y"], hidden=1
+    ).toPandas()
+    assert list(out.label) == ["I"]
+
+
 def test_mahalanobis_hand_computed(spark):
     pdf = pd.DataFrame(
         {"key": ["k"] * 4, "x": [1.0, 2.0, 3.0, 4.0], "y": [1.0, 2.0, 4.0, 3.0]}
