@@ -488,6 +488,23 @@ def _ad_stat(a: np.ndarray, b: np.ndarray) -> float:
 _STATS = {"ks": _ks_stat, "cvm": _cvm_stat, "ad": _ad_stat}
 
 
+def change_point_checkpoint(
+    df: DataFrame, keys: Sequence[str], ts: str, window: int = 64
+) -> DataFrame:
+    """Per-key resume checkpoint for change_point: the ts at the center of
+    the last full window, seqValues(size - 1 - window/2)
+    (ChangePointDetector.scala:152-155). A codegen row_number filter —
+    row window//2 + 1 counting from the end."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(ts).desc())
+    return (
+        df.withColumn("_rdesc", F.row_number().over(w))
+        .filter(F.col("_rdesc") == window // 2 + 1)
+        .select(*keys, F.col(ts).alias("cp_ts"))
+    )
+
+
 def change_point(
     df: DataFrame,
     keys: Sequence[str],
@@ -497,13 +514,27 @@ def change_point(
     step: int = 8,
     stat: str = "ks",
     critical_value: float | None = None,
+    checkpoint: DataFrame | None = None,
 ) -> DataFrame:
     """Sliding two-sample test between window halves; emits (keys..., center
-    ts, stat value[, is_change]) every ``step`` offsets."""
+    ts, stat value[, is_change]) every ``step`` offsets.
+
+    ``checkpoint`` (keys..., cp_ts from change_point_checkpoint) resumes an
+    incremental run: each key is filtered to ts >= cp_ts BEFORE the group
+    shuffle (ChangePointDetector.scala:75-90 `seq >= chPt`) — a broadcast
+    join + codegen predicate, so at scale the exchange carries only the
+    unprocessed suffix, not full history. Keys absent from the checkpoint
+    keep all rows (new keys start fresh)."""
     if stat not in _STATS:
         raise ValueError(f"unknown stat: {stat}")
     stat_fn = _STATS[stat]
     half = window // 2
+    if checkpoint is not None:
+        df = (
+            df.join(F.broadcast(checkpoint), list(keys), "left")
+            .filter(F.col("cp_ts").isNull() | (F.col(ts) >= F.col("cp_ts")))
+            .drop("cp_ts")
+        )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts).reset_index(drop=True)

@@ -66,6 +66,41 @@ def test_change_point_step(spark):
     assert 180 <= best.center_ts <= 220, best.center_ts
 
 
+def test_change_point_checkpoint_resume(spark):
+    """Incremental run with a checkpoint equals a fresh run over the retained
+    suffix (ChangePointDetector.scala:75-90 seq >= chPt semantics), and the
+    checkpoint sits at the last full window's center."""
+    rng = np.random.RandomState(3)
+    x = np.concatenate([rng.normal(0, 1, 300), rng.normal(4, 1, 100)])
+    pdf = pd.DataFrame({"key": "k", "ts": range(400), "value": x})
+    full = spark.createDataFrame(pdf)
+    prefix = full.filter("ts < 300")
+
+    cp = sequence.change_point_checkpoint(prefix, ["key"], "ts", window=64)
+    cp_pd = cp.toPandas()
+    assert list(cp_pd.cp_ts) == [300 - 1 - 32]  # size-1-window/2
+
+    kwargs = dict(window=64, step=8, stat="ks")
+    inc = sequence.change_point(
+        full, ["key"], "ts", "value", checkpoint=cp, **kwargs
+    ).toPandas().sort_values("center_ts", ignore_index=True)
+    suffix = full.filter(f"ts >= {int(cp_pd.cp_ts.iloc[0])}")
+    fresh = sequence.change_point(
+        suffix, ["key"], "ts", "value", **kwargs
+    ).toPandas().sort_values("center_ts", ignore_index=True)
+    pd.testing.assert_frame_equal(inc, fresh)
+    assert (inc.center_ts >= int(cp_pd.cp_ts.iloc[0])).all()
+    # keys absent from the checkpoint start fresh (all rows retained)
+    other = spark.createDataFrame(
+        pd.DataFrame({"key": "new", "ts": range(400), "value": x})
+    )
+    inc2 = sequence.change_point(
+        other, ["key"], "ts", "value", checkpoint=cp, **kwargs
+    ).toPandas()
+    fresh2 = sequence.change_point(other, ["key"], "ts", "value", **kwargs).toPandas()
+    assert len(inc2) == len(fresh2)
+
+
 def test_ks_cvm_ad_stats_sanity():
     rng = np.random.RandomState(2)
     same_a, same_b = rng.normal(0, 1, 500), rng.normal(0, 1, 500)
