@@ -234,6 +234,63 @@ FROM j GROUP BY parent_type, parent_id, date_trunc('hour', ts)
 """
 
 
+_STREAM_SCHEMA_ORACLE = _SCORED_CTE.format(thr="2.0") + """
+, h(event_type, parent_type, parent_id) AS (
+  VALUES ('view', 'funnel', 'engagement'), ('click', 'funnel', 'engagement'),
+         ('signup', 'funnel', 'conversion'), ('purchase', 'funnel', 'conversion'),
+         ('error', 'funnel', 'conversion')
+), j AS (
+  SELECT s.*, h.parent_type, h.parent_id FROM scored s JOIN h USING (event_type)
+)
+SELECT parent_type, parent_id,
+       epoch(date_trunc('hour', ts))::BIGINT AS window_start_epoch,
+       round(CASE WHEN max(CASE WHEN label = 'O' THEN 1 ELSE 0 END) = 1
+                  THEN avg(CASE WHEN label = 'O' THEN value END)
+                  ELSE avg(value) END, 6) AS agg_value,
+       round(CASE WHEN max(CASE WHEN label = 'O' THEN 1 ELSE 0 END) = 1
+                  THEN max(CASE WHEN label = 'O' THEN score END)
+                  ELSE max(score) END, 6) AS agg_score,
+       CASE WHEN max(CASE WHEN label = 'O' THEN 1 ELSE 0 END) = 1
+            THEN 'O' ELSE 'N' END AS label
+FROM j GROUP BY parent_type, parent_id, date_trunc('hour', ts)
+"""
+
+
+@register("stream_schema_rollup", _STREAM_SCHEMA_ORACLE)
+def q_stream_schema_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataStreamSchema JSON round trip: load the ecomm-style schema fixture,
+    flatten its id:"*" wildcards into the (event_type, parent) mapping, and
+    roll scored events up to their funnel parents (the oracle inlines the
+    same mapping as VALUES — flattening itself is config parsing)."""
+    import os
+
+    from ..sources import stream_schema
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=2.0)
+    schema_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "event_stream.json",
+    )
+    hierarchy = stream_schema.flatten_hierarchy(
+        spark, schema_path, child_col="event_type"
+    )
+    out = rollup.hierarchical_aggregate(
+        scored, hierarchy, ["event_type"], "ts", "value",
+        window="1 hour", value_agg="avg", score_agg="max",
+    )
+    out = out.select(
+        "parent_type",
+        "parent_id",
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "agg_value",
+        "agg_score",
+        "label",
+    )
+    return _round(out, ["agg_value", "agg_score"])
+
+
 @register("hierarchical_aggregate", _HIER_AGG_ORACLE)
 def q_hierarchical_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
