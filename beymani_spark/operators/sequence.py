@@ -87,11 +87,23 @@ def one_step_ahead(
     method: str = "average",
     alpha: float = 0.3,
     threshold: float = 3.0,
+    init_stats: DataFrame | None = None,
+    emit_stats: bool = False,
 ) -> DataFrame:
     """Adds predicted, osa_score, label; outliers are replaced by their
-    prediction inside the rolling window (reference feedback semantics)."""
+    prediction inside the rolling window (reference feedback semantics).
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    Warm-start workflow (OneStepAheadPredictor.scala:121-128 brResStats seed,
+    :165-169 stat records side output): ``init_stats`` (keys..., res_n,
+    res_sum, res_sum_sq — e.g. from one_step_ahead_residual_stats of the
+    previous run) seeds the residual moments per key via cogroup, and
+    ``emit_stats=True`` emits the updated final moments on each key's last
+    row — the reference's tagged-record pattern, extracted by a codegen
+    filter instead of a string-prefix scan. For exact continuity, start the
+    new run ``window`` rows before the first unscored row (the rolling
+    window itself is rebuilt from those rows; scoring begins after them)."""
+
+    def run(pdf: pd.DataFrame, init: tuple[int, float, float]) -> pd.DataFrame:
         pdf = pdf.sort_values(ts).reset_index(drop=True)
         x = pdf[value].to_numpy(dtype=float)
         n = len(x)
@@ -99,7 +111,7 @@ def one_step_ahead(
         pred = np.full(n, np.nan)
         score = np.zeros(n)
         # running residual moments (population std, matching np.std ddof=0)
-        r_n, r_s1, r_s2 = 0, 0.0, 0.0
+        r_n, r_s1, r_s2 = init
         if method == "ewma":
             ew = (1 - alpha) ** np.arange(window - 1, -1, -1)
             ew_sum = ew.sum()
@@ -130,9 +142,71 @@ def one_step_ahead(
         out["predicted"] = pred
         out["osa_score"] = score
         out["label"] = np.where(score > threshold, "O", "N")
+        if emit_stats:
+            out["res_n"] = pd.array([pd.NA] * max(n - 1, 0) + ([r_n] if n else []),
+                                    dtype="Int64")
+            out["res_sum"] = np.concatenate([np.full(max(n - 1, 0), np.nan),
+                                             [r_s1]]) if n else np.array([])
+            out["res_sum_sq"] = np.concatenate([np.full(max(n - 1, 0), np.nan),
+                                                [r_s2]]) if n else np.array([])
         return out
 
-    return _grouped(df, keys, kernel, "predicted double, osa_score double, label string")
+    extra = "predicted double, osa_score double, label string"
+    if emit_stats:
+        extra += ", res_n long, res_sum double, res_sum_sq double"
+    if init_stats is None:
+        return _grouped(df, keys, lambda pdf: run(pdf, (0, 0.0, 0.0)), extra)
+
+    schema = StructType(list(df.schema.fields))
+    for part in extra.split(","):
+        name, typ = part.strip().rsplit(" ", 1)
+        schema = schema.add(name, typ)
+    # distinct right-side column names: same cogroup self-join attr-dedup
+    # caveat as subsequence_distance_ref
+    stats_sel = init_stats.select(
+        *keys,
+        F.col("res_n").alias("_init_n"),
+        F.col("res_sum").alias("_init_s1"),
+        F.col("res_sum_sq").alias("_init_s2"),
+    )
+
+    def kernel(key, pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        init = (0, 0.0, 0.0)
+        if len(stats_pdf):
+            init = (
+                int(stats_pdf["_init_n"].iloc[0]),
+                float(stats_pdf["_init_s1"].iloc[0]),
+                float(stats_pdf["_init_s2"].iloc[0]),
+            )
+        return run(pdf, init)
+
+    return (
+        df.groupBy(*keys)
+        .cogroup(stats_sel.groupBy(*keys))
+        .applyInPandas(kernel, schema=schema)
+    )
+
+
+def one_step_ahead_residual_stats(scored: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Extract the per-key residual-stat side output of
+    one_step_ahead(emit_stats=True): (keys..., res_n, res_sum, res_sum_sq,
+    res_mean, res_std) — the reference's SimpleStat record
+    (OneStepAheadPredictor.scala:174-183), ready to feed the next run's
+    ``init_stats``. A codegen not-null filter, no extra pass."""
+    mean = F.col("res_sum") / F.col("res_n")
+    var = F.col("res_sum_sq") / F.col("res_n") - mean * mean
+    return scored.filter(F.col("res_n").isNotNull()).select(
+        *keys,
+        "res_n",
+        "res_sum",
+        "res_sum_sq",
+        F.when(F.col("res_n") > 0, mean).otherwise(F.lit(0.0)).alias("res_mean"),
+        F.when(F.col("res_n") > 0, F.sqrt(F.greatest(var, F.lit(0.0))))
+        .otherwise(F.lit(0.0))
+        .alias("res_std"),
+    )
 
 
 def subsequence_distance(

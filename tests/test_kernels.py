@@ -42,6 +42,43 @@ def test_one_step_ahead_finds_spike(spark, seq_df):
     assert (sub[sub.ts > 260].label == "N").mean() > 0.95
 
 
+def test_one_step_ahead_warm_start_continuity(spark, seq_df):
+    """Run 2 seeded from run 1's residual-stat side output (with a
+    window-overlap so the rolling window rebuilds) matches the single
+    continuous run on every row it scores."""
+    window, m = 8, 200
+    kwargs = dict(window=window, method="average", threshold=3.0)
+    cont = sequence.one_step_ahead(
+        seq_df, ["key"], "ts", "value", **kwargs
+    ).toPandas()
+
+    run1 = sequence.one_step_ahead(
+        seq_df.filter(f"ts < {m}"), ["key"], "ts", "value",
+        emit_stats=True, **kwargs
+    )
+    stats = sequence.one_step_ahead_residual_stats(run1, ["key"]).toPandas()
+    assert set(stats.key) == {"m1", "m2"}
+    assert (stats.res_n > 0).all() and (stats.res_std > 0).all()
+
+    run2 = sequence.one_step_ahead(
+        seq_df.filter(f"ts >= {m - window}"), ["key"], "ts", "value",
+        init_stats=spark.createDataFrame(stats), **kwargs
+    ).toPandas()
+    got = (
+        run2[run2.ts >= m]
+        .sort_values(["key", "ts"], ignore_index=True)[
+            ["key", "ts", "predicted", "osa_score", "label"]
+        ]
+    )
+    want = (
+        cont[cont.ts >= m]
+        .sort_values(["key", "ts"], ignore_index=True)[
+            ["key", "ts", "predicted", "osa_score", "label"]
+        ]
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_subsequence_distance_discord(spark):
     rng = np.random.RandomState(0)
     n = 300
