@@ -39,6 +39,16 @@ def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.randint(0, 256, size=(height, width), dtype=np.uint8)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Few-split sources (one parquet file) would decode every batch in a
+    single python worker; round-robin them across the cluster first. Real
+    multi-split media tables skip this branch and stay shuffle-free."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism // 2:
+        df = df.repartition(parallelism)
+    return df
+
+
 def decode_features(
     df: DataFrame,
     id_col: str = "media_id",
@@ -53,29 +63,37 @@ def decode_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col])
-                if decode == "real":
-                    raise NotImplementedError(
-                        "real media decoding requires an image/audio codec "
-                        "library (PIL/ffmpeg), not present in this "
-                        "environment; use decode='fake'"
-                    )
-                px = _fake_pixels(payload, 32, 32)
-                # bucketed intensity histogram as the feature vector
-                hist, _ = np.histogram(px, bins=n_features, range=(0, 256))
-                feat = (hist / px.size).astype(float)
-                rows.append(
-                    {
-                        id_col: row[id_col],
-                        "n_bytes": len(payload),
-                        "features": feat.tolist(),
-                    }
+            if decode == "real":
+                raise NotImplementedError(
+                    "real media decoding requires an image/audio codec "
+                    "library (PIL/ffmpeg), not present in this "
+                    "environment; use decode='fake'"
                 )
-            yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "features"])
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            if not payloads:
+                yield pd.DataFrame(columns=[id_col, "n_bytes", "features"])
+                continue
+            # decode loop stands in for the codec call; everything else is
+            # whole-batch array work
+            px = np.stack([_fake_pixels(p, 32, 32) for p in payloads])
+            b, size = px.shape[0], px.shape[1] * px.shape[2]
+            # batched histogram: offset each row's bucket ids into a private
+            # range and run ONE bincount over the flattened batch
+            buckets = (px.reshape(b, size).astype(np.int64) * n_features) // 256
+            buckets += np.arange(b)[:, None] * n_features
+            hist = np.bincount(buckets.ravel(), minlength=b * n_features)
+            feat = hist.reshape(b, n_features) / size
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_bytes": [len(p) for p in payloads],
+                    "features": list(feat),
+                }
+            )
 
-    return df.mapInPandas(gen, schema=f"{id_col} long, n_bytes long, features array<double>")
+    return _spread(df).mapInPandas(
+        gen, schema=f"{id_col} long, n_bytes long, features array<double>"
+    )
 
 
 def resize(
@@ -90,26 +108,27 @@ def resize(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col])
-                if decode == "real":
-                    raise NotImplementedError("real resize requires a codec library")
-                px = _fake_pixels(payload, 32, 32)
-                ys = np.linspace(0, px.shape[0] - 1, height).astype(int)
-                xs = np.linspace(0, px.shape[1] - 1, width).astype(int)
-                small = px[np.ix_(ys, xs)]
-                rows.append(
-                    {
-                        id_col: row[id_col],
-                        "width": width,
-                        "height": height,
-                        "pixels": small.flatten().astype(int).tolist(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "pixels"])
+            if decode == "real":
+                raise NotImplementedError("real resize requires a codec library")
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            if not payloads:
+                yield pd.DataFrame(columns=[id_col, "width", "height", "pixels"])
+                continue
+            px = np.stack([_fake_pixels(p, 32, 32) for p in payloads])
+            ys = np.linspace(0, px.shape[1] - 1, height).astype(int)
+            xs = np.linspace(0, px.shape[2] - 1, width).astype(int)
+            # one fancy-index subsample across the whole batch
+            small = px[:, ys][:, :, xs].reshape(len(payloads), -1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "width": np.full(len(payloads), width, dtype=np.int32),
+                    "height": np.full(len(payloads), height, dtype=np.int32),
+                    "pixels": list(small),
+                }
+            )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         gen, schema=f"{id_col} long, width int, height int, pixels array<int>"
     )
 
@@ -127,31 +146,40 @@ def sample_frames(
     from meta.duration_ms; features are the stubbed decode of the frame."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "frame_idx", "offset_ms", "frame_features"]
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col])
-                meta = row[meta_col]
-                duration = int(meta["duration_ms"]) if meta is not None else 0
-                n_frames = max(1, int(duration / 1000.0 * fps))
-                if decode == "real":
-                    raise NotImplementedError("real frame decode requires ffmpeg")
-                for i in range(n_frames):
-                    off = int(i * 1000.0 / fps)
-                    px = _fake_pixels(payload + off.to_bytes(4, "big"), 8, 8)
-                    rows.append(
-                        {
-                            id_col: row[id_col],
-                            "frame_idx": i,
-                            "offset_ms": off,
-                            "frame_features": (px.flatten() / 255.0).tolist(),
-                        }
-                    )
+            if decode == "real":
+                raise NotImplementedError("real frame decode requires ffmpeg")
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            metas = pdf[meta_col]
+            durations = np.array(
+                [int(m["duration_ms"]) if m is not None else 0 for m in metas]
+            )
+            n_frames = np.maximum(1, (durations / 1000.0 * fps).astype(int))
+            # explode to one row per (item, frame) with repeat/concatenate;
+            # the per-frame decode loop stands in for the codec call
+            ids = np.repeat(pdf[id_col].to_numpy(), n_frames)
+            frame_idx = np.concatenate([np.arange(n) for n in n_frames])
+            offsets = (frame_idx * 1000.0 / fps).astype(np.int64)
+            raw = np.empty(len(pdf), dtype=object)
+            raw[:] = [bytes(p) for p in pdf[payload_col]]
+            payloads = np.repeat(raw, n_frames)
+            feats = [
+                (_fake_pixels(p + int(off).to_bytes(4, "big"), 8, 8).ravel() / 255.0)
+                for p, off in zip(payloads, offsets)
+            ]
             yield pd.DataFrame(
-                rows, columns=[id_col, "frame_idx", "offset_ms", "frame_features"]
+                {
+                    id_col: ids,
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "offset_ms": offsets,
+                    "frame_features": feats,
+                }
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         gen,
         schema=f"{id_col} long, frame_idx int, offset_ms long, frame_features array<double>",
     )
