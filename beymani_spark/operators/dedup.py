@@ -150,7 +150,14 @@ def minhash_lsh_pairs(
     min_jaccard: float = 0.5,
 ) -> DataFrame:
     """Scale-path near-dup: banded minhash candidates, verified with exact
-    Jaccard. Output (src, dst, jaccard) with jaccard >= min_jaccard."""
+    Jaccard. Output (src, dst, jaccard) with jaccard >= min_jaccard.
+
+    The shingle explode is deliberately computed twice (signature aggregation
+    + verification) rather than persisted: it is a fully-codegen pipeline
+    with partial aggregation, and caching the exploded shingle rows measured
+    ~15% SLOWER end-to-end at sf0.1 (cache write + lost pipelining outweigh
+    the recompute; at scale the cache also costs executor memory the
+    verification join wants)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
     band_structs = F.array(

@@ -205,30 +205,13 @@ def lsh_pair_distances(
     """
     import random
 
+    from .similarity import add_lsh_bucket
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
-    sig = F.concat_ws(
-        "",
-        *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(w) for w in p]),
-                        lambda x, w: x.cast("double") * w,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in planes
-        ],
-    )
-    bucketed = df.withColumn("_bucket", sig)
+    bucketed = add_lsh_bucket(df, vec_col, planes)
     return pair_distances(bucketed, id_col, vec_col, [*keys, "_bucket"]).drop("_bucket")
 
 

@@ -409,50 +409,82 @@ def kmeans_model(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
     )
     cent = ", ".join(f"centroid_{v} double" for v in values)
-    # persist the (|keys|*k-row) centroid table: it feeds both the size count
-    # and the caller's scoring joins, and without pinning each consumer
-    # re-runs the presample + fit jobs
+    # persist AND eagerly materialize the (|keys|*k-row) centroid table: it
+    # feeds both the size count and the caller's scoring joins, which Spark
+    # launches as concurrent broadcast-subtree jobs — a lazy persist lets
+    # them race and each recompute the whole presample+fit chain (measured
+    # 2x the cold fit cost); count() fills the cache once first
     centroids = df.groupBy(*keys).applyInPandas(
         fit, schema=f"{key_schema}, cluster_id int, {cent}"
     ).persist()
+    centroids.count()
     # cluster sizes = full-data nearest-centroid counts (codegen pass over
     # the unsampled table + a |keys|*k-row shuffle): the small-cluster rule
     # stays exact on the true distribution even when the fit was presampled
-    assigned = _assign_nearest(full, centroids, keys, values)
+    assigned = _assign_nearest(full, centroids, keys, values, int(n_clusters))
     sizes = assigned.groupBy(*keys, "cluster_id").agg(F.count("*").alias("size"))
-    return (
+    model = (
         centroids.join(sizes, [*keys, "cluster_id"], "left")
         .fillna(0, subset=["size"])
         .persist()
     )
+    model.count()  # same eager fill: scoring reads it from two subtrees
+    return model
+
+
+def _unrolled_nearest(values: Sequence[str], max_k: int):
+    """(squared-distance exprs, min expr) against a `_cents`
+    array<struct<cluster_id, v...>> column, unrolled per centroid slot with
+    F.get (null past the key's actual centroid count, which least() and the
+    when() chain skip). Higher-order transform/array_min/array_position are
+    interpreted AND re-evaluate the distance array once per consumer; the
+    unrolled form is plain whole-stage-codegen arithmetic evaluated once."""
+    d2s = []
+    for i in range(max_k):
+        c = F.get(F.col("_cents"), i)
+        d = None
+        for v in values:
+            term = (F.col(v) - c[v]) ** 2
+            d = term if d is None else d + term
+        d2s.append(d)
+    m = F.least(*d2s) if len(d2s) > 1 else d2s[0]
+    return d2s, m
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Few-split sources would run the expression-heavy argmin passes on one
+    core; round-robin them first. Multi-split tables at scale skip this."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism // 2:
+        df = df.repartition(parallelism)
+    return df
 
 
 def _assign_nearest(
-    df: DataFrame, centroids: DataFrame, keys: Sequence[str], values: Sequence[str]
+    df: DataFrame,
+    centroids: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    max_k: int,
 ) -> DataFrame:
     """Adds cluster_id = nearest centroid per row: broadcast the per-key
-    centroid array (sorted by cluster_id) and argmin with codegen array
-    expressions — 1:1 join, no row explosion (cf. kmeans_score)."""
+    centroid array (sorted by cluster_id) and unrolled codegen argmin —
+    1:1 join, no row explosion (cf. kmeans_score)."""
     cent = F.struct(
         F.col("cluster_id"), *[F.col(f"centroid_{v}").alias(v) for v in values]
     )
     per_key = centroids.groupBy(*keys).agg(
         F.sort_array(F.collect_list(cent)).alias("_cents")
     )
-
-    def _d2(c):
-        d = None
-        for v in values:
-            term = (F.col(v) - c[v]) ** 2
-            d = term if d is None else d + term
-        return d
-
     joined = df.join(F.broadcast(per_key), list(keys))
-    dists = F.transform(F.col("_cents"), _d2)
-    # array_position is 1-based; ties resolve to the lowest cluster_id,
-    # matching numpy argmin's first-index rule
-    best = F.element_at(F.col("_cents"), F.array_position(dists, F.array_min(dists)).cast("int"))
-    return joined.withColumn("cluster_id", best["cluster_id"]).drop("_cents")
+    d2s, m = _unrolled_nearest(values, max_k)
+    # first-match when() chain over ascending cluster_id: ties resolve to the
+    # lowest cluster_id, matching numpy argmin's first-index rule
+    best = None
+    for i, d2 in enumerate(d2s):
+        cid = F.get(F.col("_cents"), i)["cluster_id"]
+        best = F.when(d2 == m, cid) if best is None else best.when(d2 == m, cid)
+    return joined.withColumn("cluster_id", best).drop("_cents")
 
 
 def kmeans_score(
@@ -462,30 +494,33 @@ def kmeans_score(
     values: Sequence[str],
     min_cluster_fraction: float = 0.05,
     threshold: float = 3.0,
+    max_clusters: int | None = None,
 ) -> DataFrame:
     """Distance to the nearest *large* centroid (small clusters are anomaly
-    pockets, cf. ClusterBasedPredictor.scala:88-103)."""
+    pockets, cf. ClusterBasedPredictor.scala:88-103).
+
+    ``max_clusters``: unroll width for the codegen argmin (defaults to a
+    driver-side max over the tiny model DF)."""
     total = model.groupBy(*keys).agg(F.sum("size").alias("_total"))
     large = (
         model.join(total, list(keys))
         .filter(F.col("size") >= F.col("_total") * min_cluster_fraction)
     )
+    if max_clusters is None:
+        max_clusters = int(model.agg(F.max("cluster_id")).first()[0]) + 1
     # fold the (few) large centroids into one array per key: the fact table
-    # joins 1:1 (no xK row explosion) and min-distance is an array_min over
-    # a codegen transform — no post-join shuffle
-    cent = F.struct(*[F.col(f"centroid_{v}").alias(v) for v in values])
-    per_key = large.groupBy(*keys).agg(F.collect_list(cent).alias("_cents"))
+    # joins 1:1 (no xK row explosion) and min-distance is an unrolled
+    # codegen least() — no post-join shuffle, no interpreted higher-order
+    cent = F.struct(
+        F.col("cluster_id"), *[F.col(f"centroid_{v}").alias(v) for v in values]
+    )
+    per_key = large.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(cent)).alias("_cents")
+    )
     joined = df.join(F.broadcast(per_key), list(keys))
-
-    def _dist(c):
-        d = None
-        for v in values:
-            term = (F.col(v) - c[v]) ** 2
-            d = term if d is None else d + term
-        return F.sqrt(d)
-
+    _, m = _unrolled_nearest(values, int(max_clusters))
     return (
-        joined.withColumn("score", F.array_min(F.transform(F.col("_cents"), _dist)))
+        joined.withColumn("score", F.sqrt(m))
         .drop("_cents")
         .withColumn("label", tag_label(F.col("score"), threshold))
     )

@@ -23,6 +23,45 @@ def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+def add_lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    out_col: str = "_bucket",
+) -> DataFrame:
+    """Random-hyperplane signature as a numpy mapInPandas matmul: one
+    (batch x dim) @ (dim x planes) product per Arrow batch instead of
+    n_planes interpreted zip_with/aggregate folds per row (BASELINE.md
+    measured the fold path ~6x slower). Output = input + bit-string
+    ``out_col``."""
+    import numpy as np
+    from pyspark.sql.types import StructType
+
+    p_t = [list(col) for col in zip(*planes)]  # (dim, n_planes)
+    schema = StructType(list(df.schema.fields)).add(out_col, "string")
+
+    def gen(batches):
+        import numpy as np  # re-import for the serialized closure
+
+        p = np.asarray(p_t, dtype=np.float64)
+
+        def run(pdf):
+            if not len(pdf):
+                out = pdf.copy()
+                out[out_col] = []
+                return out
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            bits = np.where(v @ p >= 0, "1", "0")
+            out = pdf.copy()
+            out[out_col] = ["".join(r) for r in bits]
+            return out
+
+        for pdf in batches:
+            yield run(pdf)
+
+    return df.mapInPandas(gen, schema)
+
+
 def with_norm(df: DataFrame, vec_col: str) -> DataFrame:
     v = _as_double(F.col(vec_col))
     return df.withColumn("_vec", v).withColumn("_norm", F.sqrt(_dot(F.col("_vec"), F.col("_vec"))))
@@ -118,38 +157,17 @@ def ann_lsh_topk(
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
-    def sig(vec: Column) -> Column:
-        return F.concat_ws(
-            "",
-            *[
-                F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(w) for w in p]),
-                            lambda x, w: x.cast("double") * w,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    >= 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for p in planes
-            ],
-        )
-
-    base = with_norm(df, vec_col).select(
+    base = add_lsh_bucket(with_norm(df, vec_col), vec_col, planes).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_vec").alias("_vb"),
         F.col("_norm").alias("_nb"),
-        sig(F.col(vec_col)).alias("_bucket"),
+        "_bucket",
     )
-    q = with_norm(query_df, vec_col).select(
+    q = add_lsh_bucket(with_norm(query_df, vec_col), vec_col, planes).select(
         F.col(id_col).alias("query_id"),
         F.col("_vec").alias("_vq"),
         F.col("_norm").alias("_nq"),
-        sig(F.col(vec_col)).alias("_bucket"),
+        "_bucket",
     )
     joined = q.join(base, "_bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     cos = _dot(F.col("_vq"), F.col("_vb")) / (F.col("_nq") * F.col("_nb"))

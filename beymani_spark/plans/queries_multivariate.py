@@ -84,7 +84,8 @@ def q_kmeans_cluster_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_returnflag"], ["l_quantity", "l_extendedprice"], n_clusters=4, seed=42
     )
     out = multivariate.kmeans_score(
-        li, model, ["l_returnflag"], ["l_quantity", "l_extendedprice"], threshold=10000.0
+        li, model, ["l_returnflag"], ["l_quantity", "l_extendedprice"],
+        threshold=10000.0, max_clusters=4,
     )
     return _round(
         out.select("l_orderkey", "l_linenumber", "l_returnflag", "score", "label"),
