@@ -245,3 +245,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     out = similarity.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=4)
     return _round(out, ["cosine"])
+
+
+@register("ann_ivf_topk", None)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: coarse spherical-kmeans quantizer + nprobe cell
+    scan. Seeded numpy fit -> rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_cells=16, nprobe=4, seed=42
+    )
+    return _round(out, ["cosine"])
