@@ -86,12 +86,17 @@ def one_step_ahead(
     window: int = 8,
     method: str = "average",
     alpha: float = 0.3,
+    weights: Sequence[float] | None = None,
     threshold: float = 3.0,
     init_stats: DataFrame | None = None,
     emit_stats: bool = False,
 ) -> DataFrame:
     """Adds predicted, osa_score, label; outliers are replaced by their
     prediction inside the rolling window (reference feedback semantics).
+    ``method``: 'average' | 'weighted' (per-position ``weights``, oldest
+    first, normalized by their sum — PRED_WEIGHTED_AVERAGE with the
+    reference's averaging.weights config list) | 'ewma'
+    (PRED_EXP_SMOOTHING with decay ``alpha``).
 
     Warm-start workflow (OneStepAheadPredictor.scala:121-128 brResStats seed,
     :165-169 stat records side output): ``init_stats`` (keys..., res_n,
@@ -115,11 +120,16 @@ def one_step_ahead(
         if method == "ewma":
             ew = (1 - alpha) ** np.arange(window - 1, -1, -1)
             ew_sum = ew.sum()
+        elif method == "weighted":
+            if weights is None or len(weights) != window:
+                raise ValueError("method='weighted' needs len(weights) == window")
+            ew = np.asarray(weights, dtype=float)
+            ew_sum = ew.sum()
         for i in range(window, n):
             w = work[i - window : i]
             if method == "average":
                 p = w.mean()
-            elif method == "ewma":
+            elif method in ("ewma", "weighted"):
                 p = float((w * ew).sum() / ew_sum)
             else:
                 raise ValueError(f"unknown method: {method}")

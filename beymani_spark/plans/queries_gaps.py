@@ -216,19 +216,60 @@ def q_local_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, ["drift_score"])
 
 
-@register("subsequence_distance_ref", None)
+_SUBSEQ_REF_ORACLE = """
+WITH m AS (
+  SELECT event_type, quantile_cont(event_id, 0.6) AS m FROM events GROUP BY event_type
+), ref0 AS (
+  SELECT e.event_type, CAST(round(e.value * 100, 0) AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY e.event_type ORDER BY e.ts) - 1 AS rn,
+         count(*) OVER (PARTITION BY e.event_type) AS n
+  FROM events e JOIN m USING (event_type) WHERE e.event_id <= m.m
+), test0 AS (
+  SELECT e.event_type, CAST(round(e.value * 100, 0) AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY e.event_type ORDER BY e.ts) - 1 AS rn,
+         count(*) OVER (PARTITION BY e.event_type) AS n
+  FROM events e JOIN m USING (event_type) WHERE e.event_id > m.m
+), rw AS (
+  SELECT event_type, rn AS o, n,
+         list(v) OVER (PARTITION BY event_type ORDER BY rn
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS w
+  FROM ref0
+), tw AS (
+  SELECT event_type, rn AS o, n,
+         list(v) OVER (PARTITION BY event_type ORDER BY rn
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS w
+  FROM test0
+), fr AS (SELECT event_type, o, w FROM rw WHERE o <= n - 16),
+   ft AS (SELECT event_type, o, w FROM tw WHERE o <= n - 16)
+SELECT t.event_type, t.o AS offset,
+       round(min(list_distance(t.w, r.w)), 6) AS discord_score
+FROM ft t JOIN fr r USING (event_type)
+GROUP BY t.event_type, t.o
+"""
+
+
+@register("subsequence_distance_ref", _SUBSEQ_REF_ORACLE)
 def q_subsequence_distance_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    """Cross-series discord vs a reference series, hash-exact against the
+    list-window cross-join oracle (cents quantization, same exactness
+    argument as subsequence_distance)."""
+
+    def load_q(sf):
+        return load_table(spark, sf, "events").withColumn(
+            "value", F.round(F.col("value") * 100, 0)
+        )
+
+    ev = load_q(sf_dir)
     mid = ev.groupBy("event_type").agg(F.percentile("event_id", F.lit(0.6)).alias("_m"))
     # fresh scans per side: cogroup over two filters of one plan is ambiguous
     ref = (
-        load_table(spark, sf_dir, "events")
+        load_q(sf_dir)
         .join(F.broadcast(mid), "event_type")
         .filter(F.col("event_id") <= F.col("_m"))
         .drop("_m")
     )
     test = (
-        load_table(spark, sf_dir, "events")
+        load_q(sf_dir)
         .join(F.broadcast(mid), "event_type")
         .filter(F.col("event_id") > F.col("_m"))
         .drop("_m")

@@ -271,6 +271,61 @@ FROM st JOIN ordered o ON o.event_type = st.event_type AND o.rn = st.start + 32
 """
 
 
+_CHANGE_POINT_RESUME_ORACLE = """
+WITH prefix AS (
+  SELECT event_type, ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE ts < TIMESTAMP '2024-01-19 00:00:00'
+), cp AS (
+  SELECT event_type, ts AS cp_ts FROM prefix WHERE rn = n - 1 - 32
+), ordered AS (
+  SELECT e.event_type, e.value, e.ts,
+         row_number() OVER (PARTITION BY e.event_type ORDER BY e.ts) - 1 AS rn
+  FROM events e JOIN cp USING (event_type) WHERE e.ts >= cp.cp_ts
+), nk AS (
+  SELECT event_type, count(*) AS n FROM ordered GROUP BY event_type
+), starts AS (
+  SELECT event_type, unnest(range(0, n - 63, 8)) AS start FROM nk WHERE n >= 64
+), members AS (
+  SELECT s.event_type, s.start, o.value,
+         CASE WHEN o.rn < s.start + 32 THEN 1 ELSE 0 END AS a_side
+  FROM starts s JOIN ordered o
+    ON o.event_type = s.event_type AND o.rn >= s.start AND o.rn < s.start + 64
+), cum AS (
+  SELECT event_type, start,
+         sum(a_side) OVER w AS ca, sum(1 - a_side) OVER w AS cb
+  FROM members
+  WINDOW w AS (PARTITION BY event_type, start ORDER BY value
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st AS (
+  SELECT event_type, start, max(abs(ca / 32.0 - cb / 32.0)) AS stat
+  FROM cum GROUP BY event_type, start
+)
+SELECT st.event_type, floor(epoch(o.ts))::BIGINT AS center_epoch,
+       round(st.stat, 6) AS stat
+FROM st JOIN ordered o ON o.event_type = st.event_type AND o.rn = st.start + 32
+"""
+
+
+@register("change_point_resume", _CHANGE_POINT_RESUME_ORACLE)
+def q_change_point_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume path, driver-checked: the checkpoint comes from the
+    pre-cutoff prefix (last full window's center), and the incremental run
+    covers only the retained suffix — same KS oracle over the filtered
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    prefix = ev.filter(F.col("ts") < F.lit("2024-01-19 00:00:00").cast("timestamp"))
+    cp = sequence.change_point_checkpoint(prefix, ["event_type"], "ts", window=64)
+    out = sequence.change_point(
+        ev, ["event_type"], "ts", "value", window=64, step=8, stat="ks", checkpoint=cp
+    )
+    return _round(
+        out.select("event_type", F.unix_timestamp("center_ts").alias("center_epoch"), "stat"),
+        ["stat"],
+    )
+
+
 @register("change_point", _CHANGE_POINT_ORACLE)
 def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

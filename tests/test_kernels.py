@@ -42,6 +42,23 @@ def test_one_step_ahead_finds_spike(spark, seq_df):
     assert (sub[sub.ts > 260].label == "N").mean() > 0.95
 
 
+def test_one_step_ahead_weighted_method(spark, seq_df):
+    """PRED_WEIGHTED_AVERAGE: weights [0,...,0,1] (newest only) must predict
+    the previous value exactly; a bad-length weights list raises."""
+    out = sequence.one_step_ahead(
+        seq_df.filter("key = 'm1' and ts < 50"), ["key"], "ts", "value",
+        window=4, method="weighted", weights=[0.0, 0.0, 0.0, 1.0], threshold=99.0,
+    ).toPandas().sort_values("ts", ignore_index=True)
+    vals = out.value.to_numpy()
+    pred = out.predicted.to_numpy()
+    np.testing.assert_allclose(pred[4:], vals[3:-1])
+    with pytest.raises(Exception, match="weights"):
+        sequence.one_step_ahead(
+            seq_df, ["key"], "ts", "value", window=4, method="weighted",
+            weights=[1.0, 2.0],
+        ).toPandas()
+
+
 def test_one_step_ahead_warm_start_continuity(spark, seq_df):
     """Run 2 seeded from run 1's residual-stat side output (with a
     window-overlap so the rolling window rebuilds) matches the single
