@@ -118,3 +118,70 @@ def test_kmeans_pca_fit_is_presampled_score_is_broadcast(spark):
     kplan = _plan(kscored)
     assert "BroadcastHashJoin" in kplan
     assert "SortMergeJoin" not in kplan
+
+
+def test_autoencoder_score_is_broadcast_codegen(spark):
+    """AE scoring must broadcast the tiny model and stay a pure column
+    expression: no sort-merge join, no fact-table exchange, no Python
+    evaluation in the scoring plan."""
+    from beymani_spark.operators import multivariate as mv
+    from beymani_spark.sources import load_table as lt
+
+    li = lt(spark, SF, "lineitem")
+    keys, vals = ["l_returnflag"], ["l_quantity", "l_extendedprice"]
+    model = mv.autoencoder_fit(li, keys, vals, hidden=1, presample=64)
+    scored = mv.autoencoder_score(li, model, keys, vals, hidden=1)
+    scored.count()
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # scoring side must not re-enter Python (the fit's FlatMapGroupsInPandas
+    # lives under the broadcast subtree only)
+    head = plan.split("BroadcastExchange")[0]
+    assert "Python" not in head, "AE scoring must stay JVM-side"
+
+
+def test_change_point_checkpoint_filters_before_group_shuffle(spark):
+    """Resume runs must drop pre-checkpoint rows BEFORE the applyInPandas
+    group exchange: the checkpoint joins broadcast and the filter sits under
+    the shuffle, so the exchange carries only the suffix."""
+    from beymani_spark.operators import sequence
+    from beymani_spark.sources import load_table as lt
+
+    ev = lt(spark, SF, "events")
+    cp = sequence.change_point_checkpoint(ev.filter("event_id < 500"), ["event_type"], "ts")
+    out = sequence.change_point(
+        ev, ["event_type"], "ts", "value", window=64, step=8, checkpoint=cp
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, "checkpoint must broadcast-join"
+    assert "SortMergeJoin" not in plan
+    # the exchange feeding the python group kernel must sit ABOVE the
+    # checkpoint join+filter in the plan tree (i.e. filter first)
+    exch_pos = plan.find("Exchange hashpartitioning(event_type")
+    join_pos = plan.find("BroadcastHashJoin")
+    assert exch_pos != -1 and join_pos != -1 and exch_pos < join_pos, (
+        "group exchange must consume the checkpoint-filtered rows "
+        "(plan prints top-down: exchange above join = filter below shuffle)"
+    )
+
+
+def test_ivf_assignment_has_no_vector_shuffle(spark):
+    """IVF base-side cell assignment is a mapInPandas over the scan: the
+    only exchanges in the whole plan are the final top-k window partition
+    and the bounded quantizer-fit group — never a join shuffle of the
+    vector table (cells join via broadcast-sized bucket hash)."""
+    from beymani_spark.operators import similarity
+    from beymani_spark.sources import load_table as lt
+
+    emb = lt(spark, SF, "embeddings").select("vec_id", "embedding")
+    out = similarity.ivf_topk(
+        emb, emb.limit(5), "vec_id", "embedding", k=3, n_cells=4, nprobe=2
+    )
+    out.count()
+    plan = _plan(out)
+    # bounded query side broadcasts onto the assigned base; the cell join is
+    # an equi-join on _cell, never a cartesian or a base-side sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
