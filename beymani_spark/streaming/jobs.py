@@ -308,3 +308,103 @@ def apply_stream_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def apply_stream_one_step_ahead(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    window: int = 8,
+    method: str = "average",
+    alpha: float = 0.3,
+    weights: Sequence[float] | None = None,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-entity stateful one-step-ahead prediction — the streaming form of
+    operators.sequence.one_step_ahead (OneStepAheadPredictor window feedback,
+    :118-151). State = (ring of the last ``window`` *work* values — outliers
+    already replaced by their prediction — plus the running residual
+    moments), so a restart resumes mid-series exactly like the batch
+    warm-start path. Arithmetic mirrors the batch kernel op-for-op (same
+    numpy mean / moment updates), so stream == batch on an ordered feed by
+    construction."""
+    import numpy as np
+
+    if method == "ewma":
+        ew = (1 - alpha) ** np.arange(window - 1, -1, -1)
+    elif method == "weighted":
+        if weights is None or len(weights) != window:
+            raise ValueError("method='weighted' needs len(weights) == window")
+        ew = np.asarray(weights, dtype=float)
+    elif method != "average":
+        raise ValueError(f"unknown method: {method}")
+
+    out_schema = ", ".join(
+        [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in stream_df.schema
+            if f.name in (*keys, ts, value)
+        ]
+        + ["predicted double", "osa_score double", "label string"]
+    )
+    state_schema = "work array<double>, r_n long, r_s1 double, r_s2 double"
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            work, r_n, r_s1, r_s2 = state.get
+            work = list(work)
+        else:
+            work, r_n, r_s1, r_s2 = [], 0, 0.0, 0.0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            for row in pdf.itertuples():
+                x = float(getattr(row, value))
+                if len(work) < window:
+                    pred, s = None, 0.0
+                    work.append(x)
+                else:
+                    w = np.asarray(work[-window:])
+                    if method == "average":
+                        p = w.mean()
+                    else:
+                        p = float((w * ew).sum() / ew.sum())
+                    r = x - p
+                    if r_n >= 3:
+                        var = r_s2 / r_n - (r_s1 / r_n) ** 2
+                        sd = var**0.5 if var > 0 else 0.0
+                    else:
+                        sd = 0.0
+                    s = abs(r) / sd if sd > 0 else 0.0
+                    pred = float(p)
+                    if s > threshold:
+                        work.append(float(p))  # feedback: replace outlier
+                    else:
+                        work.append(x)
+                        r_n += 1
+                        r_s1 += r
+                        r_s2 += r * r
+                    work = work[-window:]
+                rows.append(
+                    {
+                        **{k: getattr(row, k) for k in keys},
+                        ts: getattr(row, ts),
+                        value: x,
+                        "predicted": pred,
+                        "osa_score": s,
+                        "label": "O" if s > threshold else "N",
+                    }
+                )
+        state.update((work[-window:], r_n, r_s1, r_s2))
+        yield pd.DataFrame(rows)
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -251,3 +251,55 @@ def test_multimodal_resize_and_frames(spark, media_df):
     # 3500 ms at 1 fps -> 3 frames per video
     assert (fr.groupby("media_id").size() == 3).all()
     assert all(len(f) == 64 for f in fr.frame_features)
+
+
+def test_stream_one_step_ahead_matches_batch(spark, stream_dirs):
+    """Stateful streaming one-step-ahead == batch kernel on an ordered feed
+    (same numpy arithmetic op-for-op), including the outlier-feedback ring."""
+    import numpy as np
+
+    from beymani_spark.operators import sequence
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import apply_stream_one_step_ahead
+
+    src, chk = stream_dirs
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    ev.write.mode("overwrite").parquet(src + "/osa")
+
+    stream = spark.readStream.schema(ev.schema).parquet(src + "/osa")
+    scored = apply_stream_one_step_ahead(
+        stream, ["event_type"], "ts", "value", window=8, threshold=3.0
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("osa_t")
+        .outputMode("append")
+        .option("checkpointLocation", chk + "/osa")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from osa_t")
+        .toPandas()
+        .sort_values(["event_type", "ts"], ignore_index=True)
+    )
+    batch = (
+        sequence.one_step_ahead(
+            ev, ["event_type"], "ts", "value", window=8, threshold=3.0
+        )
+        .select("event_type", "ts", "predicted", "osa_score", "label")
+        .toPandas()
+        .sort_values(["event_type", "ts"], ignore_index=True)
+    )
+    assert len(got) == len(batch)
+    np.testing.assert_allclose(
+        got.predicted.to_numpy(float), batch.predicted.to_numpy(float),
+        rtol=1e-12, equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        got.osa_score.to_numpy(float), batch.osa_score.to_numpy(float), rtol=1e-12
+    )
+    assert list(got.label) == list(batch.label)
