@@ -142,8 +142,67 @@ def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "value", "state")
 
 
-@register("ngram_frequency", None)
+_NGRAM_FREQ_ORACLE = """
+WITH ordered AS (
+  SELECT event_type, event_id, value AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn
+  FROM events
+), edges AS (
+  SELECT event_type, quantile_cont(v, [0.125,0.25,0.375,0.5,0.625,0.75,0.875]) AS qs FROM ordered GROUP BY event_type
+), sym AS (
+  SELECT o.event_type, o.event_id, o.rn,
+         len(list_filter(e.qs, q -> q <= o.v)) AS s
+  FROM ordered o JOIN edges e USING (event_type)
+), grams AS (
+  SELECT a.event_type, b.rn AS e, a.s AS s1, b.s AS s2
+  FROM sym a JOIN sym b ON a.event_type = b.event_type AND b.rn = a.rn + 1
+), ref AS (
+  SELECT event_type, s1, s2, count(*) AS c FROM grams GROUP BY 1, 2, 3
+), refmax AS (
+  SELECT event_type, max(c) AS mx FROM ref GROUP BY 1
+), nk AS (
+  SELECT event_type, count(*) AS n FROM ordered GROUP BY 1
+), pos AS (
+  SELECT event_type, rn AS i FROM ordered WHERE rn >= 29
+), wg AS (
+  SELECT p.event_type, p.i, g.s1, g.s2, count(*) AS c
+  FROM pos p JOIN grams g ON g.event_type = p.event_type
+       AND g.e BETWEEN greatest(1, p.i - 29) AND p.i
+  GROUP BY 1, 2, 3, 4
+), wmx AS (
+  SELECT event_type, i, max(c) AS mx FROM wg GROUP BY 1, 2
+), sc AS (
+  SELECT w.event_type, w.i,
+         sum((w.c / CAST(wm.mx AS DOUBLE)
+              - coalesce(CAST(r.c AS DOUBLE) / rm.mx, 0.0)) ** 2) AS s
+  FROM wg w
+  JOIN wmx wm ON wm.event_type = w.event_type AND wm.i = w.i
+  LEFT JOIN ref r ON r.event_type = w.event_type AND r.s1 = w.s1 AND r.s2 = w.s2
+  JOIN refmax rm ON rm.event_type = w.event_type
+  GROUP BY 1, 2
+), first AS (
+  SELECT event_type, s AS s0 FROM sc WHERE i = 29
+)
+SELECT o.event_id, o.event_type,
+       round(CASE WHEN n.n < 30 THEN 0.0
+                  WHEN o.rn < 29 THEN f.s0
+                  ELSE sc.s END, 6) AS ng_score,
+       CASE WHEN (CASE WHEN n.n < 30 THEN 0.0
+                       WHEN o.rn < 29 THEN f.s0 ELSE sc.s END) > 1.0
+            THEN 'O' ELSE 'N' END AS label
+FROM ordered o
+JOIN nk n USING (event_type)
+LEFT JOIN sc ON sc.event_type = o.event_type AND sc.i = o.rn
+LEFT JOIN first f USING (event_type)
+"""
+
+
+@register("ngram_frequency", _NGRAM_FREQ_ORACLE)
 def q_ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NgramFrequencyPredictor, hash-exact: per-key quantile symbolization,
+    sliding bigram counts vs max-normalized reference map — the oracle
+    reproduces the window-count state machine with a position-range join
+    (grams ending in [max(1, i-29), i])."""
     ev = load_table(spark, sf_dir, "events")
     out = sequence.ngram_frequency(
         ev, ["event_type"], "ts", "value", n_bins=8, ngram=2, window=30, threshold=1.0
