@@ -206,6 +206,35 @@ register("drift_ecdd", _ECDD_ORACLE)(
     _drift_query("ecdd", threshold=4.0, expf=0.1, warmup=50)
 )
 
+# aggregateDrift/anyDrift/allDrift consensus (sucodr SupConceptDrift): combine
+# per-detector flags; the oracle nests the two member detectors' full SQL.
+_CONSENSUS_ORACLE = f"""
+WITH ddm AS (
+  SELECT event_type, event_id, drift AS drift_ddm FROM ({_DDM_ORACLE})
+), fh AS (
+  SELECT event_type, event_id, drift AS drift_fhddm FROM ({_FHDDM_ORACLE})
+)
+SELECT d.event_type, d.event_id, d.drift_ddm, f.drift_fhddm,
+       CASE WHEN d.drift_ddm + f.drift_fhddm >= 1 THEN 1 ELSE 0 END AS drift_consensus
+FROM ddm d JOIN fh f ON d.event_type = f.event_type AND d.event_id = f.event_id
+"""
+
+
+@register("drift_consensus", _CONSENSUS_ORACLE)
+def q_drift_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    errs = _error_stream(spark, sf_dir)
+    d1 = drift_mod.drift_detect(
+        errs, ["event_type"], "ts", "is_error", "ddm", threshold=3.0, warmup=50
+    ).select("event_type", "event_id", F.col("drift").alias("drift_ddm"))
+    d2 = drift_mod.drift_detect(
+        errs, ["event_type"], "ts", "is_error", "fhddm", conf_level=1e-6, win_size=100
+    ).select("event_type", "event_id", F.col("drift").alias("drift_fhddm"))
+    joined = d1.join(d2, ["event_type", "event_id"])
+    out = drift_mod.consensus_drift(joined, ["drift_ddm", "drift_fhddm"], consensus="any")
+    return out.select(
+        "event_type", "event_id", "drift_ddm", "drift_fhddm", "drift_consensus"
+    )
+
 
 _NEIGHBOR_DENSITY_ORACLE = """
 WITH v AS (
