@@ -209,6 +209,32 @@ def test_autoencoder_deterministic_partition_invariant(spark, mv_df):
     )
 
 
+def test_autoencoder_degenerate_inputs(spark):
+    """Constant columns (std=0) standardize to 0 -> zero reconstruction
+    error, label N; a key group smaller than the hidden width scores 0."""
+    pdf = pd.DataFrame(
+        {"key": ["k"] * 10 + ["tiny"], "pid": range(11),
+         "x": [5.0] * 10 + [1.0], "y": list(range(10)) + [2.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    model = multivariate.autoencoder_fit(df, ["key"], ["x", "y"], hidden=2)
+    out = multivariate.autoencoder_score(
+        df, model, ["key"], ["x", "y"], hidden=2
+    ).toPandas()
+    tiny = out[out.key == "tiny"]
+    assert (tiny.score == 0.0).all() and (tiny.label == "N").all()
+    k = out[out.key == "k"]
+    assert np.isfinite(k.score).all()
+
+
+def test_change_point_short_series_empty(spark):
+    pdf = pd.DataFrame({"key": "k", "ts": range(10), "value": np.arange(10.0)})
+    out = sequence.change_point(
+        spark.createDataFrame(pdf), ["key"], "ts", "value", window=64
+    ).toPandas()
+    assert len(out) == 0
+
+
 def test_autoencoder_missing_key_tags_I(spark, mv_df):
     model = multivariate.autoencoder_fit(mv_df, ["key"], ["x", "y"], hidden=1)
     other = spark.createDataFrame(
