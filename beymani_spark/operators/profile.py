@@ -80,16 +80,28 @@ def median_mad(
     values: Sequence[str],
     cycle: str | None = None,
     ts: str | None = None,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
-    """Per (keys,[cycle],attr): exact median and MAD (median of |x - median|)."""
+    """Per (keys,[cycle],attr): median and MAD (median of |x - median|).
+
+    Exact by default (the oracle/correctness path — `percentile` fully sorts
+    each group). ``approx_accuracy`` switches both quantiles to
+    `percentile_approx` (Greenwald-Khanna, relative rank error 1/accuracy):
+    the 100 TB path — a mergeable sketch of bounded size per group instead of
+    a full sort, at a documented approximation (accuracy=10000 ->
+    rank error <= 0.01%)."""
     long = _explode_attrs(df, keys, values, cycle, ts)
     group = [c for c in long.columns if c not in ("attr", "value")] + ["attr"]
-    med = long.groupBy(*group).agg(F.percentile("value", F.lit(0.5)).alias("median"))
+    if approx_accuracy:
+        p50 = lambda c: F.percentile_approx(c, 0.5, int(approx_accuracy))  # noqa: E731
+    else:
+        p50 = lambda c: F.percentile(c, F.lit(0.5))  # noqa: E731
+    med = long.groupBy(*group).agg(p50("value").alias("median"))
     return (
         long.join(med, group)
         .withColumn("absdev", F.abs(F.col("value") - F.col("median")))
         .groupBy(*group, "median")
-        .agg(F.percentile("absdev", F.lit(0.5)).alias("mad"))
+        .agg(p50("absdev").alias("mad"))
     )
 
 

@@ -100,3 +100,39 @@ def test_tag_label_truth_table(spark):
         tag_label(F.lit(0.5), 1.0).alias("n"),
     ).first()
     assert (row.i, row.o, row.n_eq, row.n) == ("I", "O", "N", "N")
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(st.floats(-50, 50, allow_nan=False), min_size=70, max_size=120),
+)
+def test_ks_stat_bounds_and_identity(vals):
+    """Two-sample KS is in [0,1]; identical halves give 0 shift under a
+    constant offset large enough to disjoint the samples gives 1."""
+    from beymani_spark.operators import sequence
+
+    a = np.asarray(vals[: len(vals) // 2])
+    b = np.asarray(vals[len(vals) // 2 :])
+    s = sequence._ks_stat(a, b)
+    assert 0.0 <= s <= 1.0
+    assert sequence._ks_stat(a, a) == 0.0
+    assert sequence._ks_stat(a, a + (a.max() - a.min() + 1.0)) == 1.0
+
+
+def test_median_mad_approx_close_to_exact(spark):
+    from beymani_spark.operators import profile
+    from beymani_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    exact = (
+        profile.median_mad(ev, ["event_type"], ["value"])
+        .toPandas().sort_values("event_type", ignore_index=True)
+    )
+    approx = (
+        profile.median_mad(ev, ["event_type"], ["value"], approx_accuracy=10000)
+        .toPandas().sort_values("event_type", ignore_index=True)
+    )
+    # GK sketch at accuracy 10000 on ~200-row groups is near-exact; allow a
+    # generous relative envelope to keep the test about wiring, not the sketch
+    np.testing.assert_allclose(approx["median"], exact["median"], rtol=0.05)
+    np.testing.assert_allclose(approx["mad"], exact["mad"], rtol=0.05)
