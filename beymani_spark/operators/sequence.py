@@ -648,3 +648,113 @@ def change_point(
     return df.groupBy(*keys).applyInPandas(
         kernel, schema=f"{key_schema}, center_ts {ts_type}, stat double{extra}"
     )
+
+
+def one_step_ahead_multi(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    values: Sequence[str],
+    attr_weights: Sequence[float] | None = None,
+    window: int = 8,
+    method: str = "average",
+    alpha: float = 0.3,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Multi-attribute one-step-ahead (OneStepAheadPredictor.scala:133-162):
+    each attribute keeps its own prediction window, residual moments and
+    outlier-feedback ring; the row score is the weighted average of the
+    per-attr scores (MathUtils.weightedAverage with attr.weights, :160) and
+    the O/N tag applies to the combined score. Adds pred_<attr>,
+    score_<attr>, score, label. One applyInPandas pass for all attrs."""
+    wts = (
+        np.asarray(attr_weights, dtype=float)
+        if attr_weights is not None
+        else np.full(len(values), 1.0 / len(values))
+    )
+    if len(wts) != len(values):
+        raise ValueError("attr_weights must match values length")
+    if method == "ewma":
+        ew = (1 - alpha) ** np.arange(window - 1, -1, -1)
+        ew_sum = ew.sum()
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        n = len(pdf)
+        xs = {v: pdf[v].to_numpy(dtype=float) for v in values}
+        works = {v: xs[v].copy() for v in values}
+        preds = {v: np.full(n, np.nan) for v in values}
+        scores = {v: np.zeros(n) for v in values}
+        moments = {v: [0, 0.0, 0.0] for v in values}  # r_n, r_s1, r_s2
+        for i in range(window, n):
+            for v in values:
+                w = works[v][i - window : i]
+                if method == "average":
+                    p = w.mean()
+                elif method == "ewma":
+                    p = float((w * ew).sum() / ew_sum)
+                else:
+                    raise ValueError(f"unknown method: {method}")
+                preds[v][i] = p
+                r = xs[v][i] - p
+                r_n, r_s1, r_s2 = moments[v]
+                if r_n >= 3:
+                    var = r_s2 / r_n - (r_s1 / r_n) ** 2
+                    sd = var**0.5 if var > 0 else 0.0
+                else:
+                    sd = 0.0
+                s = abs(r) / sd if sd > 0 else 0.0
+                scores[v][i] = s
+                if s > threshold:
+                    works[v][i] = p
+                else:
+                    moments[v] = [r_n + 1, r_s1 + r, r_s2 + r * r]
+        out = pdf.copy()
+        comb = np.zeros(n)
+        for j, v in enumerate(values):
+            out[f"pred_{v}"] = preds[v]
+            out[f"score_{v}"] = scores[v]
+            comb = comb + wts[j] * scores[v]
+        comb = comb / wts.sum()
+        out["score"] = comb
+        out["label"] = np.where(comb > threshold, "O", "N")
+        return out
+
+    extra = ", ".join(
+        [f"pred_{v} double, score_{v} double" for v in values] + ["score double", "label string"]
+    )
+    return _grouped(df, keys, kernel, extra)
+
+
+def change_point_multi(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    values: Sequence[str],
+    window: int = 64,
+    step: int = 8,
+    stat: str = "ks",
+    critical_value: float | None = None,
+    checkpoint: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-attribute change points (ChangePointDetector.scala:104-151
+    flatMaps over attr.ordinals): melt the value columns to (attr, value)
+    rows and run the sliding two-sample test per (keys..., attr) — one
+    output row per attribute per window center, like the reference's
+    keyStr+attr+seq+stat records. The melt is a codegen stack() projection;
+    the group exchange carries |values| x the rows, each group independent."""
+    melted = df.select(
+        *keys,
+        F.col(ts),
+        F.expr(
+            "stack({n}, {pairs}) as (attr, value)".format(
+                n=len(values),
+                pairs=", ".join(f"'{v}', `{v}`" for v in values),
+            )
+        ),
+    )
+    return change_point(
+        melted, [*keys, "attr"], ts, "value",
+        window=window, step=step, stat=stat,
+        critical_value=critical_value, checkpoint=checkpoint,
+    )

@@ -326,6 +326,77 @@ def q_change_point_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHANGE_POINT_MULTI_ORACLE = """
+WITH src AS (
+  SELECT l_returnflag,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS seq,
+         l_quantity, l_extendedprice
+  FROM lineitem
+), melted AS (
+  SELECT l_returnflag, 'l_quantity' AS attr, seq, l_quantity AS value FROM src
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', seq, l_extendedprice FROM src
+), ordered AS (
+  SELECT l_returnflag, attr, value, seq, seq - 1 AS rn FROM melted
+), nk AS (
+  SELECT l_returnflag, attr, count(*) AS n FROM ordered GROUP BY 1, 2
+), starts AS (
+  SELECT l_returnflag, attr, unnest(range(0, n - 63, 8)) AS start
+  FROM nk WHERE n >= 64
+), members AS (
+  SELECT s.l_returnflag, s.attr, s.start, o.value,
+         CASE WHEN o.rn < s.start + 32 THEN 1 ELSE 0 END AS a_side
+  FROM starts s JOIN ordered o
+    ON o.l_returnflag = s.l_returnflag AND o.attr = s.attr
+       AND o.rn >= s.start AND o.rn < s.start + 64
+), cum AS (
+  SELECT l_returnflag, attr, start,
+         sum(a_side) OVER w AS ca, sum(1 - a_side) OVER w AS cb
+  FROM members
+  WINDOW w AS (PARTITION BY l_returnflag, attr, start ORDER BY value
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st AS (
+  SELECT l_returnflag, attr, start, max(abs(ca / 32.0 - cb / 32.0)) AS stat
+  FROM cum GROUP BY 1, 2, 3
+)
+SELECT st.l_returnflag, st.attr, o.seq AS center_seq, round(st.stat, 6) AS stat
+FROM st JOIN ordered o
+  ON o.l_returnflag = st.l_returnflag AND o.attr = st.attr
+     AND o.rn = st.start + 32
+"""
+
+
+@register("change_point_multi", _CHANGE_POINT_MULTI_ORACLE)
+def q_change_point_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-attribute change points (ChangePointDetector attr.ordinals):
+    one KS row per (key, attr, window center) over two lineitem measures.
+    The sequence is a per-key row_number over the unique composite
+    (orderkey, linenumber, partkey, suppkey) — (orderkey, linenumber) alone
+    is NOT unique in the synthetic fixture, and sequence ties would make
+    window membership engine-dependent."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.row_number().over(w).alias("_seq"),
+        "l_quantity", "l_extendedprice",
+    )
+    out = sequence.change_point_multi(
+        li, ["l_returnflag"], "_seq", ["l_quantity", "l_extendedprice"],
+        window=64, step=8, stat="ks",
+    )
+    return _round(
+        out.select(
+            "l_returnflag", "attr", F.col("center_ts").alias("center_seq"), "stat"
+        ),
+        ["stat"],
+    )
+
+
 @register("change_point", _CHANGE_POINT_ORACLE)
 def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

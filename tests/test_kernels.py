@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from beymani_spark.operators import multivariate, sequence
 
@@ -153,6 +154,60 @@ def test_change_point_checkpoint_resume(spark):
     ).toPandas()
     fresh2 = sequence.change_point(other, ["key"], "ts", "value", **kwargs).toPandas()
     assert len(inc2) == len(fresh2)
+
+
+def test_one_step_ahead_multi_weighted_attrs(spark, seq_df):
+    """Multi-attr combined score = weighted average of per-attr scores; with
+    weights (1, 0) it equals the single-attr run on the first attr."""
+    two = seq_df.withColumn("value2", F.col("value") * -1.0 + 3.0)
+    multi = sequence.one_step_ahead_multi(
+        two, ["key"], "ts", ["value", "value2"], attr_weights=[1.0, 0.0],
+        window=8, threshold=3.0,
+    ).toPandas().sort_values(["key", "ts"], ignore_index=True)
+    single = sequence.one_step_ahead(
+        seq_df, ["key"], "ts", "value", window=8, threshold=3.0
+    ).toPandas().sort_values(["key", "ts"], ignore_index=True)
+    np.testing.assert_allclose(multi.score, single.osa_score, rtol=1e-12)
+    assert list(multi.label) == list(single.label)
+    # equal weights: combined = mean of per-attr scores
+    eq = sequence.one_step_ahead_multi(
+        two, ["key"], "ts", ["value", "value2"], window=8, threshold=3.0
+    ).toPandas()
+    np.testing.assert_allclose(
+        eq.score, (eq.score_value + eq.score_value2) / 2.0, rtol=1e-12
+    )
+
+
+def test_change_point_multi_matches_per_attr(spark):
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "key": "k",
+            "ts": range(300),
+            "a": np.concatenate([rng.normal(0, 1, 150), rng.normal(5, 1, 150)]),
+            "b": rng.normal(0, 1, 300),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    multi = sequence.change_point_multi(
+        df, ["key"], "ts", ["a", "b"], window=64, step=8
+    ).toPandas()
+    assert set(multi.attr) == {"a", "b"}
+    for attr in ("a", "b"):
+        one = sequence.change_point(
+            df.withColumnRenamed(attr, "value"), ["key"], "ts", "value",
+            window=64, step=8,
+        ).toPandas().sort_values("center_ts", ignore_index=True)
+        got = (
+            multi[multi.attr == attr]
+            .sort_values("center_ts", ignore_index=True)[["center_ts", "stat"]]
+        )
+        pd.testing.assert_frame_equal(
+            got, one[["center_ts", "stat"]], check_dtype=False
+        )
+    # the shifted attr peaks near the change, the stationary one stays low
+    assert multi[multi.attr == "a"].stat.max() > 0.9
+    assert multi[multi.attr == "b"].stat.max() < 0.5
 
 
 def test_ks_cvm_ad_stats_sanity():
