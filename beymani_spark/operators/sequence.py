@@ -50,8 +50,14 @@ def spectral_residual(
     avg_window: int = 3,
     neighbor_window: int = 21,
     threshold: float = 3.0,
+    relative: bool = True,
 ) -> DataFrame:
-    """Adds sr_score (saliency normalized by its mean) and label."""
+    """Adds sr_score and label. Score = saliency minus its trailing
+    ``neighbor_window`` moving average (SpectralResiduePredictor.scala:
+    149-151 — iAmp minus the non-centered iAmpNeighborAv), i.e. how far the
+    point's saliency rises above its recent neighborhood; ``relative=True``
+    (default) additionally divides by that trailing average (the SR-CNN
+    paper's normalized form) so the threshold is scale-free."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts).reset_index(drop=True)
@@ -68,8 +74,19 @@ def spectral_residual(
             avg_log = np.convolve(log_amp, kern, mode="same")
             residual = log_amp - avg_log
             sal = np.abs(np.fft.ifft(np.exp(residual + 1j * np.angle(spec))))
-        m = sal.mean() if sal.size and sal.mean() > 0 else 1.0
-        score = (sal - m) / m
+        # trailing (non-centered) moving average of the saliency, prefix-
+        # truncated at the series start
+        w = max(int(neighbor_window), 1)
+        csum = np.concatenate([[0.0], np.cumsum(sal)])
+        idx = np.arange(n)
+        lo = np.maximum(0, idx - w + 1)
+        trail = (csum[idx + 1] - csum[lo]) / np.maximum(idx + 1 - lo, 1)
+        diff = sal - trail
+        if relative:
+            safe = np.where(trail > 0, trail, 1.0)
+            score = diff / safe
+        else:
+            score = diff
         out = pdf.copy()
         out["sr_score"] = score
         out["label"] = np.where(score > threshold, "O", "N")

@@ -137,7 +137,9 @@ def q_autoencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("spectral_residual", None)
 def q_spectral_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    out = sequence.spectral_residual(ev, ["event_type"], "ts", "value", threshold=3.0)
+    # relative trailing-average scoring: ~p99 of the fixture's score
+    # distribution, so the label column tags the true saliency tail
+    out = sequence.spectral_residual(ev, ["event_type"], "ts", "value", threshold=1.0)
     return _round(out.select("event_id", "event_type", "sr_score", "label"), ["sr_score"])
 
 
