@@ -12,9 +12,15 @@ Scale posture:
 - simhash: 16-bit sign-summed token-hash sketch per doc; near-dup candidates
   share the sketch (hamming-0) or a rotated band.
 
-MinHash/SimHash use Spark's xxhash64, which DuckDB cannot reproduce, so those
-two are registered without oracle SQL (rows-only correctness check); the
-banded-Jaccard and exact paths are fully oracle-verified.
+Hashing: both sketch families take ``hash_fn``:
+- ``"md5"`` (registry default): hashes derive from Spark's md5() hex string,
+  which DuckDB computes identically, so MinHash-LSH and SimHash are fully
+  DuckDB-oracle-verifiable (hash parity, not just rows). MinHash takes the
+  lexicographic min over md5 hex strings; SimHash extracts 32 bits from the
+  md5 prefix. md5 is a JVM codegen built-in, so the scale posture is
+  unchanged (one digest per shingle/token occurrence).
+- ``"xxhash64"``: cheaper digests for petabyte-scale runs where oracle
+  reproducibility is not needed.
 """
 from __future__ import annotations
 
@@ -129,14 +135,23 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """k minhashes per doc: minhash_i = min over shingles of xxhash64(sh, i).
+    """k minhashes per doc: minhash_i = min over shingles of hash_i(sh),
+    where hash_i is md5(f"{i}:{sh}") (hex string, lexicographic min — DuckDB
+    reproducible) or xxhash64(sh, i) (bigint min).
 
     One explode + one partial-aggregated groupBy — k codegen'd hash/min
     aggregates in a single pass."""
     ex = exploded_shingles(df, id_col, text_col, n)
+    if hash_fn == "md5":
+        hashes = [
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("sh"))) for i in range(num_hashes)
+        ]
+    else:
+        hashes = [F.xxhash64("sh", F.lit(i)) for i in range(num_hashes)]
     return ex.groupBy("_id").agg(
-        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
+        *[F.min(h).alias(f"mh_{i}") for i, h in enumerate(hashes)]
     )
 
 
@@ -148,6 +163,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     min_jaccard: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Scale-path near-dup: banded minhash candidates, verified with exact
     Jaccard. Output (src, dst, jaccard) with jaccard >= min_jaccard.
@@ -159,15 +175,17 @@ def minhash_lsh_pairs(
     the recompute; at scale the cache also costs executor memory the
     verification join wants)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, hash_fn)
+
+    def band_sig(b: int) -> Column:
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *cols))
+        return F.hash(*cols).cast("string")
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("sig"),
-            )
+            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
             for b in range(bands)
         ]
     )
@@ -203,13 +221,28 @@ def minhash_lsh_pairs(
     return verified.select("src", "dst", "jaccard")
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 16,
+    hash_fn: str = "md5",
+) -> DataFrame:
     """SimHash sketch: bit b of the sketch is the sign of Σ_tokens ±1 where
-    the sign is bit b of xxhash64(token)."""
+    the sign is bit b of hash(token). ``hash_fn="md5"`` takes the token hash
+    from the first 8 hex chars of md5 (a 32-bit value DuckDB reproduces
+    bit-for-bit; requires bits <= 32); ``"xxhash64"`` is the cheap-digest
+    path."""
+    if hash_fn == "md5":
+        if bits > 32:
+            raise ValueError("md5-mode simhash supports at most 32 bits")
+        token_hash = F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long")
+    else:
+        token_hash = F.xxhash64("_tok")
     ex = df.select(
         F.col(id_col).alias("_sid"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
+    ).withColumn("_h", token_hash)
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -225,7 +258,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) 
 
 
 def simhash_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16, max_hamming: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash with exact Hamming-LSH banding: the sketch
     is split into max_hamming+1 bands, so a pair within max_hamming differing
@@ -236,7 +274,7 @@ def simhash_dup_pairs(
     + bit aggregation runs once, not once per join side."""
     n_bands = max_hamming + 1
     band_w = max(1, bits // n_bands)
-    sk = simhash(df, id_col, text_col, bits).persist()
+    sk = simhash(df, id_col, text_col, bits, hash_fn).persist()
     bands = []
     for i in range(n_bands):
         shifted = F.shiftright(F.col("simhash"), i * band_w)

@@ -169,23 +169,89 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, ["jaccard"])
 
 
-# MinHash-LSH and SimHash use Spark xxhash64 (not reproducible in DuckDB):
-# registered without oracle -> driver records rows-only checks.
-@register("dedup_minhash_lsh", None)
+# MinHash-LSH: md5-derived minhashes (lexicographic min over md5 hex strings,
+# which DuckDB computes identically to Spark) make the full pipeline —
+# shingle -> 16 minhashes -> 4 banded signatures -> candidate equi-join ->
+# exact-Jaccard verification — hash-exact oracle-verifiable.
+_MINHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), shl AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s FROM t
+), ex AS (
+  SELECT doc_id, unnest(s) AS sh FROM shl
+), mh AS (
+  SELECT doc_id, g.i AS i, min(md5(g.i::VARCHAR || ':' || sh)) AS mh
+  FROM ex CROSS JOIN generate_series(0, 15) g(i)
+  GROUP BY doc_id, g.i
+), sig AS (
+  SELECT doc_id, (i // 4)::INT AS band, md5(string_agg(mh, '|' ORDER BY i)) AS sig
+  FROM mh GROUP BY doc_id, (i // 4)::INT
+), cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT c.src, c.dst,
+       round(len(list_intersect(sa.s, sb.s)) * 1.0
+             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+FROM cand c JOIN shl sa ON sa.doc_id = c.src JOIN shl sb ON sb.doc_id = c.dst
+WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = dedup.minhash_lsh_pairs(
-        docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5
+        docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5, hash_fn="md5"
     )
     return _round(out, ["jaccard"])
 
 
-@register("dedup_simhash", None)
+def _simhash_bit_sql(b: int) -> str:
+    """±1 contribution of md5-prefix bit b: hex char 8-(b//4) (1-based from
+    the left) holds bits 4*(b//4)+3..4*(b//4); extract bit (b%4) of its
+    nibble value."""
+    return (
+        f"CASE WHEN ((strpos('0123456789abcdef', substr(hx, {8 - b // 4}, 1)) - 1)"
+        f" // {2 ** (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END"
+    )
+
+
+# SimHash: the 32-bit token hash is the first 8 hex chars of md5(token) —
+# DuckDB rebuilds each bit from the hex string. The Spark side's pigeonhole
+# Hamming-LSH banding has FULL recall for hamming <= max_hamming, so the
+# oracle is the simpler brute-force sketch self-join (xor + bit_count).
+_SIMHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+), h AS (
+  SELECT doc_id, md5(unnest(toks)) AS hx FROM t
+), bitsum AS (
+  SELECT doc_id,
+         {", ".join(f"sum({_simhash_bit_sql(b)}) AS s_{b}" for b in range(32))}
+  FROM h GROUP BY doc_id
+), sk AS (
+  SELECT doc_id,
+         ({" + ".join(f"CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(32))})::BIGINT AS sketch
+  FROM bitsum
+)
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       bit_count(xor(a.sketch, b.sketch))::INT AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sketch, b.sketch)) <= 3
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # 32-bit sketch -> 4 bands of 8 bits: wide enough that band buckets stay
     # small (16-bit/4-bit bands collapse similar docs into huge buckets)
-    return dedup.simhash_dup_pairs(docs, "doc_id", bits=32, max_hamming=3)
+    return dedup.simhash_dup_pairs(
+        docs, "doc_id", bits=32, max_hamming=3, hash_fn="md5"
+    )
 
 
 _COS_SQL = (
