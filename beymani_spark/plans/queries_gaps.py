@@ -255,7 +255,54 @@ def q_lp_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("local_drift", None)
+# Mirrors the kernel exactly: recent-4000 window, i = ts-ordered index,
+# ncount = max(1, trunc(n * 0.02)) with the SAME IEEE double product (the
+# 0.02 literal must be cast to DOUBLE or DuckDB uses exact DECIMAL
+# arithmetic), neighbor rank by (squared distance, index), drift =
+# other-half/own-half - 1, top-20 by (|drift| desc, index asc).
+_LOCAL_DRIFT_ORACLE = """
+WITH recent AS (
+  SELECT event_type, ts, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS _rn
+  FROM events QUALIFY _rn <= 4000
+), idx AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM recent
+), p AS (
+  SELECT event_type, n, greatest(1, trunc(n * CAST(0.02 AS DOUBLE))::INT) AS ncount,
+         (n // 2) AS lh
+  FROM idx QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY i) = 1
+), ranked AS (
+  SELECT a.event_type, a.i, b.i AS j, p.ncount, p.lh,
+         row_number() OVER (
+           PARTITION BY a.event_type, a.i
+           ORDER BY (a.value - b.value) * (a.value - b.value), b.i
+         ) AS rnk
+  FROM idx a
+  JOIN idx b ON a.event_type = b.event_type AND a.i <> b.i
+  JOIN p ON p.event_type = a.event_type
+  WHERE p.n >= 4
+), nn AS (
+  SELECT event_type, i, ncount,
+         sum(CASE WHEN (i < lh) <> (j < lh) THEN 1 ELSE 0 END) AS other
+  FROM ranked WHERE rnk <= ncount
+  GROUP BY event_type, i, ncount
+), scored AS (
+  SELECT event_type, i::BIGINT AS row_idx,
+         other * 1.0 / greatest(ncount - other, 1) - 1.0 AS drift_score
+  FROM nn
+)
+SELECT event_type, row_idx, round(drift_score, 6) AS drift_score
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY abs(drift_score) DESC, row_idx
+) <= 20
+"""
+
+
+@register("local_drift", _LOCAL_DRIFT_ORACLE)
 def q_local_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 

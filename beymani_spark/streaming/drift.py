@@ -206,7 +206,14 @@ def local_drift(
     seq-ordered rows in half (old vs new window), take each point's
     nCount = neighborhood_size * n nearest neighbors (brute-force numpy, no
     KDTree dependency), and score drift = (other-half neighbors)/(own-half
-    neighbors) − 1; emit the top_k by |drift|."""
+    neighbors) − 1; emit the top_k by |drift|.
+
+    Tie-breaking is fully deterministic so the result is DuckDB-oracle
+    reproducible: squared distance is Σ(aᵢ−bᵢ)² (the same expression the SQL
+    side computes — NOT the ‖a‖²+‖b‖²−2a·b identity, whose different
+    rounding can reorder near-equal distances), neighbor ties break by row
+    index (stable sort), and the top_k cut orders by (|drift| desc,
+    row_idx asc)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts).reset_index(drop=True)
@@ -217,31 +224,30 @@ def local_drift(
             return pd.DataFrame(columns=[*keys, "row_idx", "drift_score"])
         lh = n // 2
         ncount = max(1, int(n * neighborhood_size))
-        # blocked vectorized kNN: distance block (B, n) + argpartition per row
-        sq = (x**2).sum(axis=1)
+        # blocked vectorized kNN: (B, n, d) difference block, stable argsort
         block = 256
         other_counts = np.empty(n, dtype=np.int64)
         for b0 in range(0, n, block):
             b1 = min(b0 + block, n)
-            d2 = sq[b0:b1, None] + sq[None, :] - 2.0 * (x[b0:b1] @ x.T)
+            diff = x[b0:b1, None, :] - x[None, :, :]
+            d2 = np.einsum("ijk,ijk->ij", diff, diff)
             d2[np.arange(b1 - b0), np.arange(b0, b1)] = np.inf
-            nbrs = np.argpartition(d2, ncount, axis=1)[:, :ncount]
+            nbrs = np.argsort(d2, axis=1, kind="stable")[:, :ncount]
             in_new_half = nbrs >= lh
             is_old = np.arange(b0, b1) < lh
             other_counts[b0:b1] = np.where(
                 is_old, in_new_half.sum(axis=1), ncount - in_new_half.sum(axis=1)
             )
         own = np.maximum(ncount - other_counts, 1)
+        ds = other_counts / own - 1.0
+        pick = np.lexsort((np.arange(n), -np.abs(ds)))[:top_k]
         out = pd.DataFrame(
             {
-                **{k: [v] * n for k, v in key_cols.items()},
-                "row_idx": np.arange(n),
-                "drift_score": other_counts / own - 1.0,
+                **{k: [v] * len(pick) for k, v in key_cols.items()},
+                "row_idx": pick,
+                "drift_score": ds[pick],
             }
         )
-        out = out.reindex(
-            out.drift_score.abs().sort_values(ascending=False).index
-        ).head(top_k)
         return out.reset_index(drop=True)
 
     key_schema = ", ".join(
