@@ -221,6 +221,96 @@ def minhash_lsh_pairs(
     return verified.select("src", "dst", "jaccard")
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Group near-dup pairs into connected components and assign every doc a
+    canonical representative: (id_col, cluster_rep, cluster_size), where
+    cluster_rep is the minimum id reachable through the pair graph (docs in
+    no pair are singletons representing themselves).
+
+    Distributed min-label propagation with pointer jumping: each round every
+    node takes min(own label, neighbor labels) and then compresses one level
+    through the label mapping, so chains collapse in O(log diameter) rounds
+    instead of O(diameter). Each round costs one shuffle on |E| (neighbor
+    min) plus one on |V| (jump) — no driver-side graph state, so it holds at
+    100 TB where |E| is the (sparse) LSH-verified pair set. Near-dup
+    clusters are near-cliques, so 1-2 rounds typically converge; max_iter
+    bounds adversarial chains. Convergence is checked with a changed-label
+    count per round (one action each, on the small labels frame)."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("a").distinct().select("a", F.col("a").alias("lbl")).persist()
+    labels.count()  # materialize before the loop rewrites the plan
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("a").alias("b"), F.col("lbl").alias("_nlbl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("_nlbl").alias("_nmin"))
+        )
+        cand = labels.join(nbr, "a", "left").select(
+            "a", F.least("lbl", F.coalesce("_nmin", "lbl")).alias("lbl")
+        )
+        mapping = labels.select(F.col("a").alias("_mfrom"), F.col("lbl").alias("_mto"))
+        new = (
+            cand.join(mapping, cand["lbl"] == mapping["_mfrom"], "left")
+            .select("a", F.least(cand["lbl"], F.coalesce("_mto", cand["lbl"])).alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    comp = labels.select(F.col("a").alias("_cid"), F.col("lbl").alias("_rep"))
+    out = (
+        df.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("_cid"), "left")
+        .select(
+            id_col, F.coalesce(F.col("_rep"), F.col(id_col)).alias("cluster_rep")
+        )
+        .withColumn(
+            "cluster_size", F.count("*").over(Window.partitionBy("cluster_rep"))
+        )
+    )
+    edges.unpersist()
+    return out
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Keep-one-per-cluster corpus: the input rows whose id is its cluster's
+    representative (min id). The anti-join complement of dedup_clusters —
+    this is the operator a training pipeline runs to materialize the deduped
+    dataset."""
+    clusters = dedup_clusters(df, id_col, pairs, src, dst)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster_rep")).select(id_col)
+    return df.join(keep, id_col)
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

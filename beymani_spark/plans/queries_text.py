@@ -173,8 +173,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which DuckDB computes identically to Spark) make the full pipeline —
 # shingle -> 16 minhashes -> 4 banded signatures -> candidate equi-join ->
 # exact-Jaccard verification — hash-exact oracle-verifiable.
-_MINHASH_ORACLE = f"""
-WITH t AS (
+_MINHASH_PAIR_CTES = f"""t AS (
   SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
 ), shl AS (
   SELECT doc_id, {_SHINGLE_SQL} AS s FROM t
@@ -190,13 +189,18 @@ WITH t AS (
 ), cand AS (
   SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
   FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-)
-SELECT c.src, c.dst,
-       round(len(list_intersect(sa.s, sb.s)) * 1.0
-             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
-FROM cand c JOIN shl sa ON sa.doc_id = c.src JOIN shl sb ON sb.doc_id = c.dst
-WHERE len(list_intersect(sa.s, sb.s)) * 1.0
-      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+), mpairs AS (
+  SELECT c.src, c.dst,
+         round(len(list_intersect(sa.s, sb.s)) * 1.0
+               / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+  FROM cand c JOIN shl sa ON sa.doc_id = c.src JOIN shl sb ON sb.doc_id = c.dst
+  WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_PAIR_CTES}
+SELECT src, dst, jaccard FROM mpairs
 """
 
 
@@ -207,6 +211,68 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5, hash_fn="md5"
     )
     return _round(out, ["jaccard"])
+
+
+# Connected components over the (oracle-identical) minhash pair graph: the
+# recursive CTE computes each node's full reachable set and takes the min —
+# O(cluster²) rows, fine at oracle scale; the Spark side is the distributed
+# min-label-propagation loop in dedup.dedup_clusters.
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
+  SELECT src AS a, dst AS b FROM mpairs
+  UNION
+  SELECT dst, src FROM mpairs
+), reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+), comp AS (
+  SELECT node, min(r) AS rep FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM lab
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5, hash_fn="md5"
+    )
+    return dedup.dedup_clusters(docs, "doc_id", pairs)
+
+
+_CORPUS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
+  SELECT src AS a, dst AS b FROM mpairs
+  UNION
+  SELECT dst, src FROM mpairs
+), reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+), comp AS (
+  SELECT node, min(r) AS rep FROM reach GROUP BY node
+)
+SELECT d.doc_id, md5(d.text) AS content_hash
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+WHERE coalesce(c.rep, d.doc_id) = d.doc_id
+"""
+
+
+@register("dedup_corpus", _CORPUS_ORACLE)
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5, hash_fn="md5"
+    )
+    out = dedup.dedup_corpus(docs, "doc_id", pairs)
+    return out.select("doc_id", F.md5("text").alias("content_hash"))
 
 
 def _simhash_bit_sql(b: int) -> str:

@@ -95,3 +95,26 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     # banding only costs recall; measured 1.0 at 16 hashes / 4 bands
     assert recall >= 0.85, f"minhash banding recall collapsed: {recall:.2f}"
     assert got <= truth | got  # sanity: no malformed pairs
+
+
+def test_dedup_clusters_chain_and_singletons(spark):
+    """Min-label propagation must collapse a 5-node chain (worst-case
+    diameter for pointer jumping) and leave unpaired docs as singletons."""
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "src long, dst long"
+    )
+    out = dedup.dedup_clusters(docs, "doc_id", pairs).toPandas().set_index("doc_id")
+    assert out.loc[[1, 2, 3, 4, 5], "cluster_rep"].tolist() == [1] * 5
+    assert out.loc[[1, 2, 3, 4, 5], "cluster_size"].tolist() == [5] * 5
+    assert out.loc[6, "cluster_rep"] == 6 and out.loc[7, "cluster_rep"] == 6
+    assert out.loc[0, "cluster_rep"] == 0 and out.loc[0, "cluster_size"] == 1
+
+
+def test_dedup_corpus_keeps_representatives(spark):
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "src long, dst long")
+    kept = sorted(
+        r.doc_id for r in dedup.dedup_corpus(docs, "doc_id", pairs).collect()
+    )
+    assert kept == [0, 3, 4]
