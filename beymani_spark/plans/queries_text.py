@@ -371,7 +371,61 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, ["cosine"])
 
 
-@register("ann_lsh_topk", None)
+def _ann_lsh_oracle() -> str:
+    """Hyperplane-LSH top-k oracle: the seeded planes are data-independent,
+    so they are baked into the SQL as double literals built by the SAME
+    generator ann_lsh_topk uses (random.Random(42), dim 64, 4 planes).
+    Signature signs were verified bit-identical between the Spark path's
+    numpy matmul and DuckDB's list fold on the fixtures (both float64; a
+    flip would need |dot| within accumulation error of zero, measure-zero
+    for continuous embeddings). The probe CTE reproduces the Hamming-1
+    multi-probe flips."""
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    lits = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ",".join(repr(x) for x in p))
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), planes AS (
+  SELECT * FROM (VALUES {lits}) p(pid, pl)
+), sig AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN list_sum(list_transform(list_zip(vec, pl), z -> z[1]*z[2])) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id
+), qsig AS (
+  SELECT vec_id, bucket FROM sig WHERE vec_id < 10
+), probes AS (
+  SELECT vec_id, bucket AS probe FROM qsig
+  UNION ALL
+  SELECT vec_id,
+         substr(bucket, 1, g.i) ||
+         (CASE WHEN substr(bucket, g.i + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+         substr(bucket, g.i + 2)
+  FROM qsig CROSS JOIN generate_series(0, 3) g(i)
+), cand AS (
+  SELECT p.vec_id AS query_id, s.vec_id AS neighbor_id
+  FROM probes p JOIN sig s ON s.bucket = p.probe AND s.vec_id <> p.vec_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_COS_SQL.format(a="q.vec", b="b.vec")} AS cosine
+  FROM cand c JOIN v q ON q.vec_id = c.query_id JOIN v b ON b.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS knn_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, knn_rank
+FROM ranked WHERE knn_rank <= 5
+"""
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
