@@ -371,6 +371,44 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, ["cosine"])
 
 
+# Embedding-level near-dup clustering: connected components over the
+# cosine>=0.4 pair graph — the vector-space analogue of dedup_clusters.
+_EMB_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), cpairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a="a.vec", b="b.vec")} >= 0.4
+), edges AS (
+  SELECT src AS a, dst AS b FROM cpairs
+  UNION
+  SELECT dst, src FROM cpairs
+), reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+), comp AS (
+  SELECT node, min(r) AS rep FROM reach GROUP BY node
+), lab AS (
+  SELECT e.vec_id, coalesce(c.rep, e.vec_id) AS cluster_rep
+  FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+)
+SELECT vec_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM lab
+"""
+
+
+@register("embedding_dup_clusters", _EMB_CLUSTERS_ORACLE)
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dedup_mod
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return dedup_mod.dedup_clusters(emb, "vec_id", pairs)
+
+
 def _ann_lsh_oracle() -> str:
     """Hyperplane-LSH top-k oracle: the seeded planes are data-independent,
     so they are baked into the SQL as double literals built by the SAME
