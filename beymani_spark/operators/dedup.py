@@ -107,26 +107,48 @@ def jaccard_pairs(
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(_id, sh) — one row per distinct shingle per doc.
 
-    Row-based n-gram assembly: posexplode the tokens once (the generator
-    evaluates the split a single time per row, unlike array expressions whose
-    token subexpression gets re-inlined into every element access), then
-    stitch n-grams with lead() windows — every step whole-stage codegen.
-    The repartition spreads work when the source has few input splits and
-    doubles as the window's partitioning exchange."""
-    from pyspark.sql import Window
-
+    Narrow array-expression path: tokens are materialized as their own
+    projected column so the n-gram transform indexes the array instead of
+    re-evaluating the split per element, shingles dedup per-doc with
+    array_distinct, and one explode emits the rows — no window sort and no
+    global distinct shuffle (an earlier lead()-window variant paid both;
+    measured 2.5x slower at sf0.1). The repartition spreads work when the
+    source has few input splits."""
     tok = df.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
-    sh = tok.select(
-        "_id",
-        F.concat_ws(" ", *parts).alias("sh"),
-        F.lead("_tok", n - 1).over(w).isNotNull().alias("_full"),
-    )
-    return sh.filter("_full").drop("_full").distinct()
+    t = F.col("_toks")
+    size = F.size(t)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tok.select("_id", F.explode(F.array_distinct(grams)).alias("sh"))
+
+
+#: modulus for the affine minhash family (Mersenne prime 2^61-1): products
+#: a_i * h32 stay under 2^61 so BIGINT arithmetic never overflows (Spark 4
+#: ANSI mode throws on overflow; DuckDB too).
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_affine_constants(num_hashes: int, seed: int = 1234) -> list[tuple[int, int]]:
+    """Seeded (a_i, b_i) pairs for the Kirsch-Mitzenmacher family
+    h_i(x) = (a_i * h(x) + b_i) mod P. a_i < 2^29 keeps a_i * h32 < 2^61.
+    Shared by the Spark path and the DuckDB oracle generator so both sides
+    evaluate the identical integer expressions."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 29), rng.randrange(0, 1 << 29))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -137,16 +159,23 @@ def minhash_signatures(
     n: int = 3,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """k minhashes per doc: minhash_i = min over shingles of hash_i(sh),
-    where hash_i is md5(f"{i}:{sh}") (hex string, lexicographic min — DuckDB
-    reproducible) or xxhash64(sh, i) (bigint min).
+    """k minhashes per doc: minhash_i = min over shingles of h_i(sh).
 
-    One explode + one partial-aggregated groupBy — k codegen'd hash/min
-    aggregates in a single pass."""
+    ``hash_fn="md5"`` computes ONE md5 per shingle occurrence, takes the
+    first 8 hex chars as a 32-bit base hash, and derives the k hashes as
+    affine maps (a_i*h+b_i) mod 2^61-1 (Kirsch-Mitzenmacher double
+    hashing) — k-1 of the k digests are replaced by integer multiply-adds,
+    and DuckDB reproduces every step bit-for-bit. ``"xxhash64"`` hashes k
+    times with the seed as salt (cheapest digests, not oracle-able).
+
+    One explode + one partial-aggregated groupBy — the hash/min aggregates
+    run in a single codegen pass."""
     ex = exploded_shingles(df, id_col, text_col, n)
     if hash_fn == "md5":
+        h32 = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
         hashes = [
-            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("sh"))) for i in range(num_hashes)
+            F.pmod(F.lit(a) * h32 + F.lit(b), F.lit(MINHASH_P))
+            for a, b in minhash_affine_constants(num_hashes)
         ]
     else:
         hashes = [F.xxhash64("sh", F.lit(i)) for i in range(num_hashes)]
@@ -180,7 +209,7 @@ def minhash_lsh_pairs(
     def band_sig(b: int) -> Column:
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         if hash_fn == "md5":
-            return F.md5(F.concat_ws("|", *cols))
+            return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
         return F.hash(*cols).cast("string")
 
     band_structs = F.array(
@@ -228,62 +257,114 @@ def dedup_clusters(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Group near-dup pairs into connected components and assign every doc a
     canonical representative: (id_col, cluster_rep, cluster_size), where
     cluster_rep is the minimum id reachable through the pair graph (docs in
     no pair are singletons representing themselves).
 
-    Distributed min-label propagation with pointer jumping: each round every
-    node takes min(own label, neighbor labels) and then compresses one level
-    through the label mapping, so chains collapse in O(log diameter) rounds
-    instead of O(diameter). Each round costs one shuffle on |E| (neighbor
-    min) plus one on |V| (jump) — no driver-side graph state, so it holds at
-    100 TB where |E| is the (sparse) LSH-verified pair set. Near-dup
-    clusters are near-cliques, so 1-2 rounds typically converge; max_iter
-    bounds adversarial chains. Convergence is checked with a changed-label
-    count per round (one action each, on the small labels frame)."""
-    edges = (
+    Hybrid execution keyed on |pairs| — the VERIFIED near-dup pair set,
+    which is orders of magnitude smaller than the corpus (it is the sparse
+    output of LSH + verification, not the fact table):
+
+    - |pairs| <= local_threshold (default 1M ≈ 16 MB): union-find with path
+      compression on the collected pair list, broadcast back as a node→rep
+      mapping frame. Exact, one job, no iteration — the same small-side
+      bound rationale as a broadcast-join threshold.
+    - |pairs| > local_threshold: distributed min-label propagation with
+      pointer jumping — each round every node takes min(own, neighbor
+      labels) then compresses one level through the label mapping, so
+      chains collapse in O(log diameter) rounds, one |E| + one |V| shuffle
+      each, no driver-side graph state. Labels only decrease, so
+      convergence is an unchanged decimal label sum between rounds."""
+    # The repartition is load-bearing, not a tuning knob: caching directly on
+    # top of a cogroup applyInPandas output (e.g. pairs from
+    # blocked_vec_pairs) hits the Spark 4.1 self-join attribute-dedup bug
+    # during cache materialization — the kernel sees pruned-empty right
+    # frames and the cache silently fills with ZERO rows. An exchange
+    # between the cogroup and the cache breaks the pattern (regression test:
+    # test_persisted_cogroup_pairs_survive_cache).
+    edges_df = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        .repartition(F.col("a"))
         .persist()
     )
-    labels = edges.select("a").distinct().select("a", F.col("a").alias("lbl")).persist()
-    labels.count()  # materialize before the loop rewrites the plan
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(
-                labels.select(F.col("a").alias("b"), F.col("lbl").alias("_nlbl")), "b"
-            )
-            .groupBy("a")
-            .agg(F.min("_nlbl").alias("_nmin"))
+    n_pairs = edges_df.count()
+    if n_pairs <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges_df.collect():
+            ra, rb = find(row["a"]), find(row["b"])
+            if ra != rb:
+                # union by min so the root IS the representative
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(node, find(node)) for node in parent]
+        id_type = df.schema[id_col].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        comp = df.sparkSession.createDataFrame(
+            mapping,
+            StructType([StructField("_cid", id_type), StructField("_rep", id_type)]),
         )
-        cand = labels.join(nbr, "a", "left").select(
-            "a", F.least("lbl", F.coalesce("_nmin", "lbl")).alias("lbl")
-        )
-        mapping = labels.select(F.col("a").alias("_mfrom"), F.col("lbl").alias("_mto"))
-        new = (
-            cand.join(mapping, cand["lbl"] == mapping["_mfrom"], "left")
-            .select("a", F.least(cand["lbl"], F.coalesce("_mto", cand["lbl"])).alias("lbl"))
+    else:
+        edges = (
+            edges_df.union(edges_df.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
             .persist()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "a")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+        labels = (
+            edges.select("a").distinct().select("a", F.col("a").alias("lbl")).persist()
         )
-        labels.unpersist()
-        labels = new
-        if changed == 0:
-            break
+        labels.count()  # materialize before the loop rewrites the plan
+        prev_sum = None
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(
+                    labels.select(F.col("a").alias("b"), F.col("lbl").alias("_nlbl")), "b"
+                )
+                .groupBy("a")
+                .agg(F.min("_nlbl").alias("_nmin"))
+            )
+            cand = labels.join(nbr, "a", "left").select(
+                "a", F.least("lbl", F.coalesce("_nmin", "lbl")).alias("lbl")
+            )
+            mapping_df = labels.select(
+                F.col("a").alias("_mfrom"), F.col("lbl").alias("_mto")
+            )
+            new = (
+                cand.join(mapping_df, cand["lbl"] == mapping_df["_mfrom"], "left")
+                .select(
+                    "a",
+                    F.least(cand["lbl"], F.coalesce("_mto", cand["lbl"])).alias("lbl"),
+                )
+                .persist()
+            )
+            cur_sum = new.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            labels.unpersist()
+            labels = new
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        comp = labels.select(F.col("a").alias("_cid"), F.col("lbl").alias("_rep"))
+        edges.unpersist()
     from pyspark.sql import Window
 
-    comp = labels.select(F.col("a").alias("_cid"), F.col("lbl").alias("_rep"))
     out = (
         df.select(F.col(id_col))
-        .join(comp, F.col(id_col) == F.col("_cid"), "left")
+        .join(F.broadcast(comp) if n_pairs <= local_threshold else comp,
+              F.col(id_col) == F.col("_cid"), "left")
         .select(
             id_col, F.coalesce(F.col("_rep"), F.col(id_col)).alias("cluster_rep")
         )
@@ -291,7 +372,7 @@ def dedup_clusters(
             "cluster_size", F.count("*").over(Window.partitionBy("cluster_rep"))
         )
     )
-    edges.unpersist()
+    edges_df.unpersist()
     return out
 
 

@@ -93,6 +93,14 @@ def blocked_vec_pairs(
     ``kernel(src_ids, src_mat, ref_ids, ref_mat) -> pd.DataFrame`` computes
     one block; per-pair arithmetic identical to the former broadcast path, so
     results are bit-identical.
+
+    WARNING: do NOT ``persist()`` the returned frame directly. Building a
+    cache straight over the cogroup hits the same Spark 4.1 attribute-dedup
+    pruning bug described above — the cache materializes EMPTY (observed:
+    collect() on the persisted frame returns 0 rows while the unpersisted
+    plan returns the right answer). Insert an exchange first
+    (``.repartition(...)``) if the consumer needs caching; see
+    dedup.dedup_clusters.
     """
     import pandas as pd
 

@@ -173,19 +173,41 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which DuckDB computes identically to Spark) make the full pipeline —
 # shingle -> 16 minhashes -> 4 banded signatures -> candidate equi-join ->
 # exact-Jaccard verification — hash-exact oracle-verifiable.
+def _hex32_sql(hx: str) -> str:
+    """BIGINT value of the first 8 hex chars of column ``hx`` (the same
+    32-bit base hash Spark gets from conv(substr(md5,1,8),16,10))."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hx}, {p + 1}, 1)) - 1)::BIGINT * {16 ** (7 - p)}"
+        for p in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_MH_CONSTS = dedup.minhash_affine_constants(16)
+_MH_EXPRS = ", ".join(
+    f"min(({a} * h + {b}) % {dedup.MINHASH_P}) AS mh_{i}"
+    for i, (a, b) in enumerate(_MH_CONSTS)
+)
+_MH_BAND_SIGS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM mh".format(
+        b=b,
+        cat=" || '|' || ".join(f"mh_{b * 4 + r}::VARCHAR" for r in range(4)),
+    )
+    for b in range(4)
+)
+
 _MINHASH_PAIR_CTES = f"""t AS (
   SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
 ), shl AS (
   SELECT doc_id, {_SHINGLE_SQL} AS s FROM t
 ), ex AS (
   SELECT doc_id, unnest(s) AS sh FROM shl
+), hv AS (
+  SELECT doc_id, {_hex32_sql("md5(sh)")} AS h FROM ex
 ), mh AS (
-  SELECT doc_id, g.i AS i, min(md5(g.i::VARCHAR || ':' || sh)) AS mh
-  FROM ex CROSS JOIN generate_series(0, 15) g(i)
-  GROUP BY doc_id, g.i
+  SELECT doc_id, {_MH_EXPRS} FROM hv GROUP BY doc_id
 ), sig AS (
-  SELECT doc_id, (i // 4)::INT AS band, md5(string_agg(mh, '|' ORDER BY i)) AS sig
-  FROM mh GROUP BY doc_id, (i // 4)::INT
+{_MH_BAND_SIGS}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
   FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

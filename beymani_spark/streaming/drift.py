@@ -224,7 +224,10 @@ def local_drift(
             return pd.DataFrame(columns=[*keys, "row_idx", "drift_score"])
         lh = n // 2
         ncount = max(1, int(n * neighborhood_size))
-        # blocked vectorized kNN: (B, n, d) difference block, stable argsort
+        # blocked vectorized kNN: (B, n, d) difference block; the ncount
+        # nearest by (d2, index) are selected with a kth-distance threshold
+        # mask — rows strictly closer than the kth distance, plus the
+        # lowest-index ties at it — no per-row sort needed
         block = 256
         other_counts = np.empty(n, dtype=np.int64)
         for b0 in range(0, n, block):
@@ -232,12 +235,14 @@ def local_drift(
             diff = x[b0:b1, None, :] - x[None, :, :]
             d2 = np.einsum("ijk,ijk->ij", diff, diff)
             d2[np.arange(b1 - b0), np.arange(b0, b1)] = np.inf
-            nbrs = np.argsort(d2, axis=1, kind="stable")[:, :ncount]
-            in_new_half = nbrs >= lh
+            kth = np.partition(d2, ncount - 1, axis=1)[:, ncount - 1]
+            less = d2 < kth[:, None]
+            eq = d2 == kth[:, None]
+            need = ncount - less.sum(axis=1)
+            sel = less | (eq & (np.cumsum(eq, axis=1) <= need[:, None]))
+            in_new = sel[:, lh:].sum(axis=1)
             is_old = np.arange(b0, b1) < lh
-            other_counts[b0:b1] = np.where(
-                is_old, in_new_half.sum(axis=1), ncount - in_new_half.sum(axis=1)
-            )
+            other_counts[b0:b1] = np.where(is_old, in_new, ncount - in_new)
         own = np.maximum(ncount - other_counts, 1)
         ds = other_counts / own - 1.0
         pick = np.lexsort((np.arange(n), -np.abs(ds)))[:top_k]

@@ -97,14 +97,18 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert got <= truth | got  # sanity: no malformed pairs
 
 
-def test_dedup_clusters_chain_and_singletons(spark):
-    """Min-label propagation must collapse a 5-node chain (worst-case
-    diameter for pointer jumping) and leave unpaired docs as singletons."""
+@pytest.mark.parametrize("local_threshold", [1_000_000, 0])
+def test_dedup_clusters_chain_and_singletons(spark, local_threshold):
+    """Both execution paths (driver union-find and distributed min-label
+    propagation) must collapse a 5-node chain (worst-case diameter for
+    pointer jumping) and leave unpaired docs as singletons."""
     docs = spark.createDataFrame([(i, f"doc {i}") for i in range(8)], "doc_id long, text string")
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "src long, dst long"
     )
-    out = dedup.dedup_clusters(docs, "doc_id", pairs).toPandas().set_index("doc_id")
+    out = dedup.dedup_clusters(
+        docs, "doc_id", pairs, local_threshold=local_threshold
+    ).toPandas().set_index("doc_id")
     assert out.loc[[1, 2, 3, 4, 5], "cluster_rep"].tolist() == [1] * 5
     assert out.loc[[1, 2, 3, 4, 5], "cluster_size"].tolist() == [5] * 5
     assert out.loc[6, "cluster_rep"] == 6 and out.loc[7, "cluster_rep"] == 6
@@ -118,3 +122,23 @@ def test_dedup_corpus_keeps_representatives(spark):
         r.doc_id for r in dedup.dedup_corpus(docs, "doc_id", pairs).collect()
     )
     assert kept == [0, 3, 4]
+
+
+def test_persisted_cogroup_pairs_survive_cache(spark):
+    """Regression: caching directly over a cogroup applyInPandas output
+    materializes EMPTY on Spark 4.1 (attribute-dedup pruning empties the
+    right frames during the cache build). Consumers must put an exchange
+    between the cogroup and the cache — this asserts the guarded pattern
+    used by dedup_clusters keeps the rows, and documents the raw footgun."""
+    from beymani_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    pairs = similarity.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    n_plain = pairs.count()
+    assert n_plain > 0
+    guarded = pairs.repartition(F.col("src")).persist()
+    try:
+        assert guarded.count() == n_plain
+    finally:
+        guarded.unpersist()
