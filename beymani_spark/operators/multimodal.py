@@ -33,10 +33,16 @@ MEDIA_SCHEMA = (
 
 
 def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic pseudo-decode: seed a PRNG from the payload digest."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, size=(height, width), dtype=np.uint8)
+    """Deterministic pseudo-decode: SHA-256 counter-mode expansion of the
+    payload. Platform/library-independent (no PRNG involved), so external
+    oracles (e.g. the DuckDB sha256() in the media_features correctness
+    query) can reproduce the 'decoded' bytes exactly."""
+    n = width * height
+    blocks = (n + 31) // 32
+    digest = b"".join(
+        hashlib.sha256(payload + str(j).encode()).digest() for j in range(blocks)
+    )
+    return np.frombuffer(digest[:n], dtype=np.uint8).reshape(height, width)
 
 
 def _spread(df: DataFrame) -> DataFrame:

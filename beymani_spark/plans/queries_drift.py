@@ -264,10 +264,32 @@ def q_neighbor_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, ["dst_density"])
 
 
-@register("media_features", None)
+_MEDIA_FEATURES_ORACLE = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         -- SHA-256 counter-mode 'decode' (32 blocks -> 1024 pseudo-pixels);
+         -- keep the high nibble of each byte = first hex char of each pair
+         regexp_replace(
+           string_agg(sha256(text || CAST(j AS VARCHAR)), '' ORDER BY j),
+           '(.).', '\\1', 'g') AS nib
+  FROM documents, generate_series(0, 31) AS t(j)
+  GROUP BY doc_id, text
+)
+SELECT media_id, n_bytes,
+       -- 16-bucket histogram of 8-bit pixels == high-nibble frequency;
+       -- /1024.0 is a power-of-two division so the double is exact
+       round((length(nib) - length(replace(nib, '0', ''))) / 1024.0, 6) AS f0,
+       round((length(nib) - length(replace(nib, '7', ''))) / 1024.0, 6) AS f7
+FROM h
+"""
+
+
+@register("media_features", _MEDIA_FEATURES_ORACLE)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over driver data: documents' text bytes stand in
-    for opaque media payloads; stubbed deterministic decode."""
+    for opaque media payloads; deterministic SHA-256 counter-mode decode
+    (reproduced bit-for-bit by the DuckDB oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),

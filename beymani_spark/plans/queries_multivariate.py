@@ -134,7 +134,61 @@ def q_autoencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("spectral_residual", None)
+_SPECTRAL_ORACLE = """
+WITH ordered AS (
+  SELECT event_type, event_id, value AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), freq AS (
+  -- forward DFT X_k = sum_j v_j e^{-2 pi i jk/n}; the sum is an ORDERED list
+  -- fold so DuckDB's result is run-deterministic (parallel SUM is not), and
+  -- the naive-DFT-vs-np.fft float skew (measured <1e-12 on this fixture) is
+  -- absorbed by the round-to-6 convention
+  SELECT o.event_type, k.rn AS k, o.n,
+         list_sum(list(o.v * cos(-2*pi()*o.rn*k.rn/o.n) ORDER BY o.rn)) AS xre,
+         list_sum(list(o.v * sin(-2*pi()*o.rn*k.rn/o.n) ORDER BY o.rn)) AS xim
+  FROM ordered o JOIN ordered k USING (event_type)
+  GROUP BY o.event_type, k.rn, o.n
+), spec AS (
+  SELECT event_type, k, n, xre, xim,
+         greatest(sqrt(xre*xre + xim*xim), 1e-12) AS amp,
+         ln(greatest(sqrt(xre*xre + xim*xim), 1e-12)) AS la
+  FROM freq
+), resid AS (
+  -- np.convolve(..., 'same') zero-pads edges: always divide by 3
+  SELECT event_type, k, n, xre, xim,
+         exp(la - (coalesce(lag(la)  OVER w, 0.0) + la
+                 + coalesce(lead(la) OVER w, 0.0)) / 3.0) / amp AS f
+  FROM spec
+  WINDOW w AS (PARTITION BY event_type ORDER BY k)
+), sal AS (
+  -- inverse DFT of f_k * X_k; saliency = |m_j|
+  SELECT r.event_type, j.rn AS rn,
+         sqrt(
+           pow(list_sum(list((r.f*r.xre) * cos(2*pi()*j.rn*r.k/r.n)
+                           - (r.f*r.xim) * sin(2*pi()*j.rn*r.k/r.n) ORDER BY r.k)) / r.n, 2)
+         + pow(list_sum(list((r.f*r.xre) * sin(2*pi()*j.rn*r.k/r.n)
+                           + (r.f*r.xim) * cos(2*pi()*j.rn*r.k/r.n) ORDER BY r.k)) / r.n, 2)
+         ) AS s
+  FROM resid r JOIN ordered j USING (event_type)
+  GROUP BY r.event_type, j.rn, r.n
+), scored AS (
+  SELECT s.event_type, s.rn, s.s,
+         avg(s.s) OVER (PARTITION BY s.event_type ORDER BY s.rn
+                        ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS trail
+  FROM sal s
+)
+SELECT o.event_id, o.event_type,
+       round((c.s - c.trail) / (CASE WHEN c.trail > 0 THEN c.trail ELSE 1.0 END), 6)
+         AS sr_score,
+       CASE WHEN (c.s - c.trail) / (CASE WHEN c.trail > 0 THEN c.trail ELSE 1.0 END)
+                 > 1.0 THEN 'O' ELSE 'N' END AS label
+FROM scored c JOIN ordered o USING (event_type, rn)
+"""
+
+
+@register("spectral_residual", _SPECTRAL_ORACLE)
 def q_spectral_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # relative trailing-average scoring: ~p99 of the fixture's score

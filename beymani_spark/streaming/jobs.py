@@ -53,6 +53,10 @@ def stream_temporal_aggregate(
 ) -> DataFrame:
     """Watermarked tumbling-window aggregate (≙ TemporalAggregator, plus the
     late-data policy the reference lacks)."""
+    # Watermarks require TIMESTAMP (with local timezone); parquet sources often
+    # carry TIMESTAMP_NTZ, which Spark rejects for event time.
+    if dict(stream_df.dtypes).get(ts) == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts, F.col(ts).cast("timestamp"))
     return (
         stream_df.withWatermark(ts, watermark)
         .groupBy(*keys, F.window(F.col(ts), window).alias("w"))
