@@ -29,10 +29,25 @@ def main() -> None:
     spark = get_spark("beymani-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up JVM + parquet footer reads outside the measured region
-    from beymani_spark.sources import load_table
+    # Warm-up outside the measured region: parquet footers for every table,
+    # one codegen pipeline, and one Arrow/pandas stage (the first
+    # applyInPandas in a session pays ~1.5-2 s of python-worker spin-up
+    # across 32 workers — that is session cost, not query cost).
+    from pyspark.sql import functions as F
 
-    load_table(spark, sf_dir, "events").write.format("noop").mode("overwrite").save()
+    from beymani_spark.sources import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t)
+    ev = load_table(spark, sf_dir, "events")
+    ev.groupBy("event_type").count().write.format("noop").mode("overwrite").save()
+    warm = (
+        spark.range(256)
+        .repartition(32, "id")
+        .groupBy("id")
+        .applyInPandas(lambda pdf: pdf, schema="id long")
+    )
+    warm.write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, q in QUERIES.items():

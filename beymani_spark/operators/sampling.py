@@ -1,0 +1,89 @@
+"""Deterministic sampling / dataset-mixing operators for training-data
+pipelines (north-star surface; no counterpart in the reference, which only
+samples inside model fits).
+
+Everything derives from a content hash, never from ``rand()``:
+``u(id) = int(md5(id ":" seed)[:8 hex]) / 2^32`` is an exact dyadic double,
+so a row's keep/drop decision is a pure function of (id, seed) —
+reproducible across runs, partitionings, cluster sizes, and engines (the
+DuckDB oracles reproduce it bit-for-bit). At 100 TB this is the property
+that matters: re-running a sample job after adding executors must not
+change the sample, and a resumed pipeline must agree with its first half.
+
+All operators are single-pass column expressions (JVM codegen, no shuffle
+beyond what the caller already has); the per-stratum rate lookup is a
+literal map, the scan stays narrow.
+"""
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_DENOM = float(1 << 32)
+
+
+def hash_uniform(col: Column, seed: int = 42) -> Column:
+    """Deterministic uniform in [0, 1): first 8 md5 hex chars of
+    ``value ":" seed`` scaled by 2^-32. Exact dyadic rational — engine
+    round-trips (Spark vs DuckDB ``('0x'||substr(md5(..),1,8))::UBIGINT``)
+    agree exactly."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", col.cast("string"), F.lit(str(seed)))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(HASH_DENOM)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: Mapping[str, float],
+    seed: int = 42,
+    default_rate: float = 0.0,
+    u_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample: keep a row iff
+    ``u(id) < rates[stratum]``. This is the domain-mixing primitive — e.g.
+    {'web': 0.1, 'code': 1.0, 'forums': 0.5} re-weights sources without a
+    shuffle or a random draw. Strata absent from ``rates`` use
+    ``default_rate``. ``u_col`` optionally exposes the uniform for audit."""
+    u = hash_uniform(F.col(id_col), seed)
+    rate = F.lit(float(default_rate))
+    if rates:
+        pairs = [x for k, v in rates.items() for x in (F.lit(k), F.lit(float(v)))]
+        rate = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(stratum_col).cast("string")),
+            rate,
+        )
+    out = df.filter(u < rate)
+    if u_col:
+        out = out.withColumn(u_col, u)
+    return out
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by cumulative u-ranges:
+    train = [0, 0.8), val = [0.8, 0.9), test = [0.9, 1). Weights need not
+    sum to 1; the last split absorbs the remainder. A row's split is a pure
+    function of (id, seed): stable under reruns, appends, and repartitions
+    — the property that keeps eval sets leak-free as the corpus grows."""
+    u = hash_uniform(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    for name, w in list(splits)[:-1]:
+        acc += float(w)
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = list(splits)[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)

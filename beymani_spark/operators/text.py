@@ -75,34 +75,29 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-marker language ID; ties resolve in LANG_MARKERS order."""
-    t = tokens(F.lower(F.col(text_col)))
-    out = df.withColumn("_toks", t)
+    """Stopword-marker language ID; ties resolve in LANG_MARKERS order.
+
+    Winner = first index reaching the max hit count. Expressed as
+    array_position(hits, array_max(hits)) rather than an O(L^2) when-chain
+    of pairwise comparisons: Catalyst's project collapse inlines the whole
+    tokenize+filter subtree into every reference, so the chain form
+    re-evaluates it ~L^2 times per row (and the generated method blows past
+    the JIT size limit, dropping the stage to interpreted mode)."""
+
     def _in_markers(markers):
         # single-arg lambda: F.filter passes the element index to a second
         # parameter, so a two-arg lambda with a default would be clobbered
         return lambda x: x.isin(markers)
 
-    for lang, markers in LANG_MARKERS.items():
-        out = out.withColumn(
-            f"_hits_{lang}", F.size(F.filter(F.col("_toks"), _in_markers(markers)))
-        )
+    t = tokens(F.lower(F.col(text_col)))
     langs = list(LANG_MARKERS)
-    pred = None
-    for i, lang in enumerate(langs):
-        cond = None
-        for other in langs[i + 1 :]:
-            c = F.col(f"_hits_{lang}") >= F.col(f"_hits_{other}")
-            cond = c if cond is None else (cond & c)
-        if cond is None:
-            branch = F.lit(lang)
-            pred = pred.otherwise(branch) if pred is not None else branch
-        else:
-            pred = (
-                F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-            )
-    out = out.withColumn("pred_lang", pred)
-    return out.drop("_toks", *[f"_hits_{lang}" for lang in langs])
+    hits = F.array(
+        *[F.size(F.filter(t, _in_markers(LANG_MARKERS[lang]))) for lang in langs]
+    )
+    out = df.withColumn("_hits", hits)
+    best = F.array_position(F.col("_hits"), F.array_max(F.col("_hits")))
+    pred = F.element_at(F.array(*[F.lit(lang) for lang in langs]), best.cast("int"))
+    return out.withColumn("pred_lang", pred).drop("_hits")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -121,3 +116,110 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, c: (acc * F.lit(FP_MULT) + c.cast("long")) % F.lit(FP_MOD),
     )
     return df.withColumn("fingerprint", fp)
+
+
+def _exploded_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int, keep_dups: bool
+) -> DataFrame:
+    """(_id, gram) rows — one per n-gram occurrence (keep_dups) or per
+    distinct n-gram. Same narrow plan as dedup.exploded_shingles: tokens
+    projected once, array-indexed transform, single explode; the
+    repartition spreads few-split sources."""
+    tok = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("_id"), tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    t = F.col("_toks")
+    size = F.size(t)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if not keep_dups:
+        grams = F.array_distinct(grams)
+    return tok.select("_id", F.explode(grams).alias("gram"))
+
+
+def repetition_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): the
+    fraction of n-gram occurrences that are repeats of an earlier
+    occurrence — sum(cnt - 1) / sum(cnt) over per-doc gram counts. Docs
+    with fewer than n tokens score 0.0.
+
+    Two partial-aggregating groupBys on (doc, gram) — map-side combine
+    keeps shuffle volume at distinct-gram cardinality, so the plan is a
+    scan + one bounded shuffle at any corpus size."""
+    grams = _exploded_grams(df, id_col, text_col, n, keep_dups=True)
+    per_gram = grams.groupBy("_id", "gram").agg(F.count("*").alias("cnt"))
+    per_doc = per_gram.groupBy("_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        (F.sum("cnt") - F.count("*")).alias("n_dup_grams"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce(
+                F.col("n_dup_grams") / F.col("n_grams").cast("double"), F.lit(0.0)
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+def contamination(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: per training doc, the fraction of its
+    distinct n-grams that also occur anywhere in ``bench_df`` (the eval/
+    benchmark corpus). (id, n_grams, n_contaminated, contamination_ratio).
+
+    The benchmark gram set is tiny relative to the corpus — broadcast it so
+    the check is a map-side semi-join on the training scan; docs with no
+    grams ratio 0.0."""
+    from pyspark.sql.functions import broadcast
+
+    bench_id = bench_id_col or id_col
+    bench_text = bench_text_col or text_col
+    doc_grams = _exploded_grams(df, id_col, text_col, n, keep_dups=False)
+    bench_grams = (
+        _exploded_grams(bench_df, bench_id, bench_text, n, keep_dups=False)
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(
+            broadcast(bench_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce(
+                F.col("n_contaminated") / F.col("n_grams").cast("double"), F.lit(0.0)
+            ).alias("contamination_ratio"),
+        )
+    )

@@ -503,3 +503,126 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", k=5, n_cells=16, nprobe=4, seed=42
     )
     return _round(out, ["cosine"])
+
+
+# --- deterministic sampling / dataset-mixing queries -------------------------
+
+_U_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::UBIGINT"
+    " / 4294967296.0)"
+)
+
+_STRATIFIED_SAMPLE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, lang, {_U_SQL} AS u,
+         CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.5 WHEN 'de' THEN 1.0
+                   WHEN 'fr' THEN 0.125 WHEN 'zh' THEN 0.0625 ELSE 0.0 END AS rate
+  FROM documents
+)
+SELECT doc_id, lang, u FROM r WHERE u < rate
+"""
+
+
+@register("stratified_sample", _STRATIFIED_SAMPLE_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing resample of documents by language: downweight the
+    dominant language, keep the rare ones. u is an exact dyadic double
+    (k/2^32), so it is emitted unrounded — Spark and DuckDB compute the
+    identical bits."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.25, "es": 0.5, "de": 1.0, "fr": 0.125, "zh": 0.0625}
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", rates, seed=42, u_col="u"
+    )
+    return out.select("doc_id", "lang", "u")
+
+
+_TRAIN_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {_U_SQL} < 0.75 THEN 'train'
+            WHEN {_U_SQL} < 0.875 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("train_split", _TRAIN_SPLIT_ORACLE)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/val/test assignment: split is a pure function of
+    (doc_id, seed); dyadic boundaries (0.75, 0.875) so the cumulative sums
+    are exact in both engines."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.deterministic_split(
+        docs, "doc_id", (("train", 0.75), ("val", 0.125), ("test", 0.125)), seed=42
+    )
+    return out.select("doc_id", "split")
+
+
+_GRAMS_SQL = """
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+"""
+
+_REPETITION_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM ({_GRAMS_SQL})
+), per_gram AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+), per_doc AS (
+  SELECT doc_id, sum(cnt) AS n_grams, sum(cnt) - count(*) AS n_dup_grams
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       round(coalesce(p.n_dup_grams / CAST(p.n_grams AS DOUBLE), 0.0), 6) AS rep_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("repetition_score", _REPETITION_ORACLE)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.repetition_score(docs, "doc_id", "text", n=3)
+    return _round(out, ["rep_ratio"])
+
+
+_CONTAMINATION_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM ({_GRAMS_SQL})
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+  FROM g LEFT JOIN bench b USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(h.n_contaminated / CAST(h.n_grams AS DOUBLE), 0.0), 6)
+         AS contamination_ratio
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("contamination_check", _CONTAMINATION_ORACLE)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: every ~97th doc stands in for the eval set;
+    per training doc, the fraction of its distinct 3-grams that appear in
+    the benchmark corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = text.contamination(docs, bench, "doc_id", "text", n=3)
+    return _round(out, ["contamination_ratio"])

@@ -56,6 +56,14 @@ def utc_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: (applicationId, path) -> raw parquet schema. Caching the whole DataFrame
+#: would make repeated loads share attribute IDs and break self-cogroups
+#: (Spark's ambiguous-self-join check); caching only the schema keeps every
+#: load a fresh plan while skipping the driver-side footer/schema inference
+#: every registry query would otherwise pay (~0.1 s x ~100 loads per bench).
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver fixture tables (TESTDATA.md).
 
@@ -66,7 +74,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     utc_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for col_name in _nano_ts_columns(path):
         df = df.withColumn(
             col_name,

@@ -1,0 +1,112 @@
+"""Deterministic sampling / mixing operators (operators/sampling.py) and the
+repetition/contamination text metrics."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beymani_spark.operators import sampling, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from beymani_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_hash_uniform_range_and_determinism(spark, docs):
+    u = docs.select(sampling.hash_uniform(F.col("doc_id"), 42).alias("u"))
+    row = u.agg(F.min("u"), F.max("u"), F.count("*")).first()
+    assert 0.0 <= row[0] and row[1] < 1.0
+    # same seed twice -> identical; different seed -> different draw
+    a = docs.select("doc_id", sampling.hash_uniform(F.col("doc_id"), 42).alias("u"))
+    b = docs.select("doc_id", sampling.hash_uniform(F.col("doc_id"), 42).alias("u"))
+    assert a.exceptAll(b).count() == 0
+    c = docs.select("doc_id", sampling.hash_uniform(F.col("doc_id"), 43).alias("u"))
+    assert a.exceptAll(c).count() > 0
+
+
+def test_stratified_sample_rates_and_partition_invariance(spark, docs):
+    rates = {"en": 0.25, "es": 0.5, "de": 1.0, "fr": 0.125, "zh": 0.0625}
+    out = sampling.stratified_sample(docs, "doc_id", "lang", rates, seed=42)
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    tot = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # full-rate stratum kept entirely; others within loose binomial bounds
+    assert got.get("de") == tot["de"]
+    for lang, rate in rates.items():
+        if lang == "de":
+            continue
+        exp = tot[lang] * rate
+        assert got.get(lang, 0) <= tot[lang]
+        assert abs(got.get(lang, 0) - exp) <= max(6, 4 * (exp ** 0.5) + 2), (lang, got.get(lang), exp)
+    # sample membership is invariant to partitioning
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            docs.repartition(13), "doc_id", "lang", rates, seed=42
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_stratified_sample_default_rate(spark, docs):
+    # no rates at all + default 1.0 keeps everything; default 0.0 drops unknowns
+    assert sampling.stratified_sample(docs, "doc_id", "lang", {}, default_rate=1.0).count() == docs.count()
+    assert sampling.stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default_rate=0.0).filter("lang <> 'en'").count() == 0
+
+
+def test_deterministic_split_partitions_rows(spark, docs):
+    out = sampling.deterministic_split(
+        docs, "doc_id", (("train", 0.75), ("val", 0.125), ("test", 0.125)), seed=42
+    )
+    counts = {r["split"]: r["cnt"] for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # total partition, no row lost
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # appending rows never moves an existing row's split
+    half = docs.filter("doc_id % 2 = 0")
+    sub = sampling.deterministic_split(
+        half, "doc_id", (("train", 0.75), ("val", 0.125), ("test", 0.125)), seed=42
+    )
+    full_map = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full_map[r["doc_id"]] == r["split"]
+
+
+def test_repetition_score_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # grams: abc bca cab abc bca cab abc -> 7 total, 3 distinct
+            (2, "x y z w"),             # 2 grams, no repeats
+            (3, "too short"),           # <3 tokens -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.repetition_score(df, "doc_id", "text", n=3).collect()}
+    assert got[1]["n_grams"] == 7 and got[1]["n_dup_grams"] == 4
+    assert got[1]["rep_ratio"] == pytest.approx(4 / 7)
+    assert got[2]["n_grams"] == 2 and got[2]["n_dup_grams"] == 0
+    assert got[3]["n_grams"] == 0 and got[3]["rep_ratio"] == 0.0
+
+
+def test_contamination_hand_computed(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # grams: 3 distinct
+            (2, "completely different text here now"),
+            (3, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox")],  # grams: "the quick brown", "quick brown fox"
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.contamination(train, bench, "doc_id", "text", n=3).collect()}
+    assert got[1]["n_grams"] == 3 and got[1]["n_contaminated"] == 2
+    assert got[1]["contamination_ratio"] == pytest.approx(2 / 3)
+    assert got[2]["n_contaminated"] == 0
+    assert got[3]["n_grams"] == 0 and got[3]["contamination_ratio"] == 0.0
