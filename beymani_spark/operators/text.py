@@ -223,3 +223,48 @@ def contamination(
             ).alias("contamination_ratio"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus bigram-LM fluency score (the classic n-gram quality signal):
+    train MLE bigram probabilities on the corpus itself, then score every
+    doc by its mean bigram log-probability and perplexity.
+
+    p(w2|w1) = c(w1 w2) / c(w1 ·) counted over bigram OCCURRENCES, so
+    self-scoring never sees an unseen bigram and needs no smoothing.
+    (id, n_bigrams, avg_logprob, ppl); docs with <2 tokens get
+    avg_logprob 0 and ppl 1.
+
+    Plan: one bigram explode feeds both the count model and the scoring
+    join; both groupBys partial-aggregate, the model join keys on the gram
+    hash — at corpus scale this is two bounded shuffles of distinct-gram
+    cardinality, never a collect."""
+    bigrams = _exploded_grams(df, id_col, text_col, 2, keep_dups=True).persist()
+    pair_counts = bigrams.groupBy("gram").agg(F.count("*").alias("c2"))
+    first_counts = (
+        bigrams.withColumn("w1", F.split(F.col("gram"), " ", 2)[0])
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    scored = (
+        bigrams.join(pair_counts, "gram")
+        .withColumn("w1", F.split(F.col("gram"), " ", 2)[0])
+        .join(first_counts, "w1")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(F.log(F.col("c2") / F.col("c1"))).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+            F.exp(-F.coalesce("avg_logprob", F.lit(0.0))).alias("ppl"),
+        )
+    )

@@ -626,3 +626,43 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     out = text.contamination(docs, bench, "doc_id", "text", n=3)
     return _round(out, ["contamination_ratio"])
+
+
+_BIGRAM_LM_ORACLE = """
+WITH b AS (
+  SELECT doc_id, unnest(grams) AS gram
+  FROM (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1]) AS grams
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents)
+  )
+), pair_counts AS (
+  SELECT gram, count(*) AS c2 FROM b GROUP BY gram
+), first_counts AS (
+  SELECT split_part(gram, ' ', 1) AS w1, count(*) AS c1 FROM b GROUP BY 1
+), scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         avg(ln(c2 / CAST(c1 AS DOUBLE))) AS avg_logprob
+  FROM b
+  JOIN pair_counts USING (gram)
+  JOIN first_counts ON first_counts.w1 = split_part(b.gram, ' ', 1)
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(s.avg_logprob, 0.0), 6) AS avg_logprob,
+       round(exp(-coalesce(s.avg_logprob, 0.0)), 6) AS ppl
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register("bigram_logprob", _BIGRAM_LM_ORACLE)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.bigram_logprob(docs, "doc_id", "text")
+    return _round(out, ["avg_logprob", "ppl"])

@@ -412,3 +412,27 @@ def apply_stream_one_step_ahead(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: emit only the first arrival of each key.
+
+    With ``ts_col``, uses dropDuplicatesWithinWatermark so the per-key state
+    is bounded — a duplicate arriving within the watermark horizon is
+    dropped, state older than the horizon is evicted (the unbounded-corpus
+    analogue of batch exact_duplicates: at 100 TB/day you cannot keep every
+    key forever; the horizon IS the dedup contract). Without ``ts_col``,
+    falls back to global dropDuplicates (state grows with distinct keys —
+    only for bounded key domains)."""
+    if ts_col is None:
+        return stream_df.dropDuplicates(list(key_cols))
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

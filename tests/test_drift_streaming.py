@@ -303,3 +303,41 @@ def test_stream_one_step_ahead_matches_batch(spark, stream_dirs):
         got.osa_score.to_numpy(float), batch.osa_score.to_numpy(float), rtol=1e-12
     )
     assert list(got.label) == list(batch.label)
+
+
+def test_stream_dedup_exact_drops_cross_batch_duplicates(spark):
+    """Duplicated payloads arriving in DIFFERENT micro-batches inside the
+    watermark horizon must be emitted exactly once."""
+    import pandas as pd
+
+    from beymani_spark.streaming.jobs import stream_dedup_exact
+
+    src = tempfile.mkdtemp(prefix="beymani_dedup_src_")
+    chk = tempfile.mkdtemp(prefix="beymani_dedup_chk_")
+    try:
+        base = pd.DataFrame(
+            {
+                "content_hash": [f"h{i % 4}" for i in range(8)],
+                "ts": pd.to_datetime("2026-01-01 00:00:00")
+                + pd.to_timedelta(range(8), unit="m"),
+            }
+        )
+        # two files -> two micro-batches with overlapping hashes
+        spark.createDataFrame(base.iloc[:5]).coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+        spark.createDataFrame(base.iloc[5:]).coalesce(1).write.mode("append").parquet(src + "/b0")
+        schema = spark.read.parquet(src + "/b0").schema
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/b0")
+        deduped = stream_dedup_exact(stream, ["content_hash"], "ts", "2 hours")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_t")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select content_hash from dedup_t").toPandas()
+        assert sorted(got.content_hash) == ["h0", "h1", "h2", "h3"]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)

@@ -185,3 +185,51 @@ def test_ivf_assignment_has_no_vector_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sampling_is_pure_scan_no_exchange(spark):
+    """stratified_sample / deterministic_split are single-pass column
+    expressions: zero exchanges, and the scan only reads the referenced
+    columns. At 100 TB these must run at scan speed."""
+    from beymani_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents")
+    sampled = sampling.stratified_sample(
+        docs.select("doc_id", "lang"), "doc_id", "lang", {"en": 0.5}, seed=42
+    )
+    plan = _plan(sampled)
+    assert "Exchange" not in plan, "sampling must not shuffle"
+    split = sampling.deterministic_split(docs.select("doc_id"), "doc_id")
+    assert "Exchange" not in _plan(split)
+
+
+def test_contamination_broadcasts_bench_grams(spark):
+    """The benchmark gram set is the small side — it must broadcast; the
+    training-corpus gram stream must never be the build side of a shuffle
+    join against it."""
+    from beymani_spark.operators import text as t
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = t.contamination(docs, bench, "doc_id", "text", n=3)
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_minhash_explodes_shingles_once(spark):
+    """minhash_lsh_pairs feeds signatures AND verification from one
+    persisted shingle frame: the executed plan must show the shingle
+    generate as InMemoryTableScan reuse, not two independent explodes."""
+    from beymani_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5, hash_fn="md5"
+    )
+    plan = _plan(pairs)
+    # every shingle consumer (both band-signature sides, the two
+    # verification joins, the size aggregates) must read the cache; the
+    # shingle-explode Generates in the plan text are the cached relation's
+    # build plan rendered per reference, not independent executions
+    assert plan.count("InMemoryTableScan") >= 6, (
+        "signature and verification paths must all read the persisted shingles"
+    )
