@@ -358,3 +358,31 @@ def ivf_topk(
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "knn_rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth path
+    for a 100 TB embedding column (4x smaller than float32, 8x than
+    float64): scale = 127 / max|v|, code_i = round(v_i * scale).
+
+    Emits (id, scale, codes array<int>, q_l1 = sum|code|). Pure codegen
+    array expressions: at scale this is a narrow projection on the scan —
+    no shuffle, no Python. Zero vectors get scale 0 and all-zero codes.
+
+    The dequantized value is code_i / scale; downstream ANN operators can
+    run on codes with int arithmetic (the standard IVF/PQ storage layout's
+    simplest form)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0))
+    codes = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        codes.alias("codes"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda acc, c: acc + F.abs(c).cast("long")
+        ).alias("q_l1"),
+    )

@@ -9,6 +9,8 @@ so the DuckDB oracles can mirror them term-for-term.
 """
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -267,4 +269,35 @@ def bigram_logprob(
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
             F.exp(-F.coalesce("avg_logprob", F.lit(0.0))).alias("ppl"),
         )
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by occurrence count with a
+    deterministic tie-break (count desc, token asc) — the tokenizer-training
+    accounting pass. One explode + one partial-aggregated groupBy; the
+    final top-k is a TakeOrdered over |vocab| rows, never the corpus."""
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus accounting (docs, token and char totals) — the
+    numbers a mixing plan is written against. Single partial-aggregated
+    groupBy; token counting is the codegen size(tokens()) expression, so
+    this runs at scan speed."""
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
+        F.sum(F.length(text_col)).alias("n_chars"),
     )

@@ -666,3 +666,57 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = text.bigram_logprob(docs, "doc_id", "text")
     return _round(out, ["avg_logprob", "ppl"])
+
+
+_VOCAB_ORACLE = """
+SELECT token, count(*) AS cnt FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+) GROUP BY token
+ORDER BY cnt DESC, token ASC LIMIT 100
+"""
+
+
+@register("vocab_topk", _VOCAB_ORACLE)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_topk(docs, "doc_id", "text", k=100)
+
+
+_CORPUS_STATS_ORACLE = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY source, lang
+"""
+
+
+@register("corpus_stats", _CORPUS_STATS_ORACLE)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.corpus_stats(docs, ("source", "lang"), "text")
+
+
+_QUANTIZE_ORACLE = """
+SELECT vec_id,
+       round(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END, 6) AS scale,
+       CAST(list_sum(list_transform(emb,
+         x -> abs(CAST(round(CAST(x AS DOUBLE)
+                        * CASE WHEN m > 0 THEN 127.0/m ELSE 0.0 END) AS BIGINT))))
+         AS BIGINT) AS q_l1
+FROM (SELECT vec_id, embedding AS emb,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings)
+"""
+
+
+@register("embedding_quantize", _QUANTIZE_ORACLE)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 storage quantization of the embedding column; the driver check
+    hashes the per-vector scale and the L1 norm of the quantized codes
+    (the codes array itself is format-unstable across engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.quantize_int8(emb, "vec_id", "embedding")
+    return _round(out.select("vec_id", "scale", "q_l1"), ["scale"])
