@@ -172,8 +172,10 @@ def sample_frames(
             raw = np.empty(len(pdf), dtype=object)
             raw[:] = [bytes(p) for p in pdf[payload_col]]
             payloads = np.repeat(raw, n_frames)
+            # ASCII offset suffix (":<ms>") keeps the frame 'decode' exactly
+            # reproducible by external oracles (same property as _fake_pixels)
             feats = [
-                (_fake_pixels(p + int(off).to_bytes(4, "big"), 8, 8).ravel() / 255.0)
+                (_fake_pixels(p + b":" + str(int(off)).encode(), 8, 8).ravel() / 255.0)
                 for p, off in zip(payloads, offsets)
             ]
             yield pd.DataFrame(

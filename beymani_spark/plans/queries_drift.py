@@ -301,3 +301,104 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 8), 6).alias("f7"),
     )
+
+
+# 8x8 subsample of the 32x32 pseudo-image: row/col indices
+# np.linspace(0,31,8).astype(int) = [0,4,8,13,17,22,26,31], baked as literal
+# flat positions so the oracle does not re-derive numpy's linspace rounding
+_RESIZE_POSITIONS = "[0,4,8,13,17,22,26,31,128,132,136,141,145,150,154,159,256,260,264,269,273,278,282,287,416,420,424,429,433,438,442,447,544,548,552,557,561,566,570,575,704,708,712,717,721,726,730,735,832,836,840,845,849,854,858,863,992,996,1000,1005,1009,1014,1018,1023]"
+
+_MEDIA_RESIZE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         string_agg(sha256(text || CAST(j AS VARCHAR)), '' ORDER BY j) AS hex
+  FROM documents, generate_series(0, 31) AS t(j)
+  GROUP BY doc_id
+)
+SELECT media_id, 8 AS width, 8 AS height,
+       CAST(sum(('0x' || substr(hex, 2*p + 1, 2))::INT) AS BIGINT) AS px_sum
+FROM h, unnest({_RESIZE_POSITIONS}) AS u(p)
+GROUP BY media_id
+"""
+
+
+@register("media_resize", _MEDIA_RESIZE_ORACLE)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8x8 downsample of the pseudo-decoded 32x32 image; the driver check
+    hashes the sampled-pixel sum (the pixels array itself is
+    format-unstable across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    out = multimodal.resize(media, width=8, height=8, decode="fake")
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("px_sum"),
+    )
+
+
+_MEDIA_FRAMES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         -- numpy .astype(int) truncates; DuckDB CAST rounds -> use floor
+         greatest(1, CAST(floor(n_chars * 100 / 1000.0) AS INT)) AS n_frames
+  FROM documents
+), fr AS (
+  -- DuckDB's generate_series accepts only constants: join a fixed series
+  -- sized for the fixture envelope (max n_chars ~600 -> <=60 frames) and
+  -- filter per row
+  SELECT media_id, text, CAST(f.idx AS INT) AS frame_idx,
+         CAST(f.idx * 1000 AS BIGINT) AS offset_ms
+  FROM m JOIN generate_series(0, 99) AS f(idx) ON f.idx < m.n_frames
+), h AS (
+  SELECT media_id, frame_idx, offset_ms,
+         string_agg(sha256(text || ':' || CAST(offset_ms AS VARCHAR)
+                           || CAST(j AS VARCHAR)), '' ORDER BY j) AS hex
+  FROM fr, generate_series(0, 1) AS t(j)
+  GROUP BY media_id, frame_idx, offset_ms, text
+)
+SELECT media_id, frame_idx, offset_ms,
+       round(sum(('0x' || substr(hex, 2*p + 1, 2))::INT) / 255.0, 6) AS ff_sum
+FROM h, generate_series(0, 63) AS u(p)
+GROUP BY media_id, frame_idx, offset_ms
+"""
+
+
+@register("media_frames", _MEDIA_FRAMES_ORACLE)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: duration derives from n_chars (100 ms per
+    char), fps=1 -> one frame per second of 'video'; the check hashes the
+    per-frame feature sum. Feature sums are sums of byte/255 terms — the
+    oracle sums the bytes first and divides once; the <=1e-13 order skew is
+    absorbed by round-to-6."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            F.lit(32).alias("width"),
+            F.lit(32).alias("height"),
+            (F.col("n_chars") * 100).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = multimodal.sample_frames(media, fps=1.0, decode="fake")
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "offset_ms",
+        F.round(
+            F.aggregate(
+                "frame_features", F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("ff_sum"),
+    )
