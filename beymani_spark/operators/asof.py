@@ -1,0 +1,80 @@
+"""As-of (time-travel) join — a custom operator Spark's DataFrame API lacks.
+
+Joins each left row to the LATEST right row with right_ts <= left_ts per
+key (the "most recent model snapshot / price / threshold at event time"
+pattern). The reference has no as-of operator; this is north-star surface
+for scoring against time-versioned models.
+
+Implementation is union + windowed last-value, NOT a range join: tag both
+sides, sort the union per key on (ts, side) with the right side first on
+ties (inclusive <=), and carry the right columns forward with
+last(ignorenulls). One hash exchange + one sort-spill window — shuffle
+volume is |L| + |R| rows, where a naive range join is |L| x |R| per key and
+Spark's own range-join plan degrades to broadcast-nested-loop. Skewed keys
+sort-spill rather than OOM.
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row, plus ``right_cols`` from the latest
+    right row at or before its timestamp (null when none exists yet).
+
+    ``tolerance`` (e.g. ``"2 hours"``): matches older than the tolerance
+    are nulled out — the pandas ``merge_asof(tolerance=...)`` contract."""
+    left_cols = left.columns
+    l = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    for c in left_cols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    l = l.withColumn("_rts", F.lit(None).cast(dict(r.dtypes)["_rts"]))
+    for c in right_cols:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(dict(r.dtypes)[f"_r_{c}"]))
+    unioned = l.unionByName(r.select(*l.columns))
+
+    # right rows sort before left rows at equal _ats -> inclusive (<=) match
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *left_cols,
+        "_side",
+        "_ats",
+        F.last("_rts", ignorenulls=True).over(w).alias("_m_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in right_cols
+        ],
+    ).filter(F.col("_side") == 1)
+    if tolerance is not None:
+        in_tol = F.col("_m_ts") >= F.col("_ats") - F.expr(f"INTERVAL {tolerance}")
+        carried = carried.select(
+            *left_cols,
+            F.when(in_tol, F.col("_m_ts")).alias("_m_ts"),
+            *[F.when(in_tol, F.col(c)).alias(c) for c in right_cols],
+        )
+    return carried.select(
+        *left_cols, F.col("_m_ts").alias("matched_ts"), *right_cols
+    )

@@ -640,22 +640,40 @@ def change_point(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts).reset_index(drop=True)
         x = pdf[value].to_numpy(dtype=float)
-        rows = []
-        key_cols = {k: pdf[k].iloc[0] for k in keys}
-        for start in range(0, len(x) - window + 1, step):
-            a = x[start : start + half]
-            b = x[start + half : start + window]
-            s = stat_fn(a, b)
-            row = dict(key_cols)
-            row["center_ts"] = pdf[ts].iloc[start + half]
-            row["stat"] = s
-            if critical_value is not None:
-                row["is_change"] = bool(s >= critical_value)
-            rows.append(row)
         cols = [*keys, "center_ts", "stat"] + (
             ["is_change"] if critical_value is not None else []
         )
-        return pd.DataFrame(rows, columns=cols)
+        if len(x) < window:
+            return pd.DataFrame(columns=cols)
+        starts = np.arange(0, len(x) - window + 1, step)
+        if stat == "ks":
+            # vectorized over all windows: ECDF differences are integer
+            # counts over the pooled sort — identical arithmetic to the
+            # per-window searchsorted (bit-exact), ~30x fewer python ops
+            wins = np.lib.stride_tricks.sliding_window_view(x, window)[::step]
+            a_s = np.sort(wins[:, :half], axis=1)
+            b_s = np.sort(wins[:, half:], axis=1)
+            pooled = np.sort(wins, axis=1)
+            stats = np.empty(len(wins))
+            chunk = 4096  # bound the (chunk, window, half) bool tensor
+            for i in range(0, len(wins), chunk):
+                aa, bb, pp = a_s[i:i+chunk], b_s[i:i+chunk], pooled[i:i+chunk]
+                ca = (aa[:, None, :] <= pp[:, :, None]).sum(axis=2) / half
+                cb = (bb[:, None, :] <= pp[:, :, None]).sum(axis=2) / (window - half)
+                stats[i:i+chunk] = np.abs(ca - cb).max(axis=1)
+        else:
+            stats = np.array(
+                [
+                    stat_fn(x[s0 : s0 + half], x[s0 + half : s0 + window])
+                    for s0 in starts
+                ]
+            )
+        out = pd.DataFrame({k: pdf[k].iloc[0] for k in keys}, index=range(len(starts)))
+        out["center_ts"] = pdf[ts].iloc[starts + half].to_numpy()
+        out["stat"] = stats
+        if critical_value is not None:
+            out["is_change"] = stats >= critical_value
+        return out[cols]
 
     key_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys

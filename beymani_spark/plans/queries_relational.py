@@ -165,3 +165,67 @@ def q_score_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
     base, _hist = post.score_stats(scored, ["event_type"])
     return _round(base, ["mean", "std", "min", "max", "median", "p95"])
+
+
+_ASOF_ORACLE = """
+WITH snaps AS (
+  SELECT event_type, date_trunc('hour', ts) AS snap_ts,
+         quantile_cont(value, 0.9) AS p90
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT e.event_id, e.event_type, s.snap_ts AS matched_ts,
+       round(s.p90, 6) AS p90
+FROM events e ASOF LEFT JOIN snaps s
+  ON e.event_type = s.event_type AND e.ts >= s.snap_ts
+"""
+
+
+@register("asof_join_snapshots", _ASOF_ORACLE)
+def q_asof_join_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join events to the latest hourly p90 snapshot at event time —
+    the time-versioned-model scoring pattern. The oracle is DuckDB's native
+    ASOF JOIN; the Spark side is the union + windowed last-value operator
+    (operators/asof.py)."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    snaps = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("snap_ts")
+    ).agg(F.percentile("value", F.lit(0.9)).alias("p90"))
+    out = asof_join(
+        ev.select("event_id", "event_type", "ts"),
+        snaps,
+        ["event_type"],
+        "ts",
+        "snap_ts",
+        ["p90"],
+    )
+    return _round(
+        out.select("event_id", "event_type", "matched_ts", "p90"), ["p90"]
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT event_type, date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+       count(*) AS cnt, round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts), date_trunc('hour', ts))
+"""
+
+
+@register("rollup_timebuckets", _ROLLUP_ORACLE)
+def q_rollup_timebuckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time-bucket rollup (hypertable-style): hour, day,
+    per-type, and grand-total aggregates in one pass via the ROLLUP
+    grouping-set lattice (partial-aggregated, single shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("d"),
+            F.date_trunc("hour", "ts").alias("h"),
+            "value",
+        )
+        .rollup("event_type", "d", "h")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )

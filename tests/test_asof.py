@@ -1,0 +1,67 @@
+"""asof_join semantics: inclusivity, pre-history nulls, tolerance, ties."""
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from beymani_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts("2026-01-01 00:30")),   # before any snapshot
+            (2, "a", _ts("2026-01-01 01:00")),   # exactly at snapshot -> inclusive
+            (3, "a", _ts("2026-01-01 02:30")),   # between snapshots
+            (4, "a", _ts("2026-01-01 09:00")),   # long after last snapshot
+            (5, "b", _ts("2026-01-01 05:00")),   # key with no snapshots
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2026-01-01 01:00"), 10.0),
+            ("a", _ts("2026-01-01 02:00"), 20.0),
+        ],
+        "k string, rts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_join_basic_semantics(spark):
+    left, right = _fixture(spark)
+    out = {r["id"]: r for r in asof_join(left, right, ["k"], "ts", "rts", ["v"]).collect()}
+    assert out[1]["v"] is None and out[1]["matched_ts"] is None
+    assert out[2]["v"] == 10.0  # ts == rts matches (inclusive)
+    assert out[3]["v"] == 20.0  # latest snapshot before ts
+    assert out[4]["v"] == 20.0  # carried arbitrarily far without tolerance
+    assert out[5]["v"] is None  # key never had a snapshot
+    assert len(out) == left.count()  # left-join: every left row survives
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left, right = _fixture(spark)
+    out = {
+        r["id"]: r
+        for r in asof_join(
+            left, right, ["k"], "ts", "rts", ["v"], tolerance="2 hours"
+        ).collect()
+    }
+    assert out[3]["v"] == 20.0        # 30 min old: inside tolerance
+    assert out[4]["v"] is None        # 7 h old: stale, nulled
+    assert out[4]["matched_ts"] is None
+
+
+def test_asof_join_single_exchange_no_range_join(spark):
+    left, right = _fixture(spark)
+    plan = (
+        asof_join(left, right, ["k"], "ts", "rts", ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, "must not degrade to a range join"
+    assert "CartesianProduct" not in plan
