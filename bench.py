@@ -55,6 +55,10 @@ def main() -> None:
         df = q.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # queries are measured independently: drop any caches a builder
+        # persisted so later queries neither reuse them nor inherit the
+        # storage pressure (outside the timed region)
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

@@ -318,6 +318,10 @@ def dedup_clusters(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         mapping = [(node, find(node)) for node in parent]
+        # edges are fully consumed by the union-find collect above — release
+        # the cache now so long sessions (bench, many queries) don't
+        # accumulate storage pressure that pushes later caches to disk
+        edges_df.unpersist()
         id_type = df.schema[id_col].dataType
         from pyspark.sql.types import StructField, StructType
 

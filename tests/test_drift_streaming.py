@@ -341,3 +341,43 @@ def test_stream_dedup_exact_drops_cross_batch_duplicates(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_streaming_training_pipeline_matches_batch(spark):
+    """The LLM-pipeline operators compose unchanged over a stream: quality
+    filter -> deterministic stratified sample on a file stream produces
+    exactly the batch result (all stateless column expressions)."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators import sampling, text
+    from beymani_spark.sources import load_table
+
+    src = tempfile.mkdtemp(prefix="beymani_pipe_src_")
+    chk = tempfile.mkdtemp(prefix="beymani_pipe_chk_")
+    try:
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        docs.write.mode("overwrite").parquet(src)
+
+        def pipeline(df):
+            scored = text.quality_score(df)
+            kept = scored.filter(F.col("quality") > 0.5)
+            return sampling.stratified_sample(
+                kept, "doc_id", "lang", {"en": 0.5, "es": 1.0}, seed=7
+            ).select("doc_id")
+
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            pipeline(stream)
+            .writeStream.format("memory")
+            .queryName("pipe_t")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r.doc_id for r in spark.sql("select doc_id from pipe_t").collect())
+        expected = sorted(r.doc_id for r in pipeline(docs).collect())
+        assert got == expected and len(got) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
