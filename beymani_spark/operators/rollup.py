@@ -175,3 +175,57 @@ def hierarchical_aggregate(
         F.when(F.col("_any_o") == 1, F.col("_s_o")).otherwise(F.col("_s_all")).alias("agg_score"),
         F.when(F.col("_any_o") == 1, F.lit("O")).otherwise(F.lit("N")).alias("label"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    gap_seconds: int = 1800,
+    session_col: str = "session_id",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based sessionization: rows of a key belong to one session until
+    the inter-event gap exceeds ``gap_seconds``; session_id numbers sessions per key
+    in time order (1-based). Cumulative sum of gap-breaks over one sort-
+    spilling window — no key group is materialized, giant users spill.
+
+    Ties on ``ts`` are ordered by the remaining projected columns via the
+    window's ORDER BY ts only — callers needing total determinism on tied
+    timestamps should pass unique ``order_cols``."""
+    w = Window.partitionBy(*keys).orderBy(ts, *order_cols)
+    # TIMESTAMP_NTZ has no direct long cast; go through TIMESTAMP (session
+    # tz is pinned UTC, so epoch seconds match DuckDB's epoch())
+    epoch = F.col(ts).cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    new_sess = (
+        prev.isNull() | (epoch - prev > F.lit(int(gap_seconds)))
+    ).cast("int")
+    return df.withColumn(
+        session_col,
+        F.sum(new_sess).over(
+            Window.partitionBy(*keys)
+            .orderBy(ts, *order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Session-level aggregates (events, span seconds, value sum) over
+    sessionize() output — one extra partial-aggregated groupBy."""
+    s = sessionize(df, keys, ts, gap_seconds)
+    return s.groupBy(*keys, "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.max(F.col(ts).cast("timestamp").cast("long"))
+            - F.min(F.col(ts).cast("timestamp").cast("long"))
+        ).alias("span_sec"),
+        F.sum(value).alias(f"sum_{value}"),
+    )

@@ -229,3 +229,36 @@ def q_rollup_timebuckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("event_type", "d", "h")
         .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
     )
+
+
+_SESSION_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN prev IS NULL OR floor(epoch(ts)) - floor(epoch(prev)) > 43200
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events)
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS span_sec,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize_events", _SESSION_ORACLE)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream per user (12 h gap) with
+    session-level aggregates — the clickstream/session primitive."""
+    from ..operators.rollup import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_stats(
+        ev.select("user_id", "ts", "value"), ["user_id"], "ts", "value",
+        gap_seconds=43200,
+    )
+    return _round(out, ["sum_value"])

@@ -110,3 +110,30 @@ def test_contamination_hand_computed(spark):
     assert got[1]["contamination_ratio"] == pytest.approx(2 / 3)
     assert got[2]["n_contaminated"] == 0
     assert got[3]["n_grams"] == 0 and got[3]["contamination_ratio"] == 0.0
+
+
+def test_sessionize_gap_boundaries(spark):
+    import datetime as dt
+
+    from beymani_spark.operators.rollup import sessionize, session_stats
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0),                                   # session 1
+        (1, t0 + dt.timedelta(seconds=100)),       # gap 100 <= 100 -> same
+        (1, t0 + dt.timedelta(seconds=201)),       # gap 101 > 100 -> session 2
+        (2, t0),                                   # separate key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.user_id, r.ts): r.session_id
+           for r in sessionize(df, ["user_id"], "ts", gap_seconds=100).collect()}
+    assert out[(1, rows[0][1])] == 1
+    assert out[(1, rows[1][1])] == 1   # exactly-at-gap stays in session
+    assert out[(1, rows[2][1])] == 2
+    assert out[(2, t0)] == 1
+
+    df2 = df.withColumn("value", F.lit(1.0))
+    stats = {(r.user_id, r.session_id): r
+             for r in session_stats(df2, ["user_id"], "ts", "value", 100).collect()}
+    assert stats[(1, 1)]["n_events"] == 2 and stats[(1, 1)]["span_sec"] == 100
+    assert stats[(1, 2)]["n_events"] == 1 and stats[(1, 2)]["span_sec"] == 0
