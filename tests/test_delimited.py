@@ -53,3 +53,44 @@ def test_write_tagged_large_scores_have_no_grouping_separators(spark):
         assert lines == ["s1,1234.568,O"]
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_jsonl_round_trip_and_quarantine(spark):
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from beymani_spark.sources import load_table
+    from beymani_spark.sources.jsonl import (
+        corrupt_lines,
+        read_jsonl,
+        valid_rows,
+        write_jsonl,
+    )
+
+    src = tempfile.mkdtemp(prefix="beymani_jsonl_")
+    out = tempfile.mkdtemp(prefix="beymani_jsonl_out_")
+    try:
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        write_jsonl(docs.select("doc_id", "text", "lang"), out)
+        back = read_jsonl(spark, out)
+        assert corrupt_lines(back).count() == 0
+        got = valid_rows(back)
+        assert got.count() == docs.count()
+        assert sorted(got.columns) == ["doc_id", "lang", "text"]
+        a = {r.doc_id: (r.text, r.lang) for r in got.collect()}
+        b = {r.doc_id: (r.text, r.lang) for r in docs.select("doc_id", "text", "lang").collect()}
+        assert a == b
+
+        # malformed lines are quarantined, not fatal
+        with open(os.path.join(src, "part-0.jsonl"), "w") as f:
+            f.write(_json.dumps({"doc_id": 1, "text": "ok", "lang": "en"}) + "\n")
+            f.write("{this is not json\n")
+            f.write(_json.dumps({"doc_id": 2, "text": "also ok", "lang": "es"}) + "\n")
+        mixed = read_jsonl(spark, src, schema="doc_id long, text string, lang string")
+        assert valid_rows(mixed).count() == 2
+        assert corrupt_lines(mixed).count() == 1
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
