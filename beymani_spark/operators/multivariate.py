@@ -409,27 +409,36 @@ def kmeans_model(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
     )
     cent = ", ".join(f"centroid_{v} double" for v in values)
-    # persist AND eagerly materialize the (|keys|*k-row) centroid table: it
-    # feeds both the size count and the caller's scoring joins, which Spark
-    # launches as concurrent broadcast-subtree jobs — a lazy persist lets
-    # them race and each recompute the whole presample+fit chain (measured
-    # 2x the cold fit cost); count() fills the cache once first
-    centroids = df.groupBy(*keys).applyInPandas(
+    # The model is |keys|*k rows — collect it and rebuild as a LOCAL
+    # DataFrame. The fit chain runs exactly once (one action), downstream
+    # broadcast-subtree jobs read an in-memory relation (no lazy-persist
+    # race that recomputes the presample+fit chain — measured 2x the cold
+    # fit cost before eager materialization), and no cache entry lingers
+    # in long sessions.
+    centroids_df = df.groupBy(*keys).applyInPandas(
         fit, schema=f"{key_schema}, cluster_id int, {cent}"
-    ).persist()
-    centroids.count()
-    # cluster sizes = full-data nearest-centroid counts (codegen pass over
-    # the unsampled table + a |keys|*k-row shuffle): the small-cluster rule
-    # stays exact on the true distribution even when the fit was presampled
-    assigned = _assign_nearest(full, centroids, keys, values, int(n_clusters))
-    sizes = assigned.groupBy(*keys, "cluster_id").agg(F.count("*").alias("size"))
-    model = (
-        centroids.join(sizes, [*keys, "cluster_id"], "left")
-        .fillna(0, subset=["size"])
-        .persist()
     )
-    model.count()  # same eager fill: scoring reads it from two subtrees
-    return model
+    centroid_schema = centroids_df.schema
+    centroid_rows = centroids_df.collect()
+    centroids = df.sparkSession.createDataFrame(centroid_rows, centroid_schema)
+    # cluster sizes = full-data nearest-centroid counts (codegen pass over
+    # the unsampled table): the small-cluster rule stays exact on the true
+    # distribution even when the fit was presampled. Sizes are |keys|*k
+    # counts — merge them locally into the model rows.
+    assigned = _assign_nearest(full, centroids, keys, values, int(n_clusters))
+    size_rows = (
+        assigned.groupBy(*keys, "cluster_id").agg(F.count("*").alias("size")).collect()
+    )
+    size_map = {
+        tuple(r[k] for k in (*keys, "cluster_id")): r["size"] for r in size_rows
+    }
+    model_rows = [
+        {**r.asDict(), "size": size_map.get(tuple(r[k] for k in (*keys, "cluster_id")), 0)}
+        for r in centroid_rows
+    ]
+    return df.sparkSession.createDataFrame(
+        model_rows, centroid_schema.add("size", "long")
+    )
 
 
 def _unrolled_nearest(values: Sequence[str], max_k: int):
@@ -503,7 +512,7 @@ def kmeans_score(
     driver-side max over the tiny model DF)."""
     total = model.groupBy(*keys).agg(F.sum("size").alias("_total"))
     large = (
-        model.join(total, list(keys))
+        model.join(F.broadcast(total), list(keys))
         .filter(F.col("size") >= F.col("_total") * min_cluster_fraction)
     )
     if max_clusters is None:
