@@ -65,3 +65,56 @@ def test_asof_join_single_exchange_no_range_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, "must not degrade to a range join"
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas merge_asof (direction=
+    'backward', by=key) — the de-facto reference semantics."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "id": np.arange(300),
+            "k": rng.choice(["a", "b", "c"], 300),
+            "ts": pd.to_datetime("2026-01-01")
+            + pd.to_timedelta(rng.randint(0, 10_000, 300), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", "d"], 60),
+            "rts": pd.to_datetime("2026-01-01")
+            + pd.to_timedelta(rng.randint(0, 10_000, 60), unit="s"),
+            "v": rng.randn(60).round(6),
+        }
+    ).drop_duplicates(["k", "rts"])
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            ["k"],
+            "ts",
+            "rts",
+            ["v"],
+        )
+        .select("id", "v")
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    expected = (
+        pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            right.sort_values("rts", kind="mergesort"),
+            left_on="ts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+        )[["id", "v"]]
+        .sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_series_equal(
+        got["v"].astype(float), expected["v"].astype(float), check_names=False
+    )
