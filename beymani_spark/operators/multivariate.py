@@ -644,9 +644,12 @@ def isolation_forest_merge(
 ) -> DataFrame:
     """#14 IsolationForestMerge (/root/reference/spark/src/main/scala/org/
     beymani/spark/multi/IsolationForestMerge.scala:35-203): incremental
-    retraining hook. The reference merges stored per-tree samples with new
-    records; since our fit is a single bounded pass per key, the idiomatic
-    equivalent is union + refit — same model contract, one job."""
+    retraining hook. The reference re-samples the incremental records with
+    replacement per (key, tree) (:74-84), merges them into each tree's
+    stored sample pool, and rebuilds the trees; our fit presamples and
+    rebuilds in one bounded pass, so union + refit differs only in sample
+    bookkeeping (fresh resample from the union vs append-to-pool), not in
+    the model contract — both are random-subsample forest rebuilds."""
     return isolation_forest_fit(
         df_old.select(*keys, *values).unionByName(df_new.select(*keys, *values)),
         keys, values, num_trees, subsample, seed,
