@@ -506,3 +506,46 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("src", "dst", "hamming")
     )
+
+
+def rowwise_minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(id, band, sig) rows computed per row with NO aggregation — each
+    minhash is array_min over the shingle array, so the whole signature is
+    a stateless column expression. This is the streaming-compatible form of
+    minhash_signatures (a stream cannot groupBy(doc) without state); use it
+    to band NEW documents and stream-static join against a corpus band
+    table. The md5 arithmetic is identical to minhash_signatures, so bands
+    computed here match the batch pipeline's exactly."""
+    rows_per_band = num_hashes // bands
+    sh = shingles(F.col(text_col), n)
+    h32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    consts = minhash_affine_constants(num_hashes)
+
+    def _h(a: int, b: int):
+        # single-arg closure: F.transform treats default args as lambda
+        # arity and would pass the element index as the second parameter
+        return lambda x: F.pmod(F.lit(a) * h32(x) + F.lit(b), F.lit(MINHASH_P))
+
+    mins = [
+        F.array_min(F.transform(sh, _h(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    sigs = df.select(F.col(id_col), *mins)
+
+    def band_sig(bi: int) -> Column:
+        cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+
+    band_structs = F.array(
+        *[F.struct(F.lit(bi).alias("band"), band_sig(bi).alias("sig")) for bi in range(bands)]
+    )
+    return sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bs")
+    ).select(id_col, "bs.band", "bs.sig")

@@ -436,3 +436,38 @@ def stream_dedup_exact(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def stream_near_dup_candidates(
+    stream_df: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_id_col: str = "corpus_doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming near-dup detection against a static reference corpus:
+    incoming documents are minhash-banded with stateless per-row
+    expressions (dedup.rowwise_minhash_bands) and stream-static
+    equi-joined to the corpus band table — a new doc sharing ANY band with
+    a corpus doc emits a candidate row (stream_id, corpus_id, band).
+
+    The corpus side is precomputed once (rowwise_minhash_bands over the
+    corpus, or minhash_signatures' band explode — identical md5
+    arithmetic) and is a normal static DataFrame, so Spark broadcasts or
+    shuffles it per micro-batch without state; the stream side needs no
+    watermark because the join is stateless. Downstream, verify candidates
+    with an exact-Jaccard batch join or route them to quarantine."""
+    from ..operators.dedup import rowwise_minhash_bands
+
+    banded = rowwise_minhash_bands(stream_df, id_col, text_col, num_hashes, bands, n)
+    corpus = corpus_bands.select(
+        F.col(corpus_id_col), F.col("band"), F.col("sig")
+    )
+    return (
+        banded.join(corpus, ["band", "sig"])
+        .filter(F.col(id_col) != F.col(corpus_id_col))
+        .select(id_col, corpus_id_col, "band")
+    )

@@ -381,3 +381,69 @@ def test_streaming_training_pipeline_matches_batch(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_near_dup_candidates_against_corpus(spark):
+    """Streaming minhash banding must (a) compute bit-identical bands to
+    the batch pipeline and (b) flag a slightly-edited copy of a corpus doc
+    arriving on the stream."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators import dedup
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_near_dup_candidates
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    # (a) per-row expression bands == groupBy-aggregated batch bands
+    rowwise = dedup.rowwise_minhash_bands(docs, "doc_id", "text").toPandas()
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", 16, 3, "md5")
+    batch = []
+    import hashlib as _h  # noqa: F401 (md5 computed in-JVM below)
+    rows_per_band = 4
+    band_cols = []
+    for b in range(4):
+        cols = [F.col(f"mh_{b*rows_per_band+r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("sig"))
+        )
+    batch = (
+        sigs.select(F.col("_id").alias("doc_id"), F.explode(F.array(*band_cols)).alias("bs"))
+        .select("doc_id", "bs.band", "bs.sig")
+        .toPandas()
+    )
+    key = lambda df: set(map(tuple, df[["doc_id", "band", "sig"]].itertuples(index=False)))  # noqa: E731
+    assert key(rowwise) == key(batch)
+
+    # (b) stream a near-copy of doc 0 plus an unrelated doc
+    src = tempfile.mkdtemp(prefix="beymani_nd_src_")
+    chk = tempfile.mkdtemp(prefix="beymani_nd_chk_")
+    try:
+        base_text = docs.filter("doc_id = 0").first()["text"]
+        new = spark.createDataFrame(
+            [(100000, base_text + " tail"), (100001, "zz yy xx ww vv uu tt ss")],
+            "doc_id long, text string",
+        )
+        new.write.mode("overwrite").parquet(src)
+        corpus_bands = dedup.rowwise_minhash_bands(docs, "doc_id", "text").select(
+            F.col("doc_id").alias("corpus_doc_id"), "band", "sig"
+        )
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        out = stream_near_dup_candidates(stream, corpus_bands)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("nd_t")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from nd_t").toPandas()
+        assert (got.doc_id == 100000).any(), "edited copy must band-match its source"
+        hits = got[got.doc_id == 100000]
+        assert (hits.corpus_doc_id == 0).any()
+        assert not (got.doc_id == 100001).any(), "unrelated doc must not match"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
