@@ -127,6 +127,20 @@ _PRIORITY = [
     "stream_schema_rollup",
     "change_point_resume",
     "pricing_summary",
+    "stratified_sample",
+    "train_split",
+    "repetition_score",
+    "contamination_check",
+    "bigram_logprob",
+    "asof_join_snapshots",
+    "sessionize_events",
+    "rollup_timebuckets",
+    "vocab_topk",
+    "corpus_stats",
+    "embedding_quantize",
+    "dedup_corpus",
+    "media_resize",
+    "media_frames",
 ]
 _rank = {n: i for i, n in enumerate(_PRIORITY)}
 _ordered = sorted(
