@@ -525,7 +525,10 @@ def rowwise_minhash_bands(
         F.array_min(F.transform(sh, _h(a, b))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(consts)
     ]
-    sigs = df.select(F.col(id_col), *mins)
+    # docs with no shingles (< n tokens) must emit NO band rows — the batch
+    # explode drops them implicitly; here a null minhash would band as
+    # md5('') and falsely match every other shingle-less doc
+    sigs = df.select(F.col(id_col), *mins).filter(F.col("mh_0").isNotNull())
 
     def band_sig(bi: int) -> Column:
         cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]

@@ -142,3 +142,44 @@ def test_persisted_cogroup_pairs_survive_cache(spark):
         assert guarded.count() == n_plain
     finally:
         guarded.unpersist()
+
+
+def test_rowwise_bands_match_batch_on_adversarial_text(spark):
+    """Row-wise (streaming) minhash bands vs the aggregated batch pipeline
+    on adversarial inputs: unicode, repeated runs, tab/newline whitespace,
+    short docs below the shingle width."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the\tquick\nbrown   fox"),
+        (3, "短 文 本 测 试 中 文 分 词"),
+        (4, "a a a a a a a a"),
+        (5, "one two"),               # < n tokens -> no shingles
+        (6, ""),                      # empty text
+        (7, "  leading and trailing   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rowwise = dedup.rowwise_minhash_bands(df, "doc_id", "text").toPandas()
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", 16, 3, "md5")
+    band_cols = []
+    for b in range(4):
+        cols = [F.col(f"mh_{b*4+r}") for r in range(4)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("sig"))
+        )
+    batch = (
+        sigs.select(F.col("_id").alias("doc_id"), F.explode(F.array(*band_cols)).alias("bs"))
+        .select("doc_id", "bs.band", "bs.sig")
+        .toPandas()
+    )
+    assert set(map(tuple, rowwise.itertuples(index=False))) == set(
+        map(tuple, batch.itertuples(index=False))
+    )
+    # docs 5 and 6 have no shingles: rowwise emits null-min bands only if the
+    # batch path does too (batch drops empty docs at the explode)
+    empty_docs = set(rowwise[rowwise.doc_id.isin([5, 6])].doc_id)
+    assert empty_docs == set(batch[batch.doc_id.isin([5, 6])].doc_id)

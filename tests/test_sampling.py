@@ -137,3 +137,32 @@ def test_sessionize_gap_boundaries(spark):
              for r in session_stats(df2, ["user_id"], "ts", "value", 100).collect()}
     assert stats[(1, 1)]["n_events"] == 2 and stats[(1, 1)]["span_sec"] == 100
     assert stats[(1, 2)]["n_events"] == 1 and stats[(1, 2)]["span_sec"] == 0
+
+
+def test_new_operators_handle_empty_input(spark):
+    """Empty frames must yield empty (not crash) across the new operator
+    families — schema-correct degenerate behavior."""
+    import datetime as dt  # noqa: F401
+
+    from beymani_spark.operators import dedup, sampling, similarity, text
+    from beymani_spark.operators.asof import asof_join
+    from beymani_spark.operators.rollup import session_stats, sessionize
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    ev = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+    assert sampling.stratified_sample(docs, "doc_id", "lang", {"en": 0.5}).count() == 0
+    assert sampling.deterministic_split(docs, "doc_id").count() == 0
+    assert text.repetition_score(docs, "doc_id", "text").count() == 0
+    assert text.contamination(docs, docs, "doc_id", "text").count() == 0
+    assert text.bigram_logprob(docs, "doc_id", "text").count() == 0
+    assert text.vocab_topk(docs, "doc_id", "text").count() == 0
+    assert text.corpus_stats(docs, ("lang",), "text").count() == 0
+    assert similarity.quantize_int8(emb, "vec_id", "embedding").count() == 0
+    assert sessionize(ev, ["user_id"], "ts").count() == 0
+    assert session_stats(ev, ["user_id"], "ts", "value").count() == 0
+    assert dedup.rowwise_minhash_bands(docs, "doc_id", "text").count() == 0
+    right = spark.createDataFrame([], "k string, rts timestamp, v double")
+    left = spark.createDataFrame([], "id long, k string, ts timestamp")
+    assert asof_join(left, right, ["k"], "ts", "rts", ["v"]).count() == 0
