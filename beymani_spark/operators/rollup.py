@@ -61,7 +61,11 @@ def local_neighborhood(
     else:
         raise ValueError(f"unknown mode: {mode}")
     out = out.withColumn("nbr_score", score).drop("_arr")
-    return out
+    # tag = score > threshold (LocalNeighborhoodDetector.scala:106 — same
+    # rule for both modes)
+    return out.withColumn(
+        "label", F.when(F.col("nbr_score") > threshold, "O").otherwise("N")
+    )
 
 
 def outlier_cluster(

@@ -274,7 +274,6 @@ def bigram_logprob(
 
 def vocab_topk(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 100,
 ) -> DataFrame:

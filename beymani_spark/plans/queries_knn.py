@@ -101,7 +101,9 @@ WITH w AS (
 )
 SELECT event_id, event_type, value,
        round(list_sum(list_transform(arr, x -> abs(x - value))) / (len(arr) - 1), 6)
-         AS nbr_score
+         AS nbr_score,
+       CASE WHEN list_sum(list_transform(arr, x -> abs(x - value))) / (len(arr) - 1)
+                 > 3.0 THEN 'O' ELSE 'N' END AS label
 FROM w
 """
 
@@ -113,7 +115,10 @@ def q_local_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type"], "ts", "value", window=5, mode="avgDist",
         order_cols=["event_id"],
     )
-    return _round(out.select("event_id", "event_type", "value", "nbr_score"), ["nbr_score"])
+    return _round(
+        out.select("event_id", "event_type", "value", "nbr_score", "label"),
+        ["nbr_score"],
+    )
 
 
 _SCORED_CTE = """

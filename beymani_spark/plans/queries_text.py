@@ -681,7 +681,7 @@ ORDER BY cnt DESC, token ASC LIMIT 100
 @register("vocab_topk", _VOCAB_ORACLE)
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return text.vocab_topk(docs, "doc_id", "text", k=100)
+    return text.vocab_topk(docs, "text", k=100)
 
 
 _CORPUS_STATS_ORACLE = """
