@@ -157,7 +157,7 @@ def test_new_operators_handle_empty_input(spark):
     assert text.repetition_score(docs, "doc_id", "text").count() == 0
     assert text.contamination(docs, docs, "doc_id", "text").count() == 0
     assert text.bigram_logprob(docs, "doc_id", "text").count() == 0
-    assert text.vocab_topk(docs, "doc_id", "text").count() == 0
+    assert text.vocab_topk(docs, "text").count() == 0
     assert text.corpus_stats(docs, ("lang",), "text").count() == 0
     assert similarity.quantize_int8(emb, "vec_id", "embedding").count() == 0
     assert sessionize(ev, ["user_id"], "ts").count() == 0
