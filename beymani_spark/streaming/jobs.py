@@ -474,3 +474,34 @@ def stream_near_dup_candidates(
         .filter(F.col(id_col) != F.col(corpus_id_col))
         .select(id_col, corpus_id_col, "band")
     )
+
+
+def stream_sessionize(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization: Spark's native session_window
+    merges events within ``gap`` into one growing window per key; a session
+    closes (and emits, in append mode) once the watermark passes its end.
+    Emits (keys..., session_start, session_end, n_events, sum_<value>) —
+    the streaming counterpart of rollup.sessionize/session_stats, with the
+    same gap-merge semantics (batch session spans equal the window spans).
+    State per key is the open session only; the watermark bounds it."""
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum(value_col).alias(f"sum_{value_col}"))
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            f"sum_{value_col}",
+        )
+    )

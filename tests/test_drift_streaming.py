@@ -447,3 +447,53 @@ def test_stream_near_dup_candidates_against_corpus(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_sessionize_matches_batch_sessions(spark):
+    """Native session_window streaming sessionization == batch gap
+    sessionize: same (user, n_events) multiset of closed sessions.
+
+    session_window's gap is exclusive at exactly-gap spacing while the
+    batch operator keeps exactly-at-gap rows in-session, so the fixture
+    avoids exact-gap ties (real timestamps are microsecond-spaced)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.rollup import session_stats
+    from beymani_spark.streaming.jobs import stream_sessionize
+
+    src = tempfile.mkdtemp(prefix="beymani_sess_src_")
+    chk = tempfile.mkdtemp(prefix="beymani_sess_chk_")
+    try:
+        t0 = dt.datetime(2026, 1, 1)
+        rows = []
+        for u in (1, 2):
+            offs = [0, 50, 90, 400, 430, 1000] if u == 1 else [0, 700, 750]
+            rows += [(u, t0 + dt.timedelta(seconds=o + u), 1.0) for o in offs]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        df.write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = stream_sessionize(stream, ["user_id"], "ts", "value", "100 seconds", "10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_t")
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select user_id, n_events from sess_t").toPandas()
+        batch = (
+            session_stats(df, ["user_id"], "ts", "value", gap_seconds=100)
+            .select("user_id", "n_events")
+            .toPandas()
+        )
+        assert sorted(map(tuple, got.itertuples(index=False))) == sorted(
+            map(tuple, batch.itertuples(index=False))
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
