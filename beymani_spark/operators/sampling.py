@@ -87,3 +87,37 @@ def deterministic_split(
     last = list(splits)[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def decayed_sample(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    base_rate: float = 1.0,
+    half_life_days: float = 30.0,
+    reference_ts: str = "2026-01-01 00:00:00",
+    seed: int = 42,
+    u_col: str | None = None,
+) -> DataFrame:
+    """Recency-weighted deterministic sample: keep probability decays by
+    half per ``half_life_days`` of age at ``reference_ts`` —
+    rate(row) = base_rate * 2^(-age_days / half_life). Fresh data is kept,
+    stale data thins out geometrically; the keep decision stays a pure
+    function of (id, seed), so refreshing the sample with a later
+    reference_ts deterministically DROPS rows but never resurrects ones a
+    stricter cut removed (u is fixed; only the threshold moves).
+
+    reference_ts is an explicit literal, not now(): reruns must be
+    reproducible. Single-pass column expression, no shuffle."""
+    u = hash_uniform(F.col(id_col), seed)
+    age_days = (
+        F.lit(reference_ts).cast("timestamp").cast("double")
+        - F.col(ts_col).cast("timestamp").cast("double")
+    ) / F.lit(86400.0)
+    rate = F.lit(float(base_rate)) * F.pow(
+        F.lit(2.0), -F.greatest(age_days, F.lit(0.0)) / F.lit(float(half_life_days))
+    )
+    out = df.filter(u < rate)
+    if u_col:
+        out = out.withColumn(u_col, u)
+    return out

@@ -720,3 +720,29 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.quantize_int8(emb, "vec_id", "embedding")
     return _round(out.select("vec_id", "scale", "q_l1"), ["scale"])
+
+
+_DECAYED_SAMPLE_ORACLE = f"""
+WITH r AS (
+  SELECT event_id, ts, {_U_SQL.replace("doc_id", "event_id")} AS u,
+         1.0 * pow(2.0, -greatest((epoch(TIMESTAMP '2024-02-01 00:00:00')
+                                   - epoch(ts)) / 86400.0, 0.0) / 10.0) AS rate
+  FROM events
+)
+SELECT event_id, u FROM r WHERE u < rate
+"""
+
+
+@register("decayed_sample", _DECAYED_SAMPLE_ORACLE)
+def q_decayed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decay sampling of events: half-life 10 days against a fixed
+    reference just past the fixture's newest event (events span Jan 2024),
+    so kept-rates span ~0.12-0.93 across the month."""
+    from ..operators import sampling
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sampling.decayed_sample(
+        ev, "event_id", "ts", base_rate=1.0, half_life_days=10.0,
+        reference_ts="2024-02-01 00:00:00", seed=42, u_col="u",
+    )
+    return out.select("event_id", "u")

@@ -166,3 +166,23 @@ def test_new_operators_handle_empty_input(spark):
     right = spark.createDataFrame([], "k string, rts timestamp, v double")
     left = spark.createDataFrame([], "id long, k string, ts timestamp")
     assert asof_join(left, right, ["k"], "ts", "rts", ["v"]).count() == 0
+
+
+def test_decayed_sample_monotone_in_recency(spark):
+    from beymani_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = sampling.decayed_sample(
+        ev, "event_id", "ts", half_life_days=10.0,
+        reference_ts="2024-02-01 00:00:00", seed=42,
+    )
+    n_all, n_kept = ev.count(), out.count()
+    assert 0 < n_kept < n_all
+    # older reference -> larger rates for the same rows -> superset sample
+    older_ref = sampling.decayed_sample(
+        ev, "event_id", "ts", half_life_days=10.0,
+        reference_ts="2024-01-15 00:00:00", seed=42,
+    )
+    kept_ids = {r.event_id for r in out.collect()}
+    older_ids = {r.event_id for r in older_ref.collect()}
+    assert kept_ids <= older_ids
