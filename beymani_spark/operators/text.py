@@ -300,3 +300,21 @@ def corpus_stats(
         F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
         F.sum(F.length(text_col)).alias("n_chars"),
     )
+
+
+#: BPE-style pre-tokenizer pattern (simplified GPT-2 class form — letter
+#: runs, digit runs, punctuation runs, each with an optional leading space;
+#: plain character classes only, so Java regex and RE2 agree exactly)
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-tokenizer token count (the BPE accounting number): splits letter
+    runs, digit runs, and punctuation runs the way a byte-pair-encoding
+    pre-tokenizer does, which tracks real tokenizer costs far better than
+    whitespace counting on punctuation-dense text. Pure codegen
+    regexp_extract_all — scan speed at any corpus size."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))),
+    )

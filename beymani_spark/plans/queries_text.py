@@ -746,3 +746,16 @@ def q_decayed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         reference_ts="2024-02-01 00:00:00", seed=42, u_col="u",
     )
     return out.select("event_id", "u")
+
+
+_BPE_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+@register("bpe_token_count", _BPE_COUNT_ORACLE)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_token_count(docs).select("doc_id", "n_bpe_tokens")

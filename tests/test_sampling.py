@@ -186,3 +186,18 @@ def test_decayed_sample_monotone_in_recency(spark):
     kept_ids = {r.event_id for r in out.collect()}
     older_ids = {r.event_id for r in older_ref.collect()}
     assert kept_ids <= older_ids
+
+
+def test_bpe_token_count_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world 123"),   # 3 runs
+            (2, "it's a test!"),      # it / 's / a / test / ! -> wait: it,',s,a,test,! = 6
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_bpe_tokens for r in text.bpe_token_count(df).collect()}
+    assert got[1] == 3
+    assert got[2] == 6
+    assert got[3] == 0
