@@ -192,7 +192,7 @@ def test_bpe_token_count_hand_computed(spark):
     df = spark.createDataFrame(
         [
             (1, "hello world 123"),   # 3 runs
-            (2, "it's a test!"),      # it / 's / a / test / ! -> wait: it,',s,a,test,! = 6
+            (2, "it's a test!"),      # it | ' | s | a | test | ! = 6 runs
             (3, ""),
         ],
         "doc_id long, text string",
