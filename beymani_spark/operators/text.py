@@ -84,22 +84,30 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     of pairwise comparisons: Catalyst's project collapse inlines the whole
     tokenize+filter subtree into every reference, so the chain form
     re-evaluates it ~L^2 times per row (and the generated method blows past
-    the JIT size limit, dropping the stage to interpreted mode)."""
+    the JIT size limit, dropping the stage to interpreted mode).
+
+    The token array is projected as its own column (``_toks``) before the
+    per-language filters: CollapseProject refuses to inline a non-cheap
+    alias referenced more than once, so tokenization runs exactly once per
+    row instead of once per language."""
 
     def _in_markers(markers):
         # single-arg lambda: F.filter passes the element index to a second
         # parameter, so a two-arg lambda with a default would be clobbered
         return lambda x: x.isin(markers)
 
-    t = tokens(F.lower(F.col(text_col)))
     langs = list(LANG_MARKERS)
+    toked = df.withColumn("_toks", tokens(F.lower(F.col(text_col))))
     hits = F.array(
-        *[F.size(F.filter(t, _in_markers(LANG_MARKERS[lang]))) for lang in langs]
+        *[
+            F.size(F.filter(F.col("_toks"), _in_markers(LANG_MARKERS[lang])))
+            for lang in langs
+        ]
     )
-    out = df.withColumn("_hits", hits)
+    out = toked.withColumn("_hits", hits)
     best = F.array_position(F.col("_hits"), F.array_max(F.col("_hits")))
     pred = F.element_at(F.array(*[F.lit(lang) for lang in langs]), best.cast("int"))
-    return out.withColumn("pred_lang", pred).drop("_hits")
+    return out.withColumn("pred_lang", pred).drop("_toks", "_hits")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
