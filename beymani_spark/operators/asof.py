@@ -34,8 +34,29 @@ def asof_join(
     right row at or before its timestamp (null when none exists yet).
 
     ``tolerance`` (e.g. ``"2 hours"``): matches older than the tolerance
-    are nulled out — the pandas ``merge_asof(tolerance=...)`` contract."""
+    are nulled out — the pandas ``merge_asof(tolerance=...)`` contract.
+
+    Raises ValueError on name collisions that would silently produce
+    duplicate/clobbered output columns: a right_cols name already present
+    on the left, or a left column using the output/internal namespace
+    (``matched_ts``, ``_side``, ``_ats``, ``_rts``, ``_m_ts``,
+    ``_r_<col>``)."""
     left_cols = left.columns
+    reserved = {"matched_ts", "_side", "_ats", "_rts", "_m_ts"} | {
+        f"_r_{c}" for c in right_cols
+    }
+    clobbered = [c for c in left_cols if c in reserved]
+    if clobbered:
+        raise ValueError(
+            f"asof_join: left columns {clobbered} collide with the output/"
+            "internal namespace (matched_ts, _side, _ats, _rts, _m_ts, _r_*)"
+        )
+    dup_out = [c for c in right_cols if c in left_cols]
+    if dup_out:
+        raise ValueError(
+            f"asof_join: right_cols {dup_out} already exist on the left — "
+            "alias them on the right frame before joining"
+        )
     l = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     r = right.select(
         *keys,

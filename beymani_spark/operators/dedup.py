@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import caching
 from .text import tokens
 
 
@@ -69,13 +70,15 @@ def jaccard_pairs(
     Count-based explode-join: |A∩B| from an equi-join on (band, shingle) with
     partial-aggregated counts; join volume is Σ_shingle freq². Everything is
     row-based and codegen (see exploded_shingles); the shingle table is
-    persisted because three plan branches consume it."""
+    persisted because three plan branches consume it — the cache is pinned
+    to the result (caching.release(result) after the final action)."""
     sh = exploded_shingles(df, id_col, text_col, n)
     bands = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         (F.size(tokens(F.col(text_col))) / F.lit(band_width)).cast("long").alias("_band"),
     )
     ex = sh.join(bands, "_id").persist()
+    _pinned_ex = ex
     sizes = ex.groupBy("_id", "_band").agg(F.count("*").alias("_n"))
     inter = (
         ex.alias("a")
@@ -88,7 +91,7 @@ def jaccard_pairs(
         .groupBy(F.col("a._id").alias("src"), F.col("b._id").alias("dst"))
         .agg(F.count("*").alias("_inter"))
     )
-    return (
+    out = (
         inter.join(
             sizes.select(F.col("_id").alias("src"), F.col("_n").alias("_na")), "src"
         )
@@ -102,6 +105,7 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("src", "dst", "jaccard")
     )
+    return caching.pin(out, _pinned_ex)
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -211,7 +215,8 @@ def minhash_lsh_pairs(
     earlier variant cached the shingles but still exploded separately for
     signatures, which measured 15% slower; sharing the persisted frame for
     both consumers removes a full explode+hash pass and wins ~25% at
-    sf0.1.)"""
+    sf0.1.) The shingle cache is pinned to the result —
+    caching.release(result) after the final action."""
     rows_per_band = num_hashes // bands
     sh = exploded_shingles(df, id_col, text_col, n).persist()
     sigs = _signatures_from_shingles(sh, num_hashes, hash_fn)
@@ -265,7 +270,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
-    return verified.select("src", "dst", "jaccard")
+    return caching.pin(verified.select("src", "dst", "jaccard"), sh)
 
 
 def dedup_clusters(
@@ -464,7 +469,8 @@ def simhash_dup_pairs(
     (band_idx, band_value) equi-join has FULL recall, and bit_count(xor)
     verifies the true hamming distance. One exploded self-join replaces a
     per-band join union; the N-row sketch is persisted so the token explode
-    + bit aggregation runs once, not once per join side."""
+    + bit aggregation runs once, not once per join side (cache pinned to
+    the result — caching.release(result) after the final action)."""
     n_bands = max_hamming + 1
     band_w = max(1, bits // n_bands)
     sk = simhash(df, id_col, text_col, bits, hash_fn).persist()
@@ -479,7 +485,7 @@ def simhash_dup_pairs(
         "simhash",
         F.posexplode(F.array(*bands)),  # -> pos (band idx), col (band value)
     )
-    return (
+    out = (
         keyed.alias("a")
         .join(keyed.alias("b"), ["pos", "col"])
         .filter(F.col("a._id") < F.col("b._id"))
@@ -494,6 +500,7 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("src", "dst", "hamming")
     )
+    return caching.pin(out, sk)
 
 
 def rowwise_minhash_bands(

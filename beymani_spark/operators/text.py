@@ -14,6 +14,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import caching
+
 #: stopword marker sets per language for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "a", "and", "of", "to", "is"],
@@ -250,7 +252,8 @@ def bigram_logprob(
     Plan: one bigram explode feeds both the count model and the scoring
     join; both groupBys partial-aggregate, the model join keys on the gram
     hash — at corpus scale this is two bounded shuffles of distinct-gram
-    cardinality, never a collect."""
+    cardinality, never a collect. The exploded-bigram cache is pinned to
+    the result — caching.release(result) after the final action."""
     bigrams = _exploded_grams(df, id_col, text_col, 2, keep_dups=True).persist()
     pair_counts = bigrams.groupBy("gram").agg(F.count("*").alias("c2"))
     first_counts = (
@@ -268,7 +271,7 @@ def bigram_logprob(
             F.avg(F.log(F.col("c2") / F.col("c1"))).alias("avg_logprob"),
         )
     )
-    return (
+    out = (
         df.select(F.col(id_col))
         .join(scored.withColumnRenamed("_id", id_col), id_col, "left")
         .select(
@@ -278,6 +281,7 @@ def bigram_logprob(
             F.exp(-F.coalesce("avg_logprob", F.lit(0.0))).alias("ppl"),
         )
     )
+    return caching.pin(out, bigrams)
 
 
 def vocab_topk(
@@ -311,9 +315,11 @@ def corpus_stats(
 
 
 #: BPE-style pre-tokenizer pattern (simplified GPT-2 class form — letter
-#: runs, digit runs, punctuation runs, each with an optional leading space;
-#: plain character classes only, so Java regex and RE2 agree exactly)
-BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+#: runs, digit runs, punctuation runs, each with an optional leading space).
+#: The whitespace class is spelled out as [ \t\n\f\r\x0B] rather than \s:
+#: Java's \s includes vertical tab \x0B while RE2's does not, so the
+#: explicit class is what makes Spark and the DuckDB oracle agree exactly.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r\x0B]+"
 
 
 def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:

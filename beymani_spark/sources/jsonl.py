@@ -45,7 +45,10 @@ def read_jsonl(
             sample = parts if parts else [path]
         else:
             sample = [path]
-        schema = spark.read.json(*sample).schema
+        # pass the sample as ONE list argument: json()'s second positional
+        # parameter is the schema, so json(*paths) with >1 path would treat
+        # the second path as a DDL schema string
+        schema = spark.read.json(sample).schema
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     if CORRUPT_COL not in [f.name for f in schema.fields]:
@@ -64,7 +67,11 @@ def corrupt_lines(df: DataFrame) -> DataFrame:
     Spark forbids queries whose pruned schema is ONLY the corrupt column
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented
     pattern is to cache the parsed frame first, which a real pipeline wants
-    anyway when it splits one parse into valid + dead-letter sinks."""
+    anyway when it splits one parse into valid + dead-letter sinks.
+
+    Cache lifetime: the cache is installed on the CALLER's frame, and the
+    caller owns it — call ``df.unpersist()`` once both the valid and
+    dead-letter sinks have been written."""
     return df.cache().filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
 
 

@@ -488,9 +488,15 @@ def stream_sessionize(
     merges events within ``gap`` into one growing window per key; a session
     closes (and emits, in append mode) once the watermark passes its end.
     Emits (keys..., session_start, session_end, n_events, sum_<value>) —
-    the streaming counterpart of rollup.sessionize/session_stats, with the
-    same gap-merge semantics (batch session spans equal the window spans).
-    State per key is the open session only; the watermark bounds it."""
+    the streaming counterpart of rollup.sessionize/session_stats.
+
+    Boundary semantics at EXACTLY-gap spacing differ from the batch
+    operator: session_window treats the gap as exclusive (an event landing
+    exactly ``gap`` after the previous one starts a NEW session), while
+    batch sessionize keeps exactly-at-gap rows in-session. Off-boundary
+    timestamps produce identical spans; do not rely on batch/stream
+    equality for gap-aligned data. State per key is the open session only;
+    the watermark bounds it."""
     if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
         stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (

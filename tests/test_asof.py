@@ -118,3 +118,24 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     pd.testing.assert_series_equal(
         got["v"].astype(float), expected["v"].astype(float), check_names=False
     )
+
+
+def test_asof_join_rejects_name_collisions(spark):
+    import pytest
+
+    left, right = _fixture(spark)
+    with pytest.raises(ValueError, match="already exist on the left"):
+        asof_join(left, right.withColumnRenamed("v", "k"), ["k"], "ts", "rts", ["k"])
+    with pytest.raises(ValueError, match="internal namespace"):
+        asof_join(
+            left.withColumn("matched_ts", F.lit(None).cast("timestamp")),
+            right,
+            ["k"],
+            "ts",
+            "rts",
+            ["v"],
+        )
+    with pytest.raises(ValueError, match="internal namespace"):
+        asof_join(
+            left.withColumn("_r_v", F.lit(1)), right, ["k"], "ts", "rts", ["v"]
+        )

@@ -1,0 +1,38 @@
+"""Caller-owned cache lifetime: pin/release on lazily-returned operators."""
+from __future__ import annotations
+
+from beymani_spark.functions import caching
+from beymani_spark.operators import dedup, text
+from beymani_spark.sources import load_table
+
+
+def _docs(spark):
+    return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+
+def test_release_unpersists_minhash_shingle_cache(spark):
+    pairs = dedup.minhash_lsh_pairs(_docs(spark), "doc_id")
+    pairs.count()
+    pinned = caching.pinned(pairs)
+    assert pinned, "minhash_lsh_pairs should pin its shingle cache"
+    assert all(f.storageLevel.useMemory for f in pinned)
+    caching.release(pairs)
+    assert all(not f.storageLevel.useMemory for f in pinned)
+    assert caching.pinned(pairs) == []
+    # idempotent
+    caching.release(pairs)
+
+
+def test_bigram_and_simhash_and_jaccard_pin_their_caches(spark):
+    docs = _docs(spark)
+    for result in (
+        text.bigram_logprob(docs),
+        dedup.simhash_dup_pairs(docs, "doc_id"),
+        dedup.jaccard_pairs(docs, "doc_id"),
+    ):
+        result.count()
+        pinned = caching.pinned(result)
+        assert pinned
+        caching.release(result)
+        assert all(not f.storageLevel.useMemory for f in pinned)
+        assert caching.pinned(result) == []

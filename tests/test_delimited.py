@@ -94,3 +94,28 @@ def test_jsonl_round_trip_and_quarantine(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_jsonl_multi_file_schema_sampling(spark):
+    """sample_files > 1 must pass the sample as ONE list (json()'s second
+    positional parameter is the schema, so json(*paths) misparses)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from beymani_spark.sources.jsonl import read_jsonl, valid_rows
+
+    src = tempfile.mkdtemp(prefix="beymani_jsonl_multi_")
+    try:
+        with open(os.path.join(src, "part-0.jsonl"), "w") as f:
+            f.write(_json.dumps({"doc_id": 1, "text": "one"}) + "\n")
+        with open(os.path.join(src, "part-1.jsonl"), "w") as f:
+            # second file carries a field the first lacks; sampling both
+            # files must widen the schema to include it
+            f.write(_json.dumps({"doc_id": 2, "text": "two", "lang": "es"}) + "\n")
+        back = read_jsonl(spark, src, sample_files=2)
+        assert "lang" in back.columns
+        assert valid_rows(back).count() == 2
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
