@@ -38,4 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    """Callable oracles (model-baked fits) are resolved at the driver's
+    correctness sf (sf0.01) — the fit inside runs off-Spark in seconds."""
+    return {
+        name: q.oracle_sql() for name, q in QUERIES.items() if q.oracle is not None
+    }

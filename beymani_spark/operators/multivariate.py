@@ -153,6 +153,74 @@ def hash_presample(
     )
 
 
+# Fit cores: pure numpy functions shared between the applyInPandas fit
+# closures and the model-baked DuckDB oracle builders (plans/
+# model_oracles.py). Because BOTH sides call the same function on the same
+# canonically-ordered sample, the baked model literals are bit-identical to
+# the model the Spark job fits.
+
+def _canonical(x: np.ndarray) -> np.ndarray:
+    """Canonical row order: group rows arrive in partition order, so any
+    index-based randomness in the fit would otherwise change under
+    repartitioning."""
+    return x[np.lexsort(x.T[::-1])]
+
+
+def pca_fit_core(x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(mu, basis): mean vector + top-k right singular vectors (rows).
+    Degenerate pools (n <= k) get a zero basis."""
+    x = _canonical(x)
+    mu = x.mean(axis=0)
+    if len(x) <= k:
+        return mu, np.zeros((k, x.shape[1]))
+    _, _, vt = np.linalg.svd(x - mu, full_matrices=False)
+    basis = np.zeros((k, x.shape[1]))
+    basis[: min(k, len(vt))] = vt[:k]
+    return mu, basis
+
+
+def ae_fit_core(
+    x: np.ndarray, h: int, epochs: int, lr: float, seed: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mu, sd, w): standardization stats + tied encoder weights (h x d)."""
+    x = _canonical(x)
+    n, d = x.shape
+    mu = x.mean(axis=0)
+    sd = x.std(axis=0)
+    if n <= h:
+        return mu, sd, np.zeros((h, d))
+    sd_safe = np.where(sd > 0, sd, 1.0)
+    xs = (x - mu) / sd_safe
+    rng = np.random.RandomState(seed)
+    w = rng.normal(scale=0.1, size=(h, d))
+    inv_n = 1.0 / n
+    for _ in range(int(epochs)):
+        z = xs @ w.T                      # (n, h)
+        xh = z @ w                        # (n, d)
+        e = (xh - xs) * (2.0 * inv_n)     # dL/dx̂ for L = mean ‖x̂-xs‖²
+        grad = z.T @ e + (e @ w.T).T @ xs
+        w -= lr * grad
+    return mu, sd, w
+
+
+def kmeans_fit_core(
+    x: np.ndarray, n_clusters: int, iterations: int, seed: int
+) -> np.ndarray:
+    """Seeded Lloyd centers (kk x d), kk = min(n_clusters, n)."""
+    x = _canonical(x)
+    rng = np.random.RandomState(seed)
+    kk = min(n_clusters, len(x))
+    centers = x[rng.choice(len(x), size=kk, replace=False)]
+    for _ in range(iterations):
+        dist = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = dist.argmin(axis=1)
+        for c in range(kk):
+            pts = x[assign == c]
+            if len(pts):
+                centers[c] = pts.mean(axis=0)
+    return centers
+
+
 # ---------------------------------------------------------------- PCA
 
 def pca_model(
@@ -174,25 +242,14 @@ def pca_model(
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[list(values)].to_numpy(dtype=float)
-        # canonical row order so the fit is partition-invariant
-        x = x[np.lexsort(x.T[::-1])]
-        mu = x.mean(axis=0)
-        xc = x - mu
+        mu, basis = pca_fit_core(x, k)
         row = {k_: v_ for k_, v_ in zip(keys, key)}
         row["n"] = int(len(x))
         for j, v_ in enumerate(values):
             row[f"mean_{v_}"] = float(mu[j])
-        if len(x) <= k:
-            for c in range(k):
-                for j, v_ in enumerate(values):
-                    row[f"pc_{c}_{v_}"] = 0.0
-        else:
-            # right singular vectors = principal axes; deterministic subspace
-            _, _, vt = np.linalg.svd(xc, full_matrices=False)
-            basis = vt[:k]
-            for c in range(k):
-                for j, v_ in enumerate(values):
-                    row[f"pc_{c}_{v_}"] = float(basis[c, j]) if c < len(basis) else 0.0
+        for c in range(k):
+            for j, v_ in enumerate(values):
+                row[f"pc_{c}_{v_}"] = float(basis[c, j])
         return pd.DataFrame([row])
 
     key_schema = ", ".join(
@@ -230,7 +287,8 @@ def pca_score(
             proj[j] = proj[j] + z * F.col(f"pc_{c}_{v}")
     err = None
     for j in range(len(values)):
-        term = (xc[j] - proj[j]) ** 2
+        diff = xc[j] - proj[j]  # self-multiply: oracle mirrors (d)*(d) exactly
+        term = diff * diff
         err = term if err is None else err + term
     score = F.when(F.col("n") > k, F.sqrt(err)).otherwise(F.lit(0.0))
     out = joined.withColumn(
@@ -273,29 +331,12 @@ def autoencoder_fit(
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[list(values)].to_numpy(dtype=float)
-        x = x[np.lexsort(x.T[::-1])]  # canonical row order
-        n = len(x)
-        mu = x.mean(axis=0)
-        sd = x.std(axis=0)
-        sd_safe = np.where(sd > 0, sd, 1.0)
+        mu, sd, w = ae_fit_core(x, h, epochs, lr, seed)
         row = {k_: v_ for k_, v_ in zip(keys, key)}
-        row["n"] = int(n)
+        row["n"] = int(len(x))
         for j, v_ in enumerate(values):
             row[f"mean_{v_}"] = float(mu[j])
             row[f"std_{v_}"] = float(sd[j])
-        if n <= h:
-            w = np.zeros((h, d))
-        else:
-            xs = (x - mu) / sd_safe
-            rng = np.random.RandomState(seed)
-            w = rng.normal(scale=0.1, size=(h, d))
-            inv_n = 1.0 / n
-            for _ in range(int(epochs)):
-                z = xs @ w.T                      # (n, h)
-                xh = z @ w                        # (n, d)
-                e = (xh - xs) * (2.0 * inv_n)     # dL/dx̂ for L = mean ‖x̂-xs‖²
-                grad = z.T @ e + (e @ w.T).T @ xs
-                w -= lr * grad
         for c in range(h):
             for j, v_ in enumerate(values):
                 row[f"w_{c}_{v_}"] = float(w[c, j])
@@ -341,7 +382,8 @@ def autoencoder_score(
             recon[j] = recon[j] + z * F.col(f"w_{c}_{v}")
     err = None
     for j in range(len(values)):
-        term = (xs[j] - recon[j]) ** 2
+        diff = xs[j] - recon[j]  # self-multiply: oracle mirrors (d)*(d) exactly
+        term = diff * diff
         err = term if err is None else err + term
     score = F.when(F.col("n") > h, F.sqrt(err)).otherwise(F.lit(0.0))
     out = joined.withColumn(
@@ -383,21 +425,9 @@ def kmeans_model(
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[list(values)].to_numpy(dtype=float)
-        # canonical row order: group rows arrive in partition order, so the
-        # index-based subsample would otherwise change under repartitioning
-        x = x[np.lexsort(x.T[::-1])]
-        rng = np.random.RandomState(seed)
-        kk = min(n_clusters, len(x))
-        centers = x[rng.choice(len(x), size=kk, replace=False)]
-        for _ in range(iterations):
-            dist = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = dist.argmin(axis=1)
-            for c in range(kk):
-                pts = x[assign == c]
-                if len(pts):
-                    centers[c] = pts.mean(axis=0)
+        centers = kmeans_fit_core(x, n_clusters, iterations, seed)
         rows = []
-        for c in range(kk):
+        for c in range(len(centers)):
             row = {k_: v_ for k_, v_ in zip(keys, key)}
             row["cluster_id"] = c
             for j, v_ in enumerate(values):
@@ -453,7 +483,11 @@ def _unrolled_nearest(values: Sequence[str], max_k: int):
         c = F.get(F.col("_cents"), i)
         d = None
         for v in values:
-            term = (F.col(v) - c[v]) ** 2
+            # explicit self-multiplication, not **2: Math.pow(x, 2.0) is not
+            # IEEE-guaranteed to equal x*x, and the DuckDB oracle mirrors
+            # this expression term-for-term as (x-c)*(x-c)
+            diff = F.col(v) - c[v]
+            term = diff * diff
             d = term if d is None else d + term
         d2s.append(d)
     m = F.least(*d2s) if len(d2s) > 1 else d2s[0]
@@ -581,6 +615,21 @@ def _path_len_vec(tree: dict, x: np.ndarray) -> np.ndarray:
     return out
 
 
+def iforest_fit_core(
+    x: np.ndarray, num_trees: int, subsample: int, seed: int, max_depth: int
+) -> list[tuple[dict, int]]:
+    """[(tree, sample_n)] per tree — shared by the applyInPandas fit and the
+    model-baked oracle builder (one RandomState consumed sequentially across
+    trees: bootstrap choice, then split draws)."""
+    x = _canonical(x)
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(num_trees):
+        idx = rng.choice(len(x), size=min(subsample, len(x)), replace=False)
+        out.append((_grow_tree(x[idx], rng, max_depth), int(len(idx))))
+    return out
+
+
 def isolation_forest_fit(
     df: DataFrame,
     keys: Sequence[str],
@@ -610,18 +659,14 @@ def isolation_forest_fit(
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[list(values)].to_numpy(dtype=float)
-        # canonical row order: group rows arrive in partition order, so the
-        # index-based subsample would otherwise change under repartitioning
-        x = x[np.lexsort(x.T[::-1])]
-        rng = np.random.RandomState(seed)
         rows = []
-        for t in range(num_trees):
-            idx = rng.choice(len(x), size=min(subsample, len(x)), replace=False)
-            tree = _grow_tree(x[idx], rng, max_depth)
+        for t, (tree, n_s) in enumerate(
+            iforest_fit_core(x, num_trees, subsample, seed, max_depth)
+        ):
             row = {k_: v_ for k_, v_ in zip(keys, key)}
             row["tree_id"] = t
             row["tree_json"] = json.dumps(tree)
-            row["sample_n"] = int(len(idx))
+            row["sample_n"] = n_s
             rows.append(row)
         return pd.DataFrame(rows)
 

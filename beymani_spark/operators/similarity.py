@@ -212,6 +212,47 @@ def ann_lsh_topk(
     )
 
 
+def ivf_fit_core(x: "np.ndarray", n_cells: int, iterations: int, seed: int):
+    """Spherical k-means centers over rows already in canonical (hash)
+    order — shared by the Spark fit task and the model-baked oracle builder
+    so both produce bit-identical centroids."""
+    import numpy as np
+
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0][:, None]
+    rng = np.random.RandomState(seed)
+    kk = min(n_cells, len(x))
+    centers = x[rng.choice(len(x), size=kk, replace=False)]
+    for _ in range(iterations):
+        # spherical k-means: assign by max dot, re-center + renormalize
+        assign = (x @ centers.T).argmax(axis=1)
+        for c in range(kk):
+            pts = x[assign == c]
+            if len(pts):
+                m = pts.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    centers[c] = m / nm
+    return centers
+
+
+def ivf_assign_core(v: "np.ndarray", cents: "np.ndarray", top: int):
+    """Cell assignment by max cosine against the centroid matrix: argmax
+    (top=1) or the ``top`` best cells ordered best-first. Shared by the
+    Spark assigner and the oracle builder."""
+    import numpy as np
+
+    nm = np.linalg.norm(v, axis=1)
+    nm[nm == 0] = 1.0
+    sims = (v / nm[:, None]) @ cents.T
+    if top == 1:
+        return sims.argmax(axis=1).astype("int32")
+    t = min(top, sims.shape[1])
+    idx = np.argpartition(-sims, t - 1, axis=1)[:, :t]
+    row = np.take_along_axis(sims, idx, axis=1).argsort(axis=1)[:, ::-1]
+    return np.take_along_axis(idx, row, axis=1).astype("int32")
+
+
 def ivf_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -248,12 +289,17 @@ def ivf_topk(
     n = df.count()
     frac_denom = 1_000_000
     keep = min(frac_denom, int(presample * frac_denom / max(n, 1)))
+    # _ho: full 64-bit hash of the RAW float array (not a string cast — the
+    # array hash is replicable off-Spark via functions.sparkhash for the
+    # model-baked oracle, and Java float-to-string formatting never enters
+    # the picture). Ordering by the full hash rather than the mod-1e6
+    # residue makes the canonical fit order collision-free in practice, so
+    # the fit is partition-invariant even when two pool rows share a
+    # residue.
     pool = (
         df.select(F.col(vec_col).alias("_v"))
-        .withColumn(
-            "_hv",
-            F.pmod(F.xxhash64(F.col("_v").cast("string"), F.lit(seed)), F.lit(frac_denom)),
-        )
+        .withColumn("_ho", F.xxhash64(F.col("_v"), F.lit(seed)))
+        .withColumn("_hv", F.pmod(F.col("_ho"), F.lit(frac_denom)))
         .filter(F.col("_hv") < keep)
     )
 
@@ -262,24 +308,10 @@ def ivf_topk(
         import pandas as pd
 
         x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-        x = x[np.argsort(pdf["_hv"].to_numpy(), kind="stable")]  # canonical order
-        norms = np.linalg.norm(x, axis=1)
-        x = x[norms > 0] / norms[norms > 0][:, None]
-        rng = np.random.RandomState(seed)
-        kk = min(n_cells, len(x))
-        centers = x[rng.choice(len(x), size=kk, replace=False)]
-        for _ in range(iterations):
-            # spherical k-means: assign by max dot, re-center + renormalize
-            assign = (x @ centers.T).argmax(axis=1)
-            for c in range(kk):
-                pts = x[assign == c]
-                if len(pts):
-                    m = pts.mean(axis=0)
-                    nm = np.linalg.norm(m)
-                    if nm > 0:
-                        centers[c] = m / nm
+        x = x[np.argsort(pdf["_ho"].to_numpy(), kind="stable")]  # canonical order
+        centers = ivf_fit_core(x, n_cells, iterations, seed)
         return pd.DataFrame(
-            {"cell_id": range(kk), "centroid": [c.tolist() for c in centers]}
+            {"cell_id": range(len(centers)), "centroid": [c.tolist() for c in centers]}
         )
 
     cent_rows = (
@@ -301,7 +333,7 @@ def ivf_topk(
             def gen(batches):
                 import numpy as np
 
-                c = bc.value.T  # (dim, n_cells)
+                c = bc.value
                 for pdf in batches:
                     out = pdf.copy()
                     if not len(pdf):
@@ -309,17 +341,8 @@ def ivf_topk(
                         yield out
                         continue
                     v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-                    nm = np.linalg.norm(v, axis=1)
-                    nm[nm == 0] = 1.0
-                    sims = (v / nm[:, None]) @ c
-                    if top == 1:
-                        out[out_name] = sims.argmax(axis=1).astype("int32")
-                    else:
-                        t = min(top, sims.shape[1])
-                        idx = np.argpartition(-sims, t - 1, axis=1)[:, :t]
-                        # order probes best-first for readability (not required)
-                        row = np.take_along_axis(sims, idx, axis=1).argsort(axis=1)[:, ::-1]
-                        out[out_name] = list(np.take_along_axis(idx, row, axis=1).astype("int32"))
+                    assigned = ivf_assign_core(v, c, top)
+                    out[out_name] = assigned if top == 1 else list(assigned)
                     yield out
 
             return gen, schema

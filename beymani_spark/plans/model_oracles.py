@@ -1,0 +1,376 @@
+"""Model-baked DuckDB oracles for the seeded-fit detectors.
+
+The fits (k-means, PCA, linear AE, isolation forest, IVF quantizer) are
+deterministic but not SQL-expressible, so a static oracle string can't
+verify them. These builders close the gap: for a given sf_dir they
+
+1. rebuild the EXACT fit pool Spark's hash_presample selects (via the
+   pure-Python xxhash64 replica in functions/sparkhash.py — bit-parity
+   pinned by tests/test_sparkhash.py),
+2. run the SAME numpy fit core the Spark applyInPandas task runs
+   (operators/multivariate.py pca_fit_core / ae_fit_core / kmeans_fit_core /
+   iforest_fit_core, operators/similarity.py ivf_fit_core), producing a
+   bit-identical model, and
+3. bake that model into a DuckDB SQL statement that mirrors the Spark
+   scoring expression term-for-term (same operation order, self-multiplied
+   squares, repr() round-trip-exact double literals).
+
+The SCORING half of each detector — the deterministic part given a model,
+cf. reference multi/IsolationForestPredictor.scala:108-154,
+cluster/ClusterBasedPredictor.scala:88-103,
+pc/PrincipalComponentPredictor.scala:76-92 — is therefore hash-verified
+end-to-end; only the fit itself relies on the shared-code argument. Each
+oracle is registered as a callable (sf_dir) -> SQL and resolved by
+Query.oracle_sql() at the driver's sf0.01 (or the test fixture's sf).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from ..functions.sparkhash import pmod, spark_xxhash64
+from ..operators.multivariate import (
+    _c_factor,
+    ae_fit_core,
+    iforest_fit_core,
+    kmeans_fit_core,
+    pca_fit_core,
+)
+
+_DENOM = 1_000_000
+
+
+def _read(sf_dir: str, table: str, cols: list[str]):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT {', '.join(cols)} FROM read_parquet('{sf_dir}/{table}.parquet')"
+    ).df()
+
+
+def _lit(x: float) -> str:
+    """Round-trip-exact double literal. The trailing exponent forces DuckDB
+    to type it DOUBLE — a bare decimal literal becomes DECIMAL, whose
+    fixed-point addition overflows on long sums (the isolation-forest path
+    chains) and whose arithmetic semantics differ from IEEE."""
+    x = float(x)
+    if not np.isfinite(x):
+        raise ValueError(f"non-finite model literal: {x}")
+    r = repr(x)
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def _presample(pdf, values: list[str], target: int, seed: int) -> np.ndarray:
+    """Boolean keep-mask replicating hash_presample over one key's rows:
+    pmod(xxhash64(values..., seed), 1e6) * n < target * 1e6."""
+    n = len(pdf)
+    cols = [pdf[v].to_numpy() for v in values]
+    mask = np.empty(n, dtype=bool)
+    for i in range(n):
+        h = spark_xxhash64(
+            [("double", c[i]) for c in cols] + [("int", int(seed))]
+        )
+        mask[i] = pmod(h, _DENOM) * n < target * _DENOM
+    return mask
+
+
+# ------------------------------------------------------------------ k-means
+
+_KM_KEY = "l_returnflag"
+_KM_VALUES = ["l_quantity", "l_extendedprice"]
+
+
+@lru_cache(maxsize=4)
+def kmeans_oracle(sf_dir: str) -> str:
+    """ClusterBasedPredictor scoring oracle: distance to the nearest LARGE
+    centroid, with centroids/sizes from the shared seeded Lloyd fit
+    (query params: k=4, iters=20, seed=42, presample=8192,
+    min_cluster_fraction=0.05, threshold=10000)."""
+    pdf = _read(sf_dir, "lineitem", [_KM_KEY, *_KM_VALUES])
+    branches = []
+    for key in sorted(pdf[_KM_KEY].unique()):
+        sub = pdf[pdf[_KM_KEY] == key]
+        kept = sub[_presample(sub, _KM_VALUES, 8192, 42)]
+        centers = kmeans_fit_core(
+            kept[_KM_VALUES].to_numpy(dtype=float), 4, 20, 42
+        )
+        # full-data sizes, mirroring _assign_nearest: self-multiplied
+        # squared distance, left-to-right sum, first-index argmin
+        x = sub[_KM_VALUES].to_numpy(dtype=float)
+        d2 = np.stack(
+            [
+                (x[:, 0] - c[0]) * (x[:, 0] - c[0])
+                + (x[:, 1] - c[1]) * (x[:, 1] - c[1])
+                for c in centers
+            ],
+            axis=1,
+        )
+        sizes = np.bincount(d2.argmin(axis=1), minlength=len(centers))
+        total = int(sizes.sum())
+        exprs = []
+        for cid in range(len(centers)):
+            if sizes[cid] >= total * 0.05:
+                cq, cp = centers[cid]
+                exprs.append(
+                    f"({_KM_VALUES[0]} - ({_lit(cq)})) * ({_KM_VALUES[0]} - ({_lit(cq)}))"
+                    f" + ({_KM_VALUES[1]} - ({_lit(cp)})) * ({_KM_VALUES[1]} - ({_lit(cp)}))"
+                )
+        d2_sql = exprs[0] if len(exprs) == 1 else "least(" + ", ".join(exprs) + ")"
+        branches.append(f"WHEN '{key}' THEN {d2_sql}")
+    case = f"CASE {_KM_KEY} " + " ".join(branches) + " END"
+    return f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, {_KM_KEY}, sqrt({case}) AS sc
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, {_KM_KEY},
+       round(sc, 6) AS score,
+       CASE WHEN sc > 10000.0 THEN 'O' ELSE 'N' END AS label
+FROM s
+"""
+
+
+# ------------------------------------------------------------------ PCA
+
+_PCA_VALUES = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@lru_cache(maxsize=4)
+def pca_oracle(sf_dir: str) -> str:
+    """PrincipalComponentPredictor scoring oracle: reconstruction error
+    against the shared SVD fit (k=1, seed=42, presample=8192,
+    threshold=3.0). Expression order mirrors pca_score exactly."""
+    pdf = _read(sf_dir, "lineitem", [_KM_KEY, *_PCA_VALUES])
+    rows = []
+    for key in sorted(pdf[_KM_KEY].unique()):
+        sub = pdf[pdf[_KM_KEY] == key]
+        kept = sub[_presample(sub, _PCA_VALUES, 8192, 42)]
+        x = kept[_PCA_VALUES].to_numpy(dtype=float)
+        mu, basis = pca_fit_core(x, 1)
+        rows.append(
+            f"('{key}', {len(x)}, "
+            + ", ".join(_lit(m) for m in mu)
+            + ", "
+            + ", ".join(_lit(b) for b in basis[0])
+            + ")"
+        )
+    model = ",\n         ".join(rows)
+    v0, v1, v2 = _PCA_VALUES
+    return f"""
+WITH m(l_returnflag, n, m0, m1, m2, p0, p1, p2) AS (
+  VALUES {model}
+), s1 AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, m.n,
+         m.p0, m.p1, m.p2,
+         (l.{v0} - m.m0) AS xc0, (l.{v1} - m.m1) AS xc1, (l.{v2} - m.m2) AS xc2
+  FROM lineitem l JOIN m USING (l_returnflag)
+), s2 AS (
+  SELECT *, (xc0 * p0 + xc1 * p1 + xc2 * p2) AS z FROM s1
+), s3 AS (
+  SELECT *, (0.0 + z * p0) AS pr0, (0.0 + z * p1) AS pr1, (0.0 + z * p2) AS pr2
+  FROM s2
+), s4 AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CASE WHEN n > 1
+              THEN sqrt((xc0 - pr0) * (xc0 - pr0)
+                      + (xc1 - pr1) * (xc1 - pr1)
+                      + (xc2 - pr2) * (xc2 - pr2))
+              ELSE 0.0 END AS sc
+  FROM s3
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round(sc, 6) AS score,
+       CASE WHEN sc > 3.0 THEN 'O' ELSE 'N' END AS label
+FROM s4
+"""
+
+
+# ------------------------------------------------------------------ autoencoder
+
+@lru_cache(maxsize=4)
+def autoencoder_oracle(sf_dir: str) -> str:
+    """Linear tied-weight AE scoring oracle: standardized reconstruction
+    error against the shared gradient-descent fit (hidden=2, epochs=200,
+    lr=0.05, seed=42, presample=8192, threshold=3.0)."""
+    pdf = _read(sf_dir, "lineitem", [_KM_KEY, *_PCA_VALUES])
+    rows = []
+    for key in sorted(pdf[_KM_KEY].unique()):
+        sub = pdf[pdf[_KM_KEY] == key]
+        kept = sub[_presample(sub, _PCA_VALUES, 8192, 42)]
+        x = kept[_PCA_VALUES].to_numpy(dtype=float)
+        mu, sd, w = ae_fit_core(x, 2, 200, 0.05, 42)
+        rows.append(
+            f"('{key}', {len(x)}, "
+            + ", ".join(_lit(m) for m in mu)
+            + ", "
+            + ", ".join(_lit(s) for s in sd)
+            + ", "
+            + ", ".join(_lit(w[c, j]) for c in range(2) for j in range(3))
+            + ")"
+        )
+    model = ",\n         ".join(rows)
+    v0, v1, v2 = _PCA_VALUES
+    xs = [
+        f"CASE WHEN s{j} > 0 THEN (l.{v} - m{j}) / s{j} ELSE 0.0 END"
+        for j, v in enumerate(_PCA_VALUES)
+    ]
+    return f"""
+WITH m(l_returnflag, n, m0, m1, m2, s0, s1, s2,
+       w00, w01, w02, w10, w11, w12) AS (
+  VALUES {model}
+), t1 AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, m.n,
+         m.w00, m.w01, m.w02, m.w10, m.w11, m.w12,
+         {xs[0]} AS x0, {xs[1]} AS x1, {xs[2]} AS x2
+  FROM lineitem l JOIN m USING (l_returnflag)
+), t2 AS (
+  SELECT *, (x0 * w00 + x1 * w01 + x2 * w02) AS z0,
+            (x0 * w10 + x1 * w11 + x2 * w12) AS z1
+  FROM t1
+), t3 AS (
+  SELECT *, (0.0 + z0 * w00 + z1 * w10) AS r0,
+            (0.0 + z0 * w01 + z1 * w11) AS r1,
+            (0.0 + z0 * w02 + z1 * w12) AS r2
+  FROM t2
+), t4 AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CASE WHEN n > 2
+              THEN sqrt((x0 - r0) * (x0 - r0)
+                      + (x1 - r1) * (x1 - r1)
+                      + (x2 - r2) * (x2 - r2))
+              ELSE 0.0 END AS sc
+  FROM t3
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round(sc, 6) AS score,
+       CASE WHEN sc > 3.0 THEN 'O' ELSE 'N' END AS label
+FROM t4
+"""
+
+
+# ------------------------------------------------------------------ isolation forest
+
+def _tree_sql(node: dict, depth: int, cols: list[str]) -> str:
+    """Nested-CASE path length for one tree: identical traversal semantics
+    to _path_len_vec (x[attr] < split goes left; leaf = depth + c(n))."""
+    if "a" not in node:
+        return _lit(depth + _c_factor(node.get("n", 1)))
+    return (
+        f"CASE WHEN {cols[node['a']]} < {_lit(node['s'])}"
+        f" THEN {_tree_sql(node['l'], depth + 1, cols)}"
+        f" ELSE {_tree_sql(node['r'], depth + 1, cols)} END"
+    )
+
+
+@lru_cache(maxsize=4)
+def iforest_oracle(sf_dir: str) -> str:
+    """IsolationForestPredictor scoring oracle: per-row path lengths through
+    every baked tree, score = 2^(-avg/c(sample_n)) (num_trees=50,
+    subsample=128, seed=42, presample=16*128, threshold=0.6). The per-tree
+    sums are written left-to-right to match the sequential numpy
+    accumulation in isolation_forest_score."""
+    import math
+
+    values = _PCA_VALUES
+    max_depth = int(math.ceil(math.log2(128)))
+    pdf = _read(sf_dir, "lineitem", [_KM_KEY, *values])
+    branches = []
+    for key in sorted(pdf[_KM_KEY].unique()):
+        sub = pdf[pdf[_KM_KEY] == key]
+        kept = sub[_presample(sub, values, 16 * 128, 42)]
+        x = kept[values].to_numpy(dtype=float)
+        trees = iforest_fit_core(x, 50, 128, 42, max_depth)
+        n_s = trees[0][1]
+        paths = " + ".join(f"({_tree_sql(t, 0, list(values))})" for t, _ in trees)
+        sc = f"pow(2.0, (-(({paths}) / 50.0)) / {_lit(_c_factor(n_s))})"
+        branches.append(f"WHEN '{key}' THEN {sc}")
+    case = f"CASE {_KM_KEY} " + " ".join(branches) + " END"
+    return f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, {_KM_KEY}, {case} AS sc
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, {_KM_KEY},
+       round(sc, 6) AS score,
+       CASE WHEN sc > 0.6 THEN 'O' ELSE 'N' END AS label
+FROM s
+"""
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+
+@lru_cache(maxsize=4)
+def ivf_oracle(sf_dir: str) -> str:
+    """IVF top-k oracle: the quantizer model (inverted lists + per-query
+    probe cells) is rebuilt with the shared fit/assign cores and baked as
+    VALUES tables; the candidate join, exact cosine, and top-k ranking —
+    the Spark job's SQL half — are verified in DuckDB
+    (k=5, n_cells=16, nprobe=4, iterations=10, seed=42, presample=4096,
+    queries = vec_id < 10)."""
+    from ..operators.similarity import ivf_assign_core, ivf_fit_core
+
+    pdf = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = len(pdf)
+    keep = min(_DENOM, int(4096 * _DENOM / max(n, 1)))
+    hos = np.array(
+        [
+            spark_xxhash64([("float_array", list(v)), ("int", 42)])
+            for v in pdf["embedding"]
+        ],
+        dtype=np.int64,
+    )
+    kept_idx = np.where(np.array([pmod(int(h), _DENOM) for h in hos]) < keep)[0]
+    order = kept_idx[np.argsort(hos[kept_idx], kind="stable")]
+    x = np.stack(
+        [np.asarray(pdf["embedding"].iloc[i], dtype=np.float64) for i in order]
+    )
+    centers = ivf_fit_core(x, 16, 10, 42)
+
+    all_v = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    )
+    cells = ivf_assign_core(all_v, centers, 1)
+    ids = pdf["vec_id"].to_numpy()
+    qmask = ids < 10
+    probes = ivf_assign_core(all_v[qmask], centers, 4)
+
+    cell_rows = ", ".join(
+        f"({int(i)}, {int(c)})" for i, c in zip(ids, cells)
+    )
+    probe_rows = ", ".join(
+        f"({int(q)}, {int(c)})"
+        for q, row in zip(ids[qmask], probes)
+        for c in row
+    )
+    cos = _COS.format(a="q.vec", b="b.vec")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), cells(vec_id, cell) AS (VALUES {cell_rows}),
+probes(query_id, cell) AS (VALUES {probe_rows}),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN cells c USING (cell)
+  WHERE c.vec_id <> p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+  FROM cand
+  JOIN v q ON q.vec_id = cand.query_id
+  JOIN v b ON b.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS knn_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, knn_rank
+FROM ranked WHERE knn_rank <= 5
+"""

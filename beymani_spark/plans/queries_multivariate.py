@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators import multivariate, sequence
 from ..sources import load_table
+from .model_oracles import autoencoder_oracle, iforest_oracle, kmeans_oracle, pca_oracle
 from .queries_stats import _round
 from .registry import register
 
@@ -58,7 +59,7 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pca_reconstruction", None)
+@register("pca_reconstruction", pca_oracle)
 def q_pca_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     model = multivariate.pca_model(
@@ -75,7 +76,7 @@ def q_pca_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_cluster_score", None)
+@register("kmeans_cluster_score", kmeans_oracle)
 def q_kmeans_cluster_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"
@@ -93,7 +94,7 @@ def q_kmeans_cluster_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("isolation_forest", None)
+@register("isolation_forest", iforest_oracle)
 def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag",
@@ -112,11 +113,11 @@ def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("autoencoder", None)
+@register("autoencoder", autoencoder_oracle)
 def q_autoencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`auen` detector contract (mvand.py): fit on the data, score every row
-    by standardized reconstruction error. Seeded-deterministic numpy fit ->
-    rows-only (SGD weights are not SQL-expressible)."""
+    by standardized reconstruction error. The seeded numpy fit is rebuilt
+    off-Spark by the model-baked oracle, which hash-verifies the scoring."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag",
         "l_quantity", "l_extendedprice", "l_discount",

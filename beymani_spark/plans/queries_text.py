@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, text
 from ..sources import load_table
+from .model_oracles import ivf_oracle as _ivf_oracle
 from .queries_stats import _round
 from .registry import register
 
@@ -493,10 +494,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, ["cosine"])
 
 
-@register("ann_ivf_topk", None)
+@register("ann_ivf_topk", _ivf_oracle)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN scale path: coarse spherical-kmeans quantizer + nprobe cell
-    scan. Seeded numpy fit -> rows-only."""
+    scan. The quantizer model (inverted lists + probes) is rebuilt by the
+    model-baked oracle; candidate join + cosine + ranking hash-verify."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = similarity.ivf_topk(

@@ -14,7 +14,7 @@ ORACLE_QUERIES = [name for name, q in QUERIES.items() if q.oracle is not None]
 def test_oracle_parity(spark, sf_dir, name):
     q = QUERIES[name]
     spark_df = q.builder(spark, sf_dir)
-    duck_df = duck_run(sf_dir, q.oracle)
+    duck_df = duck_run(sf_dir, q.oracle_sql(sf_dir))
     errs = compare(spark_df, duck_df)
     assert not errs, f"{name}: " + "; ".join(errs)
 
