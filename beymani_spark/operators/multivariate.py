@@ -569,6 +569,213 @@ def kmeans_score(
     )
 
 
+# ----------------------------------------------------- mixed-type k-means
+
+def kmeans_mixed_fit_core(
+    xn: np.ndarray,
+    xc: np.ndarray,
+    n_clusters: int,
+    iterations: int,
+    gamma: float,
+    seed: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Seeded k-prototypes fit over numeric (n,d) + categorical (n,m) rows:
+    distance = Σ ((x_j - c_j)/range_j)² + gamma · Σ 1{cat_j ≠ mode_j} —
+    the schema-driven mixed record distance of the reference's
+    InterRecordDistance usage (ClusterBasedPredictor.scala:45-130; numeric
+    attrs range-normalized so a categorical mismatch is commensurate).
+    Returns (numeric centers, categorical modes, numeric ranges). Modal
+    ties resolve to the lexicographically smallest value; row order is
+    canonicalized so the fit is partition-invariant. Shared with the
+    model-baked oracle builder."""
+    order = sorted(range(len(xn)), key=lambda i: (tuple(xn[i]), tuple(xc[i])))
+    xn, xc = xn[order], xc[order]
+    rng_j = xn.max(axis=0) - xn.min(axis=0)
+    rng_j = np.where(rng_j > 0, rng_j, 1.0)
+    rng = np.random.RandomState(seed)
+    kk = min(n_clusters, len(xn))
+    idx = rng.choice(len(xn), size=kk, replace=False)
+    cn, cc = xn[idx].copy(), xc[idx].copy()
+    for _ in range(iterations):
+        num_d2 = (((xn[:, None, :] - cn[None, :, :]) / rng_j) ** 2).sum(axis=2)
+        cat_d = (xc[:, None, :] != cc[None, :, :]).sum(axis=2)
+        assign = (num_d2 + gamma * cat_d).argmin(axis=1)
+        for c in range(kk):
+            m = assign == c
+            if m.any():
+                cn[c] = xn[m].mean(axis=0)
+                for j in range(xc.shape[1]):
+                    vals, counts = np.unique(xc[m][:, j], return_counts=True)
+                    cc[c, j] = vals[counts.argmax()]  # unique sorts: tie -> smallest
+    return cn, cc, rng_j
+
+
+def kmeans_mixed_model(
+    df: DataFrame,
+    keys: Sequence[str],
+    num_values: Sequence[str],
+    cat_values: Sequence[str],
+    n_clusters: int = 4,
+    iterations: int = 20,
+    gamma: float = 1.0,
+    seed: int = 42,
+    presample: int | None = 8192,
+) -> DataFrame:
+    """Mixed-type cluster model: (keys..., cluster_id, centroid_<v>,
+    range_<v>, centroid_<c>, size). Same scale posture as kmeans_model —
+    hash-presampled bounded fit, eager |keys|·k-row model, full-data
+    codegen size counts."""
+    full = df
+    all_vals = [*num_values, *cat_values]
+    if presample:
+        df = hash_presample(df, keys, all_vals, presample, seed)
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        xn = pdf[list(num_values)].to_numpy(dtype=float)
+        xc = pdf[list(cat_values)].to_numpy(dtype=object)
+        cn, cc, rng_j = kmeans_mixed_fit_core(
+            xn, xc, n_clusters, iterations, gamma, seed
+        )
+        rows = []
+        for c in range(len(cn)):
+            row = {k_: v_ for k_, v_ in zip(keys, key)}
+            row["cluster_id"] = c
+            for j, v_ in enumerate(num_values):
+                row[f"centroid_{v_}"] = float(cn[c, j])
+                row[f"range_{v_}"] = float(rng_j[j])
+            for j, c_ in enumerate(cat_values):
+                row[f"centroid_{c_}"] = str(cc[c, j])
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keys
+    )
+    cent = ", ".join(
+        [f"centroid_{v} double, range_{v} double" for v in num_values]
+        + [f"centroid_{c} string" for c in cat_values]
+    )
+    centroids_df = df.groupBy(*keys).applyInPandas(
+        fit, schema=f"{key_schema}, cluster_id int, {cent}"
+    )
+    centroid_schema = centroids_df.schema
+    centroid_rows = centroids_df.collect()
+    centroids = df.sparkSession.createDataFrame(centroid_rows, centroid_schema)
+    assigned = _assign_nearest_mixed(
+        full, centroids, keys, num_values, cat_values, gamma, int(n_clusters)
+    )
+    size_rows = (
+        assigned.groupBy(*keys, "cluster_id").agg(F.count("*").alias("size")).collect()
+    )
+    size_map = {
+        tuple(r[k] for k in (*keys, "cluster_id")): r["size"] for r in size_rows
+    }
+    model_rows = [
+        {**r.asDict(), "size": size_map.get(tuple(r[k] for k in (*keys, "cluster_id")), 0)}
+        for r in centroid_rows
+    ]
+    return df.sparkSession.createDataFrame(
+        model_rows, centroid_schema.add("size", "long")
+    )
+
+
+def _unrolled_nearest_mixed(
+    num_values: Sequence[str],
+    cat_values: Sequence[str],
+    gamma: float,
+    max_k: int,
+):
+    """Mixed-distance analogue of _unrolled_nearest against a ``_cents``
+    array<struct<cluster_id, v..., rng_v..., c...>> column:
+    d2 = Σ ((x-c)/range)·((x-c)/range) + gamma · Σ (x_c = c_c ? 0 : 1),
+    every square an explicit self-multiplication so the DuckDB oracle can
+    mirror it term-for-term."""
+    d2s = []
+    for i in range(max_k):
+        c = F.get(F.col("_cents"), i)
+        d = None
+        for v in num_values:
+            diff = (F.col(v) - c[v]) / c[f"rng_{v}"]
+            term = diff * diff
+            d = term if d is None else d + term
+        cat = None
+        for cv in cat_values:
+            term = F.when(F.col(cv) == c[cv], F.lit(0.0)).otherwise(F.lit(1.0))
+            cat = term if cat is None else cat + term
+        if cat is not None:
+            d = d + F.lit(float(gamma)) * cat
+        d2s.append(d)
+    m = F.least(*d2s) if len(d2s) > 1 else d2s[0]
+    return d2s, m
+
+
+def _mixed_cent_struct(num_values: Sequence[str], cat_values: Sequence[str]):
+    return F.struct(
+        F.col("cluster_id"),
+        *[F.col(f"centroid_{v}").alias(v) for v in num_values],
+        *[F.col(f"range_{v}").alias(f"rng_{v}") for v in num_values],
+        *[F.col(f"centroid_{c}").alias(c) for c in cat_values],
+    )
+
+
+def _assign_nearest_mixed(
+    df: DataFrame,
+    centroids: DataFrame,
+    keys: Sequence[str],
+    num_values: Sequence[str],
+    cat_values: Sequence[str],
+    gamma: float,
+    max_k: int,
+) -> DataFrame:
+    per_key = centroids.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(_mixed_cent_struct(num_values, cat_values))).alias(
+            "_cents"
+        )
+    )
+    joined = df.join(F.broadcast(per_key), list(keys))
+    d2s, m = _unrolled_nearest_mixed(num_values, cat_values, gamma, max_k)
+    best = None
+    for i, d2 in enumerate(d2s):
+        cid = F.get(F.col("_cents"), i)["cluster_id"]
+        best = F.when(d2 == m, cid) if best is None else best.when(d2 == m, cid)
+    return joined.withColumn("cluster_id", best).drop("_cents")
+
+
+def kmeans_mixed_score(
+    df: DataFrame,
+    model: DataFrame,
+    keys: Sequence[str],
+    num_values: Sequence[str],
+    cat_values: Sequence[str],
+    gamma: float = 1.0,
+    min_cluster_fraction: float = 0.05,
+    threshold: float = 1.0,
+    max_clusters: int | None = None,
+) -> DataFrame:
+    """Mixed-type ClusterBasedPredictor scoring: sqrt of the mixed distance
+    to the nearest LARGE centroid (small clusters are anomaly pockets), as
+    a pure codegen expression over the broadcast model."""
+    total = model.groupBy(*keys).agg(F.sum("size").alias("_total"))
+    large = (
+        model.join(F.broadcast(total), list(keys))
+        .filter(F.col("size") >= F.col("_total") * min_cluster_fraction)
+    )
+    if max_clusters is None:
+        max_clusters = int(model.agg(F.max("cluster_id")).first()[0]) + 1
+    per_key = large.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(_mixed_cent_struct(num_values, cat_values))).alias(
+            "_cents"
+        )
+    )
+    joined = df.join(F.broadcast(per_key), list(keys))
+    _, m = _unrolled_nearest_mixed(num_values, cat_values, gamma, int(max_clusters))
+    return (
+        joined.withColumn("score", F.sqrt(m))
+        .drop("_cents")
+        .withColumn("label", tag_label(F.col("score"), threshold))
+    )
+
+
 # ---------------------------------------------------------------- Isolation forest
 
 def _c_factor(n: int) -> float:

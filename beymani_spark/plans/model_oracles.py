@@ -61,15 +61,20 @@ def _lit(x: float) -> str:
     return r if "e" in r or "E" in r else r + "e0"
 
 
-def _presample(pdf, values: list[str], target: int, seed: int) -> np.ndarray:
+def _presample(
+    pdf, values: list[str], target: int, seed: int, types: list[str] | None = None
+) -> np.ndarray:
     """Boolean keep-mask replicating hash_presample over one key's rows:
-    pmod(xxhash64(values..., seed), 1e6) * n < target * 1e6."""
+    pmod(xxhash64(values..., seed), 1e6) * n < target * 1e6. ``types``
+    gives each column's Spark hash type (default: all double)."""
     n = len(pdf)
+    if types is None:
+        types = ["double"] * len(values)
     cols = [pdf[v].to_numpy() for v in values]
     mask = np.empty(n, dtype=bool)
     for i in range(n):
         h = spark_xxhash64(
-            [("double", c[i]) for c in cols] + [("int", int(seed))]
+            [(t, c[i]) for t, c in zip(types, cols)] + [("int", int(seed))]
         )
         mask[i] = pmod(h, _DENOM) * n < target * _DENOM
     return mask
@@ -127,6 +132,81 @@ WITH s AS (
 SELECT l_orderkey, l_linenumber, {_KM_KEY},
        round(sc, 6) AS score,
        CASE WHEN sc > 10000.0 THEN 'O' ELSE 'N' END AS label
+FROM s
+"""
+
+
+# ----------------------------------------------------- mixed-type k-means
+
+_KMM_CAT = ["l_linestatus"]
+
+
+@lru_cache(maxsize=4)
+def kmeans_mixed_oracle(sf_dir: str) -> str:
+    """Mixed-type ClusterBasedPredictor scoring oracle: range-normalized
+    numeric + 0/1 categorical distance to the nearest large centroid, model
+    from the shared k-prototypes fit (k=4, iters=20, gamma=1.0, seed=42,
+    presample=8192, min_cluster_fraction=0.05, threshold=0.6)."""
+    from ..operators.multivariate import kmeans_mixed_fit_core
+
+    pdf = _read(sf_dir, "lineitem", [_KM_KEY, *_KM_VALUES, *_KMM_CAT])
+    branches = []
+    for key in sorted(pdf[_KM_KEY].unique()):
+        sub = pdf[pdf[_KM_KEY] == key]
+        kept = sub[
+            _presample(
+                sub,
+                [*_KM_VALUES, *_KMM_CAT],
+                8192,
+                42,
+                types=["double", "double", "string"],
+            )
+        ]
+        cn, cc, rng_j = kmeans_mixed_fit_core(
+            kept[_KM_VALUES].to_numpy(dtype=float),
+            kept[_KMM_CAT].to_numpy(dtype=object),
+            4, 20, 1.0, 42,
+        )
+        # full-data sizes, mirroring _assign_nearest_mixed term-for-term
+        xn = sub[_KM_VALUES].to_numpy(dtype=float)
+        xc = sub[_KMM_CAT].to_numpy(dtype=object)
+        d2 = np.stack(
+            [
+                ((xn[:, 0] - cn[c, 0]) / rng_j[0]) * ((xn[:, 0] - cn[c, 0]) / rng_j[0])
+                + ((xn[:, 1] - cn[c, 1]) / rng_j[1]) * ((xn[:, 1] - cn[c, 1]) / rng_j[1])
+                + 1.0 * np.where(xc[:, 0] == cc[c, 0], 0.0, 1.0)
+                for c in range(len(cn))
+            ],
+            axis=1,
+        )
+        sizes = np.bincount(d2.argmin(axis=1), minlength=len(cn))
+        total = int(sizes.sum())
+        exprs = []
+        for cid in range(len(cn)):
+            if sizes[cid] >= total * 0.05:
+                terms = []
+                for j, v in enumerate(_KM_VALUES):
+                    d = f"(({v} - ({_lit(cn[cid, j])})) / {_lit(rng_j[j])})"
+                    terms.append(f"{d} * {d}")
+                cat = (
+                    f"(CASE WHEN {_KMM_CAT[0]} = '{cc[cid, 0]}'"
+                    " THEN 0.0 ELSE 1.0 END)"
+                )
+                exprs.append(" + ".join(terms) + f" + 1.0 * {cat}")
+        d2_sql = (
+            f"({exprs[0]})" if len(exprs) == 1
+            else "least(" + ", ".join(f"({e})" for e in exprs) + ")"
+        )
+        branches.append(f"WHEN '{key}' THEN {d2_sql}")
+    case = f"CASE {_KM_KEY} " + " ".join(branches) + " END"
+    return f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, {_KM_KEY}, sqrt({case}) AS sc
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, {_KM_KEY},
+       round(sc, 6) AS score,
+       CASE WHEN sc > 0.6 THEN 'O' ELSE 'N' END AS label
 FROM s
 """
 

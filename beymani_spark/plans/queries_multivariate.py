@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 from ..operators import multivariate, sequence
 from ..sources import load_table
-from .model_oracles import autoencoder_oracle, iforest_oracle, kmeans_oracle, pca_oracle
+from .model_oracles import (
+    autoencoder_oracle,
+    iforest_oracle,
+    kmeans_mixed_oracle,
+    kmeans_oracle,
+    pca_oracle,
+)
 from .queries_stats import _round
 from .registry import register
 
@@ -87,6 +93,29 @@ def q_kmeans_cluster_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = multivariate.kmeans_score(
         li, model, ["l_returnflag"], ["l_quantity", "l_extendedprice"],
         threshold=10000.0, max_clusters=4,
+    )
+    return _round(
+        out.select("l_orderkey", "l_linenumber", "l_returnflag", "score", "label"),
+        ["score"],
+    )
+
+
+@register("kmeans_mixed", kmeans_mixed_oracle)
+def q_kmeans_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-type ClusterBasedPredictor (reference InterRecordDistance
+    semantics, ClusterBasedPredictor.scala:45-130): range-normalized
+    numeric attrs + 0/1 categorical attr in one k-prototypes model."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity", "l_extendedprice", "l_linestatus",
+    )
+    num, cat = ["l_quantity", "l_extendedprice"], ["l_linestatus"]
+    model = multivariate.kmeans_mixed_model(
+        li, ["l_returnflag"], num, cat, n_clusters=4, gamma=1.0, seed=42
+    )
+    out = multivariate.kmeans_mixed_score(
+        li, model, ["l_returnflag"], num, cat,
+        gamma=1.0, threshold=0.6, max_clusters=4,
     )
     return _round(
         out.select("l_orderkey", "l_linenumber", "l_returnflag", "score", "label"),

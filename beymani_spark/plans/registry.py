@@ -68,6 +68,7 @@ _PRIORITY = [
     # newly model-baked oracles (this round's headline correctness work)
     "isolation_forest",
     "kmeans_cluster_score",
+    "kmeans_mixed",
     "pca_reconstruction",
     "autoencoder",
     "ann_ivf_topk",

@@ -450,3 +450,76 @@ def test_subsequence_distance_threshold_emits_label(spark):
         sdf, sdf, ["key"], "ts", "value", window=16, threshold=0.5
     ).toPandas()
     assert "label" in ref.columns
+
+
+def test_kmeans_mixed_far_point_and_categorical_penalty(spark):
+    """Mixed-type cluster scoring: a numeric far point tops the scores, and
+    a categorical mismatch alone raises the score by exactly gamma inside
+    the squared distance."""
+    rng = np.random.RandomState(9)
+    a = rng.normal(0, 0.5, (100, 2))
+    b = rng.normal(10, 0.5, (100, 2))
+    pts = np.vstack([a, b, [[60.0, 60.0]]])
+    cats = ["red"] * 100 + ["blue"] * 100 + ["red"]
+    pdf = pd.DataFrame(
+        {
+            "key": "k",
+            "pid": range(len(pts)),
+            "x": pts[:, 0],
+            "y": pts[:, 1],
+            "color": cats,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    model = multivariate.kmeans_mixed_model(
+        df, ["key"], ["x", "y"], ["color"], n_clusters=2, gamma=1.0, seed=42
+    )
+    out = multivariate.kmeans_mixed_score(
+        df, model, ["key"], ["x", "y"], ["color"],
+        gamma=1.0, min_cluster_fraction=0.05, threshold=1.2,
+    ).toPandas()
+    top = out.sort_values("score", ascending=False).iloc[0]
+    assert top.pid == 200 and top.label == "O"
+
+    # categorical-only probe: two rows at the same numeric point, one with
+    # the cluster's modal color and one off-mode -> d2 differs by gamma
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["k", "k"],
+                "pid": [900, 901],
+                "x": [0.0, 0.0],
+                "y": [0.0, 0.0],
+                "color": ["red", "green"],
+            }
+        )
+    )
+    scored = multivariate.kmeans_mixed_score(
+        probe, model, ["key"], ["x", "y"], ["color"], gamma=1.0
+    ).toPandas().set_index("pid")
+    d2_match = scored.loc[900, "score"] ** 2
+    d2_miss = scored.loc[901, "score"] ** 2
+    assert abs((d2_miss - d2_match) - 1.0) < 1e-9
+
+
+def test_kmeans_mixed_fit_partition_invariant(spark):
+    """The canonical-order fit must give the same model under any input
+    partitioning."""
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "key": "k",
+            "x": rng.normal(0, 1, 150),
+            "y": rng.normal(5, 2, 150),
+            "color": [["a", "b", "c"][i % 3] for i in range(150)],
+        }
+    )
+    df1 = spark.createDataFrame(pdf).repartition(1)
+    df8 = spark.createDataFrame(pdf).repartition(8)
+    m1 = multivariate.kmeans_mixed_model(
+        df1, ["key"], ["x", "y"], ["color"], n_clusters=3, seed=1
+    ).toPandas().sort_values("cluster_id", ignore_index=True)
+    m8 = multivariate.kmeans_mixed_model(
+        df8, ["key"], ["x", "y"], ["color"], n_clusters=3, seed=1
+    ).toPandas().sort_values("cluster_id", ignore_index=True)
+    pd.testing.assert_frame_equal(m1, m8)
