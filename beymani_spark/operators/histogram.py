@@ -69,14 +69,31 @@ def multivariate_histogram(
     df: DataFrame,
     keys: Sequence[str],
     spec: Sequence[tuple[str, float | None]],
+    member_id: str | None = None,
 ) -> DataFrame:
-    """Keyed multivariate histogram; bucket = ':'-joined per-field buckets."""
+    """Keyed multivariate histogram; bucket = ':'-joined per-field buckets.
+
+    ``member_id``: the MR MultiVariateDistribution id-list output mode
+    (/root/reference/src/main/java/org/beymani/dist/MultiVariateDistribution
+    .java:38-120) — adds ``member_ids``, the bucket's record ids as one
+    sorted comma-joined string (sorted for run determinism; a string, like
+    the reference's delimited text line, so engines format it identically).
+    Scale note: a bucket's id list is proportional to its count — use only
+    on bounded-cardinality specs, the count/rel_freq mode is the 100 TB
+    path."""
     bucket = F.concat_ws(
         ":", *[bucket_col(c, w).cast("string") for c, w in spec]
     ).alias("bucket")
-    cnt = df.select(*keys, bucket).groupBy(*keys, "bucket").agg(
-        F.count("*").alias("cnt")
-    )
+    aggs = [F.count("*").alias("cnt")]
+    cols = [*keys, bucket]
+    if member_id is not None:
+        cols.append(F.col(member_id).cast("string").alias("_mid"))
+        aggs.append(
+            F.array_join(F.sort_array(F.collect_list("_mid")), ",").alias(
+                "member_ids"
+            )
+        )
+    cnt = df.select(*cols).groupBy(*keys, "bucket").agg(*aggs)
     wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
     return cnt.withColumn("rel_freq", F.col("cnt") / F.sum("cnt").over(wk))
 

@@ -135,6 +135,45 @@ def q_multivariate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, ["rel_freq"])
 
 
+_MV_MEMBERS_ORACLE = f"""
+WITH b AS (
+  SELECT l_returnflag, {_MV_SPEC_SQL} AS bucket,
+         concat_ws('-', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                   CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR)) AS rid
+  FROM lineitem
+), hcnt AS (
+  SELECT l_returnflag, bucket, count(*) AS cnt,
+         string_agg(rid, ',' ORDER BY rid) AS member_ids
+  FROM b GROUP BY l_returnflag, bucket
+)
+SELECT l_returnflag, bucket, cnt, member_ids,
+       round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY l_returnflag), 6) AS rel_freq
+FROM hcnt
+"""
+
+
+@register("multivariate_histogram_members", _MV_MEMBERS_ORACLE)
+def q_multivariate_histogram_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR MultiVariateDistribution id-list output mode (the reference's
+    member-emitting branch): each bucket also carries its sorted record-id
+    list. The record id is the unique composite
+    orderkey-linenumber-partkey-suppkey ((orderkey, linenumber) alone is
+    not unique in the synthetic fixture)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_rid",
+        F.concat_ws(
+            "-", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        ),
+    )
+    out = histogram.multivariate_histogram(
+        li, ["l_returnflag"], _MV_SPEC, member_id="_rid"
+    )
+    return _round(
+        out.select("l_returnflag", "bucket", "cnt", "member_ids", "rel_freq"),
+        ["rel_freq"],
+    )
+
+
 _EST_PROB_ORACLE = _MV_HIST_CTE + f"""
 SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
        round(1.0 - coalesce(h.rel_freq, 0.0), 6) AS score,

