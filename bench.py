@@ -61,17 +61,25 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+        }
     )
+    print(line)
+    # also persist the summary: the driver captures stdout's tail, which
+    # truncated the r2 line mid-JSON (BENCH_r02 parsed: null) — the file is
+    # the recoverable record
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+    )
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

