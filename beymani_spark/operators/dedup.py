@@ -568,3 +568,79 @@ def rowwise_minhash_bands(
     return sigs.select(
         F.col(id_col), F.explode(band_structs).alias("bs")
     ).select(id_col, "bs.band", "bs.sig")
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Exact substring-level dedup at token-chunk granularity (the
+    distributed, chunk-quantized form of exact-substring training-data
+    dedup a la Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): split each doc into consecutive ``chunk_tokens``-token
+    chunks, keep corpus-wide only the FIRST occurrence of each distinct
+    chunk (ordered by (id, chunk_idx)), and reassemble the surviving chunks
+    into a cleaned text. Unlike doc-level dedup (exact_duplicates), this
+    removes boilerplate spans repeated ACROSS distinct documents.
+
+    Output: (id_col, n_chunks, n_kept, clean_text).
+
+    Scale shape: one explode (docs -> chunks), then the first-occurrence
+    owner per chunk via groupBy(chunk).agg(min(struct(id, idx))) — a
+    partial-aggregated shuffle, so a boilerplate chunk repeated a billion
+    times collapses map-side instead of hot-spotting one reducer (the
+    reason this is an agg+join, not a row_number window over the chunk
+    partition) — then one equi-join back and a per-doc reassembly groupBy.
+    Everything is codegen column expressions; no UDFs, no driver state.
+    """
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = tokens(text)
+    k = int(chunk_tokens)
+    n_chunks = F.ceil(F.size("_toks") / F.lit(k)).cast("int")
+    chunked = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("_toks"), i * k + 1, k), " "
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    first = chunked.groupBy("chunk").agg(
+        F.min(F.struct("_id", "chunk_idx")).alias("_first")
+    )
+    kept_flag = (
+        chunked.join(first, "chunk")
+        .withColumn(
+            "_kept",
+            (F.col("_first._id") == F.col("_id"))
+            & (F.col("_first.chunk_idx") == F.col("chunk_idx")),
+        )
+    )
+    per_doc = kept_flag.groupBy("_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_kept"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col), "n_chunks", "n_kept", "clean_text"
+    )

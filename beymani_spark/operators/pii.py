@@ -1,0 +1,86 @@
+"""PII detection and redaction for training-data pipelines (north-star
+surface; the reference has no privacy operators — this extends the text
+family of operators/text.py with the scrub pass every corpus build runs
+before tokenization).
+
+Design constraints:
+
+- Pure column expressions (``regexp_count`` / ``regexp_replace``) — JVM
+  whole-stage codegen, zero UDFs, zero shuffles: at 100 TB this is a
+  scan-speed map pass that fuses with whatever filter/projection surrounds
+  it.
+- Patterns live in the Java-regex ∩ RE2 common dialect: character classes,
+  bounded quantifiers, non-capturing groups, ASCII ``\\b`` — no
+  lookaround, no backreferences — so the DuckDB oracle (RE2) reproduces
+  Spark (java.util.regex) match-for-match and the redaction is
+  hash-verifiable.
+- Redaction is sequential by kind (email first, then SSN, phone, IPv4):
+  each pass rewrites the previous pass's output, so overlapping matches
+  resolve deterministically by kind priority, not engine-dependent order.
+"""
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: kind -> (pattern, replacement token); dict order IS redaction priority.
+#: Patterns deliberately simple + dialect-portable; swap in stricter ones
+#: (they must stay lookaround-free) for a production corpus.
+DEFAULT_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "phone": (r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: Mapping[str, tuple[str, str]] | None = None,
+    total_col: str = "pii_total",
+) -> DataFrame:
+    """Append one ``n_<kind>`` match-count column per PII kind plus their
+    sum. Counts are over the RAW text (each kind sees the original string,
+    unlike redaction's sequential rewrite), so the columns are independent
+    audit metrics."""
+    pats = dict(patterns or DEFAULT_PATTERNS)
+    total: Column | None = None
+    for kind, (pat, _) in pats.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        df = df.withColumn(f"n_{kind}", c)
+        total = c if total is None else total + c
+    return df.withColumn(total_col, total if total is not None else F.lit(0))
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    patterns: Mapping[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Replace every PII match with its kind token, applying kinds in
+    ``patterns`` order (each pass sees the previous pass's output)."""
+    pats = dict(patterns or DEFAULT_PATTERNS)
+    col = F.col(text_col)
+    for _, (pat, token) in pats.items():
+        col = F.regexp_replace(col, pat, token)
+    return df.withColumn(out_col, col)
+
+
+def pii_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_total: int = 0,
+    patterns: Mapping[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Keep only rows whose total PII match count is <= ``max_total``
+    (default: drop any row containing PII). Single-pass filter expression —
+    pushes below wider projections."""
+    pats = dict(patterns or DEFAULT_PATTERNS)
+    total: Column = F.lit(0)
+    for _, (pat, _tok) in pats.items():
+        total = total + F.regexp_count(F.col(text_col), F.lit(pat))
+    return df.filter(total <= F.lit(max_total))

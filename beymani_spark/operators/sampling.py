@@ -121,3 +121,66 @@ def decayed_sample(
     if u_col:
         out = out.withColumn(u_col, u)
     return out
+
+
+def mix_to_targets(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    targets: Mapping[str, float],
+    seed: int = 42,
+    u_col: str | None = None,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Resample so the kept rows follow the TARGET stratum proportions
+    while keeping as much data as possible: given target shares w_s, the
+    largest feasible kept-total is T = min_s(n_s / w_s), so each stratum
+    keeps at a rate r_s = w_s * T / n_s (the binding stratum keeps
+    everything, the over-represented ones thin down). This is the "mix web
+    /code/books to a recipe" primitive of corpus assembly — stratified_
+    sample with the rates *derived from the data* instead of hand-set.
+
+    Strata absent from ``targets`` (or with zero weight) are dropped.
+    Rows keep iff u(id) < r_s with the same md5-dyadic u as every sampler
+    here, so the mix is reproducible across runs and engines; expected
+    kept composition matches ``targets`` exactly in ratio.
+
+    Scale shape: one partial-aggregated count per stratum (a |strata|-row
+    frame), a keyless 1-row min for T, and a broadcast join of the rates
+    back onto the fact scan — the fact table itself is never shuffled.
+    All rate arithmetic is double ops in one fixed order (w*T/n), so the
+    DuckDB oracle reproduces the keep decision bit-for-bit.
+    """
+    w_pairs = [x for k, v in targets.items() for x in (F.lit(k), F.lit(float(v)))]
+    w = F.element_at(F.create_map(*w_pairs), F.col(stratum_col).cast("string"))
+    counts = (
+        df.filter(w.isNotNull() & (w > 0))
+        .groupBy(F.col(stratum_col).alias("_stratum"))
+        .agg(F.count("*").cast("double").alias("_n"))
+    )
+    w_of_stratum = F.element_at(
+        F.create_map(*w_pairs), F.col("_stratum").cast("string")
+    )
+    bound = counts.select(
+        F.min(F.col("_n") / w_of_stratum).alias("_T")
+    )
+    rates = (
+        counts.crossJoin(bound)  # 1-row bounds frame, same pattern as knn.py
+        .select(
+            "_stratum",
+            (w_of_stratum * F.col("_T") / F.col("_n")).alias("_rate"),
+        )
+    )
+    u = hash_uniform(F.col(id_col), seed)
+    out = (
+        df.join(
+            F.broadcast(rates), F.col(stratum_col) == F.col("_stratum")
+        )
+        .filter(u < F.col("_rate"))
+        .drop("_stratum")
+    )
+    if u_col:
+        out = out.withColumn(u_col, u)
+    if rate_col:
+        out = out.withColumn(rate_col, F.col("_rate"))
+    return out.drop("_rate") if rate_col != "_rate" else out

@@ -761,3 +761,147 @@ FROM documents
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_token_count(docs).select("doc_id", "n_bpe_tokens")
+
+
+# --- PII scrub / chunk-level dedup / mixture-to-targets ----------------------
+
+# The fixture text is clean word-soup, so the PII query plants deterministic
+# PII in every third doc (a derived column computed identically on both
+# engines) — the operator itself is generic and the hash check covers both
+# the PII-bearing and the untouched rows.
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN"
+    " ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com"
+    " from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1"
+    " ssn 123-45-6789 call 555-867-5309' ELSE '' END"
+)
+
+_PII_SCAN_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+       len(regexp_extract_all(t, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS n_ssn,
+       len(regexp_extract_all(t, '\\+?\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b')) AS n_phone,
+       len(regexp_extract_all(t, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS n_ipv4,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+       + len(regexp_extract_all(t, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))
+       + len(regexp_extract_all(t, '\\+?\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b'))
+       + len(regexp_extract_all(t, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS pii_total,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+           '\\+?\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'),
+         '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS redacted
+FROM a
+"""
+
+
+@register("pii_scan", _PII_SCAN_ORACLE)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction over deterministically-augmented documents:
+    per-kind match counts on the raw text and the sequentially-redacted
+    text, all scan-speed codegen regex (operators/pii.py)."""
+    from ..operators import pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com from 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0.1 ssn 123-45-6789 call 555-867-5309"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = pii.pii_counts(aug, "t")
+    out = pii.pii_redact(out, "t", "redacted")
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "pii_total", "redacted"
+    )
+
+
+_CHUNK_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS chunk_idx
+  FROM toks WHERE len(t) > 0
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(t[(chunk_idx*10+1):(chunk_idx*10+10)], ' ') AS chunk
+  FROM idx
+), flag AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')
+         AS clean_text
+FROM flag GROUP BY doc_id
+"""
+
+
+@register("chunk_dedup", _CHUNK_DEDUP_ORACLE)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup at 10-token-chunk granularity: keep the
+    corpus-wide first occurrence of every chunk, reassemble surviving
+    chunks per doc (dedup.chunk_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.chunk_dedup(docs, "doc_id", "text", chunk_tokens=10).select(
+        "doc_id", "n_chunks", "n_kept", "clean_text"
+    )
+
+
+_DOMAIN_MIX_ORACLE = f"""
+WITH c AS (
+  SELECT lang AS _stratum, CAST(count(*) AS DOUBLE) AS _n,
+         CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                   WHEN 'es' THEN CAST(0.3 AS DOUBLE)
+                   WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                   WHEN 'fr' THEN CAST(0.1 AS DOUBLE) END AS _w
+  FROM documents WHERE lang IN ('en', 'es', 'de', 'fr')
+  GROUP BY lang
+), b AS (
+  SELECT min(_n / _w) AS _T FROM c
+), r AS (
+  SELECT _stratum, (_w * _T / _n) AS _rate FROM c, b
+)
+SELECT d.doc_id, d.lang, {_U_SQL} AS u, round(_rate, 6) AS rate
+FROM documents d JOIN r ON d.lang = r._stratum
+WHERE {_U_SQL} < _rate
+"""
+
+
+@register("domain_mix", _DOMAIN_MIX_ORACLE)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-to-target-weights resample of documents by language
+    (sampling.mix_to_targets): rates derived from the observed stratum
+    counts so the kept set follows the 40/30/20/10 en/es/de/fr recipe with
+    maximal data kept; 'zh' is absent from the recipe and drops out."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {"en": 0.4, "es": 0.3, "de": 0.2, "fr": 0.1}
+    out = sampling.mix_to_targets(
+        docs, "doc_id", "lang", targets, seed=42, u_col="u", rate_col="rate"
+    )
+    return out.select(
+        "doc_id", "lang", "u", F.round("rate", 6).alias("rate")
+    )

@@ -1,0 +1,139 @@
+"""PII scrub (operators/pii.py), chunk-level dedup (dedup.chunk_dedup), and
+mixture-to-target-weights resampling (sampling.mix_to_targets)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beymani_spark.operators import dedup, pii, sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from beymani_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- PII ---------------------------------------------------------------------
+
+
+def _pii_df(spark):
+    rows = [
+        (1, "reach me at jane.doe+x@corp.example.org thanks"),
+        (2, "server 192.168.0.12 rebooted, ssn 123-45-6789 on file"),
+        (3, "call 555-867-5309 or +1 555.867.5309 today"),
+        (4, "nothing sensitive here at all"),
+        (5, "two mails: a@b.io and c_d%e@f-g.co end"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_pii_counts_hand_computed(spark):
+    out = {
+        r["id"]: r
+        for r in pii.pii_counts(_pii_df(spark), "text").collect()
+    }
+    assert out[1]["n_email"] == 1 and out[1]["pii_total"] == 1
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn"] == 1 and out[2]["pii_total"] == 2
+    # "+1 555.867.5309": the +1 prefix is not 3 digits, but 555.867.5309 is
+    assert out[3]["n_phone"] == 2
+    assert out[4]["pii_total"] == 0
+    assert out[5]["n_email"] == 2
+
+
+def test_pii_redact_and_filter(spark):
+    red = {
+        r["id"]: r["redacted"]
+        for r in pii.pii_redact(_pii_df(spark), "text").collect()
+    }
+    assert red[1] == "reach me at <EMAIL> thanks"
+    assert red[2] == "server <IP> rebooted, ssn <SSN> on file"
+    assert "555" not in red[3] and "<PHONE>" in red[3]
+    assert red[4] == "nothing sensitive here at all"
+    kept = pii.pii_filter(_pii_df(spark), "text").select("id").collect()
+    assert [r["id"] for r in kept] == [4]
+
+
+def test_pii_ssn_not_matched_as_phone(spark):
+    df = spark.createDataFrame([(1, "id 123-45-6789 only")], ["id", "text"])
+    row = pii.pii_counts(df, "text").first()
+    assert row["n_ssn"] == 1 and row["n_phone"] == 0
+
+
+# --- chunk dedup -------------------------------------------------------------
+
+
+def test_chunk_dedup_drops_cross_doc_repeats(spark):
+    span = " ".join(f"w{i}" for i in range(10))  # one exact 10-token chunk
+    rows = [
+        (1, span + " tail1 tail2"),
+        (2, span + " other suffix words here"),  # repeats doc 1's chunk
+        (3, "totally different words " + " ".join(f"x{i}" for i in range(6))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.chunk_dedup(df, "doc_id", "text").collect()}
+    # doc 1 owns the span (first occurrence) and keeps both chunks
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == span + " tail1 tail2"
+    # doc 2 loses the repeated span but keeps its own suffix chunk
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "other suffix words here"
+    assert out[3]["n_kept"] == out[3]["n_chunks"]
+
+
+def test_chunk_dedup_first_occurrence_is_doc_then_position(spark):
+    # same chunk twice INSIDE doc 1: position 0 owns it, position 1 drops
+    span = " ".join(f"r{i}" for i in range(10))
+    df = spark.createDataFrame([(1, span + " " + span)], ["doc_id", "text"])
+    row = dedup.chunk_dedup(df, "doc_id", "text").first()
+    assert row["n_chunks"] == 2 and row["n_kept"] == 1
+    assert row["clean_text"] == span
+
+
+def test_chunk_dedup_reassembly_preserves_order(spark, docs):
+    sub = docs.limit(20)
+    out = dedup.chunk_dedup(sub, "doc_id", "text", chunk_tokens=10)
+    joined = out.join(sub, "doc_id")
+    # clean text of a fully-kept doc equals its whitespace-normalized text
+    full = joined.filter(F.col("n_kept") == F.col("n_chunks")).select(
+        "text", "clean_text"
+    )
+    for r in full.collect():
+        assert r["clean_text"] == " ".join(r["text"].split())
+
+
+# --- mixture-to-targets ------------------------------------------------------
+
+
+def test_mix_to_targets_composition_and_binding_stratum(spark, docs):
+    targets = {"en": 0.4, "es": 0.3, "de": 0.2, "fr": 0.1}
+    out = sampling.mix_to_targets(
+        docs, "doc_id", "lang", targets, seed=42, rate_col="rate"
+    )
+    tot = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # recipe-absent stratum dropped entirely
+    assert "zh" not in got
+    # the binding stratum (max n/w deficit -> rate 1.0) keeps every row
+    t_bound = min(tot[s] / w for s, w in targets.items())
+    binding = min(targets, key=lambda s: tot[s] / targets[s])
+    assert got[binding] == tot[binding]
+    # every kept stratum tracks its target count within binomial noise
+    for s, w in targets.items():
+        exp = w * t_bound
+        assert abs(got.get(s, 0) - exp) <= 4 * (exp**0.5) + 1, (s, got.get(s), exp)
+    # rates never exceed 1 and are per-stratum constant
+    nrates = out.select("lang", "rate").distinct()
+    assert nrates.count() == len(got)
+    assert nrates.agg(F.max("rate")).first()[0] <= 1.0 + 1e-12
+
+
+def test_mix_to_targets_partition_invariance(spark, docs):
+    targets = {"en": 0.5, "es": 0.5}
+    a = sampling.mix_to_targets(docs, "doc_id", "lang", targets, seed=7)
+    b = sampling.mix_to_targets(
+        docs.repartition(13), "doc_id", "lang", targets, seed=7
+    )
+    assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+    assert a.count() == b.count()
