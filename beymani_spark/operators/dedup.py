@@ -644,3 +644,41 @@ def chunk_dedup(
     return per_doc.select(
         F.col("_id").alias(id_col), "n_chunks", "n_kept", "clean_text"
     )
+
+
+def incremental_exact(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingest dedup: classify every NEW-batch doc against the
+    already-ingested corpus plus the batch itself. Status per doc:
+
+    - ``'new'``        — content unseen in corpus AND this doc is the
+                          batch-first occurrence (min id) of its content
+    - ``'dup_corpus'`` — content already in the corpus (drop)
+    - ``'dup_batch'``  — batch-internal repeat of a 'new' doc (drop)
+
+    This is the daily-crawl append path: the corpus side reduces to its
+    DISTINCT content hashes (a groupBy that in production is a maintained
+    hash manifest, not a rescan), then one left join of batch hashes
+    against it — digests only, never text. The batch-first owner is a
+    partial-aggregated min per hash, same shape as chunk_dedup ownership.
+    """
+    b = new_df.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("content_hash"))
+    seen = corpus_df.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    first = b.groupBy("content_hash").agg(F.min("_id").alias("_first_id"))
+    out = (
+        b.join(seen.withColumn("_in_corpus", F.lit(True)), "content_hash", "left")
+        .join(first, "content_hash")
+        .select(
+            F.col("_id").alias(id_col),
+            "content_hash",
+            F.when(F.col("_in_corpus").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("_first_id") == F.col("_id"), F.lit("new"))
+            .otherwise(F.lit("dup_batch"))
+            .alias("status"),
+        )
+    )
+    return out

@@ -1,0 +1,67 @@
+"""End-to-end corpus-build composition: the "run every day on the crawl"
+pipeline a training-data user actually executes, assembled from this repo's
+operators — language ID -> quality gate -> PII redaction -> exact dedup ->
+leak-free split assignment. One function so the composition itself is a
+tested, oracle-verifiable artifact, not a notebook.
+
+Plan shape (the point of composing inside one DataFrame expression): the
+lang/quality/PII stages are all codegen column expressions, so Catalyst
+fuses them into a single scan-side WholeStageCodegen pass; the only
+shuffle in the whole pipeline is the dedup ownership aggregate on
+md5(text), and the split assignment is again a pure expression on top.
+At 100 TB: one narrow pass + one digest-keyed exchange.
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import pii as pii_ops
+from . import sampling, text
+
+
+def build_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.6,
+    splits: Sequence[tuple[str, float]] = (("train", 0.75), ("val", 0.125), ("test", 0.125)),
+    seed: int = 42,
+) -> DataFrame:
+    """Return the cleaned corpus: one row per SURVIVING doc with
+    (id, pred_lang, n_tokens, quality, split, clean_text).
+
+    Stages, in order (order matters and is part of the contract):
+    1. lang_id + quality_score (text.py) — pure expressions.
+    2. Quality gate: keep round(quality, 6) >= quality_min. The rounded
+       value is the gate so the boundary decision is engine-reproducible
+       (round-6 is the repo-wide float-parity convention).
+    3. PII redaction (pii.py defaults) — clean_text is the REDACTED text;
+       dedup hashes the redacted form, so two docs differing only in the
+       PII they leak dedup together.
+    4. Exact dedup on md5(clean_text): keep the min-id owner per hash.
+    5. deterministic_split on the surviving ids (sampling.py) — assignment
+       is a pure function of (id, seed), so a doc's split never changes as
+       the corpus around it grows.
+    """
+    scored = text.quality_score(text.lang_id(docs, text_col), text_col)
+    gated = scored.filter(F.round(F.col("quality"), 6) >= F.lit(float(quality_min)))
+    red = pii_ops.pii_redact(gated, text_col, "clean_text")
+    hashed = red.withColumn("_h", F.md5(F.col("clean_text")))
+    owner = hashed.groupBy("_h").agg(F.min(id_col).alias("_owner"))
+    kept = (
+        hashed.join(owner, "_h")
+        .filter(F.col(id_col) == F.col("_owner"))
+        .drop("_h", "_owner")
+    )
+    out = sampling.deterministic_split(kept, id_col, splits, seed=seed)
+    return out.select(
+        id_col,
+        "pred_lang",
+        "n_tokens",
+        F.round("quality", 6).alias("quality"),
+        "split",
+        "clean_text",
+    )

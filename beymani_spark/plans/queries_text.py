@@ -905,3 +905,102 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "u", F.round("rate", 6).alias("rate")
     )
+
+
+_INCR_DEDUP_ORACLE = """
+WITH b AS (
+  SELECT doc_id AS _id, md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 1
+), seen AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 0
+), fst AS (
+  SELECT content_hash, min(_id) AS _first_id FROM b GROUP BY content_hash
+)
+SELECT b._id AS doc_id, b.content_hash,
+       CASE WHEN s.content_hash IS NOT NULL THEN 'dup_corpus'
+            WHEN f._first_id = b._id THEN 'new'
+            ELSE 'dup_batch' END AS status
+FROM b
+LEFT JOIN seen s USING (content_hash)
+JOIN fst f USING (content_hash)
+"""
+
+
+@register("dedup_incremental", _INCR_DEDUP_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (dedup.incremental_exact): odd doc_ids are
+    the arriving batch, even doc_ids the already-ingested corpus; each
+    batch doc is classified new / dup_corpus / dup_batch against digests
+    only."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.incremental_exact(batch, corpus, "doc_id")
+
+
+_CORPUS_BUILD_ORACLE = f"""
+WITH lt AS (
+  SELECT doc_id, text,
+         {_TOKS_SQL.replace("trim(text)", "trim(lower(text))")} AS toks
+  FROM documents
+), lp AS (
+  SELECT doc_id,
+         CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+              WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+              WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de'
+              WHEN h_fr >= h_zh THEN 'fr'
+              ELSE 'zh' END AS pred_lang
+  FROM (
+    SELECT doc_id,
+           {_lang_hits_sql("en")} AS h_en, {_lang_hits_sql("es")} AS h_es,
+           {_lang_hits_sql("de")} AS h_de, {_lang_hits_sql("fr")} AS h_fr,
+           {_lang_hits_sql("zh")} AS h_zh
+    FROM lt
+  )
+), f AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+  FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+), q AS (
+  SELECT doc_id, n_tokens,
+         round(0.25 * least(1.0, n_tokens / 50.0)
+             + 0.25 * (1.0 - least(1.0, punct_ratio * 4.0))
+             + 0.25 * least(1.0, stopword_ratio * 5.0)
+             + 0.25 * type_token_ratio, 6) AS quality
+  FROM f
+), red AS (
+  SELECT d.doc_id, lp.pred_lang, q.n_tokens, q.quality,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(d.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+             '\\+?\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'),
+           '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS clean_text
+  FROM documents d
+  JOIN lp ON d.doc_id = lp.doc_id
+  JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality >= 0.6
+), own AS (
+  SELECT md5(clean_text) AS _h, min(doc_id) AS _owner FROM red GROUP BY 1
+)
+SELECT r.doc_id, r.pred_lang, r.n_tokens, r.quality,
+       CASE WHEN {_U_SQL} < 0.75 THEN 'train'
+            WHEN {_U_SQL} < 0.875 THEN 'val'
+            ELSE 'test' END AS split,
+       r.clean_text
+FROM red r JOIN own o ON md5(r.clean_text) = o._h AND r.doc_id = o._owner
+"""
+
+
+@register("corpus_build", _CORPUS_BUILD_ORACLE)
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build (operators/pipeline.py): language-ID ->
+    quality gate (round-6 >= 0.6) -> PII redaction -> exact dedup on the
+    redacted text -> leak-free split. One scan-side codegen pass + one
+    digest-keyed shuffle."""
+    from ..operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.build_corpus(docs, quality_min=0.6, seed=42)

@@ -137,3 +137,66 @@ def test_mix_to_targets_partition_invariance(spark, docs):
     )
     assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
     assert a.count() == b.count()
+
+
+# --- incremental dedup -------------------------------------------------------
+
+
+def test_incremental_exact_statuses(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta"),      # dup_corpus
+            (11, "epsilon zeta"),    # new
+            (12, "epsilon zeta"),    # dup_batch (11 is batch-first)
+            (13, "eta theta"),       # new
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in dedup.incremental_exact(batch, corpus, "doc_id").collect()
+    }
+    assert out == {10: "dup_corpus", 11: "new", 12: "dup_batch", 13: "new"}
+
+
+def test_incremental_exact_corpus_dup_beats_batch_first(spark):
+    # content in BOTH corpus and batch twice: every batch copy is
+    # dup_corpus, none is promoted to 'new'
+    corpus = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    batch = spark.createDataFrame([(10, "x y"), (11, "x y")], ["doc_id", "text"])
+    out = dedup.incremental_exact(batch, corpus, "doc_id")
+    assert {r["status"] for r in out.collect()} == {"dup_corpus"}
+
+
+# --- corpus build ------------------------------------------------------------
+
+
+def test_build_corpus_stages(spark, docs):
+    from beymani_spark.operators import pipeline
+
+    out = pipeline.build_corpus(docs, quality_min=0.6, seed=42)
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert len(ids) == len(rows)  # dedup: one row per surviving doc
+    # every surviving doc passes the quality gate
+    assert all(r["quality"] >= 0.6 for r in rows)
+    # gate is real on this fixture: some docs dropped, most survive
+    n_docs = docs.count()
+    assert 0 < len(rows) < n_docs
+    # split labels are the configured three and assignment is deterministic
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    again = pipeline.build_corpus(docs.repartition(7), quality_min=0.6, seed=42)
+    assert out.exceptAll(again).count() == 0 and again.count() == len(rows)
+    # exact-dup groups keep exactly their min-id member
+    from beymani_spark.operators import dedup as dd
+
+    groups = dd.exact_duplicates(docs, "doc_id").filter("dup_count > 1")
+    for g in groups.groupBy("content_hash").agg(
+        F.min("doc_id").alias("lo"), F.collect_list("doc_id").alias("all_ids")
+    ).collect():
+        survivors = [i for i in g["all_ids"] if i in ids]
+        # either the whole group failed quality, or only one survivor
+        assert len(survivors) <= 1
