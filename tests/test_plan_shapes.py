@@ -233,3 +233,58 @@ def test_minhash_explodes_shingles_once(spark):
     assert plan.count("InMemoryTableScan") >= 6, (
         "signature and verification paths must all read the persisted shingles"
     )
+
+
+def test_mix_to_targets_broadcasts_rates_no_fact_shuffle(spark):
+    from beymani_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents")
+    out = sampling.mix_to_targets(
+        docs, "doc_id", "lang", {"en": 0.5, "es": 0.5}, seed=7
+    )
+    out.count()
+    plan = _plan(out)
+    # the |strata|-row rates frame broadcasts onto the fact scan; the fact
+    # table itself must never sort-merge or repartition
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_dedup_partial_aggregates_ownership(spark):
+    from beymani_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    out = dedup.chunk_dedup(docs, "doc_id", "text", chunk_tokens=10)
+    plan = _plan(out)
+    # first-occurrence owner per chunk is a partial+final agg (map-side
+    # combine absorbs hot boilerplate chunks), not a window sort over the
+    # chunk partition
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_pii_ops_are_scan_side_expressions(spark):
+    from beymani_spark.operators import pii
+
+    docs = load_table(spark, SF, "documents")
+    out = pii.pii_redact(pii.pii_counts(docs, "text"), "text", "redacted")
+    plan = _plan(out)
+    # pure map pass: no exchange of any kind, single codegen stage over scan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_build_single_fact_shuffle(spark):
+    from beymani_spark.operators import pipeline
+
+    docs = load_table(spark, SF, "documents")
+    out = pipeline.build_corpus(docs, quality_min=0.6, seed=42)
+    out.count()
+    plan = _plan(out)
+    # lang/quality/PII fuse scan-side; the only fact-table exchanges are
+    # the dedup ownership hash-partitioning (producer + reuse on the join
+    # probe side). Anything beyond that means a stage stopped fusing.
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 2, f"corpus_build grew extra shuffles:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
