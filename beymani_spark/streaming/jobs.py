@@ -511,3 +511,45 @@ def stream_sessionize(
             f"sum_{value_col}",
         )
     )
+
+
+def stream_corpus_filter(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    quality_min: float = 0.6,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming front half of pipeline.build_corpus: language-ID, round-6
+    quality gate, and PII redaction are stateless column expressions, so
+    they run unchanged on a stream; the dedup stage becomes
+    first-arrival-wins on md5(clean_text) with watermark-bounded state
+    (stream_dedup_exact semantics: the horizon is the dedup contract —
+    batch corpus_build's global min-id ownership needs the whole corpus
+    and stays a batch job).
+
+    Output matches build_corpus's columns minus split assignment (a kept
+    doc's split is still a pure function of id — apply
+    sampling.deterministic_split downstream or at write time)."""
+    from ..operators import pii as pii_ops
+    from ..operators import text as text_ops
+
+    scored = text_ops.quality_score(text_ops.lang_id(stream_df, text_col), text_col)
+    gated = scored.filter(
+        F.round(F.col("quality"), 6) >= F.lit(float(quality_min))
+    )
+    red = pii_ops.pii_redact(gated, text_col, "clean_text")
+    hashed = red.withColumn("content_hash", F.md5(F.col("clean_text")))
+    deduped = stream_dedup_exact(
+        hashed, ["content_hash"], ts_col=ts_col, watermark=watermark
+    )
+    cols = [id_col, "pred_lang", "n_tokens"]
+    if ts_col is not None:
+        cols.append(ts_col)
+    return deduped.select(
+        *cols,
+        F.round("quality", 6).alias("quality"),
+        "content_hash",
+        "clean_text",
+    )

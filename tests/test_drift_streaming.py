@@ -497,3 +497,69 @@ def test_stream_sessionize_matches_batch_sessions(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_corpus_filter_matches_batch_and_dedups_cross_batch(spark):
+    """stream_corpus_filter: (a) the stateless lang/quality/PII columns on a
+    file stream equal the batch pipeline's on every surviving doc; (b) a
+    duplicate payload arriving in a LATER micro-batch within the horizon is
+    emitted exactly once (first arrival wins)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators import pipeline
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_corpus_filter
+
+    src = tempfile.mkdtemp(prefix="beymani_scf_src_")
+    chk = tempfile.mkdtemp(prefix="beymani_scf_chk_")
+    try:
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+        with_ts = docs.withColumn(
+            "ts",
+            (F.lit("2026-01-01 00:00:00").cast("timestamp").cast("long")
+             + F.col("doc_id") % 30 * 60).cast("timestamp"),
+        ).select("doc_id", "text", "ts")
+        # batch 0: originals; batch 1: exact-duplicate payloads, new ids
+        with_ts.coalesce(1).write.mode("overwrite").parquet(src + "/b")
+        dup = with_ts.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+        dup.coalesce(1).write.mode("append").parquet(src + "/b")
+        schema = spark.read.parquet(src + "/b").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b")
+        )
+        out = stream_corpus_filter(
+            stream, "doc_id", "text", ts_col="ts", quality_min=0.6,
+            watermark="2 hours",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("scf_t")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select doc_id, pred_lang, n_tokens, quality, content_hash from scf_t"
+        ).toPandas()
+        # (b) each content hash exactly once, duplicates from batch 1 dropped
+        assert got.content_hash.is_unique
+        assert (got.doc_id < 100000).all()
+        # (a) stateless columns equal the batch corpus pipeline's
+        batch = (
+            pipeline.build_corpus(docs, quality_min=0.6, seed=42)
+            .select("doc_id", "pred_lang", "n_tokens", "quality")
+            .toPandas()
+        )
+        merged = got.drop(columns=["content_hash"]).merge(
+            batch, on="doc_id", suffixes=("_s", "_b")
+        )
+        assert len(merged) == len(got) == len(batch) > 0
+        for c in ["pred_lang", "n_tokens", "quality"]:
+            assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all(), c
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
