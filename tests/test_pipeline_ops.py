@@ -200,3 +200,58 @@ def test_build_corpus_stages(spark, docs):
         survivors = [i for i in g["all_ids"] if i in ids]
         # either the whole group failed quality, or only one survivor
         assert len(survivors) <= 1
+
+
+# --- invariants across the new family ---------------------------------------
+
+
+def test_chunk_dedup_kept_equals_distinct_chunks(spark, docs):
+    """Conservation law: summed n_kept over the corpus == number of DISTINCT
+    chunks (each distinct chunk survives exactly once, at its first
+    occurrence)."""
+    sub = docs.limit(100)
+    out = dedup.chunk_dedup(sub, "doc_id", "text", chunk_tokens=10)
+    kept_total = out.agg(F.sum("n_kept")).first()[0]
+    from beymani_spark.operators.text import tokens
+
+    k = 10
+    distinct_chunks = (
+        sub.select(tokens(F.col("text")).alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.ceil(F.size("_t") / k).cast("int") - 1
+                    ),
+                    lambda i: F.array_join(F.slice(F.col("_t"), i * k + 1, k), " "),
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_chunks
+
+
+def test_pii_redact_idempotent(spark):
+    """Redacting already-redacted text is a no-op: the replacement tokens
+    contain nothing any default pattern can match."""
+    df = _pii_df(spark)
+    once = pii.pii_redact(df, "text", "r1")
+    twice = pii.pii_redact(once, "r1", "r2")
+    assert twice.filter(F.col("r1") != F.col("r2")).count() == 0
+
+
+def test_mix_to_targets_is_subset_and_nested_in_stratified_full(spark, docs):
+    """mix_to_targets output is exactly stratified_sample with its derived
+    rates: validate the subset property and that raising every target
+    weight proportionally changes nothing (scale invariance of shares)."""
+    t1 = {"en": 0.4, "es": 0.6}
+    t2 = {"en": 0.8, "es": 1.2}  # same shares, scaled x2
+    a = sampling.mix_to_targets(docs, "doc_id", "lang", t1, seed=11)
+    b = sampling.mix_to_targets(docs, "doc_id", "lang", t2, seed=11)
+    assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+    assert a.count() == b.count()
+    # subset of the source rows
+    assert a.select("doc_id").join(docs, "doc_id", "left_anti").count() == 0
