@@ -65,3 +65,44 @@ def build_corpus(
         "split",
         "clean_text",
     )
+
+
+def corpus_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.6,
+) -> DataFrame:
+    """Audit companion to build_corpus: one row per INPUT doc with its
+    disposition — ``'kept'``, ``'low_quality'`` (failed the round-6 gate),
+    or ``'duplicate'`` (passed the gate but a lower-id doc owns its
+    redacted-content hash). Same stage semantics as build_corpus, so
+    audit statuses and the built corpus reconcile exactly:
+    kept ids == build_corpus output ids.
+
+    This is the drop-reason ledger every production corpus build ships
+    alongside the corpus (data-governance: why did doc X disappear?).
+    Costs the same single digest-keyed shuffle as build_corpus — the
+    low_quality rows never enter the ownership aggregate.
+    """
+    scored = text.quality_score(docs, text_col)
+    gate = F.round(F.col("quality"), 6) >= F.lit(float(quality_min))
+    red = pii_ops.pii_redact(scored, text_col, "_clean")
+    hashed = red.withColumn("_h", F.md5(F.col("_clean"))).withColumn("_pass", gate)
+    owner = (
+        hashed.filter(F.col("_pass"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias("_owner"))
+    )
+    out = (
+        hashed.join(owner, "_h", "left")
+        .select(
+            id_col,
+            F.round("quality", 6).alias("quality"),
+            F.when(~F.col("_pass"), F.lit("low_quality"))
+            .when(F.col(id_col) == F.col("_owner"), F.lit("kept"))
+            .otherwise(F.lit("duplicate"))
+            .alias("status"),
+        )
+    )
+    return out

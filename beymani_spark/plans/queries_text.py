@@ -1004,3 +1004,50 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pipeline.build_corpus(docs, quality_min=0.6, seed=42)
+
+
+_CORPUS_AUDIT_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+  FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+), q AS (
+  SELECT doc_id,
+         round(0.25 * least(1.0, n_tokens / 50.0)
+             + 0.25 * (1.0 - least(1.0, punct_ratio * 4.0))
+             + 0.25 * least(1.0, stopword_ratio * 5.0)
+             + 0.25 * type_token_ratio, 6) AS quality
+  FROM f
+), red AS (
+  SELECT d.doc_id, q.quality,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(d.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+             '\\+?\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'),
+           '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS clean
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+), own AS (
+  SELECT md5(clean) AS _h, min(doc_id) AS _owner
+  FROM red WHERE quality >= 0.6 GROUP BY 1
+)
+SELECT r.doc_id, r.quality,
+       CASE WHEN r.quality < 0.6 THEN 'low_quality'
+            WHEN r.doc_id = o._owner THEN 'kept'
+            ELSE 'duplicate' END AS status
+FROM red r LEFT JOIN own o ON md5(r.clean) = o._h
+"""
+
+
+@register("corpus_audit", _CORPUS_AUDIT_ORACLE)
+def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-reason ledger for the corpus build (pipeline.corpus_audit):
+    every input doc tagged kept / low_quality / duplicate with the same
+    stage semantics as corpus_build, so the two reconcile exactly."""
+    from ..operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.corpus_audit(docs, quality_min=0.6)

@@ -255,3 +255,17 @@ def test_mix_to_targets_is_subset_and_nested_in_stratified_full(spark, docs):
     assert a.count() == b.count()
     # subset of the source rows
     assert a.select("doc_id").join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_corpus_audit_reconciles_with_build(spark, docs):
+    from beymani_spark.operators import pipeline
+
+    audit = pipeline.corpus_audit(docs, quality_min=0.6)
+    built = pipeline.build_corpus(docs, quality_min=0.6, seed=42)
+    # one audit row per input doc
+    assert audit.count() == docs.count()
+    kept = {r["doc_id"] for r in audit.filter("status = 'kept'").collect()}
+    assert kept == {r["doc_id"] for r in built.select("doc_id").collect()}
+    # duplicates point at content some kept doc owns; low_quality below gate
+    assert audit.filter("status = 'low_quality' and quality >= 0.6").count() == 0
+    assert audit.filter("status = 'duplicate' and quality < 0.6").count() == 0
