@@ -1,0 +1,86 @@
+"""Model save/load (sources/models.py) and the reference-style two-job
+file pipeline: builder job writes a model, scoring job reloads it and
+writes tagged delimited output — the workflow every reference tutorial
+runs (and.sh: NumericalAttrStats then StatsBasedOutlierPredictor), here
+with models as parquet DataFrames instead of text side-files."""
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from beymani_spark.operators import profile, zscore
+from beymani_spark.sources import load_table
+from beymani_spark.sources.delimited import read_delimited, write_tagged
+from beymani_spark.sources.models import load_model, save_model
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_save_load_round_trip_and_guards(spark):
+    ev = load_table(spark, SF, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    path = tempfile.mkdtemp(prefix="beymani_model_") + "/stats"
+    try:
+        save_model(stats, path, name="numerical_stats")
+        back = load_model(spark, path, expect_name="numerical_stats")
+        # names+types round-trip (nullability flags legitimately relax
+        # through parquet; simpleString is the manifest contract)
+        assert back.schema.simpleString() == stats.schema.simpleString()
+        assert back.exceptAll(stats).count() == 0 and stats.exceptAll(back).count() == 0
+        with pytest.raises(ValueError, match="expected 'median_mad'"):
+            load_model(spark, path, expect_name="median_mad")
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_two_job_file_pipeline_matches_single_job(spark):
+    """Job 1: delimited in -> stats model saved. Job 2: delimited in +
+    loaded model -> scored -> tagged delimited out. Scores must equal the
+    single-session pipeline bit-for-bit, and the output lines must carry
+    the original columns + formatted score + label."""
+    root = tempfile.mkdtemp(prefix="beymani_e2e_")
+    try:
+        ev = load_table(spark, SF, "events").select(
+            "event_id", "event_type", "value"
+        )
+        src = f"{root}/in"
+        ev.select(
+            F.concat_ws(",", "event_id", "event_type", F.col("value").cast("string"))
+            .alias("value")
+        ).write.text(src)
+
+        # job 1: build + persist the model
+        data1 = read_delimited(
+            spark, src, names=["event_id", "event_type", "value"],
+            schema="c0 long, c1 string, c2 double",
+        )
+        stats = profile.numerical_stats(data1, ["event_type"], ["value"])
+        save_model(stats, f"{root}/model", name="numerical_stats")
+
+        # job 2: fresh read, load model, score, write tagged
+        data2 = read_delimited(
+            spark, src, names=["event_id", "event_type", "value"],
+            schema="c0 long, c1 string, c2 double",
+        )
+        model = load_model(spark, f"{root}/model", expect_name="numerical_stats")
+        scored = zscore.zscore(
+            data2, model, ["event_type"], ["value"], threshold=3.0
+        )
+        write_tagged(scored, f"{root}/out", precision=3)
+
+        # tagged lines: original 3 fields + score + label
+        lines = [r.value for r in spark.read.text(f"{root}/out").collect()]
+        assert len(lines) == ev.count()
+        parts = lines[0].split(",")
+        assert len(parts) == 5 and parts[4] in ("O", "N", "I")
+
+        # score parity with the single-session pipeline
+        direct = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+        a = scored.select("event_id", F.round("score", 9).alias("s"), "label")
+        b = direct.select("event_id", F.round("score", 9).alias("s"), "label")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
