@@ -38,7 +38,10 @@ def main() -> None:
     from beymani_spark.sources import TABLES, load_table
 
     for t in TABLES:
-        load_table(spark, sf_dir, t)
+        # full scan, not just footers: the first query over each table
+        # otherwise pays the cold page-cache read that every later query
+        # gets for free — session cost, not plan cost
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
     ev = load_table(spark, sf_dir, "events")
     ev.groupBy("event_type").count().write.format("noop").mode("overwrite").save()
     warm = (
