@@ -366,20 +366,40 @@ def autoencoder_score(
     enters Python. Keys absent from the model tag 'I'."""
     h = int(hidden)
     joined = df.join(F.broadcast(model), list(keys), "left")
-    xs = [
-        F.when(
-            F.col(f"std_{v}") > 0, (F.col(v) - F.col(f"mean_{v}")) / F.col(f"std_{v}")
-        ).otherwise(F.lit(0.0))
-        for v in values
-    ]
-    recon = [F.lit(0.0)] * len(values)
+    # Standardized inputs and hidden activations are projected as REAL
+    # columns, not inlined sub-expressions: every xs_j is referenced by all
+    # h activations, every recon_j, and the squared diff (which duplicates
+    # its whole operand tree), so inlining multiplies the CASE+division
+    # subtree ~2(h·d+1) times per row — past the JIT method limit, dropping
+    # the stage to interpreted eval (the lang_id lesson, text.py:81).
+    # CollapseProject keeps a non-cheap alias referenced more than once.
+    # The arithmetic DAG and op order are unchanged, so the model-baked
+    # oracle still matches bit-for-bit.
+    joined = joined.select(
+        "*",
+        *[
+            F.when(
+                F.col(f"std_{v}") > 0,
+                (F.col(v) - F.col(f"mean_{v}")) / F.col(f"std_{v}"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"_xs_{v}")
+            for v in values
+        ],
+    )
+    xs = [F.col(f"_xs_{v}") for v in values]
+    z_exprs = []
     for c in range(h):
         z = None
         for j, v in enumerate(values):
             term = xs[j] * F.col(f"w_{c}_{v}")
             z = term if z is None else z + term
+        z_exprs.append(z.alias(f"_z_{c}"))
+    joined = joined.select("*", *z_exprs)
+    recon = [F.lit(0.0)] * len(values)
+    for c in range(h):
         for j, v in enumerate(values):
-            recon[j] = recon[j] + z * F.col(f"w_{c}_{v}")
+            recon[j] = recon[j] + F.col(f"_z_{c}") * F.col(f"w_{c}_{v}")
     err = None
     for j in range(len(values)):
         diff = xs[j] - recon[j]  # self-multiply: oracle mirrors (d)*(d) exactly
@@ -394,6 +414,8 @@ def autoencoder_score(
         + [f"mean_{v}" for v in values]
         + [f"std_{v}" for v in values]
         + [f"w_{c}_{v}" for c in range(h) for v in values]
+        + [f"_xs_{v}" for v in values]
+        + [f"_z_{c}" for c in range(h)]
     )
     return out.drop(*drop)
 
