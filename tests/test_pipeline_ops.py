@@ -269,3 +269,52 @@ def test_corpus_audit_reconciles_with_build(spark, docs):
     # duplicates point at content some kept doc owns; low_quality below gate
     assert audit.filter("status = 'low_quality' and quality >= 0.6").count() == 0
     assert audit.filter("status = 'duplicate' and quality < 0.6").count() == 0
+
+
+# --- degenerate / adversarial inputs ----------------------------------------
+
+
+def test_r3_operators_handle_empty_input(spark):
+    from beymani_spark.operators import pipeline
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert pii.pii_counts(docs, "text").count() == 0
+    assert pii.pii_redact(docs, "text").count() == 0
+    assert pii.pii_filter(docs, "text").count() == 0
+    assert dedup.chunk_dedup(docs, "doc_id", "text").count() == 0
+    assert dedup.incremental_exact(docs, docs, "doc_id").count() == 0
+    assert sampling.mix_to_targets(docs, "doc_id", "lang", {"en": 1.0}).count() == 0
+    assert pipeline.build_corpus(docs).count() == 0
+    assert pipeline.corpus_audit(docs).count() == 0
+
+
+def test_chunk_dedup_adversarial_text(spark):
+    """Whitespace runs, unicode, short docs, empty/whitespace-only docs."""
+    rows = [
+        (1, "a\t\tb\nc   d " + " ".join(f"t{i}" for i in range(9))),
+        (2, "短 文 本 测 试"),
+        (3, "solo"),
+        (4, ""),
+        (5, "    "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.chunk_dedup(df, "doc_id", "text").collect()}
+    # empty / whitespace-only docs have no tokens -> no output row
+    assert set(out) == {1, 2, 3}
+    # doc 1: 13 tokens -> 2 chunks; tokenization collapses whitespace runs
+    assert out[1]["n_chunks"] == 2
+    assert out[1]["clean_text"].startswith("a b c d t0")
+    assert out[2]["n_kept"] == 1 and out[3]["n_kept"] == 1
+
+
+def test_mix_to_targets_degenerate_targets(spark, docs):
+    # single-stratum recipe: that stratum keeps everything, others drop
+    out = sampling.mix_to_targets(docs, "doc_id", "lang", {"en": 1.0}, seed=3)
+    tot_en = docs.filter("lang = 'en'").count()
+    assert out.count() == tot_en
+    assert out.select("lang").distinct().collect()[0]["lang"] == "en"
+    # zero-weight strata are dropped, not divided by
+    out2 = sampling.mix_to_targets(
+        docs, "doc_id", "lang", {"en": 1.0, "zh": 0.0}, seed=3
+    )
+    assert out2.count() == tot_en
