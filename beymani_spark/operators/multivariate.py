@@ -516,6 +516,21 @@ def _unrolled_nearest(values: Sequence[str], max_k: int):
     return d2s, m
 
 
+def _materialize_d2(joined: DataFrame, d2s: list) -> tuple[DataFrame, list, "F.Column"]:
+    """Project the per-centroid distance expressions as real columns and
+    rebuild least()/comparisons off the projected columns. Each d2 subtree
+    is otherwise inlined into least() AND every argmin when() branch —
+    ~(k+2) copies — which at production d (tens of attrs) pushes the
+    generated method past the JIT limit into interpreted eval (the same
+    blowup fixed in autoencoder_score). CollapseProject keeps non-cheap
+    aliases referenced more than once; values and IEEE op order are
+    unchanged, so the model-baked oracles are unaffected."""
+    out = joined.select("*", *[d2.alias(f"_d2_{i}") for i, d2 in enumerate(d2s)])
+    cols = [F.col(f"_d2_{i}") for i in range(len(d2s))]
+    m = F.least(*cols) if len(cols) > 1 else cols[0]
+    return out, cols, m
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Few-split sources would run the expression-heavy argmin passes on one
     core; round-robin them first. Multi-split tables at scale skip this."""
@@ -542,14 +557,18 @@ def _assign_nearest(
         F.sort_array(F.collect_list(cent)).alias("_cents")
     )
     joined = df.join(F.broadcast(per_key), list(keys))
-    d2s, m = _unrolled_nearest(values, max_k)
+    d2s, _ = _unrolled_nearest(values, max_k)
+    joined, d2_cols, m = _materialize_d2(joined, d2s)
     # first-match when() chain over ascending cluster_id: ties resolve to the
     # lowest cluster_id, matching numpy argmin's first-index rule
     best = None
-    for i, d2 in enumerate(d2s):
+    for i, d2 in enumerate(d2_cols):
         cid = F.get(F.col("_cents"), i)["cluster_id"]
         best = F.when(d2 == m, cid) if best is None else best.when(d2 == m, cid)
-    return joined.withColumn("cluster_id", best).drop("_cents")
+    return (
+        joined.withColumn("cluster_id", best)
+        .drop("_cents", *[f"_d2_{i}" for i in range(len(d2_cols))])
+    )
 
 
 def kmeans_score(
@@ -583,10 +602,11 @@ def kmeans_score(
         F.sort_array(F.collect_list(cent)).alias("_cents")
     )
     joined = df.join(F.broadcast(per_key), list(keys))
-    _, m = _unrolled_nearest(values, int(max_clusters))
+    d2s, _ = _unrolled_nearest(values, int(max_clusters))
+    joined, d2_cols, m = _materialize_d2(joined, d2s)
     return (
         joined.withColumn("score", F.sqrt(m))
-        .drop("_cents")
+        .drop("_cents", *[f"_d2_{i}" for i in range(len(d2_cols))])
         .withColumn("label", tag_label(F.col("score"), threshold))
     )
 
@@ -755,12 +775,16 @@ def _assign_nearest_mixed(
         )
     )
     joined = df.join(F.broadcast(per_key), list(keys))
-    d2s, m = _unrolled_nearest_mixed(num_values, cat_values, gamma, max_k)
+    d2s, _ = _unrolled_nearest_mixed(num_values, cat_values, gamma, max_k)
+    joined, d2_cols, m = _materialize_d2(joined, d2s)
     best = None
-    for i, d2 in enumerate(d2s):
+    for i, d2 in enumerate(d2_cols):
         cid = F.get(F.col("_cents"), i)["cluster_id"]
         best = F.when(d2 == m, cid) if best is None else best.when(d2 == m, cid)
-    return joined.withColumn("cluster_id", best).drop("_cents")
+    return (
+        joined.withColumn("cluster_id", best)
+        .drop("_cents", *[f"_d2_{i}" for i in range(len(d2_cols))])
+    )
 
 
 def kmeans_mixed_score(
@@ -790,10 +814,13 @@ def kmeans_mixed_score(
         )
     )
     joined = df.join(F.broadcast(per_key), list(keys))
-    _, m = _unrolled_nearest_mixed(num_values, cat_values, gamma, int(max_clusters))
+    d2s, _ = _unrolled_nearest_mixed(
+        num_values, cat_values, gamma, int(max_clusters)
+    )
+    joined, d2_cols, m = _materialize_d2(joined, d2s)
     return (
         joined.withColumn("score", F.sqrt(m))
-        .drop("_cents")
+        .drop("_cents", *[f"_d2_{i}" for i in range(len(d2_cols))])
         .withColumn("label", tag_label(F.col("score"), threshold))
     )
 
