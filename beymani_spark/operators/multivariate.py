@@ -180,9 +180,22 @@ def pca_fit_core(x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def ae_fit_core(
-    x: np.ndarray, h: int, epochs: int, lr: float, seed: int
+    x: np.ndarray,
+    h: int,
+    epochs: int,
+    lr: float,
+    seed: int,
+    activation: str = "linear",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(mu, sd, w): standardization stats + tied encoder weights (h x d)."""
+    """(mu, sd, w): standardization stats + tied encoder weights (h x d).
+
+    ``activation='tanh'`` trains z = tanh(W xs), x̂ = Wᵀ z — the nonlinear
+    form of the pyod-style detector (torch/pyod absent, but a tanh MLP is
+    plain numpy). The linear path's op sequence is untouched, so existing
+    baked oracles stay bit-identical."""
+    tanh = activation == "tanh"
+    if activation not in ("linear", "tanh"):
+        raise ValueError(f"unknown activation: {activation}")
     x = _canonical(x)
     n, d = x.shape
     mu = x.mean(axis=0)
@@ -195,10 +208,14 @@ def ae_fit_core(
     w = rng.normal(scale=0.1, size=(h, d))
     inv_n = 1.0 / n
     for _ in range(int(epochs)):
-        z = xs @ w.T                      # (n, h)
+        a = xs @ w.T                      # (n, h) pre-activation
+        z = np.tanh(a) if tanh else a
         xh = z @ w                        # (n, d)
         e = (xh - xs) * (2.0 * inv_n)     # dL/dx̂ for L = mean ‖x̂-xs‖²
-        grad = z.T @ e + (e @ w.T).T @ xs
+        dz = e @ w.T
+        if tanh:
+            dz = dz * (1.0 - z * z)       # chain through tanh'
+        grad = z.T @ e + dz.T @ xs
         w -= lr * grad
     return mu, sd, w
 
@@ -313,13 +330,19 @@ def autoencoder_fit(
     lr: float = 0.05,
     seed: int = 42,
     presample: int | None = 8192,
+    activation: str = "linear",
 ) -> DataFrame:
-    """Per-key tied-weight *linear* autoencoder fit — the env-feasible
-    equivalent of the reference's pyod AutoEncoder detector (`auen`,
+    """Per-key tied-weight autoencoder fit — the env-feasible equivalent of
+    the reference's pyod AutoEncoder detector (`auen`,
     /root/reference/python/app/mvand.py:25-26; avenir ticket.py:27-31):
-    inputs standardized per key, encoder z = W xs, decoder x̂ = Wᵀ z, W
-    trained by seeded full-batch gradient descent on the MSE. Model =
+    inputs standardized per key, encoder z = act(W xs), decoder x̂ = Wᵀ z,
+    W trained by seeded full-batch gradient descent on the MSE. Model =
     (keys..., n, mean_<v>, std_<v>, w_<c>_<v>).
+
+    ``activation``: 'linear' (registry/oracle default — cross-engine
+    bit-specified) or 'tanh' (the pyod-like nonlinear detector; scoring
+    stays pure codegen via F.tanh, but Java Math.tanh and DuckDB's libm
+    tanh are not ulp-identical, so the oracle query keeps 'linear').
 
     Same scale posture as pca_model: the fit pool is hash_presample-bounded
     and canonically ordered (partition-invariant), so no unbounded key group
@@ -331,7 +354,7 @@ def autoencoder_fit(
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[list(values)].to_numpy(dtype=float)
-        mu, sd, w = ae_fit_core(x, h, epochs, lr, seed)
+        mu, sd, w = ae_fit_core(x, h, epochs, lr, seed, activation)
         row = {k_: v_ for k_, v_ in zip(keys, key)}
         row["n"] = int(len(x))
         for j, v_ in enumerate(values):
@@ -359,11 +382,15 @@ def autoencoder_score(
     values: Sequence[str],
     hidden: int = 2,
     threshold: float = 3.0,
+    activation: str = "linear",
 ) -> DataFrame:
-    """Reconstruction-error score ‖xs - Wᵀ(W xs)‖ (standardized space)
+    """Reconstruction-error score ‖xs - Wᵀ act(W xs)‖ (standardized space)
     against a broadcast autoencoder_fit model — like pca_score, a pure
     codegen column expression: the fact table never shuffles and never
-    enters Python. Keys absent from the model tag 'I'."""
+    enters Python. Keys absent from the model tag 'I'. ``activation`` must
+    match the fit's."""
+    if activation not in ("linear", "tanh"):
+        raise ValueError(f"unknown activation: {activation}")
     h = int(hidden)
     joined = df.join(F.broadcast(model), list(keys), "left")
     # Standardized inputs and hidden activations are projected as REAL
@@ -394,6 +421,8 @@ def autoencoder_score(
         for j, v in enumerate(values):
             term = xs[j] * F.col(f"w_{c}_{v}")
             z = term if z is None else z + term
+        if activation == "tanh":
+            z = F.tanh(z)
         z_exprs.append(z.alias(f"_z_{c}"))
     joined = joined.select("*", *z_exprs)
     recon = [F.lit(0.0)] * len(values)

@@ -523,3 +523,61 @@ def test_kmeans_mixed_fit_partition_invariant(spark):
         df8, ["key"], ["x", "y"], ["color"], n_clusters=3, seed=1
     ).toPandas().sort_values("cluster_id", ignore_index=True)
     pd.testing.assert_frame_equal(m1, m8)
+
+
+def test_autoencoder_tanh_activation(spark):
+    """Nonlinear (tanh) AE: seeded-deterministic, beats identity on a
+    planted off-manifold point, and the Spark codegen scoring reproduces
+    the numpy forward pass."""
+    import numpy as np
+
+    from beymani_spark.operators import multivariate as mv
+
+    rng = np.random.RandomState(0)
+    # points on a 1-D curve embedded in 3-D + one far-off-manifold outlier
+    t = rng.uniform(-2, 2, size=300)
+    x = np.stack([t, np.tanh(t), t * t * 0.3], axis=1)
+    x += rng.normal(scale=0.02, size=x.shape)
+    x = np.vstack([x, [8.0, -8.0, 9.0]])
+    rows = [(int(i), "k", *map(float, r)) for i, r in enumerate(x)]
+    df = spark.createDataFrame(rows, "id long, g string, a double, b double, c double")
+
+    # determinism of the core
+    mu1, sd1, w1 = mv.ae_fit_core(x, 2, 100, 0.05, 7, "tanh")
+    mu2, sd2, w2 = mv.ae_fit_core(x, 2, 100, 0.05, 7, "tanh")
+    assert (w1 == w2).all() and not (w1 == 0).all()
+
+    model = mv.autoencoder_fit(
+        df, ["g"], ["a", "b", "c"], hidden=2, epochs=100, lr=0.05, seed=7,
+        presample=None, activation="tanh",
+    )
+    out = mv.autoencoder_score(
+        df, model, ["g"], ["a", "b", "c"], hidden=2, threshold=3.0,
+        activation="tanh",
+    ).collect()
+    scores = {r["id"]: r["score"] for r in out}
+    # outlier (last id) scores highest
+    assert max(scores, key=scores.get) == len(x) - 1
+
+    # Spark forward pass == numpy forward pass (same model, same math)
+    sd_safe = np.where(sd1 > 0, sd1, 1.0)
+    xs = (x - mu1) / sd_safe
+    z = np.tanh(xs @ w1.T)
+    rec = z @ w1
+    expect = np.sqrt(((xs - rec) ** 2).sum(axis=1))
+    got = np.array([scores[i] for i in range(len(x))])
+    assert np.allclose(got, expect, rtol=1e-9, atol=1e-12)
+
+
+def test_autoencoder_linear_path_unchanged_by_activation_param(spark):
+    """The activation refactor must leave the linear fit bit-identical
+    (baked oracles depend on it)."""
+    import numpy as np
+
+    from beymani_spark.operators import multivariate as mv
+
+    rng = np.random.RandomState(3)
+    x = rng.normal(size=(200, 3))
+    mu_a, sd_a, w_a = mv.ae_fit_core(x, 2, 200, 0.05, 42)
+    mu_b, sd_b, w_b = mv.ae_fit_core(x, 2, 200, 0.05, 42, "linear")
+    assert (w_a == w_b).all() and (mu_a == mu_b).all() and (sd_a == sd_b).all()
