@@ -47,10 +47,14 @@ def pii_counts(
     unlike redaction's sequential rewrite), so the columns are independent
     audit metrics."""
     pats = dict(patterns or DEFAULT_PATTERNS)
-    total: Column | None = None
     for kind, (pat, _) in pats.items():
-        c = F.regexp_count(F.col(text_col), F.lit(pat))
-        df = df.withColumn(f"n_{kind}", c)
+        df = df.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    # sum the materialized count COLUMNS, not the regexp exprs: re-using the
+    # expression would inline each regexp_count a second time (Catalyst
+    # collapses projections), doubling the regex scan work per row
+    total: Column | None = None
+    for kind in pats:
+        c = F.col(f"n_{kind}")
         total = c if total is None else total + c
     return df.withColumn(total_col, total if total is not None else F.lit(0))
 

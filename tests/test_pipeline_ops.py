@@ -318,3 +318,31 @@ def test_mix_to_targets_degenerate_targets(spark, docs):
         docs, "doc_id", "lang", {"en": 1.0, "zh": 0.0}, seed=3
     )
     assert out2.count() == tot_en
+
+
+def test_pii_planted_matches_always_redacted(spark):
+    """Property: for letters-only word soup with K planted PII items, counts
+    equal the plant and redaction leaves zero residual matches."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(50):
+        words = ["".join(rng.choice("abcdefghij") for _ in range(5)) for _ in range(20)]
+        n_email = rng.randint(0, 3)
+        n_ip = rng.randint(0, 2)
+        for k in range(n_email):
+            words.insert(rng.randrange(len(words)), f"user{i}k{k}@host{k}.example.com")
+        for k in range(n_ip):
+            words.insert(rng.randrange(len(words)), f"10.{i % 200}.{k}.7")
+        rows.append((i, " ".join(words), n_email, n_ip))
+    df = spark.createDataFrame(rows, "id long, text string, want_email int, want_ip int")
+    counted = pii.pii_counts(df, "text")
+    bad = counted.filter(
+        (F.col("n_email") != F.col("want_email")) | (F.col("n_ipv4") != F.col("want_ip"))
+    ).count()
+    assert bad == 0
+    residual = pii.pii_counts(
+        pii.pii_redact(counted, "text", "red"), "red", total_col="resid"
+    )
+    assert residual.filter(F.col("resid") > 0).count() == 0
