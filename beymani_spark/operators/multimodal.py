@@ -241,3 +241,65 @@ def media_metadata_stats(df: DataFrame, kind_col: str = "kind", payload_col: str
         F.avg(F.length(payload_col)).alias("avg_bytes"),
         F.max(F.length(payload_col)).alias("max_bytes"),
     )
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_samples: int = 1024,
+    decode: str = "fake",
+) -> DataFrame:
+    """(media_id, n_bytes, rms, peak, zero_cross) — audio-clip feature
+    extraction over Arrow batches, completing the multimodal family's
+    decode surface (image: decode_features/resize; video: sample_frames;
+    audio: this).
+
+    decode='fake' expands the payload through the same SHA-256 counter
+    stream as the image path and reads it as unsigned 8-bit PCM centered
+    at 128 — bit-reproducible by the DuckDB oracle. Features are computed
+    so the oracle can match EXACTLY, not approximately: the squared sum
+    accumulates in int64, the mean divides by a power of two (exact in
+    binary), and IEEE-754 sqrt is correctly rounded in both engines, so
+    even rms is bit-identical cross-engine. decode='real' would need an
+    audio codec (soundfile/PyAV), absent here, and raises like the other
+    real-codec gates."""
+    if decode == "real":
+        raise NotImplementedError(
+            "decode='real' for audio requires an audio codec library "
+            "(soundfile / PyAV), not present in this environment; use "
+            "decode='fake'"
+        )
+    if decode != "fake":
+        raise ValueError(f"unknown decode mode: {decode}")
+    n = int(n_samples)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            if not payloads:
+                yield pd.DataFrame(
+                    columns=[id_col, "n_bytes", "rms", "peak", "zero_cross"]
+                )
+                continue
+            px = _decode_batch(payloads, n, 1, "fake").reshape(len(payloads), n)
+            x = px.astype(np.int64) - 128
+            sq = (x * x).sum(axis=1)          # exact int64
+            rms = np.sqrt(sq / float(n))      # power-of-two division, exact
+            peak = np.abs(x).max(axis=1)
+            neg = x < 0
+            zc = (neg[:, :-1] != neg[:, 1:]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_bytes": [len(p) for p in payloads],
+                    "rms": rms,
+                    "peak": peak.astype(np.int32),
+                    "zero_cross": zc.astype(np.int32),
+                }
+            )
+
+    return _spread(df).mapInPandas(
+        gen,
+        schema=f"{id_col} long, n_bytes long, rms double, peak int, zero_cross int",
+    )

@@ -402,3 +402,53 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ff_sum"),
     )
+
+
+_AUDIO_FEATURES_ORACLE = """
+WITH hx AS (
+  SELECT doc_id AS media_id,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         string_agg(sha256(text || CAST(j AS VARCHAR)), '' ORDER BY j) AS hex
+  FROM documents, generate_series(0, 31) AS t(j)
+  GROUP BY doc_id, text
+), samples AS (
+  -- unsigned 8-bit PCM centered at 128: byte i = hex chars [2i+1, 2i+2]
+  SELECT media_id, i,
+         ('0x' || substr(hex, i * 2 + 1, 2))::INT - 128 AS x
+  FROM hx, generate_series(0, 1023) AS s(i)
+), nbr AS (
+  SELECT media_id, x,
+         lead(x) OVER (PARTITION BY media_id ORDER BY i) AS nx
+  FROM samples
+), feat AS (
+  SELECT media_id,
+         -- int64 square-sum, power-of-two division, IEEE sqrt: bit-exact
+         round(sqrt(sum(CAST(x AS BIGINT) * x) / 1024.0), 6) AS rms,
+         CAST(max(abs(x)) AS INT) AS peak
+  FROM samples GROUP BY media_id
+), zc AS (
+  SELECT media_id,
+         CAST(count(*) FILTER ((x < 0) <> (nx < 0)) AS INT) AS zero_cross
+  FROM nbr WHERE nx IS NOT NULL GROUP BY media_id
+)
+SELECT h.media_id, h.n_bytes, f.rms, f.peak, z.zero_cross
+FROM hx h JOIN feat f USING (media_id) JOIN zc z USING (media_id)
+"""
+
+
+@register("audio_features", _AUDIO_FEATURES_ORACLE)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-clip features over the fake-PCM decode (multimodal.
+    audio_features): RMS is bit-exact cross-engine (int64 square-sum,
+    exact /2^10, correctly-rounded IEEE sqrt), peak and zero-crossings are
+    integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    out = multimodal.audio_features(media, decode="fake", n_samples=1024)
+    return out.select(
+        "media_id", "n_bytes", F.round("rms", 6).alias("rms"), "peak", "zero_cross"
+    )

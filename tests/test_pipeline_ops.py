@@ -346,3 +346,46 @@ def test_pii_planted_matches_always_redacted(spark):
         pii.pii_redact(counted, "text", "red"), "red", total_col="resid"
     )
     assert residual.filter(F.col("resid") > 0).count() == 0
+
+
+# --- audio features ----------------------------------------------------------
+
+
+def test_audio_features_hand_computed(spark):
+    """Spark output equals a direct hashlib/numpy reference computation."""
+    import hashlib
+
+    import numpy as np
+
+    payloads = [b"hello world", b"", b"\x00\x01\x02"]
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    from beymani_spark.operators import multimodal
+
+    got = {
+        r["media_id"]: r
+        for r in multimodal.audio_features(df, n_samples=1024).collect()
+    }
+    for i, p in enumerate(payloads):
+        stream = b"".join(
+            hashlib.sha256(p + str(j).encode()).digest() for j in range(32)
+        )[:1024]
+        x = np.frombuffer(stream, dtype=np.uint8).astype(np.int64) - 128
+        rms = float(np.sqrt((x * x).sum() / 1024.0))
+        neg = x < 0
+        zc = int((neg[:-1] != neg[1:]).sum())
+        r = got[i]
+        assert r["n_bytes"] == len(p)
+        assert abs(r["rms"] - rms) < 1e-12
+        assert r["peak"] == int(np.abs(x).max())
+        assert r["zero_cross"] == zc
+
+
+def test_audio_features_real_codec_gated(spark):
+    import pytest as _pytest
+
+    from beymani_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+    with _pytest.raises(NotImplementedError, match="audio codec"):
+        multimodal.audio_features(df, decode="real")
