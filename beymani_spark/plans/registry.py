@@ -63,9 +63,10 @@ from . import queries_relational  # noqa: E402,F401
 # five newly model-baked fits) come first, so across the two rounds every
 # one of the 102 carried-over registry queries has a driver-green row.
 # Queries added later in r3 (pii_scan, chunk_dedup, domain_mix,
-# dedup_incremental, corpus_build, corpus_audit) rank after the window and
-# are candidates for the r4 rotation. ALL registry queries also run in the
-# local mirror (tests/test_oracle_parity.py) at every round.
+# dedup_incremental, corpus_build, corpus_audit, audio_features) rank
+# after the window and are candidates for the r4 rotation. ALL registry
+# queries also run in the local mirror (tests/test_oracle_parity.py) at
+# every round.
 _PRIORITY = [
     # --- round-3 window: the 50 queries r2's window did not reach ---
     # newly model-baked oracles (this round's headline correctness work)
