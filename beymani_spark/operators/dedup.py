@@ -659,23 +659,29 @@ def incremental_exact(
                           batch-first occurrence (min id) of its content
     - ``'dup_corpus'`` — content already in the corpus (drop)
     - ``'dup_batch'``  — batch-internal repeat of a 'new' doc (drop)
+    - ``'null_text'``  — batch doc with NULL text: md5(null) is null, a
+                          null key matches nothing, so these rows get an
+                          explicit status instead of silently vanishing
+                          from the ledger (every input doc appears once)
 
     This is the daily-crawl append path: the corpus side reduces to its
     DISTINCT content hashes (a groupBy that in production is a maintained
     hash manifest, not a rescan), then one left join of batch hashes
     against it — digests only, never text. The batch-first owner is a
     partial-aggregated min per hash, same shape as chunk_dedup ownership.
+    Both joins are LEFT so null-hash rows survive to the null_text branch.
     """
     b = new_df.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("content_hash"))
     seen = corpus_df.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
     first = b.groupBy("content_hash").agg(F.min("_id").alias("_first_id"))
     out = (
         b.join(seen.withColumn("_in_corpus", F.lit(True)), "content_hash", "left")
-        .join(first, "content_hash")
+        .join(first, "content_hash", "left")
         .select(
             F.col("_id").alias(id_col),
             "content_hash",
-            F.when(F.col("_in_corpus").isNotNull(), F.lit("dup_corpus"))
+            F.when(F.col("content_hash").isNull(), F.lit("null_text"))
+            .when(F.col("_in_corpus").isNotNull(), F.lit("dup_corpus"))
             .when(F.col("_first_id") == F.col("_id"), F.lit("new"))
             .otherwise(F.lit("dup_batch"))
             .alias("status"),

@@ -86,7 +86,13 @@ def corpus_audit(
     low_quality rows never enter the ownership aggregate.
     """
     scored = text.quality_score(docs, text_col)
-    gate = F.round(F.col("quality"), 6) >= F.lit(float(quality_min))
+    # NULL quality (empty/whitespace-only text: the 0-token ratios divide to
+    # null) must FAIL the gate, not three-valued-logic its way past both
+    # when() branches into 'duplicate' — coalesce pins the ledger to
+    # 'low_quality', matching build_corpus's filter (null predicate = drop).
+    gate = F.coalesce(
+        F.round(F.col("quality"), 6) >= F.lit(float(quality_min)), F.lit(False)
+    )
     red = pii_ops.pii_redact(scored, text_col, "_clean")
     hashed = red.withColumn("_h", F.md5(F.col("_clean"))).withColumn("_pass", gate)
     owner = (

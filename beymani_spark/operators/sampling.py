@@ -131,6 +131,7 @@ def mix_to_targets(
     seed: int = 42,
     u_col: str | None = None,
     rate_col: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Resample so the kept rows follow the TARGET stratum proportions
     while keeping as much data as possible: given target shares w_s, the
@@ -145,6 +146,14 @@ def mix_to_targets(
     here, so the mix is reproducible across runs and engines; expected
     kept composition matches ``targets`` exactly in ratio.
 
+    T = min(n_s / w_s) runs over strata OBSERVED in the data: a target
+    stratum with positive weight but ZERO rows does not force T to 0 (that
+    would keep nothing); instead the mix is computed over the strata that
+    exist, and the kept ratios match the recipe only among those. Pass
+    ``strict=True`` to instead fail fast — one eager |strata|-row count
+    (the same aggregate the plan needs anyway) raises ValueError naming
+    the missing strata before any data is sampled.
+
     Scale shape: one partial-aggregated count per stratum (a |strata|-row
     frame), a keyless 1-row min for T, and a broadcast join of the rates
     back onto the fact scan — the fact table itself is never shuffled.
@@ -158,6 +167,16 @@ def mix_to_targets(
         .groupBy(F.col(stratum_col).alias("_stratum"))
         .agg(F.count("*").cast("double").alias("_n"))
     )
+    if strict:
+        present = {r["_stratum"] for r in counts.select("_stratum").collect()}
+        missing = sorted(
+            str(k) for k, v in targets.items() if float(v) > 0 and k not in present
+        )
+        if missing:
+            raise ValueError(
+                "mix_to_targets(strict=True): target strata with positive "
+                f"weight but zero observed rows: {missing}"
+            )
     w_of_stratum = F.element_at(
         F.create_map(*w_pairs), F.col("_stratum").cast("string")
     )

@@ -42,7 +42,12 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """n_tokens, avg_token_len, punct_ratio, stopword_ratio, type-token ratio."""
+    """n_tokens, avg_token_len, punct_ratio, stopword_ratio, type-token ratio.
+
+    Empty/whitespace-only text has 0 tokens and 0 length; try_divide keeps
+    those rows as NULL ratios (and so NULL quality downstream) instead of
+    tripping ANSI DIVIDE_BY_ZERO — one degenerate doc must not abort a
+    100 TB corpus scan. Downstream gates coalesce NULL to reject."""
     t = tokens(F.col(text_col))
     out = df.withColumn("_toks", t)
     n = F.size("_toks")
@@ -50,15 +55,16 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("_toks"), F.lit(0), lambda acc, x: acc + F.length(x)
     )
     n_stop = F.size(F.filter(F.col("_toks"), lambda x: x.isin(STOPWORDS)))
-    punct = F.length(
-        F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")
-    ) / F.length(F.col(text_col))
+    punct = F.try_divide(
+        F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")),
+        F.length(F.col(text_col)),
+    )
     return (
         out.withColumn("n_tokens", n)
-        .withColumn("avg_token_len", total_len / n)
+        .withColumn("avg_token_len", F.try_divide(total_len, n))
         .withColumn("punct_ratio", punct)
-        .withColumn("stopword_ratio", n_stop / n)
-        .withColumn("type_token_ratio", F.size(F.array_distinct("_toks")) / n)
+        .withColumn("stopword_ratio", F.try_divide(n_stop, n))
+        .withColumn("type_token_ratio", F.try_divide(F.size(F.array_distinct("_toks")), n))
         .drop("_toks")
     )
 

@@ -916,12 +916,13 @@ WITH b AS (
   SELECT content_hash, min(_id) AS _first_id FROM b GROUP BY content_hash
 )
 SELECT b._id AS doc_id, b.content_hash,
-       CASE WHEN s.content_hash IS NOT NULL THEN 'dup_corpus'
+       CASE WHEN b.content_hash IS NULL THEN 'null_text'
+            WHEN s.content_hash IS NOT NULL THEN 'dup_corpus'
             WHEN f._first_id = b._id THEN 'new'
             ELSE 'dup_batch' END AS status
 FROM b
 LEFT JOIN seen s USING (content_hash)
-JOIN fst f USING (content_hash)
+LEFT JOIN fst f USING (content_hash)
 """
 
 
@@ -1035,7 +1036,7 @@ WITH f AS (
   FROM red WHERE quality >= 0.6 GROUP BY 1
 )
 SELECT r.doc_id, r.quality,
-       CASE WHEN r.quality < 0.6 THEN 'low_quality'
+       CASE WHEN r.quality < 0.6 OR r.quality IS NULL THEN 'low_quality'
             WHEN r.doc_id = o._owner THEN 'kept'
             ELSE 'duplicate' END AS status
 FROM red r LEFT JOIN own o ON md5(r.clean) = o._h

@@ -389,3 +389,72 @@ def test_audio_features_real_codec_gated(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
     with _pytest.raises(NotImplementedError, match="audio codec"):
         multimodal.audio_features(df, decode="real")
+
+
+# --- r4 ledger/recipe edge cases (ADVICE round 3) ----------------------------
+
+
+def test_incremental_exact_null_text_gets_explicit_status(spark):
+    # md5(null) is null; a null key matches neither the corpus manifest nor
+    # the batch-first aggregate — before r4 those rows silently vanished
+    # from the ledger. Now every input batch doc appears exactly once.
+    corpus = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "alpha beta"), (11, None), (12, "new thing"), (13, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in dedup.incremental_exact(batch, corpus, "doc_id").collect()
+    }
+    assert out == {
+        10: "dup_corpus",
+        11: "null_text",
+        12: "new",
+        13: "null_text",
+    }
+
+
+def test_corpus_audit_null_quality_is_low_quality(spark):
+    # Empty/whitespace-only text: 0-token ratio divisions make quality NULL.
+    # The gate must coalesce to False so the ledger says 'low_quality', not
+    # fall through three-valued logic into 'duplicate'.
+    from beymani_spark.operators import pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog repeatedly "
+                "and with great enthusiasm for all to see in the field"),
+            (2, "   "),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    audit = {
+        r["doc_id"]: r["status"]
+        for r in pipeline.corpus_audit(df, quality_min=0.0).collect()
+    }
+    assert audit[2] == "low_quality"
+    assert audit[3] == "low_quality"
+    assert audit[1] == "kept"
+    # and the audit still reconciles with the built corpus
+    built = {r["doc_id"] for r in pipeline.build_corpus(df, quality_min=0.0).collect()}
+    assert built == {k for k, v in audit.items() if v == "kept"}
+
+
+def test_mix_to_targets_strict_raises_on_absent_stratum(spark, docs):
+    targets = {"en": 0.5, "xx": 0.3, "yy": 0.2}  # xx/yy have zero rows
+    with pytest.raises(ValueError, match=r"\['xx', 'yy'\]"):
+        sampling.mix_to_targets(
+            docs, "doc_id", "lang", targets, strict=True
+        ).count()
+    # non-strict: documented observed-strata-only semantics — 'en' is the
+    # only observed target stratum, so it binds and keeps everything
+    out = sampling.mix_to_targets(docs, "doc_id", "lang", targets, strict=False)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en
+    # strict=True with all strata present behaves identically to strict=False
+    ok = {"en": 0.4, "es": 0.3, "de": 0.2, "fr": 0.1}
+    a = sampling.mix_to_targets(docs, "doc_id", "lang", ok, strict=True).count()
+    b = sampling.mix_to_targets(docs, "doc_id", "lang", ok, strict=False).count()
+    assert a == b
