@@ -589,11 +589,18 @@ def chunk_dedup(
     Output: (id_col, n_chunks, n_kept, clean_text).
 
     Scale shape: one explode (docs -> chunks), then the first-occurrence
-    owner per chunk via groupBy(chunk).agg(min(struct(id, idx))) — a
+    owner per chunk via groupBy(hash).agg(min(struct(id, idx))) — a
     partial-aggregated shuffle, so a boilerplate chunk repeated a billion
     times collapses map-side instead of hot-spotting one reducer (the
     reason this is an agg+join, not a row_number window over the chunk
     partition) — then one equi-join back and a per-doc reassembly groupBy.
+    The ownership agg and the join back key on a TWO-SEED xxhash64
+    composite of the chunk (128 effective bits, 16 bytes) instead of the
+    raw ~10-token string: the ownership shuffle and the join's build side
+    carry fixed-width longs, roughly halving exchange bytes on the
+    heaviest stage, and at 10¹¹ distinct chunks the collision expectation
+    is n²/2¹²⁹ ≈ 1e-17 — a single 64-bit key would already expect O(100)
+    false merges at that scale, which is why the key is composite.
     Everything is codegen column expressions; no UDFs, no driver state.
     """
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
@@ -615,11 +622,16 @@ def chunk_dedup(
             ).alias("chunk_idx", "chunk"),
         )
     )
-    first = chunked.groupBy("chunk").agg(
-        F.min(F.struct("_id", "chunk_idx")).alias("_first")
+    hashed = chunked.withColumn("_ch1", F.xxhash64("chunk")).withColumn(
+        "_ch2", F.xxhash64("chunk", F.lit(1))
+    )
+    first = (
+        hashed.select("_ch1", "_ch2", "_id", "chunk_idx")
+        .groupBy("_ch1", "_ch2")
+        .agg(F.min(F.struct("_id", "chunk_idx")).alias("_first"))
     )
     kept_flag = (
-        chunked.join(first, "chunk")
+        hashed.join(first, ["_ch1", "_ch2"])
         .withColumn(
             "_kept",
             (F.col("_first._id") == F.col("_id"))

@@ -255,22 +255,28 @@ def bigram_logprob(
     (id, n_bigrams, avg_logprob, ppl); docs with <2 tokens get
     avg_logprob 0 and ppl 1.
 
-    Plan: one bigram explode feeds both the count model and the scoring
-    join; both groupBys partial-aggregate, the model join keys on the gram
-    hash — at corpus scale this is two bounded shuffles of distinct-gram
+    Plan: one bigram explode, immediately reduced to (_id, xxhash64(gram),
+    xxhash64(w1)) — the gram STRING never enters a shuffle or the pinned
+    cache. Both count groupBys and the two model joins key on the 8-byte
+    hashes: fixed-width keys roughly halve exchange bytes vs raw grams and
+    blunt hot-bigram skew (uniform key distribution feeds AQE skew-split
+    cleanly). A 64-bit collision merges two grams' counts with probability
+    ~n²/2⁶⁵ — at 10¹⁰ distinct grams that is O(10³) merged PAIRS, a 1e-7
+    relative perturbation of a fluency heuristic: accepted, documented.
+    At corpus scale this is two bounded shuffles of distinct-gram
     cardinality, never a collect. The exploded-bigram cache is pinned to
     the result — caching.release(result) after the final action."""
-    bigrams = _exploded_grams(df, id_col, text_col, 2, keep_dups=True).persist()
-    pair_counts = bigrams.groupBy("gram").agg(F.count("*").alias("c2"))
-    first_counts = (
-        bigrams.withColumn("w1", F.split(F.col("gram"), " ", 2)[0])
-        .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
-    )
+    g = _exploded_grams(df, id_col, text_col, 2, keep_dups=True)
+    bigrams = g.select(
+        "_id",
+        F.xxhash64(F.col("gram")).alias("_gh"),
+        F.xxhash64(F.split(F.col("gram"), " ", 2)[0]).alias("_w1h"),
+    ).persist()
+    pair_counts = bigrams.groupBy("_gh").agg(F.count("*").alias("c2"))
+    first_counts = bigrams.groupBy("_w1h").agg(F.count("*").alias("c1"))
     scored = (
-        bigrams.join(pair_counts, "gram")
-        .withColumn("w1", F.split(F.col("gram"), " ", 2)[0])
-        .join(first_counts, "w1")
+        bigrams.join(pair_counts, "_gh")
+        .join(first_counts, "_w1h")
         .groupBy("_id")
         .agg(
             F.count("*").alias("n_bigrams"),

@@ -288,3 +288,45 @@ def test_corpus_build_single_fact_shuffle(spark):
     n_shuffles = plan.count("Exchange hashpartitioning")
     assert n_shuffles <= 2, f"corpus_build grew extra shuffles:\n{plan}"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_dedup_shuffles_hash_keys_not_chunk_text(spark):
+    from beymani_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    out = dedup.chunk_dedup(docs, "doc_id", "text", chunk_tokens=10)
+    plan = _plan(out)
+    # ownership agg + join back key on the two-seed xxhash64 composite:
+    # every hashpartitioning exchange except the per-doc reassembly must
+    # partition on the hash columns, never on the raw chunk string
+    import re
+
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert parts, plan
+    for p in parts:
+        assert "chunk#" not in p.replace("chunk_idx", ""), (
+            f"chunk text used as a shuffle key: {p}"
+        )
+    assert "_ch1" in plan and "_ch2" in plan
+
+
+def test_bigram_logprob_joins_on_gram_hash(spark):
+    from beymani_spark.operators import text as text_ops
+    from beymani_spark.functions import caching
+
+    docs = load_table(spark, SF, "documents")
+    out = text_ops.bigram_logprob(docs, "doc_id", "text")
+    try:
+        plan = _plan(out)
+        import re
+
+        parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert parts, plan
+        # model aggs and scoring joins all key on xxhash64 columns; the raw
+        # gram string must never be a shuffle key (it is not even retained
+        # past the explode projection)
+        for p in parts:
+            assert "gram#" not in p, f"raw gram used as a shuffle key: {p}"
+        assert "_gh" in plan and "_w1h" in plan
+    finally:
+        caching.release(out)
