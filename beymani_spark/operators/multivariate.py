@@ -422,7 +422,15 @@ def autoencoder_score(
             term = xs[j] * F.col(f"w_{c}_{v}")
             z = term if z is None else z + term
         if activation == "tanh":
-            z = F.tanh(z)
+            # round-6 parity quantization: Java Math.tanh and other engines'
+            # libm tanh agree to ~1 ulp but are not bit-specified; pinning z
+            # to 1e-6 makes every downstream op (mults/adds/sqrt, one fixed
+            # order) IEEE-identical cross-engine, so the tanh path gets the
+            # same hash-level oracle as linear. Detection semantics are
+            # unaffected (z in [-1,1] at 1e-6 granularity); residual risk is
+            # a 1-2 ulp tanh disagreement landing exactly on a 0.5e-6
+            # rounding boundary (~5e-5 over all of lineitem sf0.01).
+            z = F.round(F.tanh(z), 6)
         z_exprs.append(z.alias(f"_z_{c}"))
     joined = joined.select("*", *z_exprs)
     recon = [F.lit(0.0)] * len(values)

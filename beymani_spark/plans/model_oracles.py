@@ -329,6 +329,74 @@ FROM t4
 """
 
 
+@lru_cache(maxsize=4)
+def autoencoder_tanh_oracle(sf_dir: str) -> str:
+    """Nonlinear (tanh) AE scoring oracle — same baked-fit shape as the
+    linear one, with z = round(tanh(a), 6): the operator's round-6 parity
+    quantization makes the scoring pipeline IEEE-identical across engines
+    even though tanh itself is not bit-specified (multivariate.py
+    autoencoder_score), so the pyod-like nonlinear detector gets the same
+    hash-level guarantee as the linear form."""
+    pdf = _read(sf_dir, "lineitem", [_KM_KEY, *_PCA_VALUES])
+    rows = []
+    for key in sorted(pdf[_KM_KEY].unique()):
+        sub = pdf[pdf[_KM_KEY] == key]
+        kept = sub[_presample(sub, _PCA_VALUES, 8192, 42)]
+        x = kept[_PCA_VALUES].to_numpy(dtype=float)
+        mu, sd, w = ae_fit_core(x, 2, 200, 0.05, 42, "tanh")
+        rows.append(
+            f"('{key}', {len(x)}, "
+            + ", ".join(_lit(m) for m in mu)
+            + ", "
+            + ", ".join(_lit(s) for s in sd)
+            + ", "
+            + ", ".join(_lit(w[c, j]) for c in range(2) for j in range(3))
+            + ")"
+        )
+    model = ",\n         ".join(rows)
+    xs = [
+        f"CASE WHEN s{j} > 0 THEN (l.{v} - m{j}) / s{j} ELSE 0.0 END"
+        for j, v in enumerate(_PCA_VALUES)
+    ]
+    return f"""
+WITH m(l_returnflag, n, m0, m1, m2, s0, s1, s2,
+       w00, w01, w02, w10, w11, w12) AS (
+  VALUES {model}
+), t1 AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, m.n,
+         m.w00, m.w01, m.w02, m.w10, m.w11, m.w12,
+         {xs[0]} AS x0, {xs[1]} AS x1, {xs[2]} AS x2
+  FROM lineitem l JOIN m USING (l_returnflag)
+), t2 AS (
+  -- this DuckDB build has no tanh(); 1 - 2/(exp(2a)+1) is algebraically
+  -- tanh(a) with absolute error ~1e-16 — three orders below the 1e-6
+  -- parity quantum — and the +/-20 clamp (where tanh is 1.0 to 17 digits)
+  -- keeps exp() finite
+  SELECT *,
+    round(1.0 - 2.0 / (exp(2.0 * least(greatest(x0 * w00 + x1 * w01 + x2 * w02, -20.0), 20.0)) + 1.0), 6) AS z0,
+    round(1.0 - 2.0 / (exp(2.0 * least(greatest(x0 * w10 + x1 * w11 + x2 * w12, -20.0), 20.0)) + 1.0), 6) AS z1
+  FROM t1
+), t3 AS (
+  SELECT *, (0.0 + z0 * w00 + z1 * w10) AS r0,
+            (0.0 + z0 * w01 + z1 * w11) AS r1,
+            (0.0 + z0 * w02 + z1 * w12) AS r2
+  FROM t2
+), t4 AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CASE WHEN n > 2
+              THEN sqrt((x0 - r0) * (x0 - r0)
+                      + (x1 - r1) * (x1 - r1)
+                      + (x2 - r2) * (x2 - r2))
+              ELSE 0.0 END AS sc
+  FROM t3
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round(sc, 6) AS score,
+       CASE WHEN sc > 3.0 THEN 'O' ELSE 'N' END AS label
+FROM t4
+"""
+
+
 # ------------------------------------------------------------------ isolation forest
 
 def _tree_sql(node: dict, depth: int, cols: list[str]) -> str:

@@ -18,6 +18,7 @@ from ..operators import multivariate, sequence
 from ..sources import load_table
 from .model_oracles import (
     autoencoder_oracle,
+    autoencoder_tanh_oracle,
     iforest_oracle,
     kmeans_mixed_oracle,
     kmeans_oracle,
@@ -135,6 +136,30 @@ def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = multivariate.isolation_forest_score(
         li, model, ["l_returnflag"], values, threshold=0.6
+    )
+    return _round(
+        out.select("l_orderkey", "l_linenumber", "l_returnflag", "score", "label"),
+        ["score"],
+    )
+
+
+@register("autoencoder_tanh", autoencoder_tanh_oracle)
+def q_autoencoder_tanh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonlinear `auen` detector (pyod-semantics path, mvand.py:25-26):
+    tanh encoder, reconstruction-error score. Hash-verifiable because the
+    scoring path quantizes z to 1e-6, pinning the cross-engine tanh ulp
+    gap (see autoencoder_tanh_oracle)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    values = ["l_quantity", "l_extendedprice", "l_discount"]
+    model = multivariate.autoencoder_fit(
+        li, ["l_returnflag"], values, hidden=2, seed=42, activation="tanh"
+    )
+    out = multivariate.autoencoder_score(
+        li, model, ["l_returnflag"], values, hidden=2, threshold=3.0,
+        activation="tanh",
     )
     return _round(
         out.select("l_orderkey", "l_linenumber", "l_returnflag", "score", "label"),

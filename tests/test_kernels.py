@@ -559,10 +559,11 @@ def test_autoencoder_tanh_activation(spark):
     # outlier (last id) scores highest
     assert max(scores, key=scores.get) == len(x) - 1
 
-    # Spark forward pass == numpy forward pass (same model, same math)
+    # Spark forward pass == numpy forward pass (same model, same math,
+    # including the round-6 z parity quantization the tanh path applies)
     sd_safe = np.where(sd1 > 0, sd1, 1.0)
     xs = (x - mu1) / sd_safe
-    z = np.tanh(xs @ w1.T)
+    z = np.round(np.tanh(xs @ w1.T), 6)
     rec = z @ w1
     expect = np.sqrt(((xs - rec) ** 2).sum(axis=1))
     got = np.array([scores[i] for i in range(len(x))])
