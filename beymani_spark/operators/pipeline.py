@@ -67,6 +67,48 @@ def build_corpus(
     )
 
 
+def build_corpus_mixed(
+    docs: DataFrame,
+    targets,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.6,
+    splits: Sequence[tuple[str, float]] = (("train", 0.75), ("val", 0.125), ("test", 0.125)),
+    seed: int = 42,
+    mix_seed: int = 7,
+    strict: bool = False,
+) -> DataFrame:
+    """The full daily-crawl recipe: build_corpus (lang -> quality -> PII ->
+    dedup -> split) then mix_to_targets on the predicted language, so the
+    SURVIVING corpus follows the requested domain recipe. Composing after
+    dedup is deliberate: mixing before dedup would let duplicate-heavy
+    strata hit their target with copies.
+
+    ``mix_seed`` must differ from the split ``seed``: both decisions are
+    hash_uniform(id, seed) cuts, so sharing a seed would correlate the mix
+    filter (u < rate) with the split thresholds (u < 0.75 => train) and
+    skew kept rows toward 'train'. Distinct seeds make the two draws
+    independent md5 streams.
+
+    Plan cost on top of build_corpus: one |strata|-row partial-agg count +
+    a broadcast of the rates — the corpus never reshuffles (mix_to_targets
+    contract, sampling.py).
+    """
+    corpus = build_corpus(
+        docs, id_col, text_col, quality_min=quality_min, splits=splits, seed=seed
+    )
+    return sampling.mix_to_targets(
+        corpus,
+        id_col,
+        "pred_lang",
+        targets,
+        seed=mix_seed,
+        u_col="u",
+        rate_col="rate",
+        strict=strict,
+    )
+
+
 def corpus_audit(
     docs: DataFrame,
     id_col: str = "doc_id",

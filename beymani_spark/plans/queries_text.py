@@ -1043,6 +1043,55 @@ FROM red r LEFT JOIN own o ON md5(r.clean) = o._h
 """
 
 
+#: mix draw for the composed pipeline uses seed 7 — a DIFFERENT md5 stream
+#: from the split's seed 42, so the mix filter cannot correlate with the
+#: split thresholds (pipeline.build_corpus_mixed docstring)
+_U7_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::UBIGINT"
+    " / 4294967296.0)"
+)
+
+_CORPUS_MIXED_ORACLE = f"""
+WITH corpus AS (
+{_CORPUS_BUILD_ORACLE}
+), c AS (
+  SELECT pred_lang AS _stratum, CAST(count(*) AS DOUBLE) AS _n,
+         CASE pred_lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                        WHEN 'es' THEN CAST(0.3 AS DOUBLE)
+                        WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                        WHEN 'fr' THEN CAST(0.1 AS DOUBLE) END AS _w
+  FROM corpus WHERE pred_lang IN ('en', 'es', 'de', 'fr')
+  GROUP BY pred_lang
+), b AS (
+  SELECT min(_n / _w) AS _T FROM c
+), r AS (
+  SELECT _stratum, (_w * _T / _n) AS _rate FROM c, b
+)
+SELECT corpus.doc_id, corpus.pred_lang, corpus.n_tokens, corpus.quality,
+       corpus.split, {_U7_SQL} AS u, round(_rate, 6) AS rate
+FROM corpus JOIN r ON corpus.pred_lang = r._stratum
+WHERE {_U7_SQL} < _rate
+"""
+
+
+@register("corpus_build_mixed", _CORPUS_MIXED_ORACLE)
+def q_corpus_build_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed daily-crawl recipe (pipeline.build_corpus_mixed): clean,
+    dedup and split the corpus, THEN resample the survivors to the
+    40/30/20/10 en/es/de/fr recipe on the PREDICTED language. Mix rates
+    derive from post-dedup stratum counts and broadcast back; the corpus
+    never reshuffles."""
+    from ..operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {"en": 0.4, "es": 0.3, "de": 0.2, "fr": 0.1}
+    out = pipeline.build_corpus_mixed(docs, targets, quality_min=0.6, seed=42)
+    return out.select(
+        "doc_id", "pred_lang", "n_tokens", "quality", "split", "u",
+        F.round("rate", 6).alias("rate"),
+    )
+
+
 @register("corpus_audit", _CORPUS_AUDIT_ORACLE)
 def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop-reason ledger for the corpus build (pipeline.corpus_audit):

@@ -458,3 +458,32 @@ def test_mix_to_targets_strict_raises_on_absent_stratum(spark, docs):
     a = sampling.mix_to_targets(docs, "doc_id", "lang", ok, strict=True).count()
     b = sampling.mix_to_targets(docs, "doc_id", "lang", ok, strict=False).count()
     assert a == b
+
+
+def test_build_corpus_mixed_composition(spark, docs):
+    from beymani_spark.operators import pipeline
+
+    targets = {"en": 0.4, "es": 0.3, "de": 0.2, "fr": 0.1}
+    corpus = pipeline.build_corpus(docs, quality_min=0.6, seed=42)
+    mixed = pipeline.build_corpus_mixed(docs, targets, quality_min=0.6, seed=42)
+    rows = mixed.collect()
+    # survivors of the mix are a subset of the built corpus
+    corpus_ids = {r["doc_id"] for r in corpus.collect()}
+    assert {r["doc_id"] for r in rows} <= corpus_ids
+    # kept composition approximates the recipe: the binding stratum keeps
+    # everything, every stratum's kept count ~= w_s * T (hash-uniform noise)
+    import collections
+
+    by_lang = collections.Counter(r["pred_lang"] for r in rows)
+    total = sum(by_lang.values())
+    # observed-strata-only semantics: renormalize the recipe over strata
+    # that actually have rows (at sf0.001 lang_id classifies everything
+    # 'en', so the renormalized recipe is degenerate {en: 1.0})
+    w_obs = sum(w for lang, w in targets.items() if by_lang.get(lang))
+    for lang, w in targets.items():
+        if by_lang.get(lang):
+            assert abs(by_lang[lang] / total - w / w_obs) < 0.08, (lang, by_lang)
+    # split assignment is NOT skewed by the mix filter (distinct seeds):
+    # train share stays near 0.75 among kept rows
+    splits = collections.Counter(r["split"] for r in rows)
+    assert abs(splits["train"] / total - 0.75) < 0.1, splits
