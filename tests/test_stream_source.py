@@ -1,0 +1,149 @@
+"""Config-driven streaming source entry (sources/streams.py): value
+decoding, rate-source soak through a real scoring job, and exactly-once
+checkpoint restart through open_stream/start_sink."""
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from beymani_spark.sources import streams
+
+
+# --- decode_value (broker-free kafka payload parsing) ------------------------
+
+
+def _kafka_shaped(spark, payloads: list[str]):
+    return spark.createDataFrame(
+        [(p.encode(),) for p in payloads], "value binary"
+    )
+
+
+def test_decode_value_delimited(spark):
+    df = _kafka_shaped(spark, ["e1,2024-01-01 00:00:00,1.5", "e2,2024-01-01 00:00:01,-2.0"])
+    out = streams.decode_value(
+        df,
+        {
+            "value.format": "delimited",
+            "value.delimiter": ",",
+            "value.schema": "entity string, ts timestamp, value double",
+        },
+    ).collect()
+    assert [(r["entity"], r["value"]) for r in out] == [("e1", 1.5), ("e2", -2.0)]
+    assert out[0]["ts"].year == 2024
+
+
+def test_decode_value_json_and_raw(spark):
+    df = _kafka_shaped(spark, ['{"entity": "e1", "value": 3.5}'])
+    out = streams.decode_value(
+        df, {"value.format": "json", "value.schema": "entity string, value double"}
+    ).collect()
+    assert out[0]["entity"] == "e1" and out[0]["value"] == 3.5
+    raw = streams.decode_value(df, {}).collect()
+    assert raw[0]["value"].startswith('{"entity"')
+
+
+def test_decode_value_requires_schema(spark):
+    df = _kafka_shaped(spark, ["a,b"])
+    with pytest.raises(ValueError, match="value.schema"):
+        streams.decode_value(df, {"value.format": "delimited"})
+
+
+def test_open_stream_rejects_unknown_format(spark):
+    with pytest.raises(ValueError, match="unknown stream format"):
+        streams.open_stream(spark, {"format": "redis"})
+
+
+# --- rate-source soak through a real scoring job -----------------------------
+
+
+def test_rate_source_soak_through_stream_zscore(spark, tmp_path):
+    """The Storm-spout replacement drives an actual scoring job: rate rows
+    mapped to (entity, value), scored by stream_zscore against a broadcast
+    stats model, flowing into a memory sink."""
+    from beymani_spark.streaming.jobs import stream_zscore
+
+    src = streams.open_stream(
+        spark, {"format": "rate", "rowsPerSecond": "500", "numPartitions": "2"}
+    )
+    ev = src.select(
+        F.concat(F.lit("e"), (F.col("value") % 3).cast("string")).alias("event_type"),
+        (F.col("value") % 17).cast("double").alias("value"),
+    )
+    stats = spark.createDataFrame(
+        [("e0", "value", 8.0, 2.0), ("e1", "value", 8.0, 2.0), ("e2", "value", 8.0, 2.0)],
+        "event_type string, attr string, mean double, std double",
+    )
+    scored = stream_zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+    q = streams.start_sink(
+        scored,
+        {
+            "format": "memory",
+            "queryName": "rate_soak",
+            "checkpoint": str(tmp_path / "ck"),
+            "trigger": "1 second",
+        },
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select * from rate_soak").count()
+            if n >= 100:
+                break
+            time.sleep(1)
+        assert n >= 100, f"rate soak produced only {n} rows"
+        row = spark.sql("select * from rate_soak").first()
+        assert row["label"] in ("O", "N") and row["score"] is not None
+    finally:
+        q.stop()
+
+
+# --- exactly-once checkpoint restart through the config entry ----------------
+
+
+def test_file_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    src, out, ck = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "id long, value double"
+    conf = {"format": "file", "path": src, "schema": schema, "file.format": "parquet"}
+
+    def run_once():
+        stream = streams.open_stream(spark, conf).withColumn(
+            "doubled", F.col("value") * 2
+        )
+        q = streams.start_sink(
+            stream,
+            {"format": "parquet", "path": out, "checkpoint": ck, "trigger": "availableNow"},
+        )
+        q.awaitTermination(120)
+
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 1.0).alias("value")
+    ).write.mode("append").parquet(src)
+    run_once()
+    # second batch lands AFTER the first query fully stopped; the restart
+    # must pick up ONLY the new files (commit log), never reprocess batch 1
+    spark.range(100, 150).select(
+        F.col("id"), (F.col("id") * 1.0).alias("value")
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 150, f"restart broke exactly-once: {len(got)} rows"
+    assert sorted(got.id) == list(range(150))
+    assert (got.doubled == got.value * 2).all()
+
+
+def test_kafka_branch_fails_with_clear_error_without_connector(spark):
+    # no broker / no connector jar in this env: the boundary must be a
+    # clear, actionable error, not a stack trace from deep inside Spark
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        streams.open_stream(
+            spark,
+            {
+                "format": "kafka",
+                "kafka.bootstrap.servers": "localhost:9092",
+                "subscribe": "events",
+            },
+        )
