@@ -1,0 +1,96 @@
+"""Giant-key stress for the applyInPandas kernel family (SCALE.md hazard #1).
+
+The one real memory bound in the repo is O(largest key group) inside a
+single Python worker for the sequential kernels (the reference has the
+same hazard: its per-key state lives in one bolt/reducer, e.g.
+seq/MarkovChainPredictor.scala accumulating a key's sequence). These
+tests pin the behavior with one deliberately dominant key (10x the median
+group): every kernel must complete and produce per-key-complete output,
+and the subsequence kernel's chunked path (``parallelism``) must match
+the serial result exactly — that chunking is the documented off-ramp when
+a key outgrows one worker.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beymani_spark.operators import sequence
+
+BIG_N = 20_000
+SMALL_N = 2_000
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """5 keys; 'big' has 10x the rows of each of the 4 'small' keys, with a
+    deterministic value series (sine + hash jitter) and strictly increasing
+    timestamps per key."""
+    base = spark.range(BIG_N).select(
+        F.lit("big").alias("k"),
+        F.col("id").cast("timestamp").alias("ts"),
+        (
+            F.sin(F.col("id") / 50.0) * 10.0
+            + (F.pmod(F.xxhash64("id"), F.lit(1000)) / 100.0)
+        ).alias("v"),
+    )
+    smalls = [
+        spark.range(SMALL_N).select(
+            F.lit(f"s{i}").alias("k"),
+            F.col("id").cast("timestamp").alias("ts"),
+            (
+                F.sin(F.col("id") / 30.0) * 5.0
+                + (F.pmod(F.xxhash64("id", F.lit(i)), F.lit(1000)) / 100.0)
+            ).alias("v"),
+        )
+        for i in range(4)
+    ]
+    out = base
+    for s in smalls:
+        out = out.unionByName(s)
+    # scatter the giant key across many input partitions: the group
+    # exchange must reassemble it into ONE worker regardless
+    return out.repartition(32).persist()
+
+
+def _counts(df, key="k"):
+    return {r[key]: r["n"] for r in df.groupBy(key).agg(F.count("*").alias("n")).collect()}
+
+
+def test_spectral_residual_giant_key_completes(spark, skewed):
+    out = sequence.spectral_residual(skewed, ["k"], "ts", "v")
+    c = _counts(out)
+    assert c["big"] == BIG_N and c["s0"] == SMALL_N
+    assert out.filter(F.col("sr_score").isNull()).count() == 0
+
+
+def test_one_step_ahead_giant_key_completes(spark, skewed):
+    out = sequence.one_step_ahead(skewed, ["k"], "ts", "v", window=8)
+    c = _counts(out)
+    assert c["big"] == BIG_N and c["s3"] == SMALL_N
+
+
+def test_change_point_giant_key_completes(spark, skewed):
+    out = sequence.change_point(skewed, ["k"], "ts", "v", window=64, step=8)
+    c = _counts(out)
+    # one emission per step offset: (n - window) // step + 1
+    assert c["big"] == (BIG_N - 64) // 8 + 1
+    assert c["s1"] == (SMALL_N - 64) // 8 + 1
+
+
+def test_subsequence_chunked_equals_serial_on_giant_key(spark):
+    """The parallelism off-ramp must be score-identical to the serial sweep
+    (it re-partitions the O(n^2) profile by diagonals, not an approximation).
+    Smaller n here: the kernel is quadratic per key."""
+    df = spark.range(1200).select(
+        F.lit("big").alias("k"),
+        F.col("id").cast("timestamp").alias("ts"),
+        (F.sin(F.col("id") / 20.0) + (F.pmod(F.xxhash64("id"), F.lit(100)) / 50.0)).alias("v"),
+    )
+    serial = sequence.subsequence_distance(df, ["k"], "ts", "v", window=16)
+    chunked = sequence.subsequence_distance(df, ["k"], "ts", "v", window=16, parallelism=8)
+    a = {r["offset"]: r["discord_score"] for r in serial.collect()}
+    b = {r["offset"]: r["discord_score"] for r in chunked.collect()}
+    assert a.keys() == b.keys() and len(a) == 1200 - 16 + 1
+    for off, d in a.items():
+        assert abs(d - b[off]) < 1e-9, (off, d, b[off])
