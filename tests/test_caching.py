@@ -36,3 +36,31 @@ def test_bigram_and_simhash_and_jaccard_pin_their_caches(spark):
         caching.release(result)
         assert all(not f.storageLevel.useMemory for f in pinned)
         assert caching.pinned(result) == []
+
+
+def test_back_to_back_pipeline_ops_no_storage_leak(spark):
+    """Adoption audit (round-4): two pinned operators run back-to-back, each
+    released after its final action, must return the session's persistent-RDD
+    census to baseline — the contract a long-running pipeline (no bench-style
+    clearCache between steps) depends on."""
+    spark.catalog.clearCache()
+
+    def cache_empty() -> bool:
+        # the Catalyst CacheManager is the authoritative census for SQL
+        # caches (sc.getPersistentRDDs does not track InMemoryRelations)
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    assert cache_empty()
+    docs = _docs(spark)
+
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id")
+    pairs.count()
+    assert not cache_empty(), "minhash cache should be live mid-op"
+    caching.release(pairs, blocking=True)
+    assert cache_empty(), "minhash release leaked its shingle cache"
+
+    lp = text.bigram_logprob(docs)
+    lp.count()
+    assert not cache_empty(), "bigram cache should be live mid-op"
+    caching.release(lp, blocking=True)
+    assert cache_empty(), "bigram release leaked its exploded-gram cache"
