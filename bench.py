@@ -52,27 +52,44 @@ def main() -> None:
     )
     warm.write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
-    for name, q in QUERIES.items():
+    def run_once(q) -> float:
         t0 = time.perf_counter()
         df = q.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        elapsed = time.perf_counter() - t0
         # queries are measured independently: drop any caches a builder
-        # persisted so later queries neither reuse them nor inherit the
+        # persisted so later runs neither reuse them nor inherit the
         # storage pressure (outside the timed region)
         spark.catalog.clearCache()
+        return elapsed
+
+    # Cold pass (headline, comparable to BASELINE.md r1-r3) + warm repeats:
+    # the FIRST execution of a query pays session costs the plan does not
+    # (python-worker spin-up for its UDF shape, codegen JIT, page cache),
+    # which made r2/r3 cross-round comparisons noisy — the warm median is
+    # the plan-cost signal, the cold time is what a one-shot user sees.
+    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
+    times: dict[str, float] = {}
+    warm_times: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        times[name] = round(run_once(q), 3)
+        if warm_runs > 0:
+            reps = sorted(run_once(q) for _ in range(warm_runs))
+            warm_times[name] = round(reps[len(reps) // 2], 3)
 
     total = round(sum(times.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "total_query_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": times,
-            "sf": sf,
-        }
-    )
+    payload = {
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if warm_times:
+        payload["value_warm"] = round(sum(warm_times.values()), 3)
+        payload["queries_warm"] = warm_times
+        payload["warm_runs"] = warm_runs
+    line = json.dumps(payload)
     print(line)
     # also persist the summary: the driver captures stdout's tail, which
     # truncated the r2 line mid-JSON (BENCH_r02 parsed: null) — the file is
