@@ -18,6 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import caching
 from . import pii as pii_ops
 from . import sampling, text
 
@@ -92,12 +93,20 @@ def build_corpus_mixed(
 
     Plan cost on top of build_corpus: one |strata|-row partial-agg count +
     a broadcast of the rates — the corpus never reshuffles (mix_to_targets
-    contract, sampling.py).
+    contract, sampling.py). mix_to_targets consumes the corpus in TWO plan
+    branches (the stratum-count aggregate and the fact pass), so the built
+    corpus is persisted here — without it the whole lang->quality->PII->
+    dedup pipeline executes twice, doubling the dominant cost. The cache
+    is pinned to the result (caller-owned lifetime, functions/caching.py:
+    caching.release(result) after the final action); at cluster scale the
+    same persist (MEMORY_AND_DESERIALIZED spills to disk) is the standard
+    stand-in for checkpointing the cleaned corpus to storage before the
+    mix pass — either way, one corpus computation, not two.
     """
     corpus = build_corpus(
         docs, id_col, text_col, quality_min=quality_min, splits=splits, seed=seed
-    )
-    return sampling.mix_to_targets(
+    ).persist()
+    mixed = sampling.mix_to_targets(
         corpus,
         id_col,
         "pred_lang",
@@ -107,6 +116,7 @@ def build_corpus_mixed(
         rate_col="rate",
         strict=strict,
     )
+    return caching.pin(mixed, corpus)
 
 
 def corpus_audit(

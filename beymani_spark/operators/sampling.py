@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_DENOM = float(1 << 32)
@@ -180,15 +180,20 @@ def mix_to_targets(
     w_of_stratum = F.element_at(
         F.create_map(*w_pairs), F.col("_stratum").cast("string")
     )
-    bound = counts.select(
-        F.min(F.col("_n") / w_of_stratum).alias("_T")
-    )
-    rates = (
-        counts.crossJoin(bound)  # 1-row bounds frame, same pattern as knn.py
-        .select(
-            "_stratum",
-            (w_of_stratum * F.col("_T") / F.col("_n")).alias("_rate"),
-        )
+    # T = min(n/w) as an unpartitioned window over the |strata|-row counts
+    # frame (not a separate global aggregate + crossJoin): the aggregate
+    # form re-derived `counts` in a second plan branch, costing one extra
+    # pass over the input per action — the window keeps exactly ONE counts
+    # aggregation, and single-partitioning a |strata|-row frame is free.
+    # min over doubles is order-insensitive, so the value (and the oracle's
+    # w*T/n keep decision) is bit-identical to the aggregate form.
+    rates = counts.select(
+        "_stratum",
+        (
+            w_of_stratum
+            * F.min(F.col("_n") / w_of_stratum).over(Window.partitionBy())
+            / F.col("_n")
+        ).alias("_rate"),
     )
     u = hash_uniform(F.col(id_col), seed)
     out = (

@@ -64,3 +64,22 @@ def test_back_to_back_pipeline_ops_no_storage_leak(spark):
     assert not cache_empty(), "bigram cache should be live mid-op"
     caching.release(lp, blocking=True)
     assert cache_empty(), "bigram release leaked its exploded-gram cache"
+
+
+def test_build_corpus_mixed_pins_and_releases_corpus_cache(spark):
+    """build_corpus_mixed persists the built corpus (two consumers: stratum
+    counts + fact pass) and hands lifetime to the caller per the repo-wide
+    pin/release contract."""
+    from beymani_spark.operators import pipeline
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    docs = _docs(spark)
+    targets = {"en": 0.4, "es": 0.3, "de": 0.2, "fr": 0.1}
+    mixed = pipeline.build_corpus_mixed(docs, targets, quality_min=0.6, seed=42)
+    mixed.count()
+    assert not cm.isEmpty(), "corpus cache should be live mid-op"
+    pinned = caching.pinned(mixed)
+    assert pinned, "build_corpus_mixed should pin its corpus cache"
+    caching.release(mixed, blocking=True)
+    assert cm.isEmpty(), "release leaked the corpus cache"
