@@ -66,9 +66,13 @@ def main() -> None:
     # Cold pass (headline, comparable to BASELINE.md r1-r3) + warm repeats:
     # the FIRST execution of a query pays session costs the plan does not
     # (python-worker spin-up for its UDF shape, codegen JIT, page cache),
-    # which made r2/r3 cross-round comparisons noisy — the warm median is
+    # which made r2/r3 cross-round comparisons noisy — the warm time is
     # the plan-cost signal, the cold time is what a one-shot user sees.
-    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
+    # Default is ONE warm repeat so an unattended capture stays ~2x the
+    # historical runtime (the payload records warm_runs); set
+    # SPARK_GRAFT_WARM_RUNS=3 for a median-of-3 profiling run (the
+    # BASELINE.md §7 record) or 0 to restore the r1-r3 cold-only behavior.
+    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "1"))
     times: dict[str, float] = {}
     warm_times: dict[str, float] = {}
     for name, q in QUERIES.items():
