@@ -1,0 +1,168 @@
+"""Training-sequence preparation: context-window chunking and
+concat-and-chunk packing manifests.
+
+These are the two transforms between a cleaned corpus and a trainer's
+fixed-length token sequences (the step after build_corpus in a real
+pipeline; reference has no analogue — this is part of the repo's
+LLM-data-pipeline surface, SURVEY §2.6 extensions):
+
+- ``chunk_for_training``: split each document into overlapping windows of
+  at most ``max_tokens`` whitespace tokens advancing by ``stride`` (the
+  long-document -> model-context split, with overlap so no boundary
+  context is lost). Pure scan-side explode — zero shuffles.
+- ``pack_sequences``: the GPT-style concat-and-chunk packing MANIFEST:
+  documents are laid out end-to-end in deterministic id order (plus an
+  optional per-doc separator), and every doc learns its global token
+  offset, which fixed-size training sequence its first token lands in,
+  and how many sequence boundaries cross it. The heavy lifting is a
+  distributed prefix sum — NOT a global-order window, which Catalyst
+  executes on a single partition and which would serialize the whole
+  corpus through one task at 100 TB.
+
+Token semantics match text.tokens (whitespace split, empties dropped)
+so chunk counts agree with token_count/chunk_dedup across the repo.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def chunk_for_training(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """One row per (doc, window): windows start at token offsets
+    0, stride, 2*stride, ... and carry up to ``max_tokens`` tokens; a doc
+    with n <= max_tokens tokens yields exactly one window, otherwise
+    1 + ceil((n - max_tokens)/stride) windows (the last may be short, but
+    never starts at-or-past n). Output: (id_col, chunk_id, chunk_tokens,
+    chunk_text). Docs with zero tokens yield no rows.
+
+    Scale shape: tokenize once, explode over a computed window-count
+    sequence, slice per window — all codegen column expressions fused into
+    the scan pass; no shuffle, no UDF. stride < max_tokens gives the
+    standard overlapping-context split; stride == max_tokens degenerates
+    to chunk_dedup-style disjoint chunks.
+    """
+    if not (0 < stride <= max_tokens):
+        raise ValueError("require 0 < stride <= max_tokens")
+    m, s = int(max_tokens), int(stride)
+    n = F.size("_toks")
+    n_win = F.when(n <= m, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - m) / F.lit(s)).cast("int")
+    )
+    out = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_win - 1),
+                    # F.slice is 1-based and clamps past the array end
+                    lambda i: F.slice(F.col("_toks"), i * s + 1, m),
+                )
+            ).alias("chunk_id", "_win"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_win").alias("chunk_tokens"),
+            F.array_join("_win", " ").alias("chunk_text"),
+        )
+    )
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    seq_tokens: int = 2048,
+    sep_tokens: int = 1,
+    partitions: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk packing manifest: lay documents end-to-end in
+    ascending ``id_col`` order, each occupying n_tokens(doc) + sep_tokens
+    positions (the separator models an EOS/BOS token between docs), and
+    report where every doc lands in the fixed-size training sequences:
+
+    Output: (id_col, n_tokens, start_offset, seq_id, n_seq_spanned) where
+    start_offset is the doc's first-token position in the global stream,
+    seq_id = start_offset // seq_tokens, and n_seq_spanned is how many
+    training sequences the doc's tokens touch (1 = fits inside one
+    sequence; >1 = split across boundaries, the concat-and-chunk trade).
+
+    Scale shape: the global offset is a DISTRIBUTED prefix sum — project
+    to (id, n) first so only two longs per doc move, range-partition by
+    id, run the running total per partition, then add each partition's
+    starting offset via a broadcast of the per-partition totals (a
+    ``partitions``-row frame). Two narrow exchanges, no single-partition
+    stage; a global-order window (``Window.orderBy(id)`` with no
+    partitionBy) would compute the same numbers through ONE task and is
+    deliberately avoided. All arithmetic is integer, so the manifest is
+    engine-exact.
+    """
+    q = int(seq_tokens)
+    narrow = df.select(
+        F.col(id_col),
+        (F.size(tokens(F.col(text_col))) + F.lit(int(sep_tokens))).alias("_span"),
+    )
+    ranged = narrow.repartitionByRange(int(partitions), F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # per-partition running total (window re-shuffles by _pid: rows of one
+    # range partition stay together, and only (id, span, pid) longs move)
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    local = ranged.withColumn(
+        "_local_end", F.sum("_span").over(w)
+    )
+    # partition base offsets: |partitions| rows, broadcast back. Range
+    # partitions are ordered by construction, so the base of partition p
+    # is the sum of the totals of partitions < p.
+    totals = ranged.groupBy("_pid").agg(F.sum("_span").alias("_ptotal"))
+    base = totals.withColumn(
+        "_base",
+        F.coalesce(
+            F.sum("_ptotal").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_base")
+    out = (
+        local.join(F.broadcast(base), "_pid")
+        .select(
+            id_col,
+            (F.col("_span") - F.lit(int(sep_tokens))).alias("n_tokens"),
+            (F.col("_base") + F.col("_local_end") - F.col("_span")).alias(
+                "start_offset"
+            ),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "start_offset",
+            # integer `div`, not `/`: long / long is DOUBLE in Spark, and
+            # floor-through-double would silently lose exactness past 2^53
+            F.expr(f"start_offset div {q}").alias("seq_id"),
+            F.when(F.col("n_tokens") <= 0, F.lit(1))
+            .otherwise(
+                F.expr(
+                    f"((start_offset + n_tokens - 1) div {q})"
+                    f" - (start_offset div {q}) + 1"
+                )
+            )
+            .cast("int")
+            .alias("n_seq_spanned"),
+        )
+    )
+    return out

@@ -208,3 +208,50 @@ def mix_to_targets(
     if rate_col:
         out = out.withColumn(rate_col, F.col("_rate"))
     return out.drop("_rate") if rate_col != "_rate" else out
+
+
+def stratified_rank_filter(
+    df: DataFrame,
+    stratum_col: str,
+    order_col: str,
+    keep_frac: float,
+    tiebreak_col: str | None = None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each stratum ranked by ``order_col``
+    descending (the per-domain quality-percentile gate of modern corpus
+    pipelines — e.g. "keep the best 30% of each language by quality" — a
+    RANK cut, unlike the hash-uniform RATE cuts above, so the kept set is
+    the best rows, not a random sample). Keeps ceil(keep_frac * n_s) rows
+    per stratum s: every non-empty stratum retains at least one row, and
+    the count is an integer function of n_s, so the decision is
+    engine-exact (no float-boundary rows).
+
+    Ties on ``order_col`` break by ``tiebreak_col`` ascending (required if
+    ``order_col`` has duplicates — a nondeterministic rank would not be
+    reproducible across engines or runs).
+
+    Scale shape: one hash-partitioned shuffle on the stratum key feeding
+    BOTH the row_number window and the per-stratum count (computed as a
+    count window over the same partitioning, so Catalyst reuses one sort +
+    exchange instead of adding an aggregate branch + join). Skewed strata
+    sort-spill like any window; there is no driver state.
+    """
+    if not (0 < keep_frac <= 1):
+        raise ValueError("require 0 < keep_frac <= 1")
+    order = [F.col(order_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+    wc = Window.partitionBy(stratum_col)
+    out = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_ns", F.count("*").over(wc))
+        .filter(
+            F.col("_rk")
+            <= F.ceil(F.col("_ns") * F.lit(float(keep_frac))).cast("long")
+        )
+    )
+    if rank_col:
+        out = out.withColumn(rank_col, F.col("_rk"))
+    return out.drop("_rk", "_ns")

@@ -1,0 +1,151 @@
+"""Registry queries for training-sequence preparation (operators/packing.py)
+and the per-stratum rank gate (operators/sampling.py): the transforms between
+a cleaned corpus and a trainer's fixed-length token sequences, plus the
+"keep the best q% of each domain" filter. North-star LLM-pipeline surface;
+no counterpart in the reference.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import packing, sampling, text
+from ..sources import load_table
+from .registry import register
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+_CHUNK_M, _CHUNK_S = 64, 48
+
+_TRAINING_CHUNKS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), wins AS (
+  SELECT doc_id, n, u.i AS chunk_id,
+         list_slice(toks, u.i * {_CHUNK_S} + 1,
+                    least(u.i * {_CHUNK_S} + {_CHUNK_M}, n)) AS w
+  FROM nz, unnest(range(0,
+         CASE WHEN n <= {_CHUNK_M} THEN 1
+              ELSE 1 + CAST(ceil((n - {_CHUNK_M}) / {_CHUNK_S}.0) AS INT)
+         END)) AS u(i)
+)
+SELECT doc_id, chunk_id, len(w) AS chunk_tokens,
+       array_to_string(w, ' ') AS chunk_text
+FROM wins
+"""
+
+
+@register("training_chunks", _TRAINING_CHUNKS_ORACLE)
+def q_training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (packing.chunk_for_training):
+    max 64 whitespace tokens per window, stride 48 — zero-shuffle scan-side
+    explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.chunk_for_training(
+        docs, "doc_id", max_tokens=_CHUNK_M, stride=_CHUNK_S
+    )
+
+
+_SEQ_TOKENS, _SEP = 2048, 1
+
+_PACK_MANIFEST_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         -- SUM over BIGINT is HUGEINT in DuckDB; pin the manifest to int64
+         CAST(COALESCE(SUM(n_tokens + {_SEP}) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM n
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {_SEQ_TOKENS} AS seq_id,
+       CAST(CASE WHEN n_tokens <= 0 THEN 1
+            ELSE ((start_offset + n_tokens - 1) // {_SEQ_TOKENS})
+                 - (start_offset // {_SEQ_TOKENS}) + 1
+       END AS INT) AS n_seq_spanned
+FROM o
+"""
+
+
+@register("pack_manifest", _PACK_MANIFEST_ORACLE)
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing manifest (packing.pack_sequences): global
+    token offsets via a distributed prefix sum (the oracle's global-order
+    window is exactly the single-partition plan the Spark side avoids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        docs, "doc_id", seq_tokens=_SEQ_TOKENS, sep_tokens=_SEP
+    )
+
+
+_KEEP_FRAC = 0.3
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = text.LANG_MARKERS[lang]
+    return f"len(list_filter(toks, x -> list_contains({markers!r}, x)))"
+
+
+_RANK_GATE_ORACLE = f"""
+WITH lt AS (
+  SELECT doc_id, {_TOKS_SQL.replace("trim(text)", "trim(lower(text))")} AS toks
+  FROM documents
+), lp AS (
+  SELECT doc_id,
+         CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+              WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+              WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de'
+              WHEN h_fr >= h_zh THEN 'fr'
+              ELSE 'zh' END AS pred_lang
+  FROM (
+    SELECT doc_id,
+           {_lang_hits_sql("en")} AS h_en, {_lang_hits_sql("es")} AS h_es,
+           {_lang_hits_sql("de")} AS h_de, {_lang_hits_sql("fr")} AS h_fr,
+           {_lang_hits_sql("zh")} AS h_zh
+    FROM lt
+  )
+), f AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+  FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+), q AS (
+  SELECT doc_id,
+         round(0.25 * least(1.0, n_tokens / 50.0)
+             + 0.25 * (1.0 - least(1.0, punct_ratio * 4.0))
+             + 0.25 * least(1.0, stopword_ratio * 5.0)
+             + 0.25 * type_token_ratio, 6) AS quality
+  FROM f
+), r AS (
+  SELECT q.doc_id, lp.pred_lang, q.quality,
+         row_number() OVER (
+           PARTITION BY lp.pred_lang ORDER BY q.quality DESC, q.doc_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY lp.pred_lang) AS ns
+  FROM q JOIN lp ON q.doc_id = lp.doc_id
+)
+SELECT doc_id, pred_lang, quality
+FROM r WHERE rk <= CAST(ceil(ns * {_KEEP_FRAC}) AS BIGINT)
+"""
+
+
+@register("quality_rank_gate", _RANK_GATE_ORACLE)
+def q_quality_rank_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum percentile gate (sampling.stratified_rank_filter): keep
+    the best 30% of each predicted language by quality — a RANK cut with a
+    deterministic tie-break, not a hash-rate cut. Ranks on the ROUND-6
+    quality on both sides (the repo-wide float-parity convention), with
+    doc_id breaking round-6 ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(text.lang_id(docs)).withColumn(
+        "quality", F.round("quality", 6)
+    )
+    out = sampling.stratified_rank_filter(
+        scored, "pred_lang", "quality", _KEEP_FRAC, tiebreak_col="doc_id"
+    )
+    return out.select("doc_id", "pred_lang", "quality")

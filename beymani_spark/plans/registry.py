@@ -55,6 +55,7 @@ from . import queries_multivariate  # noqa: E402,F401
 from . import queries_drift  # noqa: E402,F401
 from . import queries_gaps  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
+from . import queries_packing  # noqa: E402,F401
 
 # The driver's correctness harness checks a bounded prefix of queries() in
 # registration order (observed: exactly the first 50). The window ROTATES
@@ -79,6 +80,9 @@ _PRIORITY = [
     # --- new in round 4 ---
     "autoencoder_tanh",
     "corpus_build_mixed",
+    "training_chunks",
+    "pack_manifest",
+    "quality_rank_gate",
     # --- r3-certified set (rotates through the remaining window slots) ---
     # newly model-baked oracles (this round's headline correctness work)
     "isolation_forest",

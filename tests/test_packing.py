@@ -1,0 +1,163 @@
+"""Unit tests for training-sequence preparation (operators/packing.py) and
+the per-stratum rank gate (sampling.stratified_rank_filter): hand-computed
+cases, partition invariance, and the plan shapes that matter at scale."""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from beymani_spark.operators import packing, sampling
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_windows_hand_computed(spark):
+    # 10 tokens, max 4, stride 3 -> windows at token offsets 0, 3, 6
+    text = " ".join(f"t{i}" for i in range(10))
+    out = packing.chunk_for_training(
+        _docs(spark, [(1, text)]), "doc_id", max_tokens=4, stride=3
+    ).collect()
+    got = {(r.chunk_id, r.chunk_text) for r in out}
+    assert got == {
+        (0, "t0 t1 t2 t3"),
+        (1, "t3 t4 t5 t6"),
+        (2, "t6 t7 t8 t9"),
+    }
+    assert all(r.chunk_tokens == 4 for r in out)
+
+
+def test_chunk_short_doc_single_window_and_ragged_tail(spark):
+    out = packing.chunk_for_training(
+        _docs(spark, [(1, "a b c"), (2, " ".join("x" * 1 for _ in range(11)))]),
+        "doc_id",
+        max_tokens=4,
+        stride=3,
+    )
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert rows[(1, 0)].chunk_tokens == 3  # n <= max: one window, whole doc
+    assert (1, 1) not in rows
+    # n=11: windows start 0,3,6,9; the last carries only 2 tokens
+    assert rows[(2, 3)].chunk_tokens == 2
+    assert (2, 4) not in rows
+
+
+def test_chunk_covers_every_token_no_empty_windows(spark):
+    df = _docs(
+        spark,
+        [(i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate([1, 4, 5, 12, 13, 100])],
+    )
+    out = packing.chunk_for_training(df, "doc_id", max_tokens=5, stride=2).collect()
+    assert all(r.chunk_tokens > 0 for r in out)
+    # union of window tokens = the doc's token set (coverage; overlap allowed)
+    seen = {}
+    for r in out:
+        seen.setdefault(r.doc_id, set()).update(r.chunk_text.split(" "))
+    for i, n in enumerate([1, 4, 5, 12, 13, 100]):
+        assert seen[i] == {f"w{i}_{j}" for j in range(n)}
+
+
+def test_chunk_empty_doc_yields_no_rows_and_bad_stride_raises(spark):
+    df = _docs(spark, [(1, "   "), (2, "a b")])
+    out = packing.chunk_for_training(df, "doc_id", max_tokens=4, stride=3)
+    assert [r.doc_id for r in out.collect()] == [2]
+    with pytest.raises(ValueError):
+        packing.chunk_for_training(df, "doc_id", max_tokens=4, stride=5)
+    with pytest.raises(ValueError):
+        packing.chunk_for_training(df, "doc_id", max_tokens=4, stride=0)
+
+
+def test_pack_manifest_hand_computed(spark):
+    # spans with sep=1: 6, 4, 5 -> offsets 0, 6, 10 against seq_tokens=8
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e"),        # 5 tokens: seq 0 only
+            (2, "f g h"),            # start 6, tokens 6..8 -> spans seqs 0 and 1
+            (3, "i j k l"),          # start 10, tokens 10..13 -> seq 1
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in packing.pack_sequences(
+            df, "doc_id", seq_tokens=8, sep_tokens=1, partitions=3
+        ).collect()
+    }
+    assert (out[1].start_offset, out[1].seq_id, out[1].n_seq_spanned) == (0, 0, 1)
+    assert (out[2].start_offset, out[2].seq_id, out[2].n_seq_spanned) == (6, 0, 2)
+    assert (out[3].start_offset, out[3].seq_id, out[3].n_seq_spanned) == (10, 1, 1)
+    assert out[2].n_tokens == 3
+
+
+def test_pack_manifest_partition_invariant(spark):
+    rows = [(i, " ".join("w" for _ in range(1 + i % 7))) for i in range(200)]
+    a = packing.pack_sequences(
+        _docs(spark, rows).repartition(1), "doc_id", seq_tokens=32, partitions=2
+    )
+    b = packing.pack_sequences(
+        _docs(spark, rows).repartition(13), "doc_id", seq_tokens=32, partitions=7
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_manifest_offsets_are_contiguous(spark):
+    rows = [(i, " ".join("w" for _ in range(1 + i % 5))) for i in range(100)]
+    out = sorted(
+        packing.pack_sequences(_docs(spark, rows), "doc_id", sep_tokens=2).collect(),
+        key=lambda r: r.doc_id,
+    )
+    pos = 0
+    for r in out:
+        assert r.start_offset == pos
+        pos += r.n_tokens + 2
+
+
+def test_chunk_plan_has_no_shuffle_and_pack_avoids_global_window(spark):
+    df = _docs(spark, [(1, "a b c")])
+    chunk_plan = (
+        packing.chunk_for_training(df, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in chunk_plan
+    pack_plan = (
+        packing.pack_sequences(df, "doc_id", partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the fact-side prefix sum is range-partitioned; the ONLY
+    # single-partition stage is the |partitions|-row base-offset frame —
+    # a global-order window over the fact would add a second one
+    assert "Exchange rangepartitioning" in pack_plan
+    assert pack_plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastHashJoin" in pack_plan
+
+
+def test_rank_filter_hand_computed_with_ties(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 0.9), ("a", 2, 0.9), ("a", 3, 0.5), ("a", 4, 0.1),
+            ("b", 5, 0.3), ("b", 6, 0.2),
+        ],
+        "s string, id long, v double",
+    )
+    out = sampling.stratified_rank_filter(df, "s", "v", 0.5, tiebreak_col="id")
+    kept = sorted((r.s, r.id) for r in out.collect())
+    # a: ceil(4*0.5)=2 -> the two 0.9s, tie broken toward lower id first
+    # b: ceil(2*0.5)=1 -> id 5
+    assert kept == [("a", 1), ("a", 2), ("b", 5)]
+    # every non-empty stratum keeps at least one row even at tiny fractions
+    out_min = sampling.stratified_rank_filter(df, "s", "v", 0.01, tiebreak_col="id")
+    assert sorted((r.s, r.id) for r in out_min.collect()) == [("a", 1), ("b", 5)]
+    with pytest.raises(ValueError):
+        sampling.stratified_rank_filter(df, "s", "v", 0.0)
+
+
+def test_rank_filter_single_stratum_shuffle(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(20)], "s string, id long, v double"
+    )
+    out = sampling.stratified_rank_filter(df, "s", "v", 0.4, tiebreak_col="id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange on the stratum key feeds both windows (rank + count)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
