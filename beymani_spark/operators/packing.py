@@ -86,7 +86,7 @@ def pack_sequences(
     text_col: str = "text",
     seq_tokens: int = 2048,
     sep_tokens: int = 1,
-    partitions: int = 32,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing manifest: lay documents end-to-end in
     ascending ``id_col`` order, each occupying n_tokens(doc) + sep_tokens
@@ -110,6 +110,11 @@ def pack_sequences(
     engine-exact.
     """
     q = int(seq_tokens)
+    if partitions is None:
+        # scale with the cluster, not a constant: the prefix sum moves two
+        # longs per doc, so parallelism (uniform range spread) is all that
+        # matters — the base-offset frame stays |partitions| rows either way
+        partitions = df.sparkSession.sparkContext.defaultParallelism
     narrow = df.select(
         F.col(id_col),
         (F.size(tokens(F.col(text_col))) + F.lit(int(sep_tokens))).alias("_span"),

@@ -94,3 +94,35 @@ def test_subsequence_chunked_equals_serial_on_giant_key(spark):
     assert a.keys() == b.keys() and len(a) == 1200 - 16 + 1
     for off, d in a.items():
         assert abs(d - b[off]) < 1e-9, (off, d, b[off])
+
+
+def test_chunk_for_training_giant_doc_completes(spark):
+    """One pathological 200k-token doc among normal docs: the tokenize-once
+    explode must stream its ~n/stride windows through the generator without
+    collapsing onto one struct blob, and window arithmetic must stay exact
+    at large offsets (SCALE.md training-chunking bound)."""
+    from beymani_spark.operators import packing
+
+    n_giant = 200_000
+    giant = spark.range(1).select(
+        F.lit(0).cast("long").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(n_giant - 1)),
+                        lambda i: F.concat(F.lit("t"), i.cast("string"))),
+            " ",
+        ).alias("text"),
+    )
+    normal = spark.range(1, 33).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e").alias("text")
+    )
+    out = packing.chunk_for_training(
+        giant.unionByName(normal), "doc_id", max_tokens=512, stride=256
+    )
+    per_doc = {r["doc_id"]: r["n"] for r in
+               out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    import math
+    assert per_doc[0] == 1 + math.ceil((n_giant - 512) / 256)
+    assert all(per_doc[i] == 1 for i in range(1, 33))
+    # the ragged tail still never starts at-or-past the end
+    last = (out.filter("doc_id = 0").orderBy(F.desc("chunk_id")).limit(1).collect())[0]
+    assert 0 < last["chunk_tokens"] <= 512
