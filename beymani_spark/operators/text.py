@@ -214,14 +214,28 @@ def contamination(
     bench_id = bench_id_col or id_col
     bench_text = bench_text_col or text_col
     doc_grams = _exploded_grams(df, id_col, text_col, n, keep_dups=False)
+    # the broadcast carries two xxhash64 longs per bench gram (16 bytes,
+    # 128 effective bits — single-long collision odds at 1e8 grams x 1e12
+    # corpus grams would be material), not the raw gram strings (~30-60
+    # bytes each): a 2-4x smaller build side and long-compare probes on
+    # the hot scan. This is the practical form of SCALE.md's
+    # shrink-the-build-side off-ramp (bloom_filter_agg is not in Spark's
+    # public function registry; the composite hash set is exact).
     bench_grams = (
         _exploded_grams(bench_df, bench_id, bench_text, n, keep_dups=False)
-        .select("gram")
+        .select(
+            F.xxhash64("gram").alias("_gh1"),
+            F.xxhash64("gram", F.lit(1)).alias("_gh2"),
+        )
         .distinct()
     )
     hits = (
-        doc_grams.join(
-            broadcast(bench_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+        doc_grams.withColumn("_gh1", F.xxhash64("gram"))
+        .withColumn("_gh2", F.xxhash64("gram", F.lit(1)))
+        .join(
+            broadcast(bench_grams.withColumn("_hit", F.lit(1))),
+            ["_gh1", "_gh2"],
+            "left",
         )
         .groupBy("_id")
         .agg(
