@@ -117,7 +117,13 @@ def pack_sequences(
         partitions = df.sparkSession.sparkContext.defaultParallelism
     narrow = df.select(
         F.col(id_col),
-        (F.size(tokens(F.col(text_col))) + F.lit(int(sep_tokens))).alias("_span"),
+        # null text counts as 0 tokens (size(null) is NULL under ANSI and
+        # would poison every later offset through the prefix sum) — the doc
+        # still occupies its separator slot and gets a manifest row
+        (
+            F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+            + F.lit(int(sep_tokens))
+        ).alias("_span"),
     )
     ranged = narrow.repartitionByRange(int(partitions), F.col(id_col)).withColumn(
         "_pid", F.spark_partition_id()

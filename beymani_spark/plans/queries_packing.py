@@ -52,7 +52,8 @@ _SEQ_TOKENS, _SEP = 2048, 1
 
 _PACK_MANIFEST_ORACLE = f"""
 WITH n AS (
-  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+  -- COALESCE mirrors the Spark side: null text = 0 tokens, still a row
+  SELECT doc_id, COALESCE(len({_TOKS_SQL}), 0) AS n_tokens FROM documents
 ), o AS (
   SELECT doc_id, n_tokens,
          -- SUM over BIGINT is HUGEINT in DuckDB; pin the manifest to int64

@@ -161,3 +161,29 @@ def test_rank_filter_single_stratum_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # one hash exchange on the stratum key feeds both windows (rank + count)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pack_manifest_null_and_empty_text_get_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "   "), (4, "d e")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           packing.pack_sequences(df, "doc_id", seq_tokens=8, sep_tokens=1).collect()}
+    # every input doc appears; null/whitespace text occupies only its
+    # separator slot and never poisons downstream offsets
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2].n_tokens == 0 and out[3].n_tokens == 0
+    assert out[1].start_offset == 0
+    assert out[2].start_offset == 4   # 3 tokens + sep
+    assert out[3].start_offset == 5
+    assert out[4].start_offset == 6
+    assert all(r.n_seq_spanned == 1 for r in out.values())
+
+
+def test_chunk_null_text_yields_no_rows(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b")], "doc_id long, text string"
+    )
+    out = packing.chunk_for_training(df, "doc_id", max_tokens=4, stride=3)
+    assert [r.doc_id for r in out.collect()] == [2]
