@@ -12,8 +12,11 @@ so the in-sandbox contract is ``decode='fake'``, a deterministic
 pseudo-decode derived from the payload bytes (stable across runs/
 partitions) that keeps the Spark-side plumbing — schema, batch shape,
 partitioning, downstream joins — fully real, testable, and
-oracle-verifiable. Video frame decode additionally needs an ffmpeg
-binding (PyAV); it stays guarded the same way.
+oracle-verifiable. ``decode='ppm'`` decodes ACTUAL image bytes (binary
+netpbm P5/P6) in pure numpy — header parse, BT.601 luma, nearest resize
+— so the real-decode path executes end-to-end even here, with no
+library (tests/test_real_codec.py). Video frame decode additionally
+needs an ffmpeg binding (PyAV); it stays guarded the same way.
 
 At 100 TB: payloads dominate storage; these operators preserve columnar
 pruning (metadata-only queries never touch payload bytes because parquet
@@ -68,10 +71,64 @@ def _real_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def _ppm_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """REAL bytes-to-pixels decode with no external library: binary netpbm
+    images — PGM ``P5`` (grayscale) and PPM ``P6`` (RGB), maxval <= 255 —
+    parsed and rasterized in pure numpy. This is the in-sandbox execution
+    proof for the real-codec plumbing: the container has no Pillow/PyAV,
+    so ``decode='real'`` stays a guarded swap-in, but ``decode='ppm'``
+    runs an actual image format end-to-end through the same batch path.
+
+    RGB collapses to luma with integer BT.601 ((299R+587G+114B+500)//1000
+    — exact integer arithmetic, deterministic everywhere); resize to the
+    requested grid is nearest-neighbor over linspace indices (the same
+    deterministic subsample rule as the fake-path resize)."""
+    # header: magic, then whitespace-separated width/height/maxval with
+    # '#' comments running to end-of-line; ONE whitespace byte then raster
+    if not payload.startswith((b"P5", b"P6")):
+        raise ValueError("ppm decode supports binary netpbm P5/P6 payloads")
+    rgb = payload.startswith(b"P6")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        if i >= len(payload):
+            raise ValueError("truncated netpbm header")
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+    w0, h0, maxval = fields
+    if maxval > 255:
+        raise ValueError("netpbm maxval > 255 (2-byte samples) not supported")
+    i += 1  # the single whitespace byte after maxval
+    n = w0 * h0 * (3 if rgb else 1)
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    if rgb:
+        px = raster.reshape(h0, w0, 3).astype(np.int64)
+        gray = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2] + 500) // 1000
+        gray = gray.astype(np.uint8)
+    else:
+        gray = raster.reshape(h0, w0)
+    if (w0, h0) != (width, height):
+        ys = np.linspace(0, h0 - 1, height).astype(int)
+        xs = np.linspace(0, w0 - 1, width).astype(int)
+        gray = gray[ys][:, xs]
+    return gray
+
+
 def _decode_batch(payloads: list[bytes], width: int, height: int, decode: str) -> np.ndarray:
     """(batch, height, width) uint8 pixels via the selected codec."""
     if decode == "real":
         return np.stack([_real_pixels(p, width, height) for p in payloads])
+    if decode == "ppm":
+        return np.stack([_ppm_pixels(p, width, height) for p in payloads])
     return np.stack([_fake_pixels(p, width, height) for p in payloads])
 
 
@@ -94,7 +151,7 @@ def decode_features(
 ) -> DataFrame:
     """(media_id, n_bytes, features array<double>) — decode + global feature
     extraction per media item."""
-    if decode not in ("fake", "real"):
+    if decode not in ("fake", "real", "ppm"):
         raise ValueError(f"unknown decode mode: {decode}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,8 +199,8 @@ def resize(
             if not payloads:
                 yield pd.DataFrame(columns=[id_col, "width", "height", "pixels"])
                 continue
-            if decode == "real":
-                # Pillow resizes during decode — already (height, width)
+            if decode in ("real", "ppm"):
+                # these codecs resize during decode — already (height, width)
                 small = _decode_batch(payloads, width, height, decode)
                 small = small.reshape(len(payloads), -1).astype(np.int64)
             else:
