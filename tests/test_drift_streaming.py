@@ -563,3 +563,48 @@ def test_stream_corpus_filter_matches_batch_and_dedups_cross_batch(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_chunk_for_training_is_streaming_safe(spark):
+    """chunk_for_training is a stateless scan-side explode, so the SAME
+    operator composes onto readStream unchanged (the chunking stage of a
+    streaming ingest pipeline) and emits exactly the batch result."""
+    import pandas as pd
+
+    from beymani_spark.operators import packing
+    from beymani_spark.sources import load_table
+
+    src = tempfile.mkdtemp(prefix="beymani_chunk_src_")
+    chk = tempfile.mkdtemp(prefix="beymani_chunk_chk_")
+    try:
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+        docs.select("doc_id", "text").coalesce(2).write.mode("overwrite").parquet(src + "/b")
+        schema = spark.read.parquet(src + "/b").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b")
+        )
+        out = packing.chunk_for_training(stream, "doc_id", max_tokens=16, stride=8)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("chunk_t")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select doc_id, chunk_id, chunk_tokens, chunk_text from chunk_t"
+        ).toPandas()
+        batch = packing.chunk_for_training(
+            docs, "doc_id", max_tokens=16, stride=8
+        ).toPandas()
+        key = ["doc_id", "chunk_id"]
+        a = got.sort_values(key).reset_index(drop=True)
+        b = batch.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b[a.columns])
+        assert len(a) > len(set(a.doc_id))  # multi-chunk docs exist
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
