@@ -83,6 +83,7 @@ _PRIORITY = [
     "training_chunks",
     "pack_manifest",
     "quality_rank_gate",
+    "ann_lsh_multitable",
     # --- r3-certified set (rotates through the remaining window slots) ---
     # newly model-baked oracles (this round's headline correctness work)
     "isolation_forest",
