@@ -487,3 +487,52 @@ def test_build_corpus_mixed_composition(spark, docs):
     # train share stays near 0.75 among kept rows
     splits = collections.Counter(r["split"] for r in rows)
     assert abs(splits["train"] / total - 0.75) < 0.1, splits
+
+
+def test_daily_training_prep_end_to_end(spark, docs):
+    """The whole training-prep story composed: corpus build + domain mix ->
+    context-window chunking -> packing manifest. Asserts the invariants a
+    trainer depends on at the seams: chunk inputs are exactly the mixed
+    corpus's clean_text, every chunk doc appears in the manifest, and the
+    packed stream is gap-free over the chunked corpus."""
+    from beymani_spark.functions import caching
+    from beymani_spark.operators import packing, pipeline
+
+    targets = {"en": 0.4, "es": 0.3, "de": 0.2, "fr": 0.1}
+    corpus = pipeline.build_corpus_mixed(docs, targets, quality_min=0.6, seed=42)
+    try:
+        kept = corpus.select("doc_id", F.col("clean_text").alias("text"))
+        chunks = packing.chunk_for_training(
+            kept, "doc_id", max_tokens=32, stride=24
+        )
+        manifest = packing.pack_sequences(kept, "doc_id", seq_tokens=256)
+
+        kept_rows = {r.doc_id: r.text for r in kept.collect()}
+        chunk_rows = chunks.collect()
+        man_rows = sorted(manifest.collect(), key=lambda r: r.doc_id)
+        assert kept_rows and chunk_rows and man_rows
+
+        # every chunked doc is a surviving corpus doc and chunk 0 prefixes
+        # its clean text
+        for r in chunk_rows:
+            assert r.doc_id in kept_rows
+            if r.chunk_id == 0:
+                assert kept_rows[r.doc_id].startswith(r.chunk_text.split(" ")[0])
+        # manifest covers exactly the surviving docs, offsets gap-free
+        assert {r.doc_id for r in man_rows} == set(kept_rows)
+        pos = 0
+        for r in man_rows:
+            assert r.start_offset == pos
+            pos += r.n_tokens + 1
+        # token accounting agrees between the two consumers of the corpus
+        # (single-window docs: the chunk carries every token the manifest
+        # counted; multi-window docs overlap by stride, so only the n <= m
+        # case is exactly comparable)
+        n_by_doc = {r.doc_id: r.n_tokens for r in man_rows}
+        one_window = {r.doc_id: r.chunk_tokens for r in chunk_rows
+                      if r.chunk_id == 0}
+        for d, n in n_by_doc.items():
+            if n <= 32:
+                assert one_window.get(d, 0) == n, (d, n)
+    finally:
+        caching.release(corpus, blocking=True)
