@@ -87,6 +87,7 @@ def pack_sequences(
     seq_tokens: int = 2048,
     sep_tokens: int = 1,
     partitions: int | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing manifest: lay documents end-to-end in
     ascending ``id_col`` order, each occupying n_tokens(doc) + sep_tokens
@@ -115,15 +116,21 @@ def pack_sequences(
         # longs per doc, so parallelism (uniform range spread) is all that
         # matters — the base-offset frame stays |partitions| rows either way
         partitions = df.sparkSession.sparkContext.defaultParallelism
+    # token accounting: whitespace tokens of text_col by default, or a
+    # precomputed count column (``n_tokens_col``) so the manifest packs in
+    # the trainer's ACTUAL tokenizer units — e.g. compose with
+    # text.bpe_token_count and pass its n_tokens through. Null counts
+    # coalesce to 0 (size(null) is NULL under ANSI and would poison every
+    # later offset through the prefix sum) — the doc still occupies its
+    # separator slot and gets a manifest row.
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else F.size(tokens(F.col(text_col)))
+    )
     narrow = df.select(
         F.col(id_col),
-        # null text counts as 0 tokens (size(null) is NULL under ANSI and
-        # would poison every later offset through the prefix sum) — the doc
-        # still occupies its separator slot and gets a manifest row
-        (
-            F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
-            + F.lit(int(sep_tokens))
-        ).alias("_span"),
+        (F.coalesce(n_tok, F.lit(0)) + F.lit(int(sep_tokens))).alias("_span"),
     )
     ranged = narrow.repartitionByRange(int(partitions), F.col(id_col)).withColumn(
         "_pid", F.spark_partition_id()

@@ -187,3 +187,26 @@ def test_chunk_null_text_yields_no_rows(spark):
     )
     out = packing.chunk_for_training(df, "doc_id", max_tokens=4, stride=3)
     assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_pack_manifest_with_precomputed_token_column(spark):
+    """n_tokens_col packs in the caller's tokenizer units (e.g. BPE counts
+    from text.bpe_token_count) instead of whitespace tokens."""
+    from beymani_spark.operators import text as text_ops
+
+    rows = [(i, "alpha beta gamma delta"[: 6 + i]) for i in range(20)]
+    df = _docs(spark, rows)
+    counted = text_ops.bpe_token_count(df).withColumnRenamed("n_bpe_tokens", "bpe_n")
+    joined = df.join(counted.select("doc_id", "bpe_n"), "doc_id")
+    out = sorted(
+        packing.pack_sequences(
+            joined, "doc_id", seq_tokens=16, n_tokens_col="bpe_n"
+        ).collect(),
+        key=lambda r: r.doc_id,
+    )
+    by_id = {r.doc_id: r.bpe_n for r in joined.collect()}
+    pos = 0
+    for r in out:
+        assert r.n_tokens == by_id[r.doc_id]
+        assert r.start_offset == pos
+        pos += r.n_tokens + 1
