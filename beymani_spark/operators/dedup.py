@@ -700,3 +700,31 @@ def incremental_exact(
         )
     )
     return out
+
+
+def dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Data-card dedup accounting: the cluster-size histogram of the
+    near-dup graph — one row per distinct cluster size with
+    (cluster_size, n_clusters, n_docs). Singletons (docs in no pair)
+    appear as cluster_size = 1; the duplicate mass of the corpus is
+    1 - sum(n_clusters)/sum(n_docs), readable straight off the result.
+
+    Scale shape: everything after dedup_clusters is two tiny partial-agg
+    groupBys (per-rep sizes, then the size histogram over |clusters|
+    rows) — the histogram frame is at most |distinct sizes| rows."""
+    clusters = dedup_clusters(df, id_col, pairs, src, dst)
+    sizes = clusters.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .select("cluster_size", "n_clusters", "n_docs")
+    )

@@ -270,6 +270,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(docs, "doc_id", pairs)
 
 
+_DEDUP_STATS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
+  SELECT src AS a, dst AS b FROM mpairs
+  UNION
+  SELECT dst, src FROM mpairs
+), reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+), comp AS (
+  SELECT node, min(r) AS rep FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), sizes AS (
+  SELECT cluster_rep, count(*) AS cluster_size FROM lab GROUP BY cluster_rep
+)
+SELECT cluster_size, count(*) AS n_clusters, CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+@register("dedup_stats", _DEDUP_STATS_ORACLE)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup data-card accounting (dedup.dedup_stats): near-dup cluster-size
+    histogram; duplicate mass = 1 - sum(n_clusters)/sum(n_docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5, hash_fn="md5"
+    )
+    return dedup.dedup_stats(docs, "doc_id", pairs)
+
+
 _CORPUS_ORACLE = f"""
 WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
   SELECT src AS a, dst AS b FROM mpairs

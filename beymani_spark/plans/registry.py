@@ -84,6 +84,7 @@ _PRIORITY = [
     "pack_manifest",
     "quality_rank_gate",
     "ann_lsh_multitable",
+    "dedup_stats",
     # --- r3-certified set (rotates through the remaining window slots) ---
     # newly model-baked oracles (this round's headline correctness work)
     "isolation_forest",

@@ -205,3 +205,18 @@ def test_rowwise_bands_match_batch_on_adversarial_text(spark):
     # batch path does too (batch drops empty docs at the explode)
     empty_docs = set(rowwise[rowwise.doc_id.isin([5, 6])].doc_id)
     assert empty_docs == set(batch[batch.doc_id.isin([5, 6])].doc_id)
+
+
+def test_dedup_stats_histogram_hand_computed(spark):
+    """Two 2-clusters + singletons: histogram rows and duplicate mass."""
+    rows = [(i, f"doc {i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    out = {r.cluster_size: r for r in
+           dedup.dedup_stats(df, "doc_id", pairs).collect()}
+    assert out[2].n_clusters == 2 and out[2].n_docs == 4
+    assert out[1].n_clusters == 2 and out[1].n_docs == 2
+    n_clusters = sum(r.n_clusters for r in out.values())
+    n_docs = sum(r.n_docs for r in out.values())
+    assert n_docs == 6 and n_clusters == 4
+    assert abs((1 - n_clusters / n_docs) - 2 / 6) < 1e-12  # duplicate mass
