@@ -648,6 +648,31 @@ FROM documents
 """
 
 
+_GROUP_SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN {_U_SQL.replace("doc_id", "source")} < 0.75 THEN 'train'
+            WHEN {_U_SQL.replace("doc_id", "source")} < 0.875 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("group_split", _GROUP_SPLIT_ORACLE)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware leak-free split: the split key is the doc's SOURCE, so
+    every doc from one source lands in the same split — near-duplicates
+    concentrate within a source, and a per-doc split would leak them
+    across train/test. Same hash_uniform machinery (deterministic_split
+    is key-agnostic), zero shuffle, stable under appends."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.deterministic_split(
+        docs, "source", (("train", 0.75), ("val", 0.125), ("test", 0.125)), seed=42
+    )
+    return out.select("doc_id", "source", "split")
+
+
 @register("train_split", _TRAIN_SPLIT_ORACLE)
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leak-free train/val/test assignment: split is a pure function of

@@ -85,6 +85,7 @@ _PRIORITY = [
     "quality_rank_gate",
     "ann_lsh_multitable",
     "dedup_stats",
+    "group_split",
     # --- r3-certified set (rotates through the remaining window slots) ---
     # newly model-baked oracles (this round's headline correctness work)
     "isolation_forest",

@@ -201,3 +201,20 @@ def test_bpe_token_count_hand_computed(spark):
     assert got[1] == 3
     assert got[2] == 6
     assert got[3] == 0
+
+
+def test_group_split_keeps_groups_whole(spark):
+    """Splitting by a group key puts every member of a group in the SAME
+    split (the near-dup leak-prevention property a per-doc split lacks)."""
+    from beymani_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = sampling.deterministic_split(
+        docs, "source", (("train", 0.75), ("val", 0.125), ("test", 0.125)), seed=42
+    ).select("source", "split")
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    # multiple splits are actually used across groups (not all-train)
+    assert out.select("split").distinct().count() >= 2
