@@ -210,3 +210,30 @@ def test_pack_manifest_with_precomputed_token_column(spark):
         assert r.n_tokens == by_id[r.doc_id]
         assert r.start_offset == pos
         pos += r.n_tokens + 1
+
+
+def test_chunk_windows_match_reference_chunker_exhaustively(spark):
+    """One Spark job per (m, s) combo sweeps every doc length 1..150 and
+    compares against an independent Python reference chunker — pins the
+    window-count formula and slicing across all boundary alignments
+    (n == m, n == m + k*s, one-token tails, n < s, ...)."""
+    def reference(tokens_, m, s):
+        wins, start = [], 0
+        while True:
+            wins.append(tokens_[start : start + m])
+            if start + m >= len(tokens_):
+                break
+            start += s
+        return wins
+
+    for m, s in [(4, 3), (5, 5), (7, 2), (16, 11)]:
+        rows = [(n, " ".join(f"t{n}_{j}" for j in range(n))) for n in range(1, 151)]
+        df = _docs(spark, rows)
+        got = {}
+        for r in packing.chunk_for_training(df, "doc_id", max_tokens=m, stride=s).collect():
+            got.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+        for n, text in rows:
+            exp = reference(text.split(" "), m, s)
+            assert len(got[n]) == len(exp), (m, s, n, len(got[n]), len(exp))
+            for i, w in enumerate(exp):
+                assert got[n][i] == w, (m, s, n, i)
