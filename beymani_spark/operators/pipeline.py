@@ -164,3 +164,43 @@ def corpus_audit(
         )
     )
     return out
+
+
+def build_corpus_incremental(
+    new_docs: DataFrame,
+    corpus_manifest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    manifest_hash_col: str = "content_hash",
+    quality_min: float = 0.6,
+    splits: Sequence[tuple[str, float]] = (("train", 0.75), ("val", 0.125), ("test", 0.125)),
+    seed: int = 42,
+) -> DataFrame:
+    """The day-2 production path: run the full build_corpus pipeline
+    (lang -> quality -> PII -> within-batch dedup -> split) on a NEW crawl
+    batch only, then drop every surviving doc whose redacted-content
+    digest already exists in the standing corpus. The result unions with
+    the existing corpus to form the day-2 corpus; split assignment is a
+    pure function of (id, seed), so it is consistent with what
+    build_corpus would have assigned in a full rebuild.
+
+    ``corpus_manifest`` is a digest frame (one ``manifest_hash_col``
+    md5-of-clean_text per existing doc; duplicates fine — it is reduced to
+    DISTINCT digests here). Keeping the manifest as its own small table is
+    the contract that makes daily ingest cheap: the standing corpus TEXT
+    is never rescanned or joined (same discipline as
+    dedup.incremental_exact), only 16-byte digests move.
+
+    Scale shape: build_corpus's one scan pass + one digest shuffle over
+    the BATCH, plus one anti-join against the distinct manifest digests
+    (broadcast when the manifest is small, hash otherwise — Catalyst/AQE
+    picks; either way batch-sized, not corpus-sized)."""
+    built = build_corpus(
+        new_docs, id_col, text_col, quality_min=quality_min, splits=splits, seed=seed
+    )
+    manifest = corpus_manifest.select(
+        F.col(manifest_hash_col).alias("_mh")
+    ).distinct()
+    return built.join(
+        manifest, F.md5(F.col("clean_text")) == F.col("_mh"), "left_anti"
+    )

@@ -1118,6 +1118,45 @@ FROM red r JOIN own o ON md5(r.clean_text) = o._h AND r.doc_id = o._owner
 """
 
 
+# Day-2 incremental build: the standing corpus = build_corpus over even
+# doc_ids, the new batch = odd doc_ids; batch survivors whose redacted
+# digest already exists in the corpus manifest are dropped. The oracle
+# reuses the full corpus-build statement with the source table substituted
+# (CTE shadowing: `documents` resolves to the filtered subset inside each
+# derived query).
+_CORPUS_INCR_ORACLE = (
+    "SELECT b.* FROM (\n"
+    + _CORPUS_BUILD_ORACLE.strip().replace(
+        "WITH ",
+        "WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 2 = 1), ",
+        1,
+    )
+    + "\n) b\nWHERE md5(b.clean_text) NOT IN (\n  SELECT DISTINCT md5(c.clean_text) FROM (\n"
+    + _CORPUS_BUILD_ORACLE.strip().replace(
+        "WITH ",
+        "WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 2 = 0), ",
+        1,
+    )
+    + "\n) c\n)"
+)
+
+
+@register("corpus_build_incremental", _CORPUS_INCR_ORACLE)
+def q_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 ingest (pipeline.build_corpus_incremental): full pipeline on
+    the new batch only, anti-joined against the standing corpus's digest
+    manifest — the corpus text is never rescanned."""
+    from ..operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = pipeline.build_corpus(
+        docs.filter(F.col("doc_id") % 2 == 0), quality_min=0.6, seed=42
+    )
+    manifest = corpus.select(F.md5("clean_text").alias("content_hash"))
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return pipeline.build_corpus_incremental(batch, manifest, quality_min=0.6, seed=42)
+
+
 @register("corpus_build", _CORPUS_BUILD_ORACLE)
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus build (operators/pipeline.py): language-ID ->

@@ -86,6 +86,7 @@ _PRIORITY = [
     "ann_lsh_multitable",
     "dedup_stats",
     "group_split",
+    "corpus_build_incremental",
     # --- r3-certified set (rotates through the remaining window slots) ---
     # newly model-baked oracles (this round's headline correctness work)
     "isolation_forest",

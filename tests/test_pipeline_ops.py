@@ -536,3 +536,33 @@ def test_daily_training_prep_end_to_end(spark, docs):
                 assert one_window.get(d, 0) == n, (d, n)
     finally:
         caching.release(corpus, blocking=True)
+
+
+def test_build_corpus_incremental_day2_semantics(spark, docs):
+    """Day-2 ingest: batch survivors already in the standing corpus (by
+    redacted digest) drop; genuinely new survivors keep the exact rows a
+    full rebuild over batch-only docs would produce; union with the
+    standing corpus is digest-disjoint."""
+    from beymani_spark.operators import pipeline
+
+    corpus_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = pipeline.build_corpus(corpus_docs, quality_min=0.6, seed=42)
+    manifest = corpus.select(F.md5("clean_text").alias("content_hash"))
+    incr = pipeline.build_corpus_incremental(batch, manifest, quality_min=0.6, seed=42)
+
+    incr_rows = incr.collect()
+    batch_alone = {r.doc_id: r for r in
+                   pipeline.build_corpus(batch, quality_min=0.6, seed=42).collect()}
+    corpus_hashes = {r.content_hash for r in manifest.distinct().collect()}
+    import hashlib
+    for r in incr_rows:
+        # every emitted row is exactly the batch-only pipeline's row ...
+        assert batch_alone[r.doc_id] == r
+        # ... and its digest is absent from the standing corpus
+        assert hashlib.md5(r.clean_text.encode()).hexdigest() not in corpus_hashes
+    # the dropped batch survivors are precisely the manifest collisions
+    dropped = set(batch_alone) - {r.doc_id for r in incr_rows}
+    for d in dropped:
+        h = hashlib.md5(batch_alone[d].clean_text.encode()).hexdigest()
+        assert h in corpus_hashes, d
