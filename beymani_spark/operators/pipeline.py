@@ -204,3 +204,50 @@ def build_corpus_incremental(
     return built.join(
         manifest, F.md5(F.col("clean_text")) == F.col("_mh"), "left_anti"
     )
+
+
+def corpus_audit_incremental(
+    new_docs: DataFrame,
+    corpus_manifest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    manifest_hash_col: str = "content_hash",
+    quality_min: float = 0.6,
+) -> DataFrame:
+    """Drop-reason ledger for a day-2 ingest (the governance companion to
+    build_corpus_incremental): one row per INPUT batch doc with its
+    disposition — ``'kept'``, ``'low_quality'``, ``'duplicate'`` (a
+    lower-id BATCH doc owns its digest), or ``'dup_corpus'`` (its digest
+    already exists in the standing corpus). Statuses reconcile exactly
+    with build_corpus_incremental: kept ids == its output ids.
+
+    Precedence mirrors the build: the quality gate runs first, in-batch
+    ownership next, the corpus manifest last — so a batch doc that is both
+    an in-batch duplicate AND a corpus duplicate reports ``'duplicate'``
+    (its in-batch owner reports ``'dup_corpus'``). Scale shape: the same
+    single digest shuffle as corpus_audit plus one broadcast/hash join of
+    the distinct manifest digests."""
+    audit = corpus_audit(new_docs, id_col, text_col, quality_min)
+    red = pii_ops.pii_redact(
+        text.quality_score(new_docs, text_col), text_col, "_clean"
+    )
+    digests = red.select(F.col(id_col), F.md5(F.col("_clean")).alias("_bh"))
+    manifest = corpus_manifest.select(
+        F.col(manifest_hash_col).alias("_mh")
+    ).distinct()
+    in_corpus = digests.join(
+        manifest, F.col("_bh") == F.col("_mh"), "left_semi"
+    ).select(F.col(id_col), F.lit(True).alias("_in_corpus"))
+    return (
+        audit.join(in_corpus, id_col, "left")
+        .select(
+            id_col,
+            "quality",
+            F.when(
+                (F.col("status") == "kept") & F.col("_in_corpus"),
+                F.lit("dup_corpus"),
+            )
+            .otherwise(F.col("status"))
+            .alias("status"),
+        )
+    )

@@ -1254,6 +1254,51 @@ def q_corpus_build_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Day-2 ledger: batch = odd doc_ids audited by the corpus_audit statement
+# (shadow CTE), with kept rows re-labeled dup_corpus when their redacted
+# digest exists in the even-id standing corpus's manifest.
+_AUDIT_INCR_ORACLE = (
+    "SELECT a.doc_id, a.quality,\n"
+    "       CASE WHEN a.status = 'kept' AND md5(a.clean) IN (\n"
+    "         SELECT DISTINCT md5(c.clean_text) FROM (\n"
+    + _CORPUS_BUILD_ORACLE.strip().replace(
+        "WITH ",
+        "WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 2 = 0), ",
+        1,
+    )
+    + "\n) c\n"
+    "       ) THEN 'dup_corpus' ELSE a.status END AS status\n"
+    "FROM (\n"
+    + _CORPUS_AUDIT_ORACLE.strip()
+    .replace(
+        "WITH ",
+        "WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 2 = 1), ",
+        1,
+    )
+    .replace(
+        "SELECT r.doc_id, r.quality,",
+        "SELECT r.doc_id, r.quality, r.clean,",
+    )
+    + "\n) a"
+)
+
+
+@register("corpus_audit_incremental", _AUDIT_INCR_ORACLE)
+def q_corpus_audit_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 drop-reason ledger (pipeline.corpus_audit_incremental): the
+    batch's corpus_audit statuses, with kept rows whose digest already
+    exists in the standing corpus re-labeled dup_corpus."""
+    from ..operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = pipeline.build_corpus(
+        docs.filter(F.col("doc_id") % 2 == 0), quality_min=0.6, seed=42
+    )
+    manifest = corpus.select(F.md5("clean_text").alias("content_hash"))
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return pipeline.corpus_audit_incremental(batch, manifest, quality_min=0.6)
+
+
 @register("corpus_audit", _CORPUS_AUDIT_ORACLE)
 def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop-reason ledger for the corpus build (pipeline.corpus_audit):

@@ -87,6 +87,7 @@ _PRIORITY = [
     "dedup_stats",
     "group_split",
     "corpus_build_incremental",
+    "corpus_audit_incremental",
     # --- r3-certified set (rotates through the remaining window slots) ---
     # newly model-baked oracles (this round's headline correctness work)
     "isolation_forest",

@@ -566,3 +566,33 @@ def test_build_corpus_incremental_day2_semantics(spark, docs):
     for d in dropped:
         h = hashlib.md5(batch_alone[d].clean_text.encode()).hexdigest()
         assert h in corpus_hashes, d
+
+
+def test_corpus_audit_incremental_reconciles_with_build(spark, docs):
+    """Day-2 ledger: kept ids == build_corpus_incremental output ids; every
+    batch doc appears exactly once; statuses partition the batch."""
+    from beymani_spark.operators import pipeline
+
+    corpus_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    # plant corpus duplicates: re-crawled copies of standing-corpus docs
+    # arriving in the new batch under fresh ids
+    recrawled = corpus_docs.limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_001
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(recrawled)
+    manifest = pipeline.build_corpus(corpus_docs, quality_min=0.6, seed=42).select(
+        F.md5("clean_text").alias("content_hash")
+    )
+    built = pipeline.build_corpus_incremental(batch, manifest, quality_min=0.6, seed=42)
+    ledger = pipeline.corpus_audit_incremental(batch, manifest, quality_min=0.6)
+
+    rows = ledger.collect()
+    assert len(rows) == batch.count()  # every input doc gets a row
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.status, set()).add(r.doc_id)
+    assert set(by_status) <= {"kept", "low_quality", "duplicate", "dup_corpus"}
+    assert by_status.get("kept", set()) == {r.doc_id for r in built.collect()}
+    # dup_corpus docs pass quality and own their in-batch digest, but that
+    # digest exists in the manifest
+    assert by_status.get("dup_corpus"), "fixture should produce corpus dups"
