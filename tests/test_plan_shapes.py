@@ -359,3 +359,40 @@ def test_corpus_build_mixed_computes_corpus_once(spark):
     finally:
         caching.release(out, blocking=True)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_incremental_build_is_batch_sized(spark):
+    """Day-2 ingest plan: the batch runs the normal corpus pipeline (≤2
+    digest exchanges incl. reuse) and the standing corpus contributes ONLY
+    a distinct-digest anti-join side — no second corpus-pipeline pass, no
+    corpus text columns anywhere in the plan."""
+    from beymani_spark.operators import pipeline
+
+    docs = load_table(spark, SF, "documents")
+    corpus = pipeline.build_corpus(
+        docs.filter(F.col("doc_id") % 2 == 0), quality_min=0.6, seed=42
+    )
+    manifest = corpus.select(F.md5("clean_text").alias("content_hash"))
+    out = pipeline.build_corpus_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1), manifest, quality_min=0.6, seed=42
+    )
+    plan = _plan(out)
+    assert "LeftAnti" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_stats_aggregates_are_tiny(spark):
+    """The histogram stages on top of dedup_clusters are partial-agg
+    groupBys over |clusters| rows — both carry partial_count/partial_sum
+    (map-side combine), no window over the cluster key."""
+    from beymani_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5, hash_fn="md5"
+    )
+    out = dedup.dedup_stats(docs, "doc_id", pairs)
+    plan = _plan(out)
+    assert "partial_count" in plan, plan
+    from beymani_spark.functions import caching
+    caching.release(out)
