@@ -1118,6 +1118,33 @@ FROM red r JOIN own o ON md5(r.clean_text) = o._h AND r.doc_id = o._owner
 """
 
 
+_CORPUS_BUILD_STATS_ORACLE = f"""
+SELECT pred_lang, split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM ({_CORPUS_BUILD_ORACLE.strip()})
+GROUP BY pred_lang, split
+"""
+
+
+@register("corpus_build_stats", _CORPUS_BUILD_STATS_ORACLE)
+def q_corpus_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card accounting over the BUILT corpus: docs / tokens / mean
+    quality per (pred_lang, split) — the table a corpus release publishes.
+    One partial-agg groupBy on top of build_corpus's single scan pass."""
+    from ..operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = pipeline.build_corpus(docs, quality_min=0.6, seed=42)
+    out = corpus.groupBy("pred_lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+    return out
+
+
 # Day-2 incremental build: the standing corpus = build_corpus over even
 # doc_ids, the new batch = odd doc_ids; batch survivors whose redacted
 # digest already exists in the corpus manifest are dropped. The oracle

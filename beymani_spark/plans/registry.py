@@ -88,6 +88,7 @@ _PRIORITY = [
     "group_split",
     "corpus_build_incremental",
     "corpus_audit_incremental",
+    "corpus_build_stats",
     # --- r3-certified set (rotates through the remaining window slots) ---
     # newly model-baked oracles (this round's headline correctness work)
     "isolation_forest",
