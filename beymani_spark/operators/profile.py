@@ -230,3 +230,63 @@ def auto_correlation(
     lagged = df.select(*keys, F.col(value), *cols)
     aggs = [F.corr(F.col(value), F.col(f"_lag{lag}")).alias(f"acf_{lag}") for lag in lags]
     return lagged.groupBy(*keys).agg(*aggs)
+
+
+def ks_two_sample(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the ``col``
+    distributions of two frames, fully distributed: one row
+    (ks_stat, n_a, n_b). The day-over-day governance check — "did today's
+    crawl quality/length/score distribution shift vs the standing
+    corpus?" — the batch companion of streaming/drift.py's detectors.
+
+    Values are quantized to ``round_decimals`` first (the repo-wide
+    round-6 parity convention), which BOUNDS the aggregated frame: after
+    the per-value groupBy there are at most 10^round_decimals + 1
+    distinct quantized values in [0, 1]-like domains, so the cumulative
+    window that follows runs over a bounded small frame regardless of
+    input size — the same bounded-frame rationale as the knn bounds
+    pattern. KS on the quantized values equals KS of the raw ones up to
+    the quantization step, and makes the statistic engine-exact (integer
+    cumulative counts, one fixed division order). Nulls are excluded
+    (they carry no position in an empirical CDF).
+
+    Scale shape: one partial-agg groupBy per distinct quantized value (the
+    only data-sized exchange), then a single-partition window over the
+    bounded value frame. Never sorts the raw inputs globally."""
+    r = int(round_decimals)
+    a = df_a.filter(F.col(col).isNotNull()).select(
+        F.round(F.col(col), r).alias("_v"), F.lit(1).alias("_ia"), F.lit(0).alias("_ib")
+    )
+    b = df_b.filter(F.col(col).isNotNull()).select(
+        F.round(F.col(col), r).alias("_v"), F.lit(0).alias("_ia"), F.lit(1).alias("_ib")
+    )
+    g = (
+        a.unionByName(b)
+        .groupBy("_v")
+        .agg(F.sum("_ia").alias("_ca"), F.sum("_ib").alias("_cb"))
+    )
+    cum = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    c = g.select(
+        F.sum("_ca").over(cum).alias("_fa"),
+        F.sum("_cb").over(cum).alias("_fb"),
+        F.sum("_ca").over(tot).alias("_na"),
+        F.sum("_cb").over(tot).alias("_nb"),
+    )
+    return c.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("_fa") / F.col("_na") - F.col("_fb") / F.col("_nb")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )

@@ -1145,6 +1145,57 @@ def q_corpus_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Quality-distribution drift between the standing corpus (even ids) and the
+# new batch (odd ids): exact two-sample KS over round-6 quality. The quality
+# CTE is corpus_build's; the oracle mirrors the bounded group-then-cumsum
+# plan (integer cumulative counts, one division order).
+_QUALITY_DRIFT_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id,
+         round(0.25 * least(1.0, n_tokens / 50.0)
+             + 0.25 * (1.0 - least(1.0, punct_ratio * 4.0))
+             + 0.25 * least(1.0, stopword_ratio * 5.0)
+             + 0.25 * type_token_ratio, 6) AS quality
+  FROM (
+    SELECT doc_id, len(toks) AS n_tokens,
+           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+           len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
+           len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+    FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+  )
+), tagged AS (
+  SELECT quality AS v, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+  FROM q WHERE quality IS NOT NULL
+), g AS (
+  SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM tagged GROUP BY v
+), c AS (
+  SELECT CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+         CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb,
+         CAST(sum(ca) OVER () AS BIGINT) AS na,
+         CAST(sum(cb) OVER () AS BIGINT) AS nb
+  FROM g
+)
+SELECT round(max(abs(fa * 1.0 / na - fb * 1.0 / nb)), 6) AS ks_stat,
+       max(na) AS n_a, max(nb) AS n_b
+FROM c
+"""
+
+
+@register("corpus_quality_drift", _QUALITY_DRIFT_ORACLE)
+def q_corpus_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day drift gate (profile.ks_two_sample): exact distributed
+    KS between the standing corpus's and the new batch's quality
+    distributions."""
+    from ..operators import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select("doc_id", "quality")
+    corpus_q = scored.filter(F.col("doc_id") % 2 == 0)
+    batch_q = scored.filter(F.col("doc_id") % 2 == 1)
+    return profile.ks_two_sample(corpus_q, batch_q, "quality")
+
+
 # Day-2 incremental build: the standing corpus = build_corpus over even
 # doc_ids, the new batch = odd doc_ids; batch survivors whose redacted
 # digest already exists in the corpus manifest are dropped. The oracle

@@ -89,6 +89,7 @@ _PRIORITY = [
     "corpus_build_incremental",
     "corpus_audit_incremental",
     "corpus_build_stats",
+    "corpus_quality_drift",
     # --- r3-certified set (rotates through the remaining window slots) ---
     # newly model-baked oracles (this round's headline correctness work)
     "isolation_forest",

@@ -237,3 +237,25 @@ def test_chunk_windows_match_reference_chunker_exhaustively(spark):
             assert len(got[n]) == len(exp), (m, s, n, len(got[n]), len(exp))
             for i, w in enumerate(exp):
                 assert got[n][i] == w, (m, s, n, i)
+
+
+def test_ks_two_sample_hand_computed(spark):
+    from beymani_spark.operators import profile
+
+    a = spark.createDataFrame([(v,) for v in [0.1, 0.2, 0.3, 0.4]], "q double")
+    b_same = spark.createDataFrame([(v,) for v in [0.1, 0.2, 0.3, 0.4]], "q double")
+    b_disj = spark.createDataFrame([(v,) for v in [0.7, 0.8, 0.9]], "q double")
+    # identical samples: KS = 0; disjoint supports: KS = 1
+    r0 = profile.ks_two_sample(a, b_same, "q").collect()[0]
+    assert (r0.ks_stat, r0.n_a, r0.n_b) == (0.0, 4, 4)
+    r1 = profile.ks_two_sample(a, b_disj, "q").collect()[0]
+    assert (r1.ks_stat, r1.n_a, r1.n_b) == (1.0, 4, 3)
+    # shifted overlap: a={1,2,3,4}/4, b={3,4,5,6}/4 -> max gap at v=2: |2/4-0|=0.5
+    b_shift = spark.createDataFrame([(v/10,) for v in [3, 4, 5, 6]], "q double")
+    a2 = spark.createDataFrame([(v/10,) for v in [1, 2, 3, 4]], "q double")
+    r2 = profile.ks_two_sample(a2, b_shift, "q").collect()[0]
+    assert r2.ks_stat == 0.5
+    # nulls are excluded, not counted
+    a3 = spark.createDataFrame([(0.1,), (None,)], "q double")
+    r3 = profile.ks_two_sample(a3, b_same, "q").collect()[0]
+    assert r3.n_a == 1
