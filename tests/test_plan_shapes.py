@@ -396,3 +396,22 @@ def test_dedup_stats_aggregates_are_tiny(spark):
     assert "partial_count" in plan, plan
     from beymani_spark.functions import caching
     caching.release(out)
+
+
+def test_ks_two_sample_never_sorts_raw_inputs(spark):
+    """The KS plan's only data-sized exchange is the per-value partial-agg
+    groupBy; the global-order cumulative window runs over the bounded
+    quantized-value frame (one SinglePartition exchange of <= 10^6 rows),
+    never over the raw inputs."""
+    from beymani_spark.operators import profile as prof
+
+    docs = load_table(spark, SF, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(F.col("n_chars").cast("double").alias("q"))
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(F.col("n_chars").cast("double").alias("q"))
+    out = prof.ks_two_sample(a, b, "q")
+    plan = _plan(out)
+    assert "partial_sum" in plan, plan
+    # exactly one single-partition stage (the bounded value frame); the raw
+    # union must reach the groupBy through hash partitioning, not a sort
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+    assert "Exchange rangepartitioning" not in plan, plan
