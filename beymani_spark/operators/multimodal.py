@@ -300,6 +300,45 @@ def media_metadata_stats(df: DataFrame, kind_col: str = "kind", payload_col: str
     )
 
 
+def _wav_samples(payload: bytes) -> np.ndarray:
+    """REAL audio decode with no external library: RIFF/WAVE PCM
+    16-bit-signed payloads parsed in pure numpy — the audio analogue of
+    `_ppm_pixels`. Walks the chunk list (fmt / data may be preceded by
+    LIST/fact chunks), requires format tag 1 (integer PCM) at 16 bits,
+    and averages channels to mono with exact integer arithmetic
+    (sum // n_channels, matching the truncation a fixed-point downmix
+    does). Returns int16-range values as an int32 array."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav decode supports RIFF/WAVE payloads")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated wav: missing fmt or data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError("wav decode supports 16-bit integer PCM (format 1)")
+    if n_channels < 1:
+        raise ValueError("wav: zero channels")
+    x = np.frombuffer(
+        data, dtype="<i2", count=(len(data) // (2 * n_channels)) * n_channels
+    ).astype(np.int32)
+    if n_channels > 1:
+        x = x.reshape(-1, n_channels).sum(axis=1) // n_channels
+    if len(x) == 0:
+        raise ValueError("wav: empty data chunk")
+    return x
+
+
 def audio_features(
     df: DataFrame,
     id_col: str = "media_id",
@@ -318,16 +357,20 @@ def audio_features(
     so the oracle can match EXACTLY, not approximately: the squared sum
     accumulates in int64, the mean divides by a power of two (exact in
     binary), and IEEE-754 sqrt is correctly rounded in both engines, so
-    even rms is bit-identical cross-engine. decode='real' would need an
-    audio codec (soundfile/PyAV), absent here, and raises like the other
-    real-codec gates."""
+    even rms is bit-identical cross-engine. decode='wav' parses REAL
+    audio bytes — RIFF/WAVE PCM16 — in pure numpy (chunk walk, int16
+    raster, channel averaging), the audio analogue of the image path's
+    decode='ppm'; it runs end-to-end here with no codec library (features
+    over each clip's true sample count). decode='real' would need a
+    general audio codec (soundfile/PyAV), absent here, and raises like
+    the other real-codec gates."""
     if decode == "real":
         raise NotImplementedError(
             "decode='real' for audio requires an audio codec library "
             "(soundfile / PyAV), not present in this environment; use "
-            "decode='fake'"
+            "decode='fake' or decode='wav'"
         )
-    if decode != "fake":
+    if decode not in ("fake", "wav"):
         raise ValueError(f"unknown decode mode: {decode}")
     n = int(n_samples)
 
@@ -339,20 +382,34 @@ def audio_features(
                     columns=[id_col, "n_bytes", "rms", "peak", "zero_cross"]
                 )
                 continue
-            px = _decode_batch(payloads, n, 1, "fake").reshape(len(payloads), n)
-            x = px.astype(np.int64) - 128
-            sq = (x * x).sum(axis=1)          # exact int64
-            rms = np.sqrt(sq / float(n))      # power-of-two division, exact
-            peak = np.abs(x).max(axis=1)
-            neg = x < 0
-            zc = (neg[:, :-1] != neg[:, 1:]).sum(axis=1)
+            if decode == "wav":
+                # ragged clips: per-clip loop over true sample counts
+                clips = [_wav_samples(p) for p in payloads]
+                rms = np.array(
+                    [
+                        np.sqrt(float((x.astype(np.int64) ** 2).sum()) / len(x))
+                        for x in clips
+                    ]
+                )
+                peak = np.array([int(np.abs(x.astype(np.int64)).max()) for x in clips])
+                zc = np.array(
+                    [int(((x[:-1] < 0) != (x[1:] < 0)).sum()) for x in clips]
+                )
+            else:
+                px = _decode_batch(payloads, n, 1, "fake").reshape(len(payloads), n)
+                x = px.astype(np.int64) - 128
+                sq = (x * x).sum(axis=1)          # exact int64
+                rms = np.sqrt(sq / float(n))      # power-of-two division, exact
+                peak = np.abs(x).max(axis=1)
+                neg = x < 0
+                zc = (neg[:, :-1] != neg[:, 1:]).sum(axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
                     "n_bytes": [len(p) for p in payloads],
                     "rms": rms,
-                    "peak": peak.astype(np.int32),
-                    "zero_cross": zc.astype(np.int32),
+                    "peak": np.asarray(peak).astype(np.int32),
+                    "zero_cross": np.asarray(zc).astype(np.int32),
                 }
             )
 
