@@ -110,6 +110,14 @@ def _ppm_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     i += 1  # the single whitespace byte after maxval
     n = w0 * h0 * (3 if rgb else 1)
     raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    if maxval != 255:
+        # netpbm samples are fractions of maxval: rescale to the 0..255
+        # intensity scale (round-half-up integer arithmetic) so e.g. a
+        # maxval=15 image keeps its true brightness instead of decoding
+        # near-black
+        raster = (
+            (raster.astype(np.int64) * 255 + maxval // 2) // maxval
+        ).astype(np.uint8)
     if rgb:
         px = raster.reshape(h0, w0, 3).astype(np.int64)
         gray = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2] + 500) // 1000

@@ -136,8 +136,14 @@ def pack_sequences(
         "_pid", F.spark_partition_id()
     )
     # per-partition running total (window re-shuffles by _pid: rows of one
-    # range partition stay together, and only (id, span, pid) longs move)
-    w = Window.partitionBy("_pid").orderBy(id_col)
+    # range partition stay together, and only (id, span, pid) longs move).
+    # The frame is pinned to ROWS: the orderBy-default RANGE frame treats
+    # duplicate id values as peers and would hand them identical
+    # overlapping offsets — with ROWS duplicates still pack sequentially
+    # (in an arbitrary but valid concat order); unique ids are engine-exact
+    w = Window.partitionBy("_pid").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     local = ranged.withColumn(
         "_local_end", F.sum("_span").over(w)
     )

@@ -245,19 +245,20 @@ def ks_two_sample(
     corpus?" — the batch companion of streaming/drift.py's detectors.
 
     Values are quantized to ``round_decimals`` first (the repo-wide
-    round-6 parity convention), which BOUNDS the aggregated frame: after
-    the per-value groupBy there are at most 10^round_decimals + 1
-    distinct quantized values in [0, 1]-like domains, so the cumulative
-    window that follows runs over a bounded small frame regardless of
-    input size — the same bounded-frame rationale as the knn bounds
-    pattern. KS on the quantized values equals KS of the raw ones up to
-    the quantization step, and makes the statistic engine-exact (integer
-    cumulative counts, one fixed division order). Nulls are excluded
-    (they carry no position in an empirical CDF).
+    round-6 parity convention; KS on the quantized values equals KS of
+    the raw ones up to the quantization step, and the statistic is
+    engine-exact — integer cumulative counts, one fixed division order).
+    Nulls are excluded (they carry no position in an empirical CDF).
 
-    Scale shape: one partial-agg groupBy per distinct quantized value (the
-    only data-sized exchange), then a single-partition window over the
-    bounded value frame. Never sorts the raw inputs globally."""
+    Scale shape: one partial-agg groupBy per distinct quantized value,
+    then a DISTRIBUTED prefix sum over the grouped value frame — range
+    partition by value, per-partition ROWS cumsum, broadcast per-partition
+    base offsets (the pack_sequences pattern, packing.py). There is NO
+    single-partition global-order window, so wide domains (raw token
+    counts, epoch timestamps, high-cardinality doubles) are as safe as
+    [0,1]-like ones: the only per-task frame is one range slice of the
+    distinct-value counts, and the broadcast base/total frame is
+    |partitions| rows. Never sorts or globally orders the raw inputs."""
     r = int(round_decimals)
     a = df_a.filter(F.col(col).isNotNull()).select(
         F.round(F.col(col), r).alias("_v"), F.lit(1).alias("_ia"), F.lit(0).alias("_ib")
@@ -270,13 +271,38 @@ def ks_two_sample(
         .groupBy("_v")
         .agg(F.sum("_ia").alias("_ca"), F.sum("_ib").alias("_cb"))
     )
-    cum = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()
-    c = g.select(
-        F.sum("_ca").over(cum).alias("_fa"),
-        F.sum("_cb").over(cum).alias("_fb"),
-        F.sum("_ca").over(tot).alias("_na"),
-        F.sum("_cb").over(tot).alias("_nb"),
+    parts = df_a.sparkSession.sparkContext.defaultParallelism
+    ranged = g.repartitionByRange(int(parts), F.col("_v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_pid").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = ranged.select(
+        "_pid",
+        F.sum("_ca").over(wloc).alias("_la"),
+        F.sum("_cb").over(wloc).alias("_lb"),
+    )
+    # per-partition totals -> cumulative bases + grand totals: a
+    # |partitions|-row frame, broadcast back (range partitions are ordered
+    # by construction, so partition p's base is the sum of totals < p)
+    totals = ranged.groupBy("_pid").agg(
+        F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb")
+    )
+    wbase = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.partitionBy()
+    base = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ta").over(wbase), F.lit(0)).alias("_ba"),
+        F.coalesce(F.sum("_tb").over(wbase), F.lit(0)).alias("_bb"),
+        F.sum("_ta").over(wtot).alias("_na"),
+        F.sum("_tb").over(wtot).alias("_nb"),
+    )
+    c = local.join(F.broadcast(base), "_pid").select(
+        (F.col("_ba") + F.col("_la")).alias("_fa"),
+        (F.col("_bb") + F.col("_lb")).alias("_fb"),
+        "_na",
+        "_nb",
     )
     return c.agg(
         F.round(

@@ -17,6 +17,7 @@ literal map, the scan stays narrow.
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
+from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -223,9 +224,16 @@ def stratified_rank_filter(
     pipelines — e.g. "keep the best 30% of each language by quality" — a
     RANK cut, unlike the hash-uniform RATE cuts above, so the kept set is
     the best rows, not a random sample). Keeps ceil(keep_frac * n_s) rows
-    per stratum s: every non-empty stratum retains at least one row, and
-    the count is an integer function of n_s, so the decision is
-    engine-exact (no float-boundary rows).
+    per stratum s: every non-empty stratum retains at least one row.
+
+    The threshold is computed in INTEGER arithmetic: keep_frac is read as
+    the rational p/q of its decimal literal (0.3 -> 3/10, 0.07 -> 7/100;
+    non-terminating floats snap to the nearest q <= 10^6 rational) and the
+    keep count is the ceil-division (n_s*p + q - 1) div q. Binary-double
+    ceil(n*frac) is NOT engine-exact — 100*0.07 is 7.000000000000001 in
+    ieee754, so float ceil keeps 8 rows where a DECIMAL oracle keeps 7 —
+    the integer form agrees with decimal/rational engines for every n_s
+    up to 2^63/p (well past any per-stratum count).
 
     Ties on ``order_col`` break by ``tiebreak_col`` ascending (required if
     ``order_col`` has duplicates — a nondeterministic rank would not be
@@ -239,6 +247,12 @@ def stratified_rank_filter(
     """
     if not (0 < keep_frac <= 1):
         raise ValueError("require 0 < keep_frac <= 1")
+    # decimal-literal rational: str() prints the shortest decimal that
+    # round-trips the float, so clean fractions (0.3, 0.07, 0.25) become
+    # exact p/q; limit_denominator snaps pathological expansions to the
+    # nearest q <= 10^6 rational (within 1e-6 of the requested fraction)
+    frac = Fraction(str(float(keep_frac))).limit_denominator(1_000_000)
+    p, q = frac.numerator, frac.denominator
     order = [F.col(order_col).desc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
@@ -248,8 +262,9 @@ def stratified_rank_filter(
         df.withColumn("_rk", F.row_number().over(w))
         .withColumn("_ns", F.count("*").over(wc))
         .filter(
+            # ceil(n*p/q) in pure longs — `div` is integer division
             F.col("_rk")
-            <= F.ceil(F.col("_ns") * F.lit(float(keep_frac))).cast("long")
+            <= F.expr(f"(_ns * {p} + {q - 1}) div {q}")
         )
     )
     if rank_col:

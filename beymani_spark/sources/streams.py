@@ -138,6 +138,8 @@ def start_sink(df: DataFrame, conf: Mapping[str, str]):
     ``outputMode`` (default append), ``trigger`` ('availableNow',
     'once', or a processing-time interval like '5 seconds')."""
     fmt = str(conf.get("format", "parquet")).lower()
+    if fmt in ("parquet", "json", "csv") and "path" not in conf:
+        raise ValueError(f"{fmt} sink requires 'path'")
     writer = df.writeStream.format(fmt).outputMode(str(conf.get("outputMode", "append")))
     if "checkpoint" in conf:
         writer = writer.option("checkpointLocation", str(conf["checkpoint"]))

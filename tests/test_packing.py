@@ -153,6 +153,29 @@ def test_rank_filter_hand_computed_with_ties(spark):
         sampling.stratified_rank_filter(df, "s", "v", 0.0)
 
 
+def test_rank_filter_threshold_is_integer_exact(spark):
+    """keep_frac=0.07 over a 100-row stratum must keep exactly
+    ceil(100 * 7/100) = 7 rows: binary-double ceil(100*0.07) is
+    ceil(7.000000000000001) = 8 — the bug the rational p/q ceil-div
+    avoids — and a DECIMAL-literal oracle (DuckDB) agrees with 7."""
+    rows = [("s", i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "s string, id long, v double")
+    out = sampling.stratified_rank_filter(df, "s", "v", 0.07, tiebreak_col="id")
+    kept = sorted(r.id for r in out.collect())
+    assert len(kept) == 7
+    assert kept == [93, 94, 95, 96, 97, 98, 99]  # top 7 by v desc
+    # a handful of (n, frac) boundary cases vs exact rational ceil
+    from fractions import Fraction
+    import math
+    for n, frac in [(100, 0.07), (30, 0.1), (49, 0.07), (10, 0.3), (3, 1.0)]:
+        sub = spark.createDataFrame(
+            [("s", i, float(i)) for i in range(n)], "s string, id long, v double"
+        )
+        got = sampling.stratified_rank_filter(sub, "s", "v", frac).count()
+        f = Fraction(str(frac))
+        assert got == math.ceil(Fraction(n) * f), (n, frac, got)
+
+
 def test_rank_filter_single_stratum_shuffle(spark):
     df = spark.createDataFrame(
         [("a", i, float(i)) for i in range(20)], "s string, id long, v double"
@@ -259,3 +282,45 @@ def test_ks_two_sample_hand_computed(spark):
     a3 = spark.createDataFrame([(0.1,), (None,)], "q double")
     r3 = profile.ks_two_sample(a3, b_same, "q").collect()[0]
     assert r3.n_a == 1
+
+
+def test_ks_two_sample_wide_domain_matches_numpy(spark):
+    """Wide-domain columns (raw integer counts spanning 10^6 values — the
+    case the old single-partition cumulative window couldn't bound) give
+    the exact empirical-CDF KS statistic computed independently in numpy."""
+    import numpy as np
+    from beymani_spark.operators import profile
+
+    rng_a = [(i * 9973 + 17) % 1_000_003 for i in range(4000)]
+    rng_b = [(i * 6151 + 911) % 1_000_003 + (i % 3) * 250_000 for i in range(3000)]
+    a = spark.createDataFrame([(float(v),) for v in rng_a], "q double")
+    b = spark.createDataFrame([(float(v),) for v in rng_b], "q double")
+    r = profile.ks_two_sample(a, b, "q").collect()[0]
+    assert (r.n_a, r.n_b) == (4000, 3000)
+
+    xa, xb = np.sort(np.array(rng_a, float)), np.sort(np.array(rng_b, float))
+    grid = np.unique(np.concatenate([xa, xb]))
+    fa = np.searchsorted(xa, grid, side="right") / len(xa)
+    fb = np.searchsorted(xb, grid, side="right") / len(xb)
+    expect = round(float(np.max(np.abs(fa - fb))), 6)
+    assert abs(r.ks_stat - expect) < 1e-9, (r.ks_stat, expect)
+
+
+def test_pack_manifest_rows_frame_with_duplicate_ids(spark):
+    """Duplicate id values must still pack sequentially (ROWS frame): the
+    default RANGE frame would hand peers identical overlapping offsets.
+    With duplicates the concat order among peers is arbitrary, so assert
+    the INVARIANTS: all offsets distinct, stream is gapless, total length
+    conserved."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (1, "d e"), (2, "f")], "doc_id long, text string"
+    )
+    out = packing.pack_sequences(df, "doc_id", seq_tokens=4, sep_tokens=1, partitions=2)
+    rows = sorted(out.collect(), key=lambda r: r.start_offset)
+    offsets = [r.start_offset for r in rows]
+    assert len(set(offsets)) == 3, offsets
+    pos = 0
+    for r in rows:
+        assert r.start_offset == pos, rows
+        pos += r.n_tokens + 1
+    assert pos == 3 + 2 + 1 + 3  # tokens + one separator per doc

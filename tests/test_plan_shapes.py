@@ -400,9 +400,11 @@ def test_dedup_stats_aggregates_are_tiny(spark):
 
 def test_ks_two_sample_never_sorts_raw_inputs(spark):
     """The KS plan's only data-sized exchange is the per-value partial-agg
-    groupBy; the global-order cumulative window runs over the bounded
-    quantized-value frame (one SinglePartition exchange of <= 10^6 rows),
-    never over the raw inputs."""
+    groupBy; the cumulative CDF is a DISTRIBUTED prefix sum (range
+    partition + per-partition ROWS window + broadcast base offsets), so no
+    single-partition stage touches a data-sized frame even for wide
+    domains — the only SinglePartition exchanges are the |partitions|-row
+    base frame and the final 1-row aggregate."""
     from beymani_spark.operators import profile as prof
 
     docs = load_table(spark, SF, "documents")
@@ -411,7 +413,8 @@ def test_ks_two_sample_never_sorts_raw_inputs(spark):
     out = prof.ks_two_sample(a, b, "q")
     plan = _plan(out)
     assert "partial_sum" in plan, plan
-    # exactly one single-partition stage (the bounded value frame); the raw
-    # union must reach the groupBy through hash partitioning, not a sort
+    # the distributed prefix sum over the grouped value frame
+    assert "Exchange rangepartitioning" in plan, plan
+    # the cumulative window is per-range-partition, never global-order
+    assert "windowspecdefinition(_pid" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 2, plan
-    assert "Exchange rangepartitioning" not in plan, plan

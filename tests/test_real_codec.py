@@ -120,6 +120,23 @@ def test_ppm_decode_runs_real_bytes_end_to_end(spark):
     assert abs(feats[1].features[0] + feats[1].features[1] - 1.0) < 1e-9
 
 
+def test_ppm_decode_rescales_low_maxval(spark):
+    """netpbm samples are fractions of maxval: a maxval=15 ramp must decode
+    to its true 0..255 intensities (round-half-up 255*s/15), not near-black
+    raw sample values."""
+    gray = [0, 5, 10, 15]
+    payload = b"P5 2 2 15\n" + bytes(gray)
+    px = multimodal._ppm_pixels(payload, 2, 2)
+    assert px.flatten().tolist() == [(s * 255 + 7) // 15 for s in gray]  # 0,85,170,255
+    # maxval=255 path is untouched (identity)
+    px255 = multimodal._ppm_pixels(_pgm_p5(2, 2, [0, 5, 10, 15]), 2, 2)
+    assert px255.flatten().tolist() == [0, 5, 10, 15]
+    # 2-byte samples still rejected explicitly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal._ppm_pixels(b"P5 1 1 65535\n\x00\x00", 1, 1)
+
+
 def test_ppm_decode_rejects_garbage_clearly(spark):
     import pytest as _pytest
 

@@ -55,6 +55,16 @@ def test_open_stream_rejects_unknown_format(spark):
         streams.open_stream(spark, {"format": "redis"})
 
 
+def test_start_sink_validates_file_sink_config(spark, tmp_path):
+    """A file-format sink without 'path' must fail with a descriptive
+    ValueError (not a raw KeyError), symmetric with the checkpoint check."""
+    src = streams.open_stream(spark, {"format": "rate", "rowsPerSecond": "1"})
+    with pytest.raises(ValueError, match="requires 'path'"):
+        streams.start_sink(src, {"format": "parquet", "checkpoint": str(tmp_path / "ck")})
+    with pytest.raises(ValueError, match="checkpoint"):
+        streams.start_sink(src, {"format": "parquet", "path": str(tmp_path / "out")})
+
+
 # --- rate-source soak through a real scoring job -----------------------------
 
 
