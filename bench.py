@@ -97,10 +97,27 @@ def main() -> None:
     print(line)
     # also persist the summary: the driver captures stdout's tail, which
     # truncated the r2 line mid-JSON (BENCH_r02 parsed: null) — the file is
-    # the recoverable record
+    # the recoverable record. The filename is ROUND-STAMPED
+    # (bench_out_rNN.json): un-stamped bench_out.json was overwritten twice
+    # by later ad-hoc/driver captures, silently invalidating the committed
+    # record BASELINE.md cites. Round = SPARK_GRAFT_ROUND if set, else
+    # 1 + the highest round with a recorded CORRECTNESS_r*.json (so every
+    # capture taken while building round N lands in bench_out_rNN.json and
+    # earlier rounds' committed records are never touched again).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import glob
+
+        recorded = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"_r(\d+)\.json$", p))
+        ]
+        rnd = str(max(recorded) + 1 if recorded else 1)
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+        os.path.join(repo, f"bench_out_r{int(rnd):02d}.json"),
     )
     with open(out_path, "w") as f:
         f.write(line + "\n")
