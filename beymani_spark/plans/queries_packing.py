@@ -135,6 +135,105 @@ FROM r WHERE rk <= CAST(ceil(ns * {_KEEP_FRAC}) AS BIGINT)
 """
 
 
+# --- corpus_to_manifest: the full daily training drop ------------------------
+# build_corpus_incremental (day-2 ingest vs the standing corpus's digest
+# manifest) -> stratified_rank_filter (best 50% of each language by quality)
+# -> group-aware leak-free split on `source` -> pack_sequences over the train
+# split. Every stage is an already-oracle-verified operator; this query makes
+# the COMPOSITION itself a tested artifact — the crawl-to-training-manifest
+# path a production pipeline runs end to end.
+_MANIFEST_KEEP = 0.5
+_USRC_SQL = (
+    "(('0x' || substr(md5(CAST(source AS VARCHAR) || ':42'), 1, 8))::UBIGINT"
+    " / 4294967296.0)"
+)
+
+
+def _corpus_to_manifest_oracle() -> str:
+    from .queries_text import _CORPUS_INCR_ORACLE
+
+    return f"""
+WITH src AS (
+  SELECT ib.doc_id, ib.pred_lang, ib.n_tokens, ib.quality, d.source
+  FROM ({_CORPUS_INCR_ORACLE.strip()}) ib
+  JOIN main.documents d ON ib.doc_id = d.doc_id
+), r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY pred_lang ORDER BY quality DESC, doc_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY pred_lang) AS ns
+  FROM src
+), kept AS (
+  SELECT doc_id, pred_lang, source, n_tokens, quality
+  FROM r WHERE rk <= CAST(ceil(ns * {_MANIFEST_KEEP}) AS BIGINT)
+), train AS (
+  SELECT * FROM kept WHERE {_USRC_SQL} < 0.75
+), o AS (
+  SELECT doc_id, pred_lang, source, quality, n_tokens,
+         CAST(COALESCE(SUM(n_tokens + {_SEP}) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM train
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {_SEQ_TOKENS} AS seq_id,
+       CAST(CASE WHEN n_tokens <= 0 THEN 1
+            ELSE ((start_offset + n_tokens - 1) // {_SEQ_TOKENS})
+                 - (start_offset // {_SEQ_TOKENS}) + 1
+       END AS INT) AS n_seq_spanned,
+       pred_lang, source, quality
+FROM o
+"""
+
+
+@register("corpus_to_manifest", lambda sf_dir: _corpus_to_manifest_oracle())
+def q_corpus_to_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end daily training drop: day-2 incremental corpus build (even
+    doc_ids = standing corpus, odd = new crawl batch), per-language rank
+    gate keeping the best 50% by quality, group-aware split on `source`
+    (docs from one source never straddle train/test), and the
+    concat-and-chunk packing manifest over the train split.
+
+    Scale shape is the SUM of its verified parts: one scan pass + one
+    digest shuffle (build), one narrow id join for `source`, one stratum
+    shuffle feeding both rank windows, a zero-shuffle split expression, and
+    the distributed prefix sum of pack_sequences. The gated train frame is
+    persisted because the pack manifest and the metadata join-back consume
+    it in two plan branches (pin/release convention, functions/caching.py)
+    — without it the whole build pipeline would execute twice."""
+    from ..functions import caching
+    from ..operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = pipeline.build_corpus(
+        docs.filter(F.col("doc_id") % 2 == 0), quality_min=0.6, seed=42
+    )
+    manifest = corpus.select(F.md5("clean_text").alias("content_hash"))
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    built = pipeline.build_corpus_incremental(
+        batch, manifest, quality_min=0.6, seed=42
+    )
+    with_src = built.drop("split").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    gated = sampling.stratified_rank_filter(
+        with_src, "pred_lang", "quality", _MANIFEST_KEEP, tiebreak_col="doc_id"
+    )
+    split = sampling.deterministic_split(
+        gated, "source", (("train", 0.75), ("val", 0.125), ("test", 0.125)), seed=42
+    )
+    train = split.filter(F.col("split") == "train").persist()
+    packed = packing.pack_sequences(
+        train, "doc_id", seq_tokens=_SEQ_TOKENS, sep_tokens=_SEP,
+        n_tokens_col="n_tokens",
+    )
+    out = packed.join(
+        train.select("doc_id", "pred_lang", "source", "quality"), "doc_id"
+    )
+    return caching.pin(out, train)
+
+
 @register("quality_rank_gate", _RANK_GATE_ORACLE)
 def q_quality_rank_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum percentile gate (sampling.stratified_rank_filter): keep
