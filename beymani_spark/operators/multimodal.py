@@ -15,8 +15,11 @@ partitioning, downstream joins — fully real, testable, and
 oracle-verifiable. ``decode='ppm'`` decodes ACTUAL image bytes (binary
 netpbm P5/P6) in pure numpy — header parse, BT.601 luma, nearest resize
 — so the real-decode path executes end-to-end even here, with no
-library (tests/test_real_codec.py). Video frame decode additionally
-needs an ffmpeg binding (PyAV); it stays guarded the same way.
+library (tests/test_real_codec.py); ``decode='wav'`` (RIFF/WAVE PCM16
+audio) and ``decode='avi'`` (uncompressed RIFF-AVI video frames) do the
+same for the other two modalities on the shared RIFF chunk machinery.
+Arbitrary-container video decode additionally needs an ffmpeg binding
+(PyAV); it stays guarded the same way.
 
 At 100 TB: payloads dominate storage; these operators preserve columnar
 pruning (metadata-only queries never touch payload bytes because parquet
@@ -240,8 +243,19 @@ def sample_frames(
     decode: str = "fake",
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset,
-    (media_id, frame_idx, offset_ms, frame_features). Frame count derives
-    from meta.duration_ms; features are the stubbed decode of the frame."""
+    (media_id, frame_idx, offset_ms, frame_features).
+
+    ``decode='fake'``: frame count derives from meta.duration_ms and the
+    per-frame features are the deterministic pseudo-decode.
+    ``decode='avi'``: REAL bytes->frames execution in pure numpy —
+    uncompressed RIFF-AVI payloads are walked frame by frame
+    (``_avi_frames``), duration and native frame times come from the
+    container's own dwMicroSecPerFrame, and each sampled offset reads the
+    native frame covering it (features = 8x8 nearest-subsampled luma /
+    255, the same grid as the fake path). ``decode='real'`` (arbitrary
+    containers via an ffmpeg binding) stays a guarded swap-in."""
+    if decode not in ("fake", "real", "avi"):
+        raise ValueError(f"unknown decode mode: {decode}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [id_col, "frame_idx", "offset_ms", "frame_features"]
@@ -253,7 +267,8 @@ def sample_frames(
                     raise NotImplementedError(
                         "decode='real' frame sampling requires an ffmpeg "
                         "binding (PyAV), not present in this environment; "
-                        "use decode='fake'"
+                        "use decode='fake', or decode='avi' for "
+                        "uncompressed RIFF-AVI payloads"
                     ) from e
                 raise NotImplementedError(
                     "real video frame decode is not implemented yet even "
@@ -262,6 +277,32 @@ def sample_frames(
                 )
             if not len(pdf):
                 yield pd.DataFrame(columns=cols)
+                continue
+            if decode == "avi":
+                # ragged containers: per-clip loop over true frame counts
+                out_id, out_k, out_off, out_feat = [], [], [], []
+                for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                    frames, usec = _avi_frames(bytes(p))
+                    nf = len(frames)
+                    duration_ms = nf * usec // 1000
+                    n_out = max(1, int(duration_ms / 1000.0 * fps))
+                    ys = np.linspace(0, frames.shape[1] - 1, 8).astype(int)
+                    xs = np.linspace(0, frames.shape[2] - 1, 8).astype(int)
+                    for k in range(n_out):
+                        off = int(k * 1000.0 / fps)
+                        idx = min(nf - 1, off * 1000 // usec)
+                        out_id.append(mid)
+                        out_k.append(k)
+                        out_off.append(off)
+                        out_feat.append(frames[idx][ys][:, xs].ravel() / 255.0)
+                yield pd.DataFrame(
+                    {
+                        id_col: out_id,
+                        "frame_idx": np.array(out_k, dtype=np.int32),
+                        "offset_ms": np.array(out_off, dtype=np.int64),
+                        "frame_features": out_feat,
+                    }
+                )
                 continue
             metas = pdf[meta_col]
             durations = np.array(
@@ -345,6 +386,77 @@ def _wav_samples(payload: bytes) -> np.ndarray:
     if len(x) == 0:
         raise ValueError("wav: empty data chunk")
     return x
+
+
+def _avi_frames(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL video decode with no external library: uncompressed RIFF-AVI
+    payloads (BI_RGB DIB frames, 24-bit BGR or 8-bit grayscale) parsed in
+    pure numpy — the video analogue of ``_wav_samples`` / ``_ppm_pixels``,
+    built on the same RIFF chunk discipline (word-aligned [fourcc, size,
+    body] records; LIST chunks recurse). Returns (frames, usec_per_frame)
+    where frames is an (n_frames, height, width) uint8 luma array in
+    top-down row order.
+
+    Container facts used: ``avih`` carries dwMicroSecPerFrame;
+    ``strh``/``strf`` of the first ``vids`` stream carry the
+    BITMAPINFOHEADER (width, signed height, bit depth, compression);
+    ``##db``/``##dc`` chunks under ``movi`` are the frames. DIB rasters
+    are bottom-up when biHeight > 0 (flipped here), rows padded to 4-byte
+    stride, 24-bit samples in BGR order (BT.601 integer luma, same
+    arithmetic as the netpbm path)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("avi decode supports RIFF/AVI payloads")
+    state = {"usec": None, "w": None, "h": None, "bits": None, "comp": None,
+             "strh_type": None}
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)  # first 4 bytes = list type
+            elif cid == b"avih":
+                state["usec"] = int.from_bytes(payload[body : body + 4], "little")
+            elif cid == b"strh":
+                state["strh_type"] = payload[body : body + 4]
+            elif cid == b"strf" and state["strh_type"] == b"vids" and state["w"] is None:
+                b = payload[body : body + size]
+                if len(b) < 20:
+                    raise ValueError("truncated avi: short BITMAPINFOHEADER")
+                state["w"] = int.from_bytes(b[4:8], "little", signed=True)
+                state["h"] = int.from_bytes(b[8:12], "little", signed=True)
+                state["bits"] = int.from_bytes(b[14:16], "little")
+                state["comp"] = int.from_bytes(b[16:20], "little")
+            elif cid[2:4] in (b"db", b"dc"):
+                frames_raw.append(payload[body : body + size])
+            pos = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    w, h_signed, bits = state["w"], state["h"], state["bits"]
+    if w is None or not frames_raw or not state["usec"]:
+        raise ValueError("truncated avi: missing header, frames, or frame rate")
+    if state["comp"] != 0 or bits not in (8, 24):
+        raise ValueError("avi decode supports uncompressed BI_RGB 8/24-bit frames")
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError("avi: bad frame dimensions")
+    stride = ((w * (bits // 8) + 3) // 4) * 4
+    out = np.empty((len(frames_raw), h, w), dtype=np.uint8)
+    for i, fb in enumerate(frames_raw):
+        if len(fb) < stride * h:
+            raise ValueError("avi: short frame chunk")
+        arr = np.frombuffer(fb, dtype=np.uint8, count=stride * h).reshape(h, stride)
+        if bits == 24:
+            px = arr[:, : w * 3].reshape(h, w, 3).astype(np.int64)
+            gray = (299 * px[..., 2] + 587 * px[..., 1] + 114 * px[..., 0] + 500) // 1000
+        else:
+            gray = arr[:, :w].astype(np.int64)
+        if h_signed > 0:  # bottom-up raster -> top-down frames
+            gray = gray[::-1]
+        out[i] = gray.astype(np.uint8)
+    return out, int(state["usec"])
 
 
 def audio_features(

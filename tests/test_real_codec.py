@@ -193,3 +193,100 @@ def test_wav_decode_rejects_garbage_clearly(spark):
     assert "RIFF" in str(ei.value)
     with _pytest.raises(Exception):
         multimodal._wav_samples(_wav_pcm16([])[:20])  # truncated
+
+
+def _avi_rgb24(frames_bgr, w, h, usec_per_frame=1_000_000, bits=24) -> bytes:
+    """Serialize frames as an uncompressed RIFF-AVI: avih + vids strh/strf
+    headers, bottom-up 4-byte-padded DIB rasters in 00db movi chunks."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(list_type, body):
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<14I", usec_per_frame, 0, 0, 0, len(frames_bgr), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"DIB " + b"\x00" * 48
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, 0, 0, 0, 0, 0, 0)
+    stride = ((w * (bits // 8) + 3) // 4) * 4
+    movi_body = b""
+    for fr in frames_bgr:  # (h, w, 3) or (h, w) uint8, TOP-DOWN
+        raster = b""
+        for row in fr[::-1]:  # DIB stores bottom-up
+            raw = row.tobytes()
+            raster += raw + b"\x00" * (stride - len(raw))
+        movi_body += chunk(b"00db", raster)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    import struct as _s
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_avi_decode_runs_real_video_bytes_end_to_end(spark):
+    """Uncompressed RIFF-AVI frames parsed in pure numpy through the same
+    sample_frames mapInPandas path as decode='fake' — the video real-codec
+    execution proof. Frame features are hash-verified against an
+    independent recomputation of BT.601 luma + nearest 8x8 subsample."""
+    import hashlib
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # 2-frame 10x6 24-bit clip at 1 fps native + a 1-frame 8-bit clip
+    f0 = rng.randint(0, 256, size=(6, 10, 3)).astype(np.uint8)
+    f1 = rng.randint(0, 256, size=(6, 10, 3)).astype(np.uint8)
+    g0 = np.arange(64, dtype=np.uint8).reshape(8, 8) * 4
+    payloads = [
+        _avi_rgb24([f0, f1], 10, 6, usec_per_frame=1_000_000),
+        _avi_rgb24([g0], 8, 8, usec_per_frame=500_000, bits=8),
+    ]
+    df = _media_df(spark, payloads)
+    out = multimodal.sample_frames(df, fps=1.0, decode="avi").collect()
+    got = {(r.media_id, r.frame_idx): r for r in out}
+
+    def expect_feat(frame_bgr):
+        px = frame_bgr.astype(np.int64)
+        if px.ndim == 3:
+            luma = (299 * px[..., 2] + 587 * px[..., 1] + 114 * px[..., 0] + 500) // 1000
+        else:
+            luma = px
+        ys = np.linspace(0, luma.shape[0] - 1, 8).astype(int)
+        xs = np.linspace(0, luma.shape[1] - 1, 8).astype(int)
+        return luma[ys][:, xs].ravel() / 255.0
+
+    # clip 0: 2 native frames at 1 fps = 2000 ms -> samples at 0 and 1000 ms,
+    # reading native frames 0 and 1 respectively
+    assert {(m, k) for (m, k) in got if m == 0} == {(0, 0), (0, 1)}
+    assert got[(0, 0)].offset_ms == 0 and got[(0, 1)].offset_ms == 1000
+    for k, fr in [(0, f0), (1, f1)]:
+        exp = expect_feat(fr)
+        np.testing.assert_array_equal(np.array(got[(0, k)].frame_features), exp)
+        # hash-pin the features so any luma/stride/orientation drift fails loudly
+        digest = hashlib.sha256(exp.tobytes()).hexdigest()
+        assert hashlib.sha256(
+            np.array(got[(0, k)].frame_features).tobytes()
+        ).hexdigest() == digest
+    # clip 1: 1 frame at 500000 usec = 500 ms -> max(1, 0) = 1 sample
+    assert {(m, k) for (m, k) in got if m == 1} == {(1, 0)}
+    np.testing.assert_array_equal(
+        np.array(got[(1, 0)].frame_features), expect_feat(g0)
+    )
+
+
+def test_avi_decode_rejects_garbage_clearly(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        multimodal._avi_frames(b"ftypmp42 not an avi" + b"\0" * 40)
+    ok = _avi_rgb24([np.zeros((4, 4, 3), np.uint8)], 4, 4)
+    with _pytest.raises(ValueError):
+        multimodal._avi_frames(ok[:40])  # truncated header
+    # compressed streams are rejected, not silently misread
+    bad = bytearray(ok)
+    strf_at = bytes(bad).index(b"strf")
+    bad[strf_at + 8 + 16 : strf_at + 8 + 20] = b"MJPG"
+    with _pytest.raises(ValueError, match="BI_RGB"):
+        multimodal._avi_frames(bytes(bad))
