@@ -294,6 +294,7 @@ def dedup_clusters(
     dst: str = "dst",
     max_iter: int = 25,
     local_threshold: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Group near-dup pairs into connected components and assign every doc a
     canonical representative: (id_col, cluster_rep, cluster_size), where
@@ -313,7 +314,11 @@ def dedup_clusters(
       labels) then compresses one level through the label mapping, so
       chains collapse in O(log diameter) rounds, one |E| + one |V| shuffle
       each, no driver-side graph state. Labels only decrease, so
-      convergence is an unchanged decimal label sum between rounds."""
+      convergence is an unchanged decimal label sum between rounds.
+
+    ``stats``, if given, receives {'n_pairs', 'mode', 'rounds'} after plan
+    construction ('rounds' only in distributed mode) — the observability
+    hook the giant-chain stress test uses to assert the O(log n) bound."""
     # The repartition is load-bearing, not a tuning knob: caching directly on
     # top of a cogroup applyInPandas output (e.g. pairs from
     # blocked_vec_pairs) hits the Spark 4.1 self-join attribute-dedup bug
@@ -327,6 +332,9 @@ def dedup_clusters(
         .persist()
     )
     n_pairs = edges_df.count()
+    if stats is not None:
+        stats["n_pairs"] = n_pairs
+        stats["mode"] = "local" if n_pairs <= local_threshold else "distributed"
     if n_pairs <= local_threshold:
         parent: dict = {}
 
@@ -362,11 +370,24 @@ def dedup_clusters(
             .distinct()
             .persist()
         )
+        # Each round consumes `labels` TWICE (the candidate min and the
+        # label->label compression mapping), so building round r+1 on round
+        # r's PLAN doubles the logical plan per round — by round ~17 the
+        # plan tree is 2^17 copies of the base query and the driver OOMs
+        # just STRINGIFYING it (caught by the 10^5-member chain stress
+        # test). persist() caches data but does not truncate lineage;
+        # localCheckpoint does both: every round starts from a flat
+        # LogicalRDD, so plan size and per-round driver work stay CONSTANT
+        # across rounds. Block cleanup of superseded rounds is left to
+        # Spark's ContextCleaner (each labels frame is |V| longs — the
+        # sparse verified-pair node set, not the corpus).
         labels = (
-            edges.select("a").distinct().select("a", F.col("a").alias("lbl")).persist()
+            edges.select("a").distinct()
+            .select("a", F.col("a").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
-        labels.count()  # materialize before the loop rewrites the plan
         prev_sum = None
+        rounds = 0
         for _ in range(max_iter):
             nbr = (
                 edges.join(
@@ -387,16 +408,18 @@ def dedup_clusters(
                     "a",
                     F.least(cand["lbl"], F.coalesce("_mto", cand["lbl"])).alias("lbl"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             cur_sum = new.agg(
                 F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]
-            labels.unpersist()
             labels = new
+            rounds += 1
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
+        if stats is not None:
+            stats["rounds"] = rounds
         comp = labels.select(F.col("a").alias("_cid"), F.col("lbl").alias("_rep"))
         edges.unpersist()
     from pyspark.sql import Window

@@ -126,3 +126,35 @@ def test_chunk_for_training_giant_doc_completes(spark):
     # the ragged tail still never starts at-or-past the end
     last = (out.filter("doc_id = 0").orderBy(F.desc("chunk_id")).limit(1).collect())[0]
     assert 0 < last["chunk_tokens"] <= 512
+
+
+def test_dedup_clusters_giant_chain_converges_logarithmically(spark):
+    """SCALE.md dedup hazard: one 10^5-member near-dup cluster shaped as a
+    worst-case CHAIN (diameter n-1). Plain min-label propagation needs n
+    rounds; the pointer-jumping compression must collapse it in O(log n)
+    — and canonicalize every member to the chain's minimum id. Runs the
+    DISTRIBUTED path (local_threshold=0) with max_iter high enough that
+    only the log bound, not the cap, can end the loop."""
+    from beymani_spark.operators import dedup
+
+    n = 100_000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stats: dict = {}
+    out = dedup.dedup_clusters(
+        docs, "doc_id", pairs, local_threshold=0, max_iter=60, stats=stats
+    )
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("cluster_rep") == 0).cast("long")).alias("rep0"),
+        F.min("cluster_size").alias("min_sz"),
+        F.max("cluster_size").alias("max_sz"),
+    ).collect()[0]
+    assert stats["mode"] == "distributed" and stats["n_pairs"] == n - 1
+    assert (agg.n, agg.rep0, agg.min_sz, agg.max_sz) == (n, n, n, n)
+    # doubling compression: ceil(log2(n)) data rounds + 1 convergence-detect
+    import math
+
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 2, stats
