@@ -162,11 +162,7 @@ def _extra_builders():
         # partition-of-N, trading per-table recall (amplify with
         # multiprobe/multi-table as in ann_lsh_multitable).
         emb = load_table(spark, d, "embeddings")
-        import math
-
-        n = emb.count()
-        planes = max(8, math.ceil(math.log2(max(2, n / 8))))
-        pairs = knn.lsh_pair_distances(emb, "vec_id", "embedding", n_planes=planes)
+        pairs = knn.lsh_pair_distances(emb, "vec_id", "embedding", n_planes="auto")
         return knn.lof(pairs, k=5)
 
     return {"lof_lsh": lof_lsh}

@@ -220,3 +220,26 @@ def test_dedup_stats_histogram_hand_computed(spark):
     n_docs = sum(r.n_docs for r in out.values())
     assert n_docs == 6 and n_clusters == 4
     assert abs((1 - n_clusters / n_docs) - 2 / 6) < 1e-12  # duplicate mass
+
+
+def test_auto_planes_holds_bucket_size_constant(spark, emb):
+    """n_planes='auto' is the LSH scale knob: with fixed planes the
+    within-bucket pair volume is ~N^2/2^planes (quadratic in N); auto
+    planes grow with log2(N/target) so expected bucket size — and hence
+    per-row candidate work — stays constant as the table grows."""
+    from beymani_spark.operators.knn import auto_planes
+
+    assert auto_planes(2_000, 8) == 8          # floor keeps small data selective
+    assert auto_planes(20_000, 8) == 12        # 10x data -> ~log2 more planes
+    assert auto_planes(20_000_000, 8) == 22
+    assert auto_planes(0, 8) == 8 and auto_planes(1, 0) == 8  # degenerate-safe
+    # doubling N adds exactly one plane once above the floor: bucket size
+    # n/2^planes stays within [target/2, target]
+    import math
+    for n in (10_000, 40_000, 1_000_000):
+        p = auto_planes(n, 8)
+        assert 4 <= n / 2**p <= 8, (n, p)
+    # integration: 'auto' resolves and produces the same pair semantics
+    got = knn.lsh_pair_distances(emb, "vec_id", "embedding", n_planes="auto", probe=1)
+    assert got.filter("src = dst").count() == 0
+    assert {"src", "dst", "dist"} <= set(got.columns)
