@@ -418,3 +418,28 @@ def test_ks_two_sample_never_sorts_raw_inputs(spark):
     # the cumulative window is per-range-partition, never global-order
     assert "windowspecdefinition(_pid" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_corpus_to_manifest_single_pipeline_execution(spark):
+    """The composed daily-drop query consumes the gated train frame in TWO
+    plan branches (the pack prefix sum and the metadata join-back): the
+    frame must come from ONE cached pipeline execution (InMemoryRelation),
+    and the pack stage must keep its distributed-prefix-sum shape (range
+    partition + broadcast base offsets) inside the composition."""
+    from beymani_spark.functions import caching
+    from beymani_spark.plans import QUERIES
+
+    out = QUERIES["corpus_to_manifest"].builder(spark, SF)
+    try:
+        plan = _plan(out)
+        # BOTH consumers (pack prefix sum + metadata join-back) read the
+        # cached train frame — the pipeline materializes once, not once
+        # per branch (the InMemoryTableScans' shared InMemoryRelation is
+        # the cache boundary; the FileScans visible in the plan text are
+        # the cached subtree's lineage printout, executed only at
+        # materialization)
+        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+        assert "Exchange rangepartitioning" in plan, plan[:2000]
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+    finally:
+        caching.release(out)
