@@ -1196,6 +1196,49 @@ def q_corpus_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.ks_two_sample(corpus_q, batch_q, "quality")
 
 
+# Wide-domain companion to corpus_quality_drift: KS on RAW token counts —
+# an unbounded integer domain, the exact case the pre-round-5 ks_two_sample
+# could not bound (its single-partition cumulative window was safe only for
+# [0,1]-like quantized values). The operator now routes every domain through
+# the distributed prefix sum, so this query certifies that path end to end.
+_LENGTH_DRIFT_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS DOUBLE) AS v FROM documents
+), tagged AS (
+  SELECT v, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+  FROM q WHERE v IS NOT NULL
+), g AS (
+  SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM tagged GROUP BY v
+), c AS (
+  SELECT CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+         CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb,
+         CAST(sum(ca) OVER () AS BIGINT) AS na,
+         CAST(sum(cb) OVER () AS BIGINT) AS nb
+  FROM g
+)
+SELECT round(max(abs(fa * 1.0 / na - fb * 1.0 / nb)), 6) AS ks_stat,
+       max(na) AS n_a, max(nb) AS n_b
+FROM c
+"""
+
+
+@register("corpus_length_drift", _LENGTH_DRIFT_ORACLE)
+def q_corpus_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution drift gate on raw whitespace token counts (wide
+    integer domain): profile.ks_two_sample's distributed-prefix-sum CDF,
+    certified against a DuckDB global-order replay."""
+    from ..operators import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = text.token_count(docs).select(
+        "doc_id", F.col("n_tokens").cast("double").alias("n_tokens")
+    )
+    corpus = counted.filter(F.col("doc_id") % 2 == 0)
+    batch = counted.filter(F.col("doc_id") % 2 == 1)
+    return profile.ks_two_sample(corpus, batch, "n_tokens")
+
+
 # Day-2 incremental build: the standing corpus = build_corpus over even
 # doc_ids, the new batch = odd doc_ids; batch survivors whose redacted
 # digest already exists in the corpus manifest are dropped. The oracle

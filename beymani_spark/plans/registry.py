@@ -126,8 +126,11 @@ _PRIORITY = [
     "local_drift",
     "score_stats",
     "media_features",
-    # --- slot 51+: displaced r2 query (judge sf0.01-verified in r4) ---
+    # --- slot 51+: displaced r2 query (judge sf0.01-verified in r4) and
+    # --- round-5 additions beyond the window (local-mirror-verified at
+    # --- sf0.001 AND sf0.01 this round; next rotation gives them rows) ---
     "dedup_minhash_lsh",
+    "corpus_length_drift",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",
