@@ -303,6 +303,64 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multimodal near-dup composition: decode -> int8 quantize -> exact-cosine
+# pair generation. The int8 step is what makes the pair decision ENGINE-
+# EXACT, not merely close: integer code dot products and squared norms are
+# exact in float64, so dot/(na*nb) is bit-identical in numpy and DuckDB and
+# the threshold compare can never flip on summation-order noise (cosine is
+# scale-invariant per vector, so the per-vector quantization scale cancels).
+_MEDIA_DUP_T = 0.997
+_NIBBLES = list("0123456789abcdef")
+_MEDIA_DUP_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(string_agg(sha256(text || CAST(j AS VARCHAR)), '' ORDER BY j),
+                        '(.).', '\\1', 'g') AS nib
+  FROM documents, generate_series(0, 31) AS t(j)
+  GROUP BY doc_id, text
+), feat AS (
+  SELECT media_id,
+         [{", ".join(f"(length(nib) - length(replace(nib, '{c}', ''))) / 1024.0" for c in _NIBBLES)}] AS f
+  FROM h
+), q AS (
+  SELECT media_id,
+         list_transform(f, x -> CAST(round(x * CASE WHEN m > 0 THEN 127.0/m ELSE 0.0 END) AS BIGINT)) AS codes
+  FROM (SELECT media_id, f, list_max(list_transform(f, x -> abs(x))) AS m FROM feat)
+), p AS (
+  SELECT a.media_id AS src, b.media_id AS dst,
+         CAST(list_sum(list_transform(list_zip(a.codes, b.codes), z -> z[1]*z[2])) AS DOUBLE) AS dot,
+         sqrt(CAST(list_sum(list_transform(a.codes, x -> x*x)) AS DOUBLE)) AS na,
+         sqrt(CAST(list_sum(list_transform(b.codes, x -> x*x)) AS DOUBLE)) AS nb
+  FROM q a JOIN q b ON a.media_id < b.media_id
+)
+SELECT src, dst, round(dot / (na * nb), 6) AS cosine
+FROM p WHERE dot / (na * nb) >= {_MEDIA_DUP_T}
+"""
+
+
+@register("media_dup_pairs", _MEDIA_DUP_ORACLE)
+def q_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: decode_features (16-bucket histogram over the
+    deterministic pseudo-decode) -> quantize_int8 -> cosine_dup_pairs over
+    the integer codes (blocked cogroup pair engine, no driver collect).
+    Composes three verified operators into the image-dedup path a training
+    pipeline runs; the oracle replays decode, quantization, and the exact
+    integer-cosine comparison in DuckDB."""
+    from ..operators import similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = multimodal.decode_features(media, decode="fake", n_features=16)
+    q = similarity.quantize_int8(feats, "media_id", "features")
+    pairs = similarity.cosine_dup_pairs(
+        q.select("media_id", "codes"), "media_id", "codes", threshold=_MEDIA_DUP_T
+    )
+    return pairs.select("src", "dst", F.round("cosine", 6).alias("cosine"))
+
+
 # 8x8 subsample of the 32x32 pseudo-image: row/col indices
 # np.linspace(0,31,8).astype(int) = [0,4,8,13,17,22,26,31], baked as literal
 # flat positions so the oracle does not re-derive numpy's linspace rounding

@@ -131,6 +131,7 @@ _PRIORITY = [
     # --- sf0.001 AND sf0.01 this round; next rotation gives them rows) ---
     "dedup_minhash_lsh",
     "corpus_length_drift",
+    "media_dup_pairs",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",
