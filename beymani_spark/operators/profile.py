@@ -237,82 +237,104 @@ def ks_two_sample(
     df_b: DataFrame,
     col: str,
     round_decimals: int = 6,
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between the ``col``
     distributions of two frames, fully distributed: one row
-    (ks_stat, n_a, n_b). The day-over-day governance check — "did today's
-    crawl quality/length/score distribution shift vs the standing
-    corpus?" — the batch companion of streaming/drift.py's detectors.
+    (ks_stat, n_a, n_b) — or one row per ``keys`` group, ``(*keys,
+    ks_stat, n_a, n_b)``, for the per-domain form ("did today's crawl
+    quality shift, PER LANGUAGE?"). The day-over-day governance check —
+    the batch companion of streaming/drift.py's detectors.
 
     Values are quantized to ``round_decimals`` first (the repo-wide
     round-6 parity convention; KS on the quantized values equals KS of
     the raw ones up to the quantization step, and the statistic is
     engine-exact — integer cumulative counts, one fixed division order).
-    Nulls are excluded (they carry no position in an empirical CDF).
+    Nulls are excluded (they carry no position in an empirical CDF); a
+    key present in only one frame reports ks_stat NULL (try_divide of
+    the zero count — DuckDB's divide-by-zero NULL, and ANSI-safe) with
+    the other side's count 0.
 
-    Scale shape: one partial-agg groupBy per distinct quantized value,
-    then a DISTRIBUTED prefix sum over the grouped value frame — range
-    partition by value, per-partition ROWS cumsum, broadcast per-partition
-    base offsets (the pack_sequences pattern, packing.py). There is NO
-    single-partition global-order window, so wide domains (raw token
-    counts, epoch timestamps, high-cardinality doubles) are as safe as
-    [0,1]-like ones: the only per-task frame is one range slice of the
-    distinct-value counts, and the broadcast base/total frame is
-    |partitions| rows. Never sorts or globally orders the raw inputs."""
+    Scale shape: one partial-agg groupBy per distinct (keys, quantized
+    value), then a DISTRIBUTED prefix sum over the grouped value frame —
+    range partition by (keys, value), per-(keys, partition) ROWS cumsum,
+    broadcast per-(keys, partition) base offsets (the pack_sequences
+    pattern, packing.py). There is NO single-partition stage over a
+    data-sized or key-sized frame, so wide domains (raw token counts,
+    epoch timestamps, high-cardinality doubles) are as safe as [0,1]-like
+    ones — per key too: a key's distinct values span partitions and each
+    slice cumsums independently. The broadcast base/total frame is
+    O(|keys| x |partitions|) rows of longs — fine for governance-gate key
+    cardinalities (domains, languages); for millions of keys swap the
+    broadcast for a plain hash join on (*keys, _pid)."""
     r = int(round_decimals)
+    ks = [F.col(k) for k in keys]
     a = df_a.filter(F.col(col).isNotNull()).select(
-        F.round(F.col(col), r).alias("_v"), F.lit(1).alias("_ia"), F.lit(0).alias("_ib")
+        *ks, F.round(F.col(col), r).alias("_v"), F.lit(1).alias("_ia"), F.lit(0).alias("_ib")
     )
     b = df_b.filter(F.col(col).isNotNull()).select(
-        F.round(F.col(col), r).alias("_v"), F.lit(0).alias("_ia"), F.lit(1).alias("_ib")
+        *ks, F.round(F.col(col), r).alias("_v"), F.lit(0).alias("_ia"), F.lit(1).alias("_ib")
     )
     g = (
         a.unionByName(b)
-        .groupBy("_v")
+        .groupBy(*keys, "_v")
         .agg(F.sum("_ia").alias("_ca"), F.sum("_ib").alias("_cb"))
     )
     parts = df_a.sparkSession.sparkContext.defaultParallelism
-    ranged = g.repartitionByRange(int(parts), F.col("_v")).withColumn(
+    ranged = g.repartitionByRange(int(parts), *ks, F.col("_v")).withColumn(
         "_pid", F.spark_partition_id()
     )
-    wloc = Window.partitionBy("_pid").orderBy("_v").rowsBetween(
+    wloc = Window.partitionBy(*keys, "_pid").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     local = ranged.select(
+        *keys,
         "_pid",
         F.sum("_ca").over(wloc).alias("_la"),
         F.sum("_cb").over(wloc).alias("_lb"),
     )
-    # per-partition totals -> cumulative bases + grand totals: a
-    # |partitions|-row frame, broadcast back (range partitions are ordered
-    # by construction, so partition p's base is the sum of totals < p)
-    totals = ranged.groupBy("_pid").agg(
+    # per-(keys, partition) totals -> cumulative bases + per-key grand
+    # totals: an O(|keys| x |partitions|)-row frame, broadcast back (range
+    # partitions are ordered by construction and (keys, _v) sorts keys
+    # first, so within a key, partition p's base is the sum of that key's
+    # totals in partitions < p)
+    totals = ranged.groupBy(*keys, "_pid").agg(
         F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb")
     )
-    wbase = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    wtot = Window.partitionBy()
+    wbase = Window.partitionBy(*keys).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wtot = Window.partitionBy(*keys)
     base = totals.select(
+        *keys,
         "_pid",
         F.coalesce(F.sum("_ta").over(wbase), F.lit(0)).alias("_ba"),
         F.coalesce(F.sum("_tb").over(wbase), F.lit(0)).alias("_bb"),
         F.sum("_ta").over(wtot).alias("_na"),
         F.sum("_tb").over(wtot).alias("_nb"),
     )
-    c = local.join(F.broadcast(base), "_pid").select(
+    c = local.join(F.broadcast(base), [*keys, "_pid"]).select(
+        *keys,
         (F.col("_ba") + F.col("_la")).alias("_fa"),
         (F.col("_bb") + F.col("_lb")).alias("_fb"),
         "_na",
         "_nb",
     )
-    return c.agg(
+    # try_divide: a key present in only ONE frame has a zero count on the
+    # other side — ANSI long/long division would fail the whole job on
+    # that key; NULL matches DuckDB's divide-by-zero result, so the
+    # one-sided key surfaces as (ks_stat NULL, n=0) in both engines
+    aggs = [
         F.round(
             F.max(
                 F.abs(
-                    F.col("_fa") / F.col("_na") - F.col("_fb") / F.col("_nb")
+                    F.try_divide(F.col("_fa"), F.col("_na"))
+                    - F.try_divide(F.col("_fb"), F.col("_nb"))
                 )
             ),
             6,
         ).alias("ks_stat"),
         F.max("_na").alias("n_a"),
         F.max("_nb").alias("n_b"),
-    )
+    ]
+    return c.groupBy(*keys).agg(*aggs) if keys else c.agg(*aggs)

@@ -1196,6 +1196,58 @@ def q_corpus_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.ks_two_sample(corpus_q, batch_q, "quality")
 
 
+# Per-domain drift gate: the keyed form of ks_two_sample — one KS statistic
+# PER LANGUAGE (documents.lang), corpus = even doc_ids vs batch = odd. The
+# oracle replays the grouped CDF with PARTITION BY lang windows; the Spark
+# side runs the key-aware distributed prefix sum (no per-key single-task
+# stage — a key's distinct values span range partitions).
+_QUALITY_DRIFT_BY_LANG_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         round(0.25 * least(1.0, n_tokens / 50.0)
+             + 0.25 * (1.0 - least(1.0, punct_ratio * 4.0))
+             + 0.25 * least(1.0, stopword_ratio * 5.0)
+             + 0.25 * type_token_ratio, 6) AS quality
+  FROM (
+    SELECT doc_id, lang, len(toks) AS n_tokens,
+           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+           len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
+           len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+    FROM (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents)
+  )
+), tagged AS (
+  SELECT lang, quality AS v, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+  FROM q WHERE quality IS NOT NULL
+), g AS (
+  SELECT lang, v, sum(ia) AS ca, sum(ib) AS cb FROM tagged GROUP BY lang, v
+), c AS (
+  SELECT lang,
+         CAST(sum(ca) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+         CAST(sum(cb) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb,
+         CAST(sum(ca) OVER (PARTITION BY lang) AS BIGINT) AS na,
+         CAST(sum(cb) OVER (PARTITION BY lang) AS BIGINT) AS nb
+  FROM g
+)
+SELECT lang, round(max(abs(fa * 1.0 / na - fb * 1.0 / nb)), 6) AS ks_stat,
+       max(na) AS n_a, max(nb) AS n_b
+FROM c GROUP BY lang
+"""
+
+
+@register("corpus_quality_drift_by_lang", _QUALITY_DRIFT_BY_LANG_ORACLE)
+def q_corpus_quality_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain governance gate: one exact KS statistic per language
+    (profile.ks_two_sample keys= form, key-aware distributed prefix sum)."""
+    from ..operators import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select("doc_id", "lang", "quality")
+    corpus_q = scored.filter(F.col("doc_id") % 2 == 0)
+    batch_q = scored.filter(F.col("doc_id") % 2 == 1)
+    return profile.ks_two_sample(corpus_q, batch_q, "quality", keys=["lang"])
+
+
 # Wide-domain companion to corpus_quality_drift: KS on RAW token counts —
 # an unbounded integer domain, the exact case the pre-round-5 ks_two_sample
 # could not bound (its single-partition cumulative window was safe only for

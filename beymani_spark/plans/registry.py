@@ -132,6 +132,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "corpus_length_drift",
     "media_dup_pairs",
+    "corpus_quality_drift_by_lang",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",

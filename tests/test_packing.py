@@ -324,3 +324,31 @@ def test_pack_manifest_rows_frame_with_duplicate_ids(spark):
         assert r.start_offset == pos, rows
         pos += r.n_tokens + 1
     assert pos == 3 + 2 + 1 + 3  # tokens + one separator per doc
+
+
+def test_ks_two_sample_keyed_matches_per_key_global(spark):
+    """The keys= form must equal running the global KS separately per key
+    (the key-aware prefix sum changes the plan, not the math), and a key
+    present in only one frame must surface as a 0-count side, never a
+    silent drop."""
+    from beymani_spark.operators import profile
+
+    rows_a = [("en", v / 10) for v in range(1, 9)] + [("de", v / 7) for v in range(1, 6)]
+    rows_b = [("en", v / 10 + 0.2) for v in range(1, 9)] + [("de", v / 7) for v in range(1, 6)]
+    a = spark.createDataFrame(rows_a + [("fr", 0.5)], "lang string, q double")
+    b = spark.createDataFrame(rows_b, "lang string, q double")
+    keyed = {r.lang: r for r in profile.ks_two_sample(a, b, "q", keys=["lang"]).collect()}
+    for lang in ("en", "de"):
+        solo = profile.ks_two_sample(
+            a.filter(F.col("lang") == lang), b.filter(F.col("lang") == lang), "q"
+        ).collect()[0]
+        assert (keyed[lang].ks_stat, keyed[lang].n_a, keyed[lang].n_b) == (
+            solo.ks_stat, solo.n_a, solo.n_b,
+        ), lang
+    assert keyed["de"].ks_stat == 0.0  # identical distributions
+    assert keyed["en"].ks_stat > 0.0
+    # fr exists only in frame a: ks_stat NULL (try_divide, matching
+    # DuckDB's divide-by-zero NULL), counts expose the one-sided key —
+    # and crucially the job completes instead of ANSI-failing on 0/0
+    assert keyed["fr"].ks_stat is None
+    assert (keyed["fr"].n_a, keyed["fr"].n_b) == (1, 0)
