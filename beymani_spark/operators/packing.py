@@ -88,6 +88,7 @@ def pack_sequences(
     sep_tokens: int = 1,
     partitions: int | None = None,
     n_tokens_col: str | None = None,
+    base_offset: int = 0,
 ) -> DataFrame:
     """Concat-and-chunk packing manifest: lay documents end-to-end in
     ascending ``id_col`` order, each occupying n_tokens(doc) + sep_tokens
@@ -99,6 +100,14 @@ def pack_sequences(
     seq_id = start_offset // seq_tokens, and n_seq_spanned is how many
     training sequences the doc's tokens touch (1 = fits inside one
     sequence; >1 = split across boundaries, the concat-and-chunk trade).
+
+    ``base_offset`` is the day-2 knob: pass the standing manifest's total
+    stream length (sum of n_tokens + sep_tokens over already-packed docs)
+    and the new batch packs CONTIGUOUSLY after it — offsets, seq ids and
+    span counts are exactly what a full repack of corpus+batch would
+    assign the batch docs. Keeps daily packing batch-sized: the standing
+    manifest is never re-read, only its one scalar total is carried
+    forward.
 
     Scale shape: the global offset is a DISTRIBUTED prefix sum — project
     to (id, n) first so only two longs per doc move, range-partition by
@@ -167,9 +176,12 @@ def pack_sequences(
         .select(
             id_col,
             (F.col("_span") - F.lit(int(sep_tokens))).alias("n_tokens"),
-            (F.col("_base") + F.col("_local_end") - F.col("_span")).alias(
-                "start_offset"
-            ),
+            (
+                F.lit(int(base_offset))
+                + F.col("_base")
+                + F.col("_local_end")
+                - F.col("_span")
+            ).alias("start_offset"),
         )
         .select(
             id_col,

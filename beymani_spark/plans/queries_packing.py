@@ -83,6 +83,56 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Day-2 packing: the new batch (odd doc_ids) packs CONTIGUOUSLY after the
+# standing stream (even doc_ids, whose one scalar total is the only state
+# carried forward — the standing manifest is never re-read). Result equals
+# what a full repack would assign the batch docs.
+_PACK_INCR_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, COALESCE(len({_TOKS_SQL}), 0) AS n_tokens
+  FROM documents WHERE doc_id % 2 = 1
+), prev AS (
+  SELECT COALESCE(CAST(SUM(COALESCE(len({_TOKS_SQL}), 0) + {_SEP}) AS BIGINT), 0) AS total
+  FROM documents WHERE doc_id % 2 = 0
+), o AS (
+  SELECT doc_id, n_tokens,
+         (SELECT total FROM prev)
+         + CAST(COALESCE(SUM(n_tokens + {_SEP}) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+  FROM n
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {_SEQ_TOKENS} AS seq_id,
+       CAST(CASE WHEN n_tokens <= 0 THEN 1
+            ELSE ((start_offset + n_tokens - 1) // {_SEQ_TOKENS})
+                 - (start_offset // {_SEQ_TOKENS}) + 1
+       END AS INT) AS n_seq_spanned
+FROM o
+"""
+
+
+@register("pack_manifest_incremental", _PACK_INCR_ORACLE)
+def q_pack_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 packing manifest (packing.pack_sequences base_offset= form):
+    the batch's distributed prefix sum starts at the standing stream's
+    total — one bounded scalar is the only carried state."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    toks = text.tokens(F.col("text"))
+    prev_total = (
+        corpus.agg(
+            F.sum(F.coalesce(F.size(toks), F.lit(0)) + F.lit(_SEP)).alias("t")
+        ).collect()[0]["t"]
+        or 0
+    )
+    return packing.pack_sequences(
+        batch, "doc_id", seq_tokens=_SEQ_TOKENS, sep_tokens=_SEP,
+        base_offset=int(prev_total),
+    )
+
+
 _KEEP_FRAC = 0.3
 
 

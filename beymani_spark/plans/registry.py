@@ -133,6 +133,7 @@ _PRIORITY = [
     "corpus_length_drift",
     "media_dup_pairs",
     "corpus_quality_drift_by_lang",
+    "pack_manifest_incremental",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",

@@ -352,3 +352,28 @@ def test_ks_two_sample_keyed_matches_per_key_global(spark):
     # and crucially the job completes instead of ANSI-failing on 0/0
     assert keyed["fr"].ks_stat is None
     assert (keyed["fr"].n_a, keyed["fr"].n_b) == (1, 0)
+
+
+def test_pack_sequences_base_offset_equals_full_repack(spark):
+    """Day-2 contract: packing the batch with base_offset = the standing
+    stream's total must hand every batch doc exactly the offsets/seq ids a
+    FULL repack of corpus+batch (ids ordered corpus-first) would."""
+    corpus = _docs(spark, [(i, " ".join("w" for _ in range(1 + i % 5))) for i in range(40)])
+    batch = _docs(spark, [(100 + i, " ".join("w" for _ in range(1 + i % 7))) for i in range(25)])
+    full = {
+        r.doc_id: r
+        for r in packing.pack_sequences(
+            corpus.unionByName(batch), "doc_id", seq_tokens=16, sep_tokens=1
+        ).collect()
+        if r.doc_id >= 100
+    }
+    prev_total = sum(1 + i % 5 + 1 for i in range(40))
+    incr = {
+        r.doc_id: r
+        for r in packing.pack_sequences(
+            batch, "doc_id", seq_tokens=16, sep_tokens=1, base_offset=prev_total
+        ).collect()
+    }
+    assert incr.keys() == full.keys()
+    for k in incr:
+        assert tuple(incr[k]) == tuple(full[k]), k

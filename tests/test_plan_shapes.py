@@ -443,3 +443,37 @@ def test_corpus_to_manifest_single_pipeline_execution(spark):
         assert "BroadcastHashJoin" in plan, plan[:2000]
     finally:
         caching.release(out)
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The write_bucketed_table claim, proven on the plan: two tables
+    bucketed on the same key with the same bucket count must hash-join
+    with ZERO Exchange operators (both sides pre-partitioned on disk),
+    and an aggregation on the bucket column must also skip its shuffle —
+    the co-located-join layout a 100 TB deployment relies on."""
+    from beymani_spark.sources import sinks
+
+    docs = load_table(spark, SF, "documents")
+    facts = docs.select("doc_id", "n_chars")
+    dims = docs.select("doc_id", "lang")
+    try:
+        sinks.write_bucketed_table(facts, "bt_facts", ["doc_id"], num_buckets=4)
+        sinks.write_bucketed_table(dims, "bt_dims", ["doc_id"], num_buckets=4)
+        a, b = spark.table("bt_facts"), spark.table("bt_dims")
+        joined = a.join(b, "doc_id").where(F.col("n_chars") >= 0)
+        # disable broadcast so the join would NEED a shuffle if the
+        # bucketing metadata were not carried into planning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(joined)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == facts.count()
+
+        agg_plan = _plan(a.groupBy("doc_id").agg(F.sum("n_chars")))
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_facts")
+        spark.sql("DROP TABLE IF EXISTS bt_dims")
