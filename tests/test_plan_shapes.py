@@ -477,3 +477,21 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_facts")
         spark.sql("DROP TABLE IF EXISTS bt_dims")
+
+
+def test_keyed_ks_prefix_sum_is_per_key_partition(spark):
+    """The keys= KS form must keep the distributed-prefix-sum shape with
+    the KEY inside every partition spec: cumsum windows over (key, _pid),
+    base/total windows over (key) — never a global-order or key-global
+    single-task stage over the value frame."""
+    from beymani_spark.operators import profile as prof
+
+    docs = load_table(spark, SF, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("lang", F.col("n_chars").cast("double").alias("q"))
+    b = docs.filter(F.col("doc_id") % 2 == 1).select("lang", F.col("n_chars").cast("double").alias("q"))
+    plan = _plan(prof.ks_two_sample(a, b, "q", keys=["lang"]))
+    assert "Exchange rangepartitioning(lang" in plan, plan
+    assert "windowspecdefinition(lang" in plan, plan
+    # the only SinglePartition stages are bounded frames (final agg is a
+    # groupBy here, so at most the base-frame Window ordering remains)
+    assert plan.count("Exchange SinglePartition") <= 1, plan

@@ -290,3 +290,28 @@ def test_avi_decode_rejects_garbage_clearly(spark):
     bad[strf_at + 8 + 16 : strf_at + 8 + 20] = b"MJPG"
     with _pytest.raises(ValueError, match="BI_RGB"):
         multimodal._avi_frames(bytes(bad))
+
+
+def test_avi_decode_top_down_raster(spark):
+    """Negative biHeight = top-down raster (no flip): the decoder must
+    distinguish it from the default bottom-up layout — a sign error here
+    silently mirrors every frame vertically."""
+    import numpy as np
+    import struct
+
+    frame = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20  # distinct rows
+    payload = bytearray(_avi_rgb24([frame], 4, 3, bits=8))
+    # flip biHeight to negative AND store the raster top-down: with the
+    # bottom-up writer helper, re-point the height field and rebuild movi
+    strf_at = bytes(payload).index(b"strf")
+    payload[strf_at + 8 + 8 : strf_at + 8 + 12] = struct.pack("<i", -3)
+    # rebuild the frame chunk with a TOP-DOWN raster (helper wrote bottom-up)
+    db_at = bytes(payload).index(b"00db")
+    stride = 4  # w=4, 8-bit -> already 4-byte aligned
+    raster = b"".join(bytes(r) for r in frame)  # top-down rows
+    payload[db_at + 8 : db_at + 8 + stride * 3] = raster
+    frames, usec = multimodal._avi_frames(bytes(payload))
+    np.testing.assert_array_equal(frames[0], frame)
+    # and the default bottom-up form round-trips to the same top-down frame
+    frames_bu, _ = multimodal._avi_frames(_avi_rgb24([frame], 4, 3, bits=8))
+    np.testing.assert_array_equal(frames_bu[0], frame)
