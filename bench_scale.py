@@ -74,6 +74,7 @@ HEAVY = [
     "cosine_topk",
     "ann_lsh_topk",
     "embedding_dup_clusters",
+    "media_dup_pairs",
 ]
 
 

@@ -345,7 +345,14 @@ def q_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integer codes (blocked cogroup pair engine, no driver collect).
     Composes three verified operators into the image-dedup path a training
     pipeline runs; the oracle replays decode, quantization, and the exact
-    integer-cosine comparison in DuckDB."""
+    integer-cosine comparison in DuckDB.
+
+    Scale note: this registry form uses the exact all-pairs engine (the
+    oracle-verifiable correctness path — distributed and memory-bounded,
+    but O(N^2) work). At corpus scale swap the pair stage for the
+    LSH-bucketed builder on the same codes
+    (knn.lsh_pair_distances(..., n_planes='auto')) or SimHash banding —
+    the identical swap the embedding dedup family documents."""
     from ..operators import similarity
 
     docs = load_table(spark, sf_dir, "documents")
