@@ -681,6 +681,85 @@ def chunk_dedup(
     )
 
 
+def remove_common_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+    max_docs: int = 1,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Boilerplate scrub (the CCNet/RefinedWeb-style companion to
+    chunk_dedup): drop EVERY occurrence of a token chunk that appears in
+    more than ``max_docs`` DISTINCT documents — including the first.
+    chunk_dedup keeps one canonical copy of a repeated span (dedup
+    semantics); this removes the span everywhere (boilerplate semantics:
+    a cookie banner appearing in 10^6 pages is noise in all 10^6, not
+    content in one). Within-doc repeats alone never exceed the gate —
+    the frequency is distinct-DOCUMENT count, so a chorus repeated inside
+    one song survives.
+
+    Output: (id_col, n_chunks, n_kept, clean_text) — same contract as
+    chunk_dedup so the two scrubbers compose/interchange.
+
+    Scale shape: the same explode + two-seed xxhash64 chunk keys as
+    chunk_dedup, but ownership is replaced by a distinct-doc frequency:
+    count_distinct(id) per chunk hash runs as a two-stage partial
+    aggregate (map-side (chunk, id) dedup first), so a chunk repeated a
+    billion times in one crawl snapshot collapses before the shuffle.
+    One equi-join of the per-chunk doc-count back onto the chunk stream,
+    one per-doc reassembly groupBy. No UDFs, no driver state.
+    """
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = tokens(text)
+    k = int(chunk_tokens)
+    n_chunks = F.ceil(F.size("_toks") / F.lit(k)).cast("int")
+    chunked = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("_toks"), i * k + 1, k), " "
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    hashed = chunked.withColumn("_ch1", F.xxhash64("chunk")).withColumn(
+        "_ch2", F.xxhash64("chunk", F.lit(1))
+    )
+    freq = (
+        hashed.select("_ch1", "_ch2", "_id")
+        .groupBy("_ch1", "_ch2")
+        .agg(F.count_distinct("_id").alias("_ndocs"))
+    )
+    kept_flag = hashed.join(freq, ["_ch1", "_ch2"]).withColumn(
+        "_kept", F.col("_ndocs") <= F.lit(int(max_docs))
+    )
+    per_doc = kept_flag.groupBy("_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_kept"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col), "n_chunks", "n_kept", "clean_text"
+    )
+
+
 def incremental_exact(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -992,6 +992,48 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Boilerplate scrub: unlike chunk_dedup (rn = 1 keeps the first copy), a
+# chunk in more than max_docs DISTINCT docs is dropped EVERYWHERE.
+_BOILERPLATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS chunk_idx
+  FROM toks WHERE len(t) > 0
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(t[(chunk_idx*10+1):(chunk_idx*10+10)], ' ') AS chunk
+  FROM idx
+), freq AS (
+  SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY chunk
+), flag AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk, f.ndocs <= 1 AS kept
+  FROM chunks c JOIN freq f USING (chunk)
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY chunk_idx), '')
+         AS clean_text
+FROM flag GROUP BY doc_id
+"""
+
+
+@register("boilerplate_scrub", _BOILERPLATE_ORACLE)
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal at 10-token-chunk granularity: a
+    chunk appearing in >1 distinct documents is dropped from ALL of them
+    (dedup.remove_common_chunks), the all-copies complement of
+    chunk_dedup's keep-first semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_common_chunks(
+        docs, "doc_id", "text", chunk_tokens=10, max_docs=1
+    ).select("doc_id", "n_chunks", "n_kept", "clean_text")
+
+
 _DOMAIN_MIX_ORACLE = f"""
 WITH c AS (
   SELECT lang AS _stratum, CAST(count(*) AS DOUBLE) AS _n,

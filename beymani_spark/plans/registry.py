@@ -134,6 +134,7 @@ _PRIORITY = [
     "media_dup_pairs",
     "corpus_quality_drift_by_lang",
     "pack_manifest_incremental",
+    "boilerplate_scrub",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",

@@ -596,3 +596,52 @@ def test_corpus_audit_incremental_reconciles_with_build(spark, docs):
     # dup_corpus docs pass quality and own their in-batch digest, but that
     # digest exists in the manifest
     assert by_status.get("dup_corpus"), "fixture should produce corpus dups"
+
+
+def test_remove_common_chunks_drops_all_copies_keeps_within_doc_repeats(spark):
+    """Boilerplate semantics vs chunk_dedup: a chunk shared by two DOCS
+    disappears from BOTH (no canonical copy survives), while a chunk
+    repeated only WITHIN one doc survives every occurrence (distinct-doc
+    frequency, not occurrence frequency)."""
+    from beymani_spark.operators import dedup
+
+    banner = " ".join(f"b{i}" for i in range(4))
+    chorus = " ".join(f"c{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [
+            (1, f"{banner} {chorus} {chorus}"),      # banner + chorus x2
+            (2, f"{banner} " + " ".join(f"u{i}" for i in range(4))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           dedup.remove_common_chunks(df, "doc_id", "text", chunk_tokens=4).collect()}
+    # doc 1: banner gone everywhere; BOTH chorus copies survive
+    assert out[1].clean_text == f"{chorus} {chorus}"
+    assert (out[1].n_chunks, out[1].n_kept) == (3, 2)
+    # doc 2: banner gone, unique tail survives
+    assert out[2].clean_text == " ".join(f"u{i}" for i in range(4))
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+    # contrast: chunk_dedup KEEPS one canonical banner (doc 1, idx 0)
+    kept_first = {r.doc_id: r for r in
+                  dedup.chunk_dedup(df, "doc_id", "text", chunk_tokens=4).collect()}
+    assert kept_first[1].clean_text.startswith(banner)
+    # max_docs=2 relaxes the gate: everything survives
+    loose = {r.doc_id: r for r in
+             dedup.remove_common_chunks(df, "doc_id", "text", chunk_tokens=4, max_docs=2).collect()}
+    assert loose[1].n_kept == 3 and loose[2].n_kept == 2
+
+
+def test_remove_common_chunks_frequency_is_partial_aggregated(spark):
+    """Plan shape: the distinct-doc frequency must partial-aggregate
+    ((chunk, id) dedup map-side) and join on the hashed chunk keys — never
+    a window over the raw chunk strings."""
+    from beymani_spark.operators import dedup
+    from beymani_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = dedup.remove_common_chunks(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count(distinct" in plan, plan
+    assert "xxhash64" in plan, plan
+    assert "windowspecdefinition(chunk" not in plan, plan
