@@ -75,6 +75,7 @@ HEAVY = [
     "ann_lsh_topk",
     "embedding_dup_clusters",
     "media_dup_pairs",
+    "boilerplate_scrub",
 ]
 
 
