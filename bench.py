@@ -119,8 +119,12 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(repo, f"bench_out_r{int(rnd):02d}.json"),
     )
-    with open(out_path, "w") as f:
-        f.write(line + "\n")
+    # only the canonical sf0.1 run owns the stamped record: quick smoke
+    # drives at other SFs (e.g. the verify recipe's sf0.01 pass) print the
+    # JSON line but must not overwrite the committed sf0.1 capture
+    if sf == 0.1 or "SPARK_GRAFT_BENCH_OUT" in os.environ:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -210,6 +210,33 @@ def _signatures_from_shingles(
     )
 
 
+def _banded_signatures(
+    sigs: DataFrame, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """(_id, band, sig) — one LSH band signature row per (doc, band), the
+    join key of every banded candidate search AND the persisted manifest
+    format of the incremental near-dup path (incremental_minhash). One
+    band's signature digests its rows_per_band minhashes; a single explode
+    emits the band rows, no shuffle."""
+    rows_per_band = num_hashes // bands
+
+    def band_sig(b: int) -> Column:
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+        return F.hash(*cols).cast("string")
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("_id", F.explode(band_structs).alias("bs")).select(
+        "_id", "bs.band", "bs.sig"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -230,25 +257,9 @@ def minhash_lsh_pairs(
     both consumers removes a full explode+hash pass and wins ~25% at
     sf0.1.) The shingle cache is pinned to the result —
     caching.release(result) after the final action."""
-    rows_per_band = num_hashes // bands
     sh = exploded_shingles(df, id_col, text_col, n).persist()
     sigs = _signatures_from_shingles(sh, num_hashes, hash_fn)
-
-    def band_sig(b: int) -> Column:
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if hash_fn == "md5":
-            return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
-        return F.hash(*cols).cast("string")
-
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
-            for b in range(bands)
-        ]
-    )
-    exploded = sigs.select("_id", F.explode(band_structs).alias("bs")).select(
-        "_id", "bs.band", "bs.sig"
-    )
+    exploded = _banded_signatures(sigs, num_hashes, bands, hash_fn)
     cand = (
         exploded.alias("a")
         .join(exploded.alias("b"), ["band", "sig"])
@@ -802,6 +813,118 @@ def incremental_exact(
         )
     )
     return out
+
+
+def incremental_minhash(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Incremental NEAR-dup ingest: classify every new-batch doc against the
+    standing corpus and the batch itself — the fuzzy analogue of
+    incremental_exact, completing the day-2 ingest story for near-dups
+    (beyond-reference LLM-pipeline surface). Status per batch doc, by
+    precedence:
+
+    - ``'neardup_corpus'`` — a verified (exact-Jaccard >= min_jaccard)
+                              near-dup of some corpus doc (drop)
+    - ``'neardup_batch'``  — not a corpus dup, but a verified near-dup of a
+                              SMALLER-id batch doc (the batch-first owner
+                              keeps, later ids drop — same owner rule as
+                              incremental_exact / chunk_dedup)
+    - ``'new'``            — no verified near-dup on either side. Docs with
+                              fewer than n tokens (or NULL text) have no
+                              shingles, can match nothing, and land here —
+                              the exact path owns their dedup story.
+
+    ``best_jaccard`` is the max verified Jaccard over ALL of the doc's dup
+    pairs (both classes), 0.0 for 'new' — the audit column a data card
+    reports.
+
+    Scale shape: the corpus side is touched exactly twice, both times in
+    batch-bounded ways — (1) its band signatures, which in production are a
+    maintained manifest written by _banded_signatures at last ingest (here
+    recomputed from text so the query is self-contained), joined
+    equi-on (band, sig) against the batch's signatures; (2) its shingle
+    rows, probed only by the candidate-bounded verification joins (the tiny
+    candidate set broadcasts, so corpus shingles stream past it without
+    shuffling — the minhash_lsh_pairs verification shape). Batch-internal
+    pairs reuse the batch shingle cache. Both shingle caches are pinned to
+    the result — caching.release(result) after the final action."""
+    bsh = exploded_shingles(new_df, id_col, text_col, n).persist()
+    csh = exploded_shingles(corpus_df, id_col, text_col, n).persist()
+    bband = _banded_signatures(
+        _signatures_from_shingles(bsh, num_hashes, hash_fn), num_hashes, bands, hash_fn
+    )
+    cband = _banded_signatures(
+        _signatures_from_shingles(csh, num_hashes, hash_fn), num_hashes, bands, hash_fn
+    )
+
+    def _verified(cand: DataFrame, left_sh: DataFrame, right_sh: DataFrame) -> DataFrame:
+        """Exact-Jaccard verification of (bid, oid) candidates; returns
+        pairs with jaccard >= min_jaccard. Candidate-bounded: cand is
+        near-dup-proportional, AQE broadcasts it into the shingle joins."""
+        sizes_l = left_sh.groupBy("_id").agg(F.count("*").alias("_na"))
+        sizes_r = right_sh.groupBy("_id").agg(F.count("*").alias("_nb"))
+        inter = (
+            cand.join(left_sh.select(F.col("_id").alias("bid"), "sh"), "bid")
+            .join(right_sh.select(F.col("_id").alias("oid"), "sh"), ["oid", "sh"])
+            .groupBy("bid", "oid")
+            .agg(F.count("*").alias("_inter"))
+        )
+        return (
+            inter.join(sizes_l.select(F.col("_id").alias("bid"), "_na"), "bid")
+            .join(sizes_r.select(F.col("_id").alias("oid"), "_nb"), "oid")
+            .withColumn(
+                "jaccard",
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+            )
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("bid", "oid", "jaccard")
+        )
+
+    cand_corpus = (
+        bband.alias("a")
+        .join(cband.alias("b"), ["band", "sig"])
+        .select(F.col("a._id").alias("bid"), F.col("b._id").alias("oid"))
+        .distinct()
+    )
+    cand_batch = (
+        bband.alias("a")
+        .join(bband.alias("b"), ["band", "sig"])
+        .filter(F.col("b._id") < F.col("a._id"))
+        .select(F.col("a._id").alias("bid"), F.col("b._id").alias("oid"))
+        .distinct()
+    )
+    corpus_hits = _verified(cand_corpus, bsh, csh).groupBy("bid").agg(
+        F.max("jaccard").alias("_jc")
+    )
+    batch_hits = _verified(cand_batch, bsh, bsh).groupBy("bid").agg(
+        F.max("jaccard").alias("_jb")
+    )
+    ledger = (
+        new_df.select(F.col(id_col).alias("bid"))
+        .join(corpus_hits, "bid", "left")
+        .join(batch_hits, "bid", "left")
+        .select(
+            F.col("bid").alias(id_col),
+            F.when(F.col("_jc").isNotNull(), F.lit("neardup_corpus"))
+            .when(F.col("_jb").isNotNull(), F.lit("neardup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.greatest(
+                F.coalesce(F.col("_jc"), F.lit(0.0)),
+                F.coalesce(F.col("_jb"), F.lit(0.0)),
+            ).alias("best_jaccard"),
+        )
+    )
+    return caching.pin(ledger, bsh, csh)
 
 
 def dedup_stats(

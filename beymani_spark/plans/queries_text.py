@@ -1103,6 +1103,81 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_exact(batch, corpus, "doc_id")
 
 
+# Incremental near-dup ingest: the same doc split as dedup_incremental, the
+# same md5-derived minhash machinery as dedup_minhash_lsh — signatures are
+# computed over ALL docs once (band sigs are per-doc, so subsetting after is
+# identical to subsetting before), then batch bands join corpus bands and
+# themselves for candidates, verified with exact Jaccard.
+_INCR_MINHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), shl AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s FROM t
+), ex AS (
+  SELECT doc_id, unnest(s) AS sh FROM shl
+), hv AS (
+  SELECT doc_id, {_hex32_sql("md5(sh)")} AS h FROM ex
+), mh AS (
+  SELECT doc_id, {_MH_EXPRS} FROM hv GROUP BY doc_id
+), sig AS (
+{_MH_BAND_SIGS}
+), bsig AS (
+  SELECT * FROM sig WHERE doc_id % 2 = 1
+), csig AS (
+  SELECT * FROM sig WHERE doc_id % 2 = 0
+), cand_c AS (
+  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS oid
+  FROM bsig a JOIN csig b ON a.band = b.band AND a.sig = b.sig
+), cand_b AS (
+  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS oid
+  FROM bsig a JOIN bsig b ON a.band = b.band AND a.sig = b.sig
+                         AND b.doc_id < a.doc_id
+), vc AS (
+  SELECT c.bid, len(list_intersect(sa.s, sb.s)) * 1.0
+         / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+  FROM cand_c c JOIN shl sa ON sa.doc_id = c.bid JOIN shl sb ON sb.doc_id = c.oid
+  WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+), vb AS (
+  SELECT c.bid, len(list_intersect(sa.s, sb.s)) * 1.0
+         / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+  FROM cand_b c JOIN shl sa ON sa.doc_id = c.bid JOIN shl sb ON sb.doc_id = c.oid
+  WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+), ch AS (
+  SELECT bid, max(j) AS jc FROM vc GROUP BY bid
+), bh AS (
+  SELECT bid, max(j) AS jb FROM vb GROUP BY bid
+)
+SELECT d.doc_id,
+       CASE WHEN ch.jc IS NOT NULL THEN 'neardup_corpus'
+            WHEN bh.jb IS NOT NULL THEN 'neardup_batch'
+            ELSE 'new' END AS status,
+       round(greatest(coalesce(ch.jc, 0.0), coalesce(bh.jb, 0.0)), 6) AS best_jaccard
+FROM documents d
+LEFT JOIN ch ON ch.bid = d.doc_id
+LEFT JOIN bh ON bh.bid = d.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
+@register("dedup_minhash_incremental", _INCR_MINHASH_ORACLE)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest (dedup.incremental_minhash): odd doc_ids
+    are the arriving batch, even doc_ids the standing corpus; each batch
+    doc is classified new / neardup_corpus / neardup_batch via banded
+    minhash candidates + exact-Jaccard verification, with the max verified
+    Jaccard as the audit column."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = dedup.incremental_minhash(
+        batch, corpus, "doc_id", num_hashes=16, bands=4, n=3,
+        min_jaccard=0.5, hash_fn="md5",
+    )
+    return _round(out, ["best_jaccard"])
+
+
 _CORPUS_BUILD_ORACLE = f"""
 WITH lt AS (
   SELECT doc_id, text,

@@ -135,6 +135,7 @@ _PRIORITY = [
     "corpus_quality_drift_by_lang",
     "pack_manifest_incremental",
     "boilerplate_scrub",
+    "dedup_minhash_incremental",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",

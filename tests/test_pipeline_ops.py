@@ -171,6 +171,63 @@ def test_incremental_exact_corpus_dup_beats_batch_first(spark):
     assert {r["status"] for r in out.collect()} == {"dup_corpus"}
 
 
+_LONG = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a pale winter moon near the old stone bridge"
+)
+
+
+def test_incremental_minhash_statuses(spark):
+    corpus = spark.createDataFrame(
+        [(2, _LONG), (4, "totally unrelated corpus record about shipping manifests")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, _LONG),                      # exact copy of corpus -> neardup_corpus
+            (13, _LONG + " tonight"),         # near copy of corpus -> neardup_corpus
+            (15, "completely fresh content with nothing shared anywhere else"
+                 " in this tiny fixture corpus of documents"),   # new
+            (17, "completely fresh content with nothing shared anywhere else"
+                 " in this tiny fixture corpus of documents"),   # dup of 15 -> neardup_batch
+            (19, "too short"),                # <3 tokens: no shingles -> new
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: (r["status"], r["best_jaccard"])
+        for r in dedup.incremental_minhash(batch, corpus, "doc_id").collect()
+    }
+    assert rows[11] == ("neardup_corpus", 1.0)
+    assert rows[13][0] == "neardup_corpus" and 0.5 <= rows[13][1] < 1.0
+    assert rows[15] == ("new", 0.0)
+    assert rows[17] == ("neardup_batch", 1.0)
+    assert rows[19] == ("new", 0.0)
+
+
+def test_incremental_minhash_corpus_beats_batch(spark):
+    # a batch doc near-dup of BOTH a corpus doc and a smaller-id batch doc
+    # takes the corpus status (precedence mirrors incremental_exact)
+    corpus = spark.createDataFrame([(2, _LONG)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(11, _LONG), (13, _LONG)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in dedup.incremental_minhash(batch, corpus, "doc_id").collect()
+    }
+    assert out == {11: "neardup_corpus", 13: "neardup_corpus"}
+
+
+def test_incremental_minhash_ledger_complete(spark, docs):
+    # every batch doc appears exactly once regardless of status
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    out = dedup.incremental_minhash(batch, corpus, "doc_id")
+    assert out.count() == batch.count()
+    assert out.select("doc_id").distinct().count() == batch.count()
+
+
 # --- corpus build ------------------------------------------------------------
 
 

@@ -235,6 +235,28 @@ def test_minhash_explodes_shingles_once(spark):
     )
 
 
+def test_incremental_minhash_reuses_both_shingle_caches(spark):
+    """incremental_minhash feeds signatures AND candidate verification from
+    one persisted shingle frame per side — no re-explode, no cartesian; the
+    batch ledger join stays an equi-join throughout."""
+    from beymani_spark.functions import caching
+    from beymani_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    out = dedup.incremental_minhash(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"), "doc_id"
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # batch shingles feed: batch sigs, 3 verification sides, 2 size aggs;
+    # corpus shingles feed: corpus sigs, 1 verification side, 1 size agg —
+    # every consumer must read a cache, never re-run the explode
+    assert plan.count("InMemoryTableScan") >= 8, (
+        "signature and verification paths must read the persisted shingles"
+    )
+    caching.release(out)
+
+
 def test_mix_to_targets_broadcasts_rates_no_fact_shuffle(spark):
     from beymani_spark.operators import sampling
 
