@@ -311,39 +311,22 @@ def ivf_assign_core(v: "np.ndarray", cents: "np.ndarray", top: int):
     return np.take_along_axis(idx, row, axis=1).astype("int32")
 
 
-def ivf_topk(
+def fit_spherical_centroids(
     df: DataFrame,
-    query_df: DataFrame,
-    id_col: str,
     vec_col: str,
-    k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    iterations: int = 10,
-    seed: int = 42,
-    presample: int = 4096,
-) -> DataFrame:
-    """IVF approximate top-k cosine: a coarse k-means quantizer over
-    normalized vectors partitions the base into ``n_cells`` inverted lists;
-    each query scans only its ``nprobe`` nearest cells, exact cosine inside.
+    n_cells: int,
+    iterations: int,
+    seed: int,
+    presample: int,
+) -> "np.ndarray":
+    """Hash-presampled spherical k-means centroid matrix, collected to the
+    driver (n_cells x dim — the only collect of the IVF/topic family).
 
-    Scale posture: the quantizer fits on a hash-presampled pool in ONE
-    bounded task (spherical Lloyd on <= presample vectors); the centroid
-    matrix (n_cells x dim floats) broadcasts into a numpy mapInPandas argmax
-    for base/query assignment — the vector table itself never collects and
-    never shuffles except the final (cell-bucketed) candidate join. Raising
-    nprobe trades candidate volume for recall; nprobe = n_cells is exact
-    (modulo empty-cell fit degeneracy).
-
-    Measured recall@5 on the sf0.001 embeddings (near-uniform vectors, the
-    hard case): 0.61 at 16 cells/nprobe 4 (~25% of base scanned per query),
-    0.83 at nprobe 8, 0.78 at 8 cells/nprobe 4 — consistently better
-    recall-per-candidate than hyperplane LSH (ann_lsh_topk) on this data;
-    probed in tests/test_lsh_recall.py.
-    """
+    The fit pool runs in ONE bounded applyInPandas task over <= presample
+    vectors; shared by ivf_topk (the coarse quantizer) and topic_assign
+    (the corpus topic model)."""
     import numpy as np
 
-    sess = df.sparkSession
     n = df.count()
     frac_denom = 1_000_000
     keep = min(frac_denom, int(presample * frac_denom / max(n, 1)))
@@ -378,7 +361,41 @@ def ivf_topk(
         .applyInPandas(fit, schema="cell_id int, centroid array<double>")
         .collect()
     )
-    cents = np.stack([np.asarray(r["centroid"]) for r in cent_rows])
+    return np.stack([np.asarray(r["centroid"]) for r in cent_rows])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iterations: int = 10,
+    seed: int = 42,
+    presample: int = 4096,
+) -> DataFrame:
+    """IVF approximate top-k cosine: a coarse k-means quantizer over
+    normalized vectors partitions the base into ``n_cells`` inverted lists;
+    each query scans only its ``nprobe`` nearest cells, exact cosine inside.
+
+    Scale posture: the quantizer fits on a hash-presampled pool in ONE
+    bounded task (spherical Lloyd on <= presample vectors); the centroid
+    matrix (n_cells x dim floats) broadcasts into a numpy mapInPandas argmax
+    for base/query assignment — the vector table itself never collects and
+    never shuffles except the final (cell-bucketed) candidate join. Raising
+    nprobe trades candidate volume for recall; nprobe = n_cells is exact
+    (modulo empty-cell fit degeneracy).
+
+    Measured recall@5 on the sf0.001 embeddings (near-uniform vectors, the
+    hard case): 0.61 at 16 cells/nprobe 4 (~25% of base scanned per query),
+    0.83 at nprobe 8, 0.78 at 8 cells/nprobe 4 — consistently better
+    recall-per-candidate than hyperplane LSH (ann_lsh_topk) on this data;
+    probed in tests/test_lsh_recall.py.
+    """
+    sess = df.sparkSession
+    cents = fit_spherical_centroids(df, vec_col, n_cells, iterations, seed, presample)
     bc = sess.sparkContext.broadcast(cents)
 
     def assigner(top: int, out_name: str):
@@ -438,6 +455,80 @@ def ivf_topk(
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "knn_rank")
+    )
+
+
+def topic_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_topics: int = 8,
+    iterations: int = 10,
+    seed: int = 42,
+    presample: int = 4096,
+) -> DataFrame:
+    """Per-vector topic id from a seeded spherical k-means over the
+    embedding column — the unsupervised clustering step of a data-mixing
+    plan ("what is this corpus made of"), sharing its fit/assign cores with
+    the IVF quantizer so the model is deterministic and oracle-replicable.
+
+    Scale posture: the fit is one bounded presampled task; the
+    (n_topics x dim) centroid matrix broadcasts into a numpy mapInPandas
+    argmax — the embedding table never shuffles and never collects.
+    Output: (id_col, topic)."""
+    sess = df.sparkSession
+    cents = fit_spherical_centroids(df, vec_col, n_topics, iterations, seed, presample)
+    bc = sess.sparkContext.broadcast(cents)
+
+    def gen(batches):
+        import numpy as np
+
+        c = bc.value
+        for pdf in batches:
+            out = pdf[[id_col]].copy()
+            if not len(pdf):
+                out["topic"] = np.array([], dtype="int32")
+                yield out
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            out["topic"] = ivf_assign_core(v, c, 1)
+            yield out
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[id_col], StructField("topic", IntegerType())]
+    )
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def topic_mix(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None = None,
+    n_topics: int = 8,
+    iterations: int = 10,
+    seed: int = 42,
+    presample: int = 4096,
+) -> DataFrame:
+    """Topic composition of an embedding corpus: assign every vector to its
+    k-means topic, then account (topic[, label], n_vecs, share) — the
+    mixing table a data-balancing plan (and a cluster-vs-label purity
+    audit, when ``label_col`` is given) is written against.
+
+    share = n_vecs / |corpus| is a single long/long division — engine-exact.
+    Plan: the assignment scan feeds one partial-aggregated groupBy; the
+    share window runs over the tiny aggregated frame (<= topics x labels
+    rows), never the corpus."""
+    assigned = topic_assign(df, id_col, vec_col, n_topics, iterations, seed, presample)
+    keys = ["topic"] + ([label_col] if label_col else [])
+    if label_col:
+        assigned = assigned.join(df.select(id_col, label_col), id_col)
+    counts = assigned.groupBy(*keys).agg(F.count("*").alias("n_vecs"))
+    total = F.sum("n_vecs").over(Window.partitionBy())
+    return counts.select(
+        *keys, "n_vecs", (F.col("n_vecs") / total).alias("share")
     )
 
 

@@ -522,3 +522,54 @@ cand AS (
 SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, knn_rank
 FROM ranked WHERE knn_rank <= 5
 """
+
+
+# ----------------------------------------------------------------- topic mix
+
+
+@lru_cache(maxsize=4)
+def topic_mix_oracle(sf_dir: str) -> str:
+    """Topic-composition oracle: the k-means topic model AND the per-vector
+    argmax assignment are rebuilt with the shared ivf fit/assign cores
+    (bit-identical to the Spark broadcast-mapInPandas path, which runs the
+    same numpy on the same canonical pool) and baked as a VALUES table; the
+    accounting half — the label join, the group counts, the exact
+    share division — is verified in DuckDB
+    (n_topics=8, iterations=10, seed=42, presample=4096)."""
+    from ..operators.similarity import ivf_assign_core, ivf_fit_core
+
+    pdf = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = len(pdf)
+    keep = min(_DENOM, int(4096 * _DENOM / max(n, 1)))
+    hos = np.array(
+        [
+            spark_xxhash64([("float_array", list(v)), ("int", 42)])
+            for v in pdf["embedding"]
+        ],
+        dtype=np.int64,
+    )
+    kept_idx = np.where(np.array([pmod(int(h), _DENOM) for h in hos]) < keep)[0]
+    order = kept_idx[np.argsort(hos[kept_idx], kind="stable")]
+    x = np.stack(
+        [np.asarray(pdf["embedding"].iloc[i], dtype=np.float64) for i in order]
+    )
+    centers = ivf_fit_core(x, 8, 10, 42)
+
+    all_v = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    )
+    topics = ivf_assign_core(all_v, centers, 1)
+    topic_rows = ", ".join(
+        f"({int(i)}, {int(t)})" for i, t in zip(pdf["vec_id"].to_numpy(), topics)
+    )
+    return f"""
+WITH topics(vec_id, topic) AS (VALUES {topic_rows}),
+g AS (
+  SELECT t.topic, e.label, count(*) AS n_vecs
+  FROM topics t JOIN embeddings e USING (vec_id)
+  GROUP BY t.topic, e.label
+)
+SELECT topic, label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       round(n_vecs * 1.0 / (SELECT count(*) FROM embeddings), 6) AS share
+FROM g
+"""

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup, similarity, text
 from ..sources import load_table
 from .model_oracles import ivf_oracle as _ivf_oracle
+from .model_oracles import topic_mix_oracle as _topic_mix_oracle
 from .queries_stats import _round
 from .registry import register
 
@@ -603,6 +604,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", k=5, n_cells=16, nprobe=4, seed=42
     )
     return _round(out, ["cosine"])
+
+
+@register("topic_mix", _topic_mix_oracle)
+def q_topic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic composition of the embedding corpus (similarity.topic_mix):
+    seeded spherical-kmeans topic per vector, then (topic, label, n_vecs,
+    share) — the mixing/purity table of a data-balancing plan. The topic
+    model + argmax assignment are rebuilt by the model-baked oracle; the
+    accounting half hash-verifies in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topic_mix(
+        emb, "vec_id", "embedding", label_col="label", n_topics=8, seed=42
+    )
+    return _round(out, ["share"])
 
 
 # --- deterministic sampling / dataset-mixing queries -------------------------

@@ -136,6 +136,7 @@ _PRIORITY = [
     "pack_manifest_incremental",
     "boilerplate_scrub",
     "dedup_minhash_incremental",
+    "topic_mix",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",

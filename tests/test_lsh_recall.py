@@ -73,6 +73,31 @@ def test_ivf_topk_recall_vs_exact(spark, emb):
     assert recall >= 0.5, f"ivf_topk recall collapsed: {recall:.2f}"
 
 
+def test_topic_assign_partition_invariant_and_complete(spark, emb):
+    """The topic model fits on a canonical hash-ordered pool, so the
+    assignment must not depend on input partitioning; every vector gets
+    exactly one topic in [0, n_topics)."""
+    a = similarity.topic_assign(emb, "vec_id", "embedding", n_topics=8).toPandas()
+    b = similarity.topic_assign(
+        emb.repartition(13), "vec_id", "embedding", n_topics=8
+    ).toPandas()
+    assert len(a) == emb.count()
+    merged = a.merge(b, on="vec_id", suffixes=("_a", "_b"))
+    assert (merged["topic_a"] == merged["topic_b"]).all()
+    assert a["topic"].between(0, 7).all()
+    # the fixture is not degenerate: the model actually separates vectors
+    assert a["topic"].nunique() > 1
+
+
+def test_topic_mix_shares_sum_to_one(spark, emb):
+    out = similarity.topic_mix(
+        load_table(spark, SF, "embeddings"), "vec_id", "embedding",
+        label_col="label", n_topics=8,
+    ).toPandas()
+    assert out["n_vecs"].sum() == emb.count()
+    assert abs(out["share"].sum() - 1.0) < 1e-9
+
+
 def test_lsh_pair_distances_knn_recall_vs_exact(spark, emb):
     k = 5
     exact = knn.knn(knn.pair_distances(emb, "vec_id", "embedding"), k=k).toPandas()
