@@ -310,6 +310,42 @@ def bigram_logprob(
     return caching.pin(out, bigrams)
 
 
+def perplexity_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Per-language LM fluency gate (the perplexity filter of CCNet-style
+    corpus pipelines): score every doc with the corpus-trained bigram LM,
+    then keep the most fluent ``keep_frac`` of each language — highest
+    avg bigram log-probability, ranked on the ROUND-6 value (the repo-wide
+    float-parity convention: ranking on raw aggregation doubles would make
+    the kept set sensitive to summation order) with ``id_col`` breaking
+    round-6 ties. Docs with no bigrams (< 2 tokens or NULL text) carry no
+    fluency evidence and are excluded, not gated in.
+
+    Scale shape: the bigram-LM pass (two bounded gram-hash shuffles) plus
+    one stratum shuffle feeding the rank windows — the
+    stratified_rank_filter shape over the scored frame."""
+    from .sampling import stratified_rank_filter
+
+    scored = bigram_logprob(df, id_col, text_col)
+    pins = caching.pinned(scored)
+    rounded = (
+        scored.filter(F.col("n_bigrams") > 0)
+        .withColumn("avg_logprob", F.round("avg_logprob", 6))
+        .withColumn("ppl", F.round("ppl", 6))
+        .join(df.select(id_col, lang_col), id_col)
+    )
+    gated = stratified_rank_filter(
+        rounded, lang_col, "avg_logprob", keep_frac, tiebreak_col=id_col
+    )
+    out = gated.select(id_col, lang_col, "n_bigrams", "avg_logprob", "ppl")
+    return caching.pin(out, *pins)
+
+
 def vocab_topk(
     df: DataFrame,
     text_col: str = "text",

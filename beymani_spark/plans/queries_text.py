@@ -808,6 +808,64 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, ["avg_logprob", "ppl"])
 
 
+# Perplexity gate: the bigram-LM CTEs above + a per-language rank window on
+# the round-6 score (rank on raw aggregation doubles would be summation-
+# order-sensitive), ceil(ns * frac) keep count matching the integer ceil-div
+# on the Spark side.
+_PPL_GATE_KEEP = 0.5
+
+_PPL_GATE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, unnest(grams) AS gram
+  FROM (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1]) AS grams
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents)
+  )
+), pair_counts AS (
+  SELECT gram, count(*) AS c2 FROM b GROUP BY gram
+), first_counts AS (
+  SELECT split_part(gram, ' ', 1) AS w1, count(*) AS c1 FROM b GROUP BY 1
+), scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         avg(ln(c2 / CAST(c1 AS DOUBLE))) AS raw_lp
+  FROM b
+  JOIN pair_counts USING (gram)
+  JOIN first_counts ON first_counts.w1 = split_part(b.gram, ' ', 1)
+  GROUP BY b.doc_id
+), r AS (
+  -- ppl derives from the RAW avg (mirroring bigram_logprob); only the
+  -- ranking and output round to 6
+  SELECT s.doc_id, d.lang, s.n_bigrams,
+         round(s.raw_lp, 6) AS avg_logprob,
+         round(exp(-s.raw_lp), 6) AS ppl,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY round(s.raw_lp, 6) DESC, s.doc_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY d.lang) AS ns
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_logprob, ppl
+FROM r WHERE rk <= CAST(ceil(ns * {_PPL_GATE_KEEP}) AS BIGINT)
+"""
+
+
+@register("perplexity_gate", _PPL_GATE_ORACLE)
+def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language LM fluency gate (text.perplexity_gate): keep the most
+    fluent 50% of each language by corpus-bigram avg log-probability —
+    the perplexity filter of CCNet-style pipelines, as a rank cut with a
+    deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.perplexity_gate(
+        docs, "doc_id", "text", "lang", keep_frac=_PPL_GATE_KEEP
+    )
+
+
 _VOCAB_ORACLE = """
 SELECT token, count(*) AS cnt FROM (
   SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),

@@ -137,6 +137,7 @@ _PRIORITY = [
     "boilerplate_scrub",
     "dedup_minhash_incremental",
     "topic_mix",
+    "perplexity_gate",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",

@@ -218,3 +218,31 @@ def test_group_split_keeps_groups_whole(spark):
     assert per_group.filter(F.col("n_splits") > 1).count() == 0
     # multiple splits are actually used across groups (not all-train)
     assert out.select("split").distinct().count() >= 2
+
+
+def test_perplexity_gate_keep_counts_and_exclusions(spark, docs):
+    """Per-language keep count is ceil(ns * frac) over docs WITH bigram
+    evidence; sub-2-token docs never gate in; kept docs are each
+    language's highest-avg_logprob half."""
+    import math
+
+    scored = (
+        text.bigram_logprob(docs, "doc_id", "text")
+        .filter(F.col("n_bigrams") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    ns = {r["lang"]: r["c"] for r in scored.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    out = text.perplexity_gate(docs, "doc_id", "text", "lang", keep_frac=0.5)
+    got = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert got == {k: math.ceil(v * 0.5) for k, v in ns.items()}
+    assert out.filter(F.col("n_bigrams") <= 0).count() == 0
+    # the kept set dominates the dropped set: min kept avg_logprob per lang
+    # >= max dropped avg_logprob per lang (rank cut, not a random sample)
+    kept_min = {r["lang"]: r["m"] for r in out.groupBy("lang").agg(F.min("avg_logprob").alias("m")).collect()}
+    dropped = scored.join(out.select("doc_id"), "doc_id", "left_anti")
+    drop_max = {
+        r["lang"]: r["m"]
+        for r in dropped.groupBy("lang").agg(F.max(F.round("avg_logprob", 6)).alias("m")).collect()
+    }
+    for lang, m in drop_max.items():
+        assert kept_min[lang] >= m
