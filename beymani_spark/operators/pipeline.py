@@ -251,3 +251,44 @@ def corpus_audit_incremental(
             .alias("status"),
         )
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Digest-level diff of two corpus snapshots — the release-to-release
+    changelog of a maintained training corpus: one row per distinct
+    content digest present in either snapshot, with its per-side doc
+    counts and a status (``'added'`` — only in the new snapshot,
+    ``'removed'`` — only in the old, ``'common'`` — in both). NULL-text
+    docs have no digest and are excluded (their lifecycle belongs to the
+    ingest ledger, incremental_exact's null_text status).
+
+    Scale shape: each side reduces to its distinct digests with one
+    partial-aggregated groupBy (in production these are the two corpus
+    manifests, read directly — text never rescanned), then one full outer
+    equi-join on the digest. Never touches text twice, never collects."""
+    def digests(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.md5(F.col(text_col)).alias("content_hash"))
+            .groupBy("content_hash")
+            .agg(F.count("*").alias(out))
+        )
+
+    old = digests(old_df, "n_old")
+    new = digests(new_df, "n_new")
+    return (
+        old.join(new, "content_hash", "full_outer")
+        .select(
+            "content_hash",
+            F.when(F.col("n_old").isNull(), F.lit("added"))
+            .when(F.col("n_new").isNull(), F.lit("removed"))
+            .otherwise(F.lit("common"))
+            .alias("status"),
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )

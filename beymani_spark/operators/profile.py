@@ -338,3 +338,44 @@ def ks_two_sample(
         F.max("_nb").alias("n_b"),
     ]
     return c.groupBy(*keys).agg(*aggs) if keys else c.agg(*aggs)
+
+
+def key_skew_audit(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter profile of a prospective shuffle/join key: the top-k
+    keys by row count with each key's share of the table and its skew
+    factor (count / mean-count-per-key) — the audit a 100 TB job runs
+    BEFORE picking partition keys, salting factors, or AQE skew-join
+    thresholds. skew >> 1 on the head key is the "one giant entity"
+    signature that motivates functions/skew.py.
+
+    Arithmetic is engine-exact: share = cnt/total is one long/long
+    division; skew = (cnt * n_keys) / total multiplies in DOUBLE first
+    (same order both engines, and immune to the long-overflow a
+    cnt*n_keys integer product would risk at scale).
+
+    Scale shape: one partial-aggregated groupBy on the key (the same
+    shuffle the audited job would pay), a 1-row totals aggregate
+    broadcast-crossed back (bounded frame, the knn.py bounds pattern),
+    and a TakeOrdered top-k — the per-key frame never sorts globally and
+    never collects."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_n_keys")
+    )
+    keyed = counts.crossJoin(F.broadcast(totals))
+    return (
+        keyed.select(
+            *key_cols,
+            "cnt",
+            (F.col("cnt") / F.col("_total")).alias("share"),
+            (F.col("cnt").cast("double") * F.col("_n_keys") / F.col("_total")).alias(
+                "skew"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+    )

@@ -262,3 +262,28 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_seconds=43200,
     )
     return _round(out, ["sum_value"])
+
+
+_SKEW_AUDIT_ORACLE = """
+WITH c AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c
+)
+SELECT user_id, cnt,
+       round(cnt * 1.0 / t.total, 6) AS share,
+       round((CAST(cnt AS DOUBLE) * t.n_keys) / t.total, 6) AS skew
+FROM c, t
+ORDER BY cnt DESC, user_id ASC
+LIMIT 20
+"""
+
+
+@register("skew_audit", _SKEW_AUDIT_ORACLE)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shuffle-key audit (profile.key_skew_audit): the top-20
+    event users by row count with share-of-table and skew factor — the
+    pre-flight check before picking partition keys or salting factors."""
+    ev = load_table(spark, sf_dir, "events")
+    out = profile.key_skew_audit(ev, ["user_id"], k=20)
+    return _round(out, ["share", "skew"])

@@ -1671,3 +1671,38 @@ def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pipeline.corpus_audit(docs, quality_min=0.6)
+
+
+_CORPUS_DIFF_ORACLE = """
+WITH old AS (
+  SELECT md5(text) AS content_hash, count(*) AS n_old
+  FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+  GROUP BY md5(text)
+), new AS (
+  SELECT md5(text) AS content_hash, count(*) AS n_new
+  FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL
+  GROUP BY md5(text)
+)
+SELECT coalesce(old.content_hash, new.content_hash) AS content_hash,
+       CASE WHEN old.content_hash IS NULL THEN 'added'
+            WHEN new.content_hash IS NULL THEN 'removed'
+            ELSE 'common' END AS status,
+       CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+FROM old FULL OUTER JOIN new USING (content_hash)
+"""
+
+
+@register("corpus_diff", _CORPUS_DIFF_ORACLE)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release corpus changelog (pipeline.snapshot_diff): two
+    overlapping snapshots of the documents table (doc_id % 3 != 0 vs
+    doc_id % 5 != 0) diffed at digest granularity into
+    added / removed / common with per-side doc counts."""
+    from ..operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.snapshot_diff(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+    )

@@ -138,6 +138,8 @@ _PRIORITY = [
     "dedup_minhash_incremental",
     "topic_mix",
     "perplexity_gate",
+    "skew_audit",
+    "corpus_diff",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",

@@ -702,3 +702,39 @@ def test_remove_common_chunks_frequency_is_partial_aggregated(spark):
     assert "partial_count(distinct" in plan, plan
     assert "xxhash64" in plan, plan
     assert "windowspecdefinition(chunk" not in plan, plan
+
+
+# --- snapshot diff / skew audit ---------------------------------------------
+
+
+def test_snapshot_diff_statuses_hand_computed(spark):
+    from beymani_spark.operators import pipeline
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, None)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(10, "b"), (11, "c"), (12, None)], ["doc_id", "text"]
+    )
+    rows = {
+        r["status"]: (r["n_old"], r["n_new"])
+        for r in pipeline.snapshot_diff(old, new).collect()
+    }
+    # 'a' removed (1 old copy), 'b' common (2 old, 1 new), 'c' added;
+    # NULL-text docs on both sides excluded entirely
+    assert rows == {"removed": (1, 0), "common": (2, 1), "added": (0, 1)}
+
+
+def test_key_skew_audit_hand_computed(spark):
+    from beymani_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("warm",)] * 2 + [("cold",)] * 1, ["k"]
+    )
+    rows = profile.key_skew_audit(df, ["k"], k=2).collect()
+    assert [r["k"] for r in rows] == ["hot", "warm"]
+    top = rows[0]
+    assert top["cnt"] == 6
+    assert abs(top["share"] - 6 / 9) < 1e-12
+    # skew = cnt * n_keys / total = 6 * 3 / 9 = 2.0
+    assert abs(top["skew"] - 2.0) < 1e-12
