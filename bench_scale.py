@@ -76,6 +76,9 @@ HEAVY = [
     "embedding_dup_clusters",
     "media_dup_pairs",
     "boilerplate_scrub",
+    "dedup_minhash_incremental",
+    "topic_mix",
+    "perplexity_gate",
 ]
 
 
@@ -229,9 +232,16 @@ def main() -> None:
         "base_sf_dir": BASE,
         "queries": results,
     }
+    out_path = os.path.join(REPO, f"bench_scale_r{rnd:02d}.json")
+    # a SPARK_GRAFT_SCALE_QUERIES subset run merges its rows into the
+    # stamped record instead of clobbering the full capture
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.loads(f.read())
+        payload["queries"] = {**prior.get("queries", {}), **results}
     line = json.dumps(payload)
     print(line)
-    with open(os.path.join(REPO, f"bench_scale_r{rnd:02d}.json"), "w") as f:
+    with open(out_path, "w") as f:
         f.write(line + "\n")
 
 

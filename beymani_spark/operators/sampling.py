@@ -270,3 +270,51 @@ def stratified_rank_filter(
     if rank_col:
         out = out.withColumn(rank_col, F.col("_rk"))
     return out.drop("_rk", "_ns")
+
+
+def split_leak_check(
+    labeled: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    split_col: str = "split",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Eval-hygiene audit: where do the corpus's near-dup pairs fall
+    relative to a split assignment? One row per unordered split pair
+    (split_a <= split_b) with the pair count, its share of all near-dup
+    pairs, and a ``leaked`` flag (split_a != split_b) — cross-split rows
+    are exactly the train/test contamination a per-doc split permits and
+    group_split prevents. Run it against a PROPOSED split before
+    committing the corpus.
+
+    Scale shape: two narrow equi-joins of the (tiny, near-dup-
+    proportional) pair set against the (id, split) projection — AQE
+    broadcasts the pair side; the share window runs over the aggregated
+    frame (<= |splits|^2 rows)."""
+    lab = labeled.select(F.col(id_col), F.col(split_col))
+    j = (
+        pairs.select(src, dst)
+        .join(
+            lab.select(F.col(id_col).alias(src), F.col(split_col).alias("_sa")), src
+        )
+        .join(
+            lab.select(F.col(id_col).alias(dst), F.col(split_col).alias("_sb")), dst
+        )
+    )
+    counts = (
+        j.select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    total = F.sum("n_pairs").over(Window.partitionBy())
+    return counts.select(
+        "split_a",
+        "split_b",
+        "n_pairs",
+        (F.col("n_pairs") / total).alias("share"),
+        (F.col("split_a") != F.col("split_b")).alias("leaked"),
+    )

@@ -394,3 +394,21 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_bpe_tokens",
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))),
     )
+
+
+def token_freq_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frequency-of-frequencies (Zipf) spectrum of the corpus vocabulary:
+    one row per occurrence count with the number of distinct token types
+    at that count and their total occurrence mass — the curve a tokenizer
+    budget (vocab size vs coverage) is planned against, and the classic
+    hapax/head diagnostic for corpus quality.
+
+    Scale shape: one partial-aggregated groupBy(token) to |vocab| rows,
+    then a second tiny groupBy(freq) over those — the corpus is scanned
+    once, the second shuffle is |vocab| longs."""
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    return counts.groupBy("freq").agg(
+        F.count("*").alias("n_types"),
+        (F.count("*") * F.col("freq")).alias("n_occurrences"),
+    ).select("freq", "n_types", "n_occurrences")

@@ -1706,3 +1706,71 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 3 != 0),
         docs.filter(F.col("doc_id") % 5 != 0),
     )
+
+
+_ZIPF_ORACLE = """
+WITH c AS (
+  SELECT token, count(*) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS token
+    FROM documents
+  ) GROUP BY token
+)
+SELECT freq, count(*) AS n_types, CAST(count(*) * freq AS BIGINT) AS n_occurrences
+FROM c GROUP BY freq
+"""
+
+
+@register("zipf_spectrum", _ZIPF_ORACLE)
+def q_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies vocabulary spectrum
+    (text.token_freq_spectrum): the Zipf curve a tokenizer budget and the
+    hapax/head corpus diagnostic are read from."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_freq_spectrum(docs, "text")
+
+
+# Near-dup pairs vs a naive per-doc split: the oracle composes the
+# minhash pair CTEs with the same md5-u split rule as train_split.
+_LEAK_ORACLE = f"""
+WITH {_MINHASH_PAIR_CTES}, sp AS (
+  SELECT doc_id,
+         CASE WHEN {_U_SQL} < 0.75 THEN 'train'
+              WHEN {_U_SQL} < 0.875 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), lab AS (
+  SELECT least(a.split, b.split) AS split_a,
+         greatest(a.split, b.split) AS split_b
+  FROM mpairs p
+  JOIN sp a ON a.doc_id = p.src
+  JOIN sp b ON b.doc_id = p.dst
+), g AS (
+  SELECT split_a, split_b, count(*) AS n_pairs FROM lab GROUP BY 1, 2
+)
+SELECT split_a, split_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(n_pairs * 1.0 / (SELECT CAST(sum(n_pairs) AS BIGINT) FROM g), 6)
+         AS share,
+       split_a <> split_b AS leaked
+FROM g
+"""
+
+
+@register("split_leak_check", _LEAK_ORACLE)
+def q_split_leak_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene audit (sampling.split_leak_check): where the corpus's
+    verified near-dup pairs land relative to a NAIVE per-doc split —
+    cross-split rows are the train/test contamination group_split
+    prevents. Composes the oracle-identical minhash pair machinery with
+    the train_split assignment."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5, hash_fn="md5"
+    )
+    labeled = sampling.deterministic_split(
+        docs, "doc_id", (("train", 0.75), ("val", 0.125), ("test", 0.125)), seed=42
+    )
+    out = sampling.split_leak_check(labeled, "doc_id", pairs)
+    return _round(out, ["share"])

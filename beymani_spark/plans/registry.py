@@ -140,6 +140,8 @@ _PRIORITY = [
     "perplexity_gate",
     "skew_audit",
     "corpus_diff",
+    "zipf_spectrum",
+    "split_leak_check",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",

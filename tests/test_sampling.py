@@ -246,3 +246,33 @@ def test_perplexity_gate_keep_counts_and_exclusions(spark, docs):
     }
     for lang, m in drop_max.items():
         assert kept_min[lang] >= m
+
+
+def test_split_leak_check_hand_computed(spark):
+    labeled = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "train"), (4, "test"), (5, "val")],
+        ["doc_id", "split"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 5), (1, 3)], ["src", "dst"]
+    )
+    rows = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["share"], r["leaked"])
+        for r in sampling.split_leak_check(labeled, "doc_id", pairs).collect()
+    }
+    assert rows[("train", "train")] == (2, 0.5, False)
+    assert rows[("test", "train")] == (1, 0.25, True)
+    assert rows[("test", "val")] == (1, 0.25, True)
+    assert abs(sum(v[1] for v in rows.values()) - 1.0) < 1e-12
+
+
+def test_token_freq_spectrum_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b C")], ["doc_id", "text"]
+    )
+    # lowercased: a=3, b=3, c=2 -> freq 3 has 2 types (6 occ), freq 2 has 1 (2 occ)
+    rows = {
+        r["freq"]: (r["n_types"], r["n_occurrences"])
+        for r in text.token_freq_spectrum(df, "text").collect()
+    }
+    assert rows == {3: (2, 6), 2: (1, 2)}
