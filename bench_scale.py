@@ -79,6 +79,7 @@ HEAVY = [
     "dedup_minhash_incremental",
     "topic_mix",
     "perplexity_gate",
+    "split_leak_check",
 ]
 
 
