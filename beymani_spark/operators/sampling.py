@@ -133,6 +133,7 @@ def mix_to_targets(
     u_col: str | None = None,
     rate_col: str | None = None,
     strict: bool = False,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Resample so the kept rows follow the TARGET stratum proportions
     while keeping as much data as possible: given target shares w_s, the
@@ -155,6 +156,15 @@ def mix_to_targets(
     (the same aggregate the plan needs anyway) raises ValueError naming
     the missing strata before any data is sampled.
 
+    ``weight`` switches the mix from DOC proportions to MASS proportions:
+    pass a per-row weight expression (e.g. the token count) and n_s
+    becomes sum(weight) per stratum, so the EXPECTED kept token mass
+    follows the recipe — real mixing plans target token budgets, not doc
+    counts. Keep decisions remain per-row (u(id) < r_s): the kept mass
+    matches the target in expectation, with per-doc granularity as the
+    variance floor (exact mass matching is a knapsack, out of scope).
+    Integral weights up to 2^53 stay exact through the double sum.
+
     Scale shape: one partial-aggregated count per stratum (a |strata|-row
     frame), a keyless 1-row min for T, and a broadcast join of the rates
     back onto the fact scan — the fact table itself is never shuffled.
@@ -163,10 +173,11 @@ def mix_to_targets(
     """
     w_pairs = [x for k, v in targets.items() for x in (F.lit(k), F.lit(float(v)))]
     w = F.element_at(F.create_map(*w_pairs), F.col(stratum_col).cast("string"))
+    mass = F.count("*") if weight is None else F.sum(weight)
     counts = (
         df.filter(w.isNotNull() & (w > 0))
         .groupBy(F.col(stratum_col).alias("_stratum"))
-        .agg(F.count("*").cast("double").alias("_n"))
+        .agg(mass.cast("double").alias("_n"))
     )
     if strict:
         present = {r["_stratum"] for r in counts.select("_stratum").collect()}

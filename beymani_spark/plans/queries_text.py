@@ -1127,6 +1127,53 @@ WHERE {_U_SQL} < _rate
 """
 
 
+# Token-weighted mix: identical machinery, but n_s = sum of per-doc token
+# counts — the recipe targets TOKEN shares, the real unit of a training
+# budget. Integral token sums are exact through the double cast, so the
+# w*T/n keep decision stays bit-identical across engines.
+_TOKEN_MIX_ORACLE = f"""
+WITH c AS (
+  SELECT lang AS _stratum,
+         CAST(sum(len({_TOKS_SQL})) AS DOUBLE) AS _n,
+         CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                   WHEN 'es' THEN CAST(0.3 AS DOUBLE)
+                   WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                   WHEN 'fr' THEN CAST(0.1 AS DOUBLE) END AS _w
+  FROM documents WHERE lang IN ('en', 'es', 'de', 'fr')
+  GROUP BY lang
+), b AS (
+  SELECT min(_n / _w) AS _T FROM c
+), r AS (
+  SELECT _stratum, (_w * _T / _n) AS _rate FROM c, b
+)
+SELECT d.doc_id, d.lang, len({_TOKS_SQL}) AS n_tokens,
+       {_U_SQL} AS u, round(_rate, 6) AS rate
+FROM documents d JOIN r ON d.lang = r._stratum
+WHERE {_U_SQL} < _rate
+"""
+
+
+@register("token_mix", _TOKEN_MIX_ORACLE)
+def q_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing (sampling.mix_to_targets with weight=): rates
+    derived from per-language TOKEN totals so the kept token mass follows
+    the 40/30/20/10 recipe in expectation — the unit a training budget is
+    actually written in."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {"en": 0.4, "es": 0.3, "de": 0.2, "fr": 0.1}
+    out = sampling.mix_to_targets(
+        docs, "doc_id", "lang", targets, seed=42, u_col="u", rate_col="rate",
+        weight=F.size(text.tokens(F.col("text"))),
+    )
+    return out.select(
+        "doc_id", "lang",
+        F.size(text.tokens(F.col("text"))).alias("n_tokens"),
+        "u", F.round("rate", 6).alias("rate"),
+    )
+
+
 @register("domain_mix", _DOMAIN_MIX_ORACLE)
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-to-target-weights resample of documents by language

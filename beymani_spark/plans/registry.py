@@ -142,6 +142,7 @@ _PRIORITY = [
     "corpus_diff",
     "zipf_spectrum",
     "split_leak_check",
+    "token_mix",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",

@@ -276,3 +276,35 @@ def test_token_freq_spectrum_hand_computed(spark):
         for r in text.token_freq_spectrum(df, "text").collect()
     }
     assert rows == {3: (2, 6), 2: (1, 2)}
+
+
+def test_mix_to_token_targets_tracks_token_shares(spark, docs):
+    from beymani_spark.operators.text import tokens as _toks
+
+    targets = {"en": 0.4, "es": 0.3, "de": 0.2, "fr": 0.1}
+    w = F.size(_toks(F.col("text")))
+    out = sampling.mix_to_targets(
+        docs, "doc_id", "lang", targets, seed=42, rate_col="rate", weight=w
+    )
+    tok_tot = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang").agg(F.sum(w).alias("t")).collect()
+    }
+    kept = {
+        r["lang"]: r["t"]
+        for r in out.groupBy("lang").agg(F.sum(w).alias("t")).collect()
+    }
+    assert "zh" not in kept
+    # binding stratum (max token deficit) keeps every row
+    binding = min(targets, key=lambda s: tok_tot[s] / targets[s])
+    assert kept[binding] == tok_tot[binding]
+    # kept token mass tracks the recipe ratios in expectation
+    t_bound = tok_tot[binding] / targets[binding]
+    for s, wgt in targets.items():
+        exp = wgt * t_bound
+        # doc-granular sampling: tolerance ~ sqrt(n_docs)*avg_doc_tokens
+        assert abs(kept[s] - exp) <= 0.15 * exp + 200, (s, kept[s], exp)
+    # rates are per-stratum constant and <= 1
+    nrates = out.select("lang", "rate").distinct()
+    assert nrates.count() == len(kept)
+    assert nrates.agg(F.max("rate")).first()[0] <= 1.0 + 1e-12
