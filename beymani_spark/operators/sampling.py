@@ -329,3 +329,27 @@ def split_leak_check(
         (F.col("n_pairs") / total).alias("share"),
         (F.col("split_a") != F.col("split_b")).alias("leaked"),
     )
+
+
+def stratum_percentile(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    out_col: str = "pct",
+) -> DataFrame:
+    """Percentile-normalize a score WITHIN each stratum: out_col =
+    percent_rank of ``value_col`` among its stratum's rows. The
+    calibration step before any cross-domain gate — raw quality scores
+    are not comparable across sources (a mid-tier web page outscores a
+    top-tier forum post on absolute heuristics), but their within-source
+    percentiles are.
+
+    percent_rank is tie-aware (equal values share a rank), so the output
+    is deterministic WITHOUT an id tie-break and equal scores calibrate
+    equally — rank the caller's round-6 value to keep the result
+    summation-order-stable across engines. Single-row strata map to 0.0.
+
+    Scale shape: one hash exchange on the stratum key + a per-stratum
+    sort (spills, never OOMs) — the stratified_rank_filter shape."""
+    w = Window.partitionBy(stratum_col).orderBy(F.col(value_col).asc())
+    return df.withColumn(out_col, F.percent_rank().over(w))

@@ -1821,3 +1821,48 @@ def q_split_leak_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sampling.split_leak_check(labeled, "doc_id", pairs)
     return _round(out, ["share"])
+
+
+# Per-source percentile calibration of the quality score: percent_rank is
+# tie-aware (equal round-6 qualities share a rank), so no id tie-break is
+# needed and the result is deterministic; NULL-quality degenerate docs are
+# excluded on both sides (Spark and DuckDB disagree on NULL sort order).
+_CALIBRATE_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+  FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+), q AS (
+  SELECT doc_id,
+         round(0.25 * least(1.0, n_tokens / 50.0)
+             + 0.25 * (1.0 - least(1.0, punct_ratio * 4.0))
+             + 0.25 * least(1.0, stopword_ratio * 5.0)
+             + 0.25 * type_token_ratio, 6) AS quality
+  FROM f
+)
+SELECT d.doc_id, d.source, q.quality,
+       round(percent_rank() OVER (
+         PARTITION BY d.source ORDER BY q.quality ASC), 6) AS q_pct
+FROM q JOIN documents d USING (doc_id)
+WHERE q.quality IS NOT NULL
+"""
+
+
+@register("quality_calibrate", _CALIBRATE_ORACLE)
+def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain quality calibration (sampling.stratum_percentile): the
+    within-SOURCE percentile of each doc's quality score — raw heuristic
+    scores are not comparable across sources, their per-source percentiles
+    are; gate on q_pct instead of quality for a fair cross-domain cut."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        text.quality_score(docs)
+        .withColumn("quality", F.round("quality", 6))
+        .filter(F.col("quality").isNotNull())
+    )
+    out = sampling.stratum_percentile(scored, "source", "quality", out_col="q_pct")
+    return _round(out.select("doc_id", "source", "quality", "q_pct"), ["q_pct"])

@@ -143,6 +143,7 @@ _PRIORITY = [
     "zipf_spectrum",
     "split_leak_check",
     "token_mix",
+    "quality_calibrate",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",

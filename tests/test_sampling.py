@@ -308,3 +308,21 @@ def test_mix_to_token_targets_tracks_token_shares(spark, docs):
     nrates = out.select("lang", "rate").distinct()
     assert nrates.count() == len(kept)
     assert nrates.agg(F.max("rate")).first()[0] <= 1.0 + 1e-12
+
+
+def test_stratum_percentile_tie_aware_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 0.1), (2, "a", 0.5), (3, "a", 0.5), (4, "a", 0.9),
+         (5, "b", 0.7)],
+        ["doc_id", "source", "quality"],
+    )
+    rows = {
+        r["doc_id"]: r["pct"]
+        for r in sampling.stratum_percentile(df, "source", "quality").collect()
+    }
+    # percent_rank = (rank-1)/(n-1); ties share a rank
+    assert rows[1] == 0.0
+    assert rows[2] == rows[3] == pytest.approx(1 / 3)
+    assert rows[4] == 1.0
+    # single-row stratum -> 0.0
+    assert rows[5] == 0.0
