@@ -218,6 +218,11 @@ def _banded_signatures(
     format of the incremental near-dup path (incremental_minhash). One
     band's signature digests its rows_per_band minhashes; a single explode
     emits the band rows, no shuffle."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes}); "
+            "a remainder would silently drop minhashes from every signature"
+        )
     rows_per_band = num_hashes // bands
 
     def band_sig(b: int) -> Column:

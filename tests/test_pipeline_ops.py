@@ -738,3 +738,13 @@ def test_key_skew_audit_hand_computed(spark):
     assert abs(top["share"] - 6 / 9) < 1e-12
     # skew = cnt * n_keys / total = 6 * 3 / 9 = 2.0
     assert abs(top["skew"] - 2.0) < 1e-12
+
+
+def test_minhash_bands_must_divide_num_hashes(spark, docs):
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=5).count()
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.incremental_minhash(
+            docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"),
+            "doc_id", num_hashes=16, bands=3,
+        ).count()

@@ -517,3 +517,31 @@ def test_keyed_ks_prefix_sum_is_per_key_partition(spark):
     # the only SinglePartition stages are bounded frames (final agg is a
     # groupBy here, so at most the base-frame Window ordering remains)
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_key_skew_audit_takeordered_and_broadcast_totals(spark):
+    """The skew audit must TakeOrdered its top-k (never a global sort of
+    the per-key frame) and cross the 1-row totals in as a broadcast."""
+    from beymani_spark.operators import profile as profile_ops
+
+    ev = load_table(spark, SF, "events")
+    out = profile_ops.key_skew_audit(ev, ["user_id"], k=20)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the per-key counts frame must partial-aggregate (map-side combine)
+    assert "partial_count" in plan
+
+
+def test_topic_assign_never_shuffles_embeddings(spark):
+    """Topic assignment is a broadcast-centroid mapInPandas scan: the
+    embedding table itself must not exchange."""
+    from beymani_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    out = sim.topic_assign(emb, "vec_id", "embedding", n_topics=8)
+    plan = _plan(out)
+    assert "MapInPandas" in plan
+    # the only exchanges belong to the bounded fit (already executed via
+    # collect); the returned assignment plan reads the scan directly
+    assert "Exchange hashpartitioning" not in plan
