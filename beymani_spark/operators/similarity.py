@@ -466,18 +466,29 @@ def topic_assign(
     iterations: int = 10,
     seed: int = 42,
     presample: int = 4096,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Per-vector topic id from a seeded spherical k-means over the
     embedding column — the unsupervised clustering step of a data-mixing
     plan ("what is this corpus made of"), sharing its fit/assign cores with
     the IVF quantizer so the model is deterministic and oracle-replicable.
 
+    ``centroids`` serves a pre-fitted model (fit_spherical_centroids
+    output): the fit is skipped entirely, which also makes the operator
+    STREAM-safe — the assignment is a stateless broadcast mapInPandas, so
+    streaming/jobs.stream_topic_assign applies the same code per
+    micro-batch (the fit path calls count(), batch-only).
+
     Scale posture: the fit is one bounded presampled task; the
     (n_topics x dim) centroid matrix broadcasts into a numpy mapInPandas
     argmax — the embedding table never shuffles and never collects.
     Output: (id_col, topic)."""
     sess = df.sparkSession
-    cents = fit_spherical_centroids(df, vec_col, n_topics, iterations, seed, presample)
+    cents = (
+        centroids
+        if centroids is not None
+        else fit_spherical_centroids(df, vec_col, n_topics, iterations, seed, presample)
+    )
     bc = sess.sparkContext.broadcast(cents)
 
     def gen(batches):

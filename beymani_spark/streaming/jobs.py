@@ -553,3 +553,25 @@ def stream_corpus_filter(
         "content_hash",
         "clean_text",
     )
+
+
+def stream_topic_assign(
+    stream_df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming topic assignment against a batch-fitted topic model: the
+    centroid matrix (similarity.fit_spherical_centroids over the standing
+    corpus) broadcasts into the same stateless numpy argmax the batch
+    operator uses — mapInPandas is stream-compatible, needs no watermark,
+    and holds no state, so stream output per row is IDENTICAL to a batch
+    run over the same rows (parity-tested). This is the routing primitive
+    of a streaming ingest pipeline: tag each arriving embedding with its
+    corpus topic and fan out per-topic sinks or mix gates downstream.
+
+    Refit cadence is the caller's policy — restart the query with fresh
+    centroids (the model is one small broadcast, not stream state)."""
+    from ..operators.similarity import topic_assign
+
+    return topic_assign(stream_df, id_col, vec_col, centroids=centroids)

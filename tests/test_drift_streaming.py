@@ -608,3 +608,42 @@ def test_chunk_for_training_is_streaming_safe(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_topic_assign_matches_batch(spark, stream_dirs):
+    """Streaming topic assignment against a batch-fitted centroid model is
+    row-identical to the batch operator (stateless broadcast argmax)."""
+    from beymani_spark.operators import similarity
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_topic_assign
+
+    src, chk = stream_dirs
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    emb.write.mode("overwrite").parquet(src)
+    cents = similarity.fit_spherical_centroids(
+        emb, "embedding", n_cells=8, iterations=10, seed=42, presample=4096
+    )
+
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        stream_topic_assign(stream, cents, "vec_id", "embedding")
+        .writeStream.format("memory")
+        .queryName("topics_t")
+        .option("checkpointLocation", chk + "/tp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: r["topic"]
+        for r in spark.sql("select * from topics_t").collect()
+    }
+    batch = {
+        r["vec_id"]: r["topic"]
+        for r in similarity.topic_assign(
+            emb, "vec_id", "embedding", centroids=cents
+        ).collect()
+    }
+    assert got == batch and len(got) == emb.count()
