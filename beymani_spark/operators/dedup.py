@@ -562,6 +562,7 @@ def rowwise_minhash_bands(
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
+    keep_shingles: bool = False,
 ) -> DataFrame:
     """(id, band, sig) rows computed per row with NO aggregation — each
     minhash is array_min over the shingle array, so the whole signature is
@@ -569,18 +570,26 @@ def rowwise_minhash_bands(
     minhash_signatures (a stream cannot groupBy(doc) without state); use it
     to band NEW documents and stream-static join against a corpus band
     table. The md5 arithmetic is identical to minhash_signatures, so bands
-    computed here match the batch pipeline's exactly."""
+    computed here match the batch pipeline's exactly.
+
+    ``keep_shingles`` carries the distinct-shingle array through as a
+    ``sh`` column (needed when the band rows feed an exact-Jaccard
+    verification, e.g. streaming.stream_near_dup_verified — a later join
+    back to the source would be a stream-stream join, so the array must
+    ride along)."""
     rows_per_band = num_hashes // bands
     sh = shingles(F.col(text_col), n)
     consts = minhash_affine_constants(num_hashes)
     # one md5+conv per shingle occurrence, projected as its own column so
     # the k per-hash array_min transforms reuse it (CollapseProject keeps a
     # non-cheap multi-referenced alias) instead of re-digesting k times
+    extra = [sh.alias("sh")] if keep_shingles else []
     base = df.select(
         F.col(id_col),
         F.transform(
             sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
         ).alias("_h32s"),
+        *extra,
     )
 
     def _h(a: int, b: int):
@@ -595,7 +604,10 @@ def rowwise_minhash_bands(
     # docs with no shingles (< n tokens) must emit NO band rows — the batch
     # explode drops them implicitly; here a null minhash would band as
     # md5('') and falsely match every other shingle-less doc
-    sigs = base.select(F.col(id_col), *mins).filter(F.col("mh_0").isNotNull())
+    carried = ["sh"] if keep_shingles else []
+    sigs = base.select(F.col(id_col), *mins, *carried).filter(
+        F.col("mh_0").isNotNull()
+    )
 
     def band_sig(bi: int) -> Column:
         cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
@@ -605,8 +617,39 @@ def rowwise_minhash_bands(
         *[F.struct(F.lit(bi).alias("band"), band_sig(bi).alias("sig")) for bi in range(bands)]
     )
     return sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("bs")
-    ).select(id_col, "bs.band", "bs.sig")
+        F.col(id_col), F.explode(band_structs).alias("bs"), *carried
+    ).select(id_col, "bs.band", "bs.sig", *carried)
+
+
+def corpus_band_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Static (id, band, sig, sh) manifest for stream-side VERIFIED
+    near-dup: the batch band signatures joined with each doc's distinct
+    shingle array. One manifest row per (doc, band); the shingle array is
+    duplicated across a doc's band rows — the storage cost of letting a
+    stateless stream-static join carry everything exact-Jaccard
+    verification needs (the stream side cannot join back to the corpus
+    text later without state). Write it out with the partitioned sinks
+    and refresh it on the batch ingest cadence.
+
+    The shingle column is the same array the signatures derive from
+    (shingles(); distinct per doc), so the manifest is self-consistent by
+    construction."""
+    ex = exploded_shingles(df, id_col, text_col, n).persist()
+    bandsdf = _banded_signatures(
+        _signatures_from_shingles(ex, num_hashes, "md5"), num_hashes, bands, "md5"
+    )
+    arr = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("sh"))
+    out = bandsdf.join(arr, "_id").select(
+        F.col("_id").alias(id_col), "band", "sig", "sh"
+    )
+    return caching.pin(out, ex)
 
 
 def chunk_dedup(
