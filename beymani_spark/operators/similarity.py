@@ -543,6 +543,86 @@ def topic_mix(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_topics: int = 8,
+    tau: float = 0.4,
+    iterations: int = 10,
+    seed: int = 42,
+    presample: int = 4096,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with the seeded
+    spherical k-means shared with the IVF quantizer / topic model, compare
+    vectors pairwise ONLY within their cluster, and drop every vector with
+    an above-``tau`` cosine to a smaller-id vector in the same cluster
+    (min-id canonical — deterministic, so the prune replays exactly in
+    SQL). Output: (id_col, topic, keep boolean).
+
+    The cluster step is what makes this different from cosine_dup_pairs:
+    pair volume is sum(|cluster|^2), not N^2 — the SemDeDup trade. Scale
+    ``n_topics`` ~ N / target_cluster_size to bound the per-cluster
+    quadratic term (the same knob as the LSH plane count; see SCALE.md).
+    The fit is one bounded presampled task; assignment is a broadcast
+    numpy argmax (topic_assign); the pair stage is an equi-join on the
+    cluster id — the vector table shuffles once, on ``topic``.
+
+    Engine-exactness: the dot products are sequential-fold codegen
+    (F.aggregate), the same left-to-right order as the oracle's
+    list_sum fold, so the ``tau`` compare runs on bit-identical doubles.
+
+    The assigned frame feeds three plan branches (both pair sides + the
+    keep join-back), so it is persisted and pinned (caller releases —
+    functions/caching.py convention).
+
+    Reference analogue: cluster-model corpus hygiene composes the same
+    model family as beymani's ClusterBasedPredictor
+    (spark/src/main/scala/org/beymani/spark/cluster/ClusterBasedPredictor.scala);
+    the prune rule itself follows the SemDeDup paper.
+    """
+    a = topic_assign(
+        df, id_col, vec_col, n_topics, iterations, seed, presample, centroids
+    )
+    base = (
+        with_norm(df, vec_col)
+        .select(F.col(id_col), "_vec", "_norm")
+        .join(a, id_col)
+        .persist()
+    )
+    left = base.select(
+        F.col(id_col).alias("_lid"),
+        F.col("_vec").alias("_lv"),
+        F.col("_norm").alias("_ln"),
+        "topic",
+    )
+    right = base.select(
+        F.col(id_col).alias("_rid"),
+        F.col("_vec").alias("_rv"),
+        F.col("_norm").alias("_rn"),
+        "topic",
+    )
+    cos = _dot(F.col("_lv"), F.col("_rv")) / (F.col("_ln") * F.col("_rn"))
+    dropped = (
+        left.join(right, "topic")
+        .filter(F.col("_lid") < F.col("_rid"))
+        .filter(cos >= F.lit(float(tau)))
+        .select(F.col("_rid").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    out = (
+        base.select(id_col, "topic")
+        .join(dropped, id_col, "left")
+        .select(id_col, "topic", F.col("_dropped").isNull().alias("keep"))
+    )
+    from ..functions import caching
+
+    return caching.pin(out, base)
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -527,15 +527,13 @@ FROM ranked WHERE knn_rank <= 5
 # ----------------------------------------------------------------- topic mix
 
 
-@lru_cache(maxsize=4)
-def topic_mix_oracle(sf_dir: str) -> str:
-    """Topic-composition oracle: the k-means topic model AND the per-vector
-    argmax assignment are rebuilt with the shared ivf fit/assign cores
-    (bit-identical to the Spark broadcast-mapInPandas path, which runs the
-    same numpy on the same canonical pool) and baked as a VALUES table; the
-    accounting half — the label join, the group counts, the exact
-    share division — is verified in DuckDB
-    (n_topics=8, iterations=10, seed=42, presample=4096)."""
+@lru_cache(maxsize=8)
+def _topic_values(sf_dir: str, n_topics: int) -> str:
+    """(vec_id, topic) VALUES rows replaying similarity.topic_assign's fit +
+    argmax over the sf_dir embeddings with the shared ivf fit/assign cores
+    (iterations=10, seed=42, presample=4096) — bit-identical to the Spark
+    broadcast-mapInPandas path, which runs the same numpy on the same
+    canonical pool. Shared by the topic_mix and semantic_dedup oracles."""
     from ..operators.similarity import ivf_assign_core, ivf_fit_core
 
     pdf = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -553,15 +551,24 @@ def topic_mix_oracle(sf_dir: str) -> str:
     x = np.stack(
         [np.asarray(pdf["embedding"].iloc[i], dtype=np.float64) for i in order]
     )
-    centers = ivf_fit_core(x, 8, 10, 42)
+    centers = ivf_fit_core(x, n_topics, 10, 42)
 
     all_v = np.stack(
         [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
     )
     topics = ivf_assign_core(all_v, centers, 1)
-    topic_rows = ", ".join(
+    return ", ".join(
         f"({int(i)}, {int(t)})" for i, t in zip(pdf["vec_id"].to_numpy(), topics)
     )
+
+
+def topic_mix_oracle(sf_dir: str) -> str:
+    """Topic-composition oracle: the k-means topic model AND the per-vector
+    argmax assignment are rebuilt with the shared ivf fit/assign cores and
+    baked as a VALUES table; the accounting half — the label join, the
+    group counts, the exact share division — is verified in DuckDB
+    (n_topics=8, iterations=10, seed=42, presample=4096)."""
+    topic_rows = _topic_values(sf_dir, 8)
     return f"""
 WITH topics(vec_id, topic) AS (VALUES {topic_rows}),
 g AS (
@@ -572,4 +579,31 @@ g AS (
 SELECT topic, label, CAST(n_vecs AS BIGINT) AS n_vecs,
        round(n_vecs * 1.0 / (SELECT count(*) FROM embeddings), 6) AS share
 FROM g
+"""
+
+
+# ------------------------------------------------------------ semantic dedup
+
+
+def semantic_dedup_oracle(sf_dir: str) -> str:
+    """SemDeDup oracle: the topic assignment is rebuilt with the shared
+    fit/assign cores (same model as topic_mix — _topic_values is cached);
+    the within-cluster pair join, the sequential-fold cosine, the tau
+    compare, and the min-id keep rule — the Spark job's SQL half — are
+    verified in DuckDB (n_topics=8, tau=0.4, seed=42)."""
+    topic_rows = _topic_values(sf_dir, 8)
+    cos = _COS.format(a="l.vec", b="r.vec")
+    return f"""
+WITH topics(vec_id, topic) AS (VALUES {topic_rows}),
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), b AS (
+  SELECT t.vec_id, t.topic, v.vec FROM topics t JOIN v USING (vec_id)
+), dropped AS (
+  SELECT DISTINCT r.vec_id
+  FROM b l JOIN b r ON l.topic = r.topic AND l.vec_id < r.vec_id
+  WHERE {cos} >= 0.4
+)
+SELECT b.vec_id, b.topic, (d.vec_id IS NULL) AS keep
+FROM b LEFT JOIN dropped d ON d.vec_id = b.vec_id
 """

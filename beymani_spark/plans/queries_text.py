@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup, similarity, text
 from ..sources import load_table
 from .model_oracles import ivf_oracle as _ivf_oracle
+from .model_oracles import semantic_dedup_oracle as _semantic_dedup_oracle
 from .model_oracles import topic_mix_oracle as _topic_mix_oracle
 from .queries_stats import _round
 from .registry import register
@@ -618,6 +619,19 @@ def q_topic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", label_col="label", n_topics=8, seed=42
     )
     return _round(out, ["share"])
+
+
+@register("semantic_dedup", _semantic_dedup_oracle)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic prune (similarity.semantic_dedup): k-means-cluster
+    the embeddings, drop every vector with cosine >= 0.4 to a smaller-id
+    vector in its cluster. The topic model + assignment are rebuilt by the
+    model-baked oracle; the within-cluster pair join, sequential-fold
+    cosine, and min-id keep rule hash-verify in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, "vec_id", "embedding", n_topics=8, tau=0.4, seed=42
+    )
 
 
 # --- deterministic sampling / dataset-mixing queries -------------------------

@@ -268,3 +268,31 @@ def test_auto_planes_holds_bucket_size_constant(spark, emb):
     got = knn.lsh_pair_distances(emb, "vec_id", "embedding", n_planes="auto", probe=1)
     assert got.filter("src = dst").count() == 0
     assert {"src", "dst", "dist"} <= set(got.columns)
+
+
+def test_semantic_dedup_prune_rule_matches_numpy(spark, emb):
+    """semantic_dedup's keep column must equal the SemDeDup rule recomputed
+    independently: drop iff some smaller-id vector in the SAME cluster has
+    cosine >= tau. Full-check at 500 fixture vectors."""
+    from beymani_spark.functions import caching
+
+    out = similarity.semantic_dedup(emb, "vec_id", "embedding", n_topics=8, tau=0.4)
+    got = out.toPandas().set_index("vec_id").sort_index()
+    caching.release(out)
+    assert len(got) == emb.count()
+
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    topics = got.loc[ids, "topic"].to_numpy()
+    norms = np.sqrt((mat**2).sum(axis=1))
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    smaller = ids[None, :] < ids[:, None]        # [i, j]: id_j < id_i
+    same = topics[None, :] == topics[:, None]
+    dropped = ((cos >= 0.4) & smaller & same).any(axis=1)
+    expect = ~dropped
+    assert (got.loc[ids, "keep"].to_numpy() == expect).all()
+    # the fixture exercises both branches
+    assert expect.any() and (~expect).any()

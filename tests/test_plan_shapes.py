@@ -545,3 +545,22 @@ def test_topic_assign_never_shuffles_embeddings(spark):
     # the only exchanges belong to the bounded fit (already executed via
     # collect); the returned assignment plan reads the scan directly
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_semantic_dedup_pairs_join_on_cluster_no_cartesian(spark):
+    """semantic_dedup's pair stage must be an equi-join keyed on the cluster
+    id (pair volume sum(|cluster|^2), the SemDeDup trade) — never a
+    cartesian/broadcast-nested-loop all-pairs — and the assigned frame must
+    be cached once for its three consuming branches."""
+    from beymani_spark.functions import caching
+    from beymani_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    out = sim.semantic_dedup(emb, "vec_id", "embedding", n_topics=8, tau=0.4)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(topic" in plan
+    assert "InMemoryTableScan" in plan  # pinned assignment reused, not refit
+    assert caching.pinned(out)
+    caching.release(out)
