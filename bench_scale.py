@@ -80,6 +80,9 @@ HEAVY = [
     "topic_mix",
     "perplexity_gate",
     "split_leak_check",
+    "semantic_dedup",
+    "prototype_prune",
+    "tfidf_topk",
 ]
 
 
@@ -171,7 +174,19 @@ def _extra_builders():
         pairs = knn.lsh_pair_distances(emb, "vec_id", "embedding", n_planes="auto")
         return knn.lof(pairs, k=5)
 
-    return {"lof_lsh": lof_lsh}
+    def semantic_dedup_auto(spark, d):
+        # semantic_dedup's scale knob: the registry query's FIXED 8 topics
+        # makes within-cluster pair volume ~N^2/8 (the capture shows the
+        # hazard); auto topics hold expected cluster size constant so the
+        # pair stage scales linearly — the same off-ramp as lof_lsh.
+        from beymani_spark.operators import similarity
+
+        emb = load_table(spark, d, "embeddings")
+        return similarity.semantic_dedup(
+            emb, "vec_id", "embedding", n_topics="auto", tau=0.4
+        )
+
+    return {"lof_lsh": lof_lsh, "semantic_dedup_auto": semantic_dedup_auto}
 
 
 def main() -> None:

@@ -202,3 +202,58 @@ def pack_sequences(
         )
     )
     return out
+
+
+def context_length_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    lengths: "tuple[int, ...]" = (256, 512, 1024, 2048),
+) -> DataFrame:
+    """Padding-waste accounting across candidate context lengths — the
+    planning table a context-length / packing decision is written against:
+    for each candidate L, assuming per-document greedy chunking (every doc
+    split into ceil(n_tokens / L) sequences, the last one padded), how
+    many sequences the corpus becomes and what fraction of the token
+    budget is padding.
+
+    Output per candidate length: (context_len, n_docs, n_tokens, n_chunks,
+    padded_tokens, waste_share) where waste_share = padded / (n_chunks*L).
+    All arithmetic is integer until the final division (integer `div`
+    ceil-div — floor-through-double would lose exactness past 2^53), so
+    the numbers are engine-exact at any corpus size.
+
+    Scale shape: one codegen scan computing token counts, a width-|lengths|
+    explode (a handful of rows per doc), one partial-aggregated
+    groupBy(context_len) down to |lengths| rows — scan speed, no joins.
+    Zero-token docs contribute 0 chunks but still count in n_docs."""
+    lens = F.array(*[F.lit(int(x)) for x in lengths])
+    n = F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)).cast("long")
+    per = df.select(n.alias("_n"), F.explode(lens).alias("context_len")).select(
+        "_n",
+        "context_len",
+        F.expr("(_n + context_len - 1) div context_len").alias("_chunks"),
+    )
+    return (
+        per.groupBy("context_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+            F.sum("_chunks").alias("n_chunks"),
+            F.sum(F.col("_chunks") * F.col("context_len") - F.col("_n")).alias(
+                "padded_tokens"
+            ),
+        )
+        .select(
+            "context_len",
+            "n_docs",
+            "n_tokens",
+            "n_chunks",
+            "padded_tokens",
+            F.round(
+                F.try_divide(
+                    F.col("padded_tokens"), F.col("n_chunks") * F.col("context_len")
+                ),
+                6,
+            ).alias("waste_share"),
+        )
+    )

@@ -543,16 +543,27 @@ def topic_mix(
     )
 
 
+def auto_topics(n: int, target_cluster: int = 256) -> int:
+    """Topic count that holds expected cluster size ~constant:
+    max(8, ceil(n / target_cluster)). Fixed n_topics makes semantic_dedup's
+    within-cluster pair volume grow ~N²/k — the same quadratic degradation
+    as fixed-plane LSH (knn.auto_planes); this is the matching scale knob."""
+    import math
+
+    return max(8, math.ceil(max(1, n) / max(1, target_cluster)))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    n_topics: int = 8,
+    n_topics: int | str = 8,
     tau: float = 0.4,
     iterations: int = 10,
     seed: int = 42,
     presample: int = 4096,
     centroids: "np.ndarray | None" = None,
+    target_cluster: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with the seeded
@@ -563,9 +574,11 @@ def semantic_dedup(
     SQL). Output: (id_col, topic, keep boolean).
 
     The cluster step is what makes this different from cosine_dup_pairs:
-    pair volume is sum(|cluster|^2), not N^2 — the SemDeDup trade. Scale
-    ``n_topics`` ~ N / target_cluster_size to bound the per-cluster
-    quadratic term (the same knob as the LSH plane count; see SCALE.md).
+    pair volume is sum(|cluster|^2), not N^2 — the SemDeDup trade.
+    ``n_topics='auto'`` resolves to auto_topics(count, target_cluster) so
+    expected cluster size — and hence per-row pair work — stays constant
+    as the corpus grows (the same knob as the LSH plane count; a fixed
+    n_topics degrades ~N²/k on 10x data, measured in BASELINE.md §8).
     The fit is one bounded presampled task; assignment is a broadcast
     numpy argmax (topic_assign); the pair stage is an equi-join on the
     cluster id — the vector table shuffles once, on ``topic``.
@@ -583,6 +596,8 @@ def semantic_dedup(
     (spark/src/main/scala/org/beymani/spark/cluster/ClusterBasedPredictor.scala);
     the prune rule itself follows the SemDeDup paper.
     """
+    if n_topics == "auto":
+        n_topics = auto_topics(df.count(), target_cluster)
     a = topic_assign(
         df, id_col, vec_col, n_topics, iterations, seed, presample, centroids
     )
@@ -621,6 +636,110 @@ def semantic_dedup(
     from ..functions import caching
 
     return caching.pin(out, base)
+
+
+def prototype_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_topics: int = 8,
+    keep_frac: float = 0.5,
+    iterations: int = 10,
+    seed: int = 42,
+    presample: int = 4096,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """SSL-prototypes-style diversity prune (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486): cluster the embeddings with
+    the shared spherical k-means, score each vector by cosine to its OWN
+    cluster centroid (prototypicality), and keep only the least
+    prototypical ``keep_frac`` of each cluster — the "easy, redundant"
+    examples near the centroid are the ones pruned. The complement of
+    semantic_dedup: that drops pairwise near-copies, this thins dense
+    cluster cores.
+
+    Output: (id_col, topic, proto_cos, proto_pr, keep) where proto_pr is
+    the tie-aware percent_rank of the ROUND-6 cosine within the cluster
+    (ascending — 0.0 is the cluster's least prototypical vector) and
+    keep = proto_pr < keep_frac. Ranking on the rounded cosine keeps the
+    cut summation-order-stable; percent_rank needs no id tie-break
+    (repo convention, cf. quality_calibrate).
+
+    Scale shape: one bounded presampled fit, then ONE broadcast-centroid
+    mapInPandas scan computing assignment AND score together (the same
+    numpy matmul ivf_assign_core runs — no join back to the vector table),
+    and ONE exchange on the cluster id for the rank window. The vector
+    table shuffles once (narrow: id, topic, cos) and never collects.
+
+    proto_cos rounds to 6 decimals before ranking; the oracle recomputes
+    it as a fold in DuckDB — round-6 absorbs the numpy-vs-fold summation
+    difference (the cosine_dup_pairs precedent, hash-green at 3 SFs)."""
+    sess = df.sparkSession
+    cents = (
+        centroids
+        if centroids is not None
+        else fit_spherical_centroids(df, vec_col, n_topics, iterations, seed, presample)
+    )
+    bc = sess.sparkContext.broadcast(cents)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = bc.value
+        cn = np.linalg.norm(c, axis=1)
+        cn[cn == 0] = 1.0
+        for pdf in batches:
+            out = pdf[[id_col]].copy()
+            if not len(pdf):
+                out["topic"] = np.array([], dtype="int32")
+                out["proto_cos"] = np.array([], dtype="float64")
+                yield out
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            topics = ivf_assign_core(v, c, 1)
+            # cosine to the ASSIGNED centroid, mirroring the oracle's
+            # dot / (|v| * |c|) formula term-for-term (ivf_assign_core's
+            # normalized matmul picks the argmax; the score itself is
+            # recomputed in the SQL formula's operation order)
+            ca = c[topics]
+            dots = (v * ca).sum(axis=1)
+            nv = np.sqrt((v * v).sum(axis=1))
+            nv[nv == 0] = 1.0
+            out["topic"] = topics
+            # RAW cosine — the half-up round happens JVM-side (F.round)
+            # so rounding semantics match the oracle's SQL round()
+            out["proto_cos"] = dots / (nv * cn[topics])
+            yield out
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("topic", IntegerType()),
+            StructField("proto_cos", DoubleType()),
+        ]
+    )
+    scored = (
+        df.select(id_col, vec_col)
+        .mapInPandas(gen, schema)
+        .withColumn("proto_cos", F.round(F.col("proto_cos"), 6))
+    )
+    w = Window.partitionBy("topic").orderBy(F.col("proto_cos").asc())
+    pr = F.percent_rank().over(w)
+    return scored.withColumn("_pr", pr).select(
+        id_col,
+        "topic",
+        "proto_cos",
+        F.round(F.col("_pr"), 6).alias("proto_pr"),
+        (F.col("_pr") < F.lit(float(keep_frac))).alias("keep"),
+    )
 
 
 def quantize_int8(

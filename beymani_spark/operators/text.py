@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import caching
@@ -393,6 +393,51 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "n_bpe_tokens",
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/tagging pass of
+    a corpus exploration or routing pipeline. Smoothed IDF (sklearn form):
+    idf = ln((1 + N) / (1 + df)) + 1; score = tf * idf; rank on the ROUND-6
+    score with a token tie-break (the repo's summation-order convention —
+    a rank cut must never depend on sub-1e-6 float noise).
+
+    Output: (id, token, tf, score, tfidf_rank), tfidf_rank <= k.
+
+    Scale shape: one partial-aggregated groupBy(id, token) for TF, one
+    groupBy(token) over the (already doc-distinct) TF rows for DF, a
+    broadcast of the 1-row corpus count, and one exchange on the doc id
+    for the top-k window — every shuffle is token-granular, the raw corpus
+    is scanned once. The DF frame is |vocab| rows; the token join is the
+    same hot-key-safe shape as vocab accounting (uniform token
+    distribution assumptions documented in SCALE.md)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    # tf rows are distinct (doc, token) pairs, so counting them per token
+    # IS the document frequency — no second distinct pass over the corpus
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
+    total = df.select(F.count("*").alias("_n"))
+    idf = F.log((F.lit(1.0) + F.col("_n")) / (F.lit(1.0) + F.col("_df"))) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("tfidf_rank", F.row_number().over(w))
+        .filter(F.col("tfidf_rank") <= k)
+        .select(id_col, "token", "tf", "score", "tfidf_rank")
     )
 
 

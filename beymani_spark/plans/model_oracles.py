@@ -528,12 +528,13 @@ FROM ranked WHERE knn_rank <= 5
 
 
 @lru_cache(maxsize=8)
-def _topic_values(sf_dir: str, n_topics: int) -> str:
-    """(vec_id, topic) VALUES rows replaying similarity.topic_assign's fit +
-    argmax over the sf_dir embeddings with the shared ivf fit/assign cores
-    (iterations=10, seed=42, presample=4096) — bit-identical to the Spark
+def _topic_model(sf_dir: str, n_topics: int):
+    """Replay similarity.topic_assign's fit + argmax over the sf_dir
+    embeddings with the shared ivf fit/assign cores (iterations=10,
+    seed=42, presample=4096) — bit-identical to the Spark
     broadcast-mapInPandas path, which runs the same numpy on the same
-    canonical pool. Shared by the topic_mix and semantic_dedup oracles."""
+    canonical pool. Returns (vec_ids, topics, centers); shared by the
+    topic_mix / semantic_dedup / prototype_prune oracles."""
     from ..operators.similarity import ivf_assign_core, ivf_fit_core
 
     pdf = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -557,9 +558,13 @@ def _topic_values(sf_dir: str, n_topics: int) -> str:
         [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
     )
     topics = ivf_assign_core(all_v, centers, 1)
-    return ", ".join(
-        f"({int(i)}, {int(t)})" for i, t in zip(pdf["vec_id"].to_numpy(), topics)
-    )
+    return pdf["vec_id"].to_numpy(), topics, centers
+
+
+def _topic_values(sf_dir: str, n_topics: int) -> str:
+    """(vec_id, topic) VALUES rows from the replayed topic model."""
+    ids, topics, _ = _topic_model(sf_dir, n_topics)
+    return ", ".join(f"({int(i)}, {int(t)})" for i, t in zip(ids, topics))
 
 
 def topic_mix_oracle(sf_dir: str) -> str:
@@ -606,4 +611,41 @@ v AS (
 )
 SELECT b.vec_id, b.topic, (d.vec_id IS NULL) AS keep
 FROM b LEFT JOIN dropped d ON d.vec_id = b.vec_id
+"""
+
+
+# ----------------------------------------------------------- prototype prune
+
+
+def prototype_prune_oracle(sf_dir: str) -> str:
+    """Prototype-prune oracle: topic model + assignment rebuilt with the
+    shared cores (cached _topic_model, same model as topic_mix); the
+    centroid matrix is baked as DOUBLE[] literals so the
+    cosine-to-own-centroid, the round-6 ascending percent_rank, and the
+    keep gate — the Spark job's SQL half — are verified in DuckDB
+    (n_topics=8, keep_frac=0.5, seed=42). Round-6 absorbs the
+    numpy-vs-fold summation-order difference (cosine_dup_pairs
+    precedent)."""
+    _, _, centers = _topic_model(sf_dir, 8)
+    topic_rows = _topic_values(sf_dir, 8)
+    cent_rows = ", ".join(
+        f"({t}, [{', '.join(_lit(x) for x in c)}]::DOUBLE[])"
+        for t, c in enumerate(centers)
+    )
+    cos = _COS.format(a="v.vec", b="c.cent")
+    return f"""
+WITH topics(vec_id, topic) AS (VALUES {topic_rows}),
+cents(topic, cent) AS (VALUES {cent_rows}),
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), scored AS (
+  SELECT t.vec_id, t.topic, round({cos}, 6) AS proto_cos
+  FROM topics t JOIN v USING (vec_id) JOIN cents c USING (topic)
+), r AS (
+  SELECT vec_id, topic, proto_cos,
+         percent_rank() OVER (PARTITION BY topic ORDER BY proto_cos ASC) AS pr
+  FROM scored
+)
+SELECT vec_id, topic, proto_cos, round(pr, 6) AS proto_pr, pr < 0.5 AS keep
+FROM r
 """

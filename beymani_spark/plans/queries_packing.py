@@ -37,6 +37,41 @@ FROM wins
 """
 
 
+_CTX_LENS = (16, 32, 64, 128)
+
+_CTX_PLAN_ORACLE = f"""
+WITH n AS (
+  SELECT coalesce(len({_TOKS_SQL}), 0)::BIGINT AS n FROM documents
+), per AS (
+  SELECT l.context_len, n.n,
+         (n.n + l.context_len - 1) // l.context_len AS chunks
+  FROM n, (VALUES {', '.join(f'({x})' for x in _CTX_LENS)}) AS l(context_len)
+), g AS (
+  SELECT context_len,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(sum(chunks) AS BIGINT) AS n_chunks,
+         CAST(sum(chunks * context_len - n) AS BIGINT) AS padded_tokens
+  FROM per GROUP BY context_len
+)
+SELECT context_len, n_docs, n_tokens, n_chunks, padded_tokens,
+       round(padded_tokens * 1.0 / (n_chunks * context_len), 6) AS waste_share
+FROM g
+"""
+
+
+@register("context_length_plan", _CTX_PLAN_ORACLE)
+def q_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste table across candidate context lengths
+    (packing.context_length_plan): integer ceil-div chunk counts and the
+    padding share of the token budget per candidate L — the planning
+    query before choosing a training sequence length. Engine-exact
+    integer arithmetic; one scan, one tiny groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = packing.context_length_plan(docs, "text", lengths=_CTX_LENS)
+    return out.withColumn("context_len", F.col("context_len").cast("int"))
+
+
 @register("training_chunks", _TRAINING_CHUNKS_ORACLE)
 def q_training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping context-window chunking (packing.chunk_for_training):

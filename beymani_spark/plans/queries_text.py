@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup, similarity, text
 from ..sources import load_table
 from .model_oracles import ivf_oracle as _ivf_oracle
+from .model_oracles import prototype_prune_oracle as _prototype_prune_oracle
 from .model_oracles import semantic_dedup_oracle as _semantic_dedup_oracle
 from .model_oracles import topic_mix_oracle as _topic_mix_oracle
 from .queries_stats import _round
@@ -634,6 +635,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("prototype_prune", _prototype_prune_oracle)
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes diversity prune (similarity.prototype_prune): keep
+    the least prototypical half of each embedding cluster by cosine to
+    the cluster's own centroid. The topic model + assignment are rebuilt
+    by the model-baked oracle; the centroid cosine, the ascending
+    percent_rank, and the keep gate hash-verify in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.prototype_prune(
+        emb, "vec_id", "embedding", n_topics=8, keep_frac=0.5, seed=42
+    )
+
+
 # --- deterministic sampling / dataset-mixing queries -------------------------
 
 _U_SQL = (
@@ -878,6 +892,40 @@ def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.perplexity_gate(
         docs, "doc_id", "text", "lang", keep_frac=_PPL_GATE_KEEP
     )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * (ln((1.0 + (SELECT count(*) FROM documents))
+                           / (1.0 + dfreq.df)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (token)
+), ranked AS (
+  SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS tfidf_rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE tfidf_rank <= 5
+"""
+
+
+@register("tfidf_topk", _TFIDF_ORACLE)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (text.tfidf_topk): smoothed IDF,
+    rank on the round-6 score with token tie-break. TF/DF shuffles are
+    token-granular; the corpus count broadcasts as a 1-row frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_topk(docs, "doc_id", "text", k=5)
 
 
 _VOCAB_ORACLE = """

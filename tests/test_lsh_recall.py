@@ -296,3 +296,55 @@ def test_semantic_dedup_prune_rule_matches_numpy(spark, emb):
     assert (got.loc[ids, "keep"].to_numpy() == expect).all()
     # the fixture exercises both branches
     assert expect.any() and (~expect).any()
+
+
+def test_prototype_prune_gate_and_partition_invariance(spark, emb):
+    """prototype_prune keeps the least-prototypical ~keep_frac of every
+    cluster (tie-aware percent_rank gate), assigns every vector exactly
+    once, and must not depend on input partitioning (canonical fit pool +
+    broadcast scoring)."""
+    out = similarity.prototype_prune(
+        emb, "vec_id", "embedding", n_topics=8, keep_frac=0.5
+    ).toPandas()
+    assert len(out) == emb.count()
+    assert out["proto_cos"].between(-1.0000001, 1.0000001).all()
+    for t, grp in out.groupby("topic"):
+        n = len(grp)
+        if n == 1:
+            assert grp["keep"].all()  # pr = 0 on a singleton
+            continue
+        # percent_rank < 0.5 keeps ceil-ish half; ties can widen the band
+        kept = int(grp["keep"].sum())
+        assert 0 < kept <= n, (t, kept, n)
+        # the kept set is exactly the low-cosine band
+        mx_kept = grp.loc[grp["keep"], "proto_cos"].max()
+        mn_drop = grp.loc[~grp["keep"], "proto_cos"].min()
+        assert mx_kept <= mn_drop or abs(mx_kept - mn_drop) < 1e-12
+    b = similarity.prototype_prune(
+        emb.repartition(13), "vec_id", "embedding", n_topics=8, keep_frac=0.5
+    ).toPandas()
+    m = out.merge(b, on="vec_id", suffixes=("_a", "_b"))
+    assert (m["topic_a"] == m["topic_b"]).all()
+    assert (m["keep_a"] == m["keep_b"]).all()
+
+
+def test_auto_topics_holds_cluster_size_constant(spark, emb):
+    """n_topics='auto' is semantic_dedup's scale knob: fixed topics make
+    within-cluster pair volume ~N^2/k; auto topics grow linearly with N so
+    expected cluster size stays at target."""
+    from beymani_spark.operators.similarity import auto_topics
+
+    assert auto_topics(500, 256) == 8        # floor keeps small data coarse
+    assert auto_topics(5_000, 256) == 20     # 10x data -> ~10x topics
+    assert auto_topics(5_000_000, 256) == 19532
+    assert auto_topics(0, 256) == 8 and auto_topics(1, 0) == 8
+    for n in (10_000, 100_000, 10_000_000):
+        k = auto_topics(n, 256)
+        assert n / k <= 256, (n, k)
+    # integration: 'auto' resolves and keeps the same output contract
+    from beymani_spark.functions import caching
+
+    out = similarity.semantic_dedup(emb, "vec_id", "embedding", n_topics="auto")
+    got = out.toPandas()
+    caching.release(out)
+    assert len(got) == emb.count() and {"vec_id", "topic", "keep"} <= set(got)

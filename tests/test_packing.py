@@ -377,3 +377,24 @@ def test_pack_sequences_base_offset_equals_full_repack(spark):
     assert incr.keys() == full.keys()
     for k in incr:
         assert tuple(incr[k]) == tuple(full[k]), k
+
+
+def test_context_length_plan_exact_integer_accounting(spark):
+    """ceil-div chunk math on hand-checkable docs: exact multiples pad
+    zero, zero-token docs contribute zero chunks but count as docs."""
+    from beymani_spark.operators.packing import context_length_plan
+
+    df = spark.createDataFrame(
+        [("a " * 8,), ("b " * 3,), ("",), ("c " * 9,)], ["text"]
+    )
+    out = {
+        r["context_len"]: r
+        for r in context_length_plan(df, "text", lengths=(4, 8)).collect()
+    }
+    # L=4: chunks 2+1+0+3=6, padded 0+1+0+3=4 over 24 slot tokens
+    assert out[4]["n_docs"] == 4 and out[4]["n_tokens"] == 20
+    assert out[4]["n_chunks"] == 6 and out[4]["padded_tokens"] == 4
+    assert abs(out[4]["waste_share"] - round(4 / 24, 6)) < 1e-12
+    # L=8: chunks 1+1+0+2=4, padded 0+5+0+7=12 over 32
+    assert out[8]["n_chunks"] == 4 and out[8]["padded_tokens"] == 12
+    assert abs(out[8]["waste_share"] - round(12 / 32, 6)) < 1e-12

@@ -564,3 +564,18 @@ def test_semantic_dedup_pairs_join_on_cluster_no_cartesian(spark):
     assert "InMemoryTableScan" in plan  # pinned assignment reused, not refit
     assert caching.pinned(out)
     caching.release(out)
+
+
+def test_prototype_prune_single_exchange_no_join(spark):
+    """prototype_prune scores in one broadcast-centroid mapInPandas scan
+    (assignment + cosine together — no join back to the vector table);
+    the only exchange is the cluster-id window."""
+    from beymani_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    out = sim.prototype_prune(emb, "vec_id", "embedding", n_topics=8)
+    plan = _plan(out)
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(topic" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

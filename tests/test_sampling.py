@@ -326,3 +326,29 @@ def test_stratum_percentile_tie_aware_and_bounded(spark):
     assert rows[4] == 1.0
     # single-row stratum -> 0.0
     assert rows[5] == 0.0
+
+
+def test_tfidf_topk_hand_checked(spark):
+    """TF-IDF on a 3-doc corpus verified against hand math: smoothed idf
+    = ln((1+N)/(1+df)) + 1; corpus-wide words score below rare words at
+    equal tf; rank ties break on token."""
+    import math
+
+    from beymani_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "apple banana")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(df, "doc_id", "text", k=2).toPandas()
+    idf = lambda d: math.log(4 / (1 + d)) + 1.0
+    # doc 1: apple tf=2 df=3, banana tf=1 df=2
+    d1 = out[out.doc_id == 1].set_index("token")
+    assert abs(d1.loc["apple", "score"] - round(2 * idf(3), 6)) < 1e-9
+    assert abs(d1.loc["banana", "score"] - round(1 * idf(2), 6)) < 1e-9
+    assert d1.loc["apple", "tfidf_rank"] == 1  # 2*1.0 > 1*1.287
+    # doc 2: cherry (df=1) outranks apple (df=3) at equal tf
+    d2 = out[out.doc_id == 2].sort_values("tfidf_rank")
+    assert list(d2["token"]) == ["cherry", "apple"]
+    # every doc emits at most k rows, ranks are 1..k
+    assert (out.groupby("doc_id")["tfidf_rank"].max() <= 2).all()
