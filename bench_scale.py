@@ -83,6 +83,7 @@ HEAVY = [
     "semantic_dedup",
     "prototype_prune",
     "tfidf_topk",
+    "cdc_chunk_dedup",
 ]
 
 

@@ -704,6 +704,16 @@ def chunk_dedup(
             ).alias("chunk_idx", "chunk"),
         )
     )
+    return _first_occurrence_chunk_dedup(chunked, id_col)
+
+
+def _first_occurrence_chunk_dedup(chunked: DataFrame, id_col: str) -> DataFrame:
+    """Shared ownership pipeline of chunk_dedup / cdc_chunk_dedup: given
+    exploded (_id, chunk_idx, chunk) rows, keep corpus-wide only the first
+    occurrence of each distinct chunk (min (id, idx)) and reassemble each
+    doc's surviving chunks into (id, n_chunks, n_kept, clean_text). The
+    ownership agg and the join back key on the two-seed xxhash64 composite
+    (see chunk_dedup's scale notes)."""
     hashed = chunked.withColumn("_ch1", F.xxhash64("chunk")).withColumn(
         "_ch2", F.xxhash64("chunk", F.lit(1))
     )
@@ -738,6 +748,103 @@ def chunk_dedup(
     return per_doc.select(
         F.col("_id").alias(id_col), "n_chunks", "n_kept", "clean_text"
     )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 4,
+    mask_bits: int = 3,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Content-defined-chunking substring dedup — the shift-robust upgrade
+    over chunk_dedup's fixed windows (the FastCDC/rsync idea applied at
+    token granularity): a chunk boundary falls AFTER token i whenever the
+    rolling hash of the ``window`` tokens ending at i has its low
+    ``mask_bits`` bits zero (expected chunk length 2^mask_bits tokens).
+    Because boundaries depend only on local content, inserting one token
+    at the head of a duplicated span shifts every fixed chunk_dedup chunk
+    (zero dedup) but CDC boundaries RE-SYNCHRONIZE after at most one
+    window — downstream chunks still dedup exactly.
+
+    The rolling hash reuses the repo's SQL-replicable fingerprint
+    constants (FP_TOKEN_MOD/FP_MULT/FP_MOD, operators/text.py — the same
+    arithmetic text.fingerprint replays in DuckDB), so the boundary
+    decisions are engine-exact. Output and ownership semantics are
+    chunk_dedup's exactly: (id, n_chunks, n_kept, clean_text), first
+    occurrence by (id, chunk_idx) wins.
+
+    Scale shape: the chunker is pure codegen array expressions — O(n *
+    window) hash work per doc, then the same explode + partial-agg
+    ownership + join-back as chunk_dedup (bounds arrays never leave the
+    row). Unbounded-chunk caveat: a pathological doc whose hashes never
+    hit the mask yields one doc-sized chunk — the same per-row bound as
+    the doc's own text, so no worse than the scan that read it.
+
+    Reference analogue: none (the reference dedups whole records);
+    this follows the published CDC literature."""
+    from .text import FP_MOD, FP_MULT, FP_TOKEN_MOD
+
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    w = int(window)
+    mask = (1 << int(mask_bits)) - 1
+
+    base = df.select(F.col(id_col).alias("_id"), tokens(text).alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    th = F.transform(
+        F.col("_toks"),
+        lambda x: (F.lit(31) * F.length(x) + F.ascii(x)) % F.lit(FP_TOKEN_MOD),
+    )
+    base = base.withColumn("_th", th).withColumn("_n", F.size("_toks"))
+
+    def win_hash(i):
+        # H(i) = sum_j th[i-j] * FP_MULT^j (j = 0 at the trailing token),
+        # all 0-based positions; element_at is 1-based. Magnitude bound:
+        # FP_TOKEN_MOD * sum(FP_MULT^j) ~ 2.3e12 << 2^63, so the sum is
+        # exact in a long before the mod.
+        terms = [
+            F.element_at(F.col("_th"), i - F.lit(j) + 1) * F.lit(FP_MULT**j)
+            for j in range(w)
+        ]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s % F.lit(FP_MOD)
+
+    # cut AFTER 0-based position i (i >= w-1, i < n-1: a cut at the last
+    # token would open an empty trailing chunk)
+    cuts = F.filter(
+        F.sequence(F.lit(w - 1), F.col("_n") - 2),
+        lambda i: win_hash(i) % F.lit(mask + 1) == 0,
+    )
+    # degenerate short docs (n <= w): sequence(w-1, n-2) would run
+    # BACKWARDS and fabricate cuts — no window fits, so no cuts
+    cuts = F.when(F.col("_n") >= F.lit(w + 1), cuts).otherwise(
+        F.array().cast("array<int>")
+    )
+    bounds = F.concat(
+        F.array(F.lit(-1).cast("int")), cuts, F.array((F.col("_n") - 1).cast("int"))
+    )
+    chunked = base.withColumn("_bounds", bounds).select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_bounds") - 2),
+                lambda j: F.array_join(
+                    F.slice(
+                        F.col("_toks"),
+                        F.element_at(F.col("_bounds"), j + 1) + 2,
+                        F.element_at(F.col("_bounds"), j + 2)
+                        - F.element_at(F.col("_bounds"), j + 1),
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return _first_occurrence_chunk_dedup(chunked, id_col)
 
 
 def remove_common_chunks(

@@ -1127,6 +1127,62 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CDC dedup: same ownership/reassembly as chunk_dedup, but chunk boundaries
+# are content-defined — the rolling hash of the 4 tokens ending at position
+# i (fingerprint constants: token hash (31*len+ascii)%1000003, polynomial
+# base 131, mod 1e9+7) cuts where its low 3 bits are zero.
+_CDC_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_transform(t, x -> (31 * length(x) + ascii(x)) % 1000003) AS h
+  FROM toks WHERE len(t) > 0
+), cut AS (
+  SELECT doc_id, t, n,
+         [CAST(i AS INT) FOR i IN range(3, n - 1)
+          IF ((h[i+1] + h[i]*131 + h[i-1]*17161 + h[i-2]*2248091)
+              % 1000000007) % 8 = 0] AS cuts
+  FROM th
+), bounds AS (
+  SELECT doc_id, t,
+         list_concat(list_concat([-1], cuts), [CAST(n - 1 AS INT)]) AS b
+  FROM cut
+), idx AS (
+  SELECT doc_id, t, b, unnest(generate_series(0, len(b) - 2)) AS chunk_idx
+  FROM bounds
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(t[(b[chunk_idx+1]+2):(b[chunk_idx+2]+1)], ' ') AS chunk
+  FROM idx
+), flag AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')
+         AS clean_text
+FROM flag GROUP BY doc_id
+"""
+
+
+@register("cdc_chunk_dedup", _CDC_DEDUP_ORACLE)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (dedup.cdc_chunk_dedup): rolling-hash
+    boundaries (window 4, mask 3 bits) instead of fixed 10-token windows,
+    so duplicated spans dedup even when an insertion shifts them; same
+    first-occurrence ownership and reassembly as chunk_dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cdc_chunk_dedup(
+        docs, "doc_id", "text", window=4, mask_bits=3
+    ).select("doc_id", "n_chunks", "n_kept", "clean_text")
+
+
 # Boilerplate scrub: unlike chunk_dedup (rn = 1 keeps the first copy), a
 # chunk in more than max_docs DISTINCT docs is dropped EVERYWHERE.
 _BOILERPLATE_ORACLE = """

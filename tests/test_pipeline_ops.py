@@ -748,3 +748,39 @@ def test_minhash_bands_must_divide_num_hashes(spark, docs):
             docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"),
             "doc_id", num_hashes=16, bands=3,
         ).count()
+
+
+def test_cdc_chunk_dedup_resyncs_after_insertion(spark):
+    """The CDC property fixed chunking cannot have: a single token inserted
+    at the head of a duplicated span shifts every fixed-window chunk (zero
+    dedup) but content-defined boundaries re-synchronize, so downstream
+    chunks still dedup. Also: chunks partition each doc's tokens exactly."""
+    from beymani_spark.operators.dedup import cdc_chunk_dedup, chunk_dedup
+
+    span = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        "nu xi omicron pi rho sigma tau upsilon"
+    )
+    df = spark.createDataFrame(
+        [(1, span), (2, "INSERTED " + span)], ["doc_id", "text"]
+    )
+    cdc = {r.doc_id: r for r in cdc_chunk_dedup(df, "doc_id").collect()}
+    fixed = {r.doc_id: r for r in chunk_dedup(df, "doc_id").collect()}
+    # fixed chunking: the shift makes every doc-2 chunk novel
+    assert fixed[2].n_kept == fixed[2].n_chunks
+    # CDC: boundaries re-sync, most doc-2 chunks dedup against doc 1
+    assert cdc[2].n_kept < cdc[2].n_chunks
+    # doc 1 is first occurrence everywhere: reassembly is the identity
+    assert cdc[1].clean_text == span and cdc[1].n_kept == cdc[1].n_chunks
+
+    # chunks partition the tokens: per-doc chunk tokens re-concatenate to
+    # the original text when nothing dedups (single-doc corpus)
+    solo = spark.createDataFrame([(7, span)], ["doc_id", "text"])
+    out = cdc_chunk_dedup(solo, "doc_id").collect()[0]
+    assert out.clean_text == span
+
+    # short docs (n <= window) never fabricate cuts: one whole-doc chunk
+    tiny = spark.createDataFrame([(8, "a b"), (9, "a b c d")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in cdc_chunk_dedup(tiny, "doc_id").collect()}
+    assert rows[8].n_chunks == 1 and rows[8].clean_text == "a b"
+    assert rows[9].n_chunks == 1 and rows[9].clean_text == "a b c d"
