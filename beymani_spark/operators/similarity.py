@@ -638,6 +638,67 @@ def semantic_dedup(
     return caching.pin(out, base)
 
 
+def topic_share_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_topics: int = 8,
+    iterations: int = 10,
+    seed: int = 42,
+    presample: int = 4096,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Embedding-space distribution drift between two corpus snapshots:
+    fit the spherical k-means topic model on snapshot A (the REFERENCE —
+    never on the union, so a drifted B cannot move the yardstick), assign
+    both snapshots against those frozen centroids, and compare per-topic
+    composition. The embedding-axis member of the drift family: scalar
+    columns get KS (corpus_quality_drift), token lengths get
+    corpus_length_drift, topic mix gets this.
+
+    Output per topic: (topic, n_a, n_b, share_a, share_b, share_diff =
+    round(|share_b - share_a|, 6)). Topics empty on one side report 0
+    counts, share 0 — the appearance/disappearance of a topic is exactly
+    the drift signal. sum(share_diff) is the L1 (total-variation x2)
+    drift statistic; gate releases on it.
+
+    Scale shape: one bounded presampled fit on A + one broadcast-argmax
+    scan per snapshot + two partial-agg groupBys to n_topics rows + a tiny
+    full outer join on topic. Neither snapshot shuffles or collects."""
+    cents = (
+        centroids
+        if centroids is not None
+        else fit_spherical_centroids(df_a, vec_col, n_topics, iterations, seed, presample)
+    )
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        a = topic_assign(df, id_col, vec_col, centroids=cents)
+        return a.groupBy("topic").agg(F.count("*").alias(name))
+
+    tot_a = F.sum("n_a").over(Window.partitionBy())
+    tot_b = F.sum("n_b").over(Window.partitionBy())
+    joined = (
+        counts(df_a, "n_a")
+        .join(counts(df_b, "n_b"), "topic", "full_outer")
+        .select(
+            "topic",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    return joined.select(
+        "topic",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a") / tot_a, 6).alias("share_a"),
+        F.round(F.col("n_b") / tot_b, 6).alias("share_b"),
+        F.round(F.abs(F.col("n_b") / tot_b - F.col("n_a") / tot_a), 6).alias(
+            "share_diff"
+        ),
+    )
+
+
 def prototype_prune(
     df: DataFrame,
     id_col: str,

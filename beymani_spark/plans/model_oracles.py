@@ -614,6 +614,62 @@ FROM b LEFT JOIN dropped d ON d.vec_id = b.vec_id
 """
 
 
+# -------------------------------------------------------- topic share drift
+
+
+def topic_drift_oracle(sf_dir: str) -> str:
+    """Topic-share-drift oracle: the topic model is refit on snapshot A
+    only (label % 2 = 0 — topic_share_drift freezes the yardstick on the
+    reference snapshot, so the cached all-rows _topic_model does NOT
+    apply); both snapshots' argmax assignments are baked as VALUES; the
+    accounting — counts, full outer topic join, share divisions, abs
+    diff — is verified in DuckDB (n_topics=8, seed=42, presample=4096)."""
+    from ..operators.similarity import ivf_assign_core, ivf_fit_core
+
+    pdf = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    a_mask = (pdf["label"] % 2 == 0).to_numpy()
+    apdf = pdf[a_mask]
+    n = len(apdf)
+    keep = min(_DENOM, int(4096 * _DENOM / max(n, 1)))
+    hos = np.array(
+        [
+            spark_xxhash64([("float_array", list(v)), ("int", 42)])
+            for v in apdf["embedding"]
+        ],
+        dtype=np.int64,
+    )
+    kept_idx = np.where(np.array([pmod(int(h), _DENOM) for h in hos]) < keep)[0]
+    order = kept_idx[np.argsort(hos[kept_idx], kind="stable")]
+    x = np.stack(
+        [np.asarray(apdf["embedding"].iloc[i], dtype=np.float64) for i in order]
+    )
+    centers = ivf_fit_core(x, 8, 10, 42)
+
+    all_v = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    topics = ivf_assign_core(all_v, centers, 1)
+    ids = pdf["vec_id"].to_numpy()
+    rows = ", ".join(
+        f"({int(i)}, {int(t)}, {bool(m)})" for i, t, m in zip(ids, topics, a_mask)
+    )
+    return f"""
+WITH assigned(vec_id, topic, is_a) AS (VALUES {rows}),
+ca AS (
+  SELECT topic, count(*) AS n_a FROM assigned WHERE is_a GROUP BY topic
+), cb AS (
+  SELECT topic, count(*) AS n_b FROM assigned WHERE NOT is_a GROUP BY topic
+), j AS (
+  SELECT coalesce(ca.topic, cb.topic) AS topic,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.topic = cb.topic
+), t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+SELECT topic, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(n_a * 1.0 / ta, 6) AS share_a,
+       round(n_b * 1.0 / tb, 6) AS share_b,
+       round(abs(n_b * 1.0 / tb - n_a * 1.0 / ta), 6) AS share_diff
+FROM j, t
+"""
+
+
 # ----------------------------------------------------------- prototype prune
 
 

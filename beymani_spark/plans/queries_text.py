@@ -9,6 +9,7 @@ from ..operators import dedup, similarity, text
 from ..sources import load_table
 from .model_oracles import ivf_oracle as _ivf_oracle
 from .model_oracles import prototype_prune_oracle as _prototype_prune_oracle
+from .model_oracles import topic_drift_oracle as _topic_drift_oracle
 from .model_oracles import semantic_dedup_oracle as _semantic_dedup_oracle
 from .model_oracles import topic_mix_oracle as _topic_mix_oracle
 from .queries_stats import _round
@@ -632,6 +633,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
         emb, "vec_id", "embedding", n_topics=8, tau=0.4, seed=42
+    )
+
+
+@register("topic_drift", _topic_drift_oracle)
+def q_topic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between snapshots (similarity.
+    topic_share_drift): topic model frozen on snapshot A (even labels),
+    both snapshots assigned against it, per-topic share shift — the
+    embedding-axis member of the drift family. The fit + assignments are
+    rebuilt by the model-baked oracle; the share accounting hash-verifies
+    in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") % 2 == 0)
+    b = emb.filter(F.col("label") % 2 != 0)
+    return similarity.topic_share_drift(
+        a, b, "vec_id", "embedding", n_topics=8, seed=42
     )
 
 
@@ -1938,6 +1955,57 @@ def q_split_leak_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", (("train", 0.75), ("val", 0.125), ("test", 0.125)), seed=42
     )
     out = sampling.split_leak_check(labeled, "doc_id", pairs)
+    return _round(out, ["share"])
+
+
+# Semantic leak check: the embedding-space twin of split_leak_check — the
+# same unordered-split-pair accounting over cosine>=0.4 near-dup pairs
+# instead of minhash pairs (paraphrase-level contamination that lexical
+# shingles can miss).
+_SEM_LEAK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), cpairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a="a.vec", b="b.vec")} >= 0.4
+), sp AS (
+  SELECT vec_id,
+         CASE WHEN {_U_SQL.replace("doc_id", "vec_id")} < 0.75 THEN 'train'
+              WHEN {_U_SQL.replace("doc_id", "vec_id")} < 0.875 THEN 'val'
+              ELSE 'test' END AS split
+  FROM embeddings
+), lab AS (
+  SELECT least(a.split, b.split) AS split_a,
+         greatest(a.split, b.split) AS split_b
+  FROM cpairs p
+  JOIN sp a ON a.vec_id = p.src
+  JOIN sp b ON b.vec_id = p.dst
+), g AS (
+  SELECT split_a, split_b, count(*) AS n_pairs FROM lab GROUP BY 1, 2
+)
+SELECT split_a, split_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(n_pairs * 1.0 / (SELECT CAST(sum(n_pairs) AS BIGINT) FROM g), 6)
+         AS share,
+       split_a <> split_b AS leaked
+FROM g
+"""
+
+
+@register("semantic_leak_check", _SEM_LEAK_ORACLE)
+def q_semantic_leak_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-hygiene audit: sampling.split_leak_check over
+    cosine>=0.4 embedding near-dup pairs — paraphrase-level train/test
+    contamination that lexical minhash shingles can miss. Same blocked
+    pair engine as cosine_dup_pairs, same split rule as split_leak_check."""
+    from ..operators import sampling
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    labeled = sampling.deterministic_split(
+        emb, "vec_id", (("train", 0.75), ("val", 0.125), ("test", 0.125)), seed=42
+    )
+    out = sampling.split_leak_check(labeled, "vec_id", pairs)
     return _round(out, ["share"])
 
 

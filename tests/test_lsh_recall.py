@@ -348,3 +348,27 @@ def test_auto_topics_holds_cluster_size_constant(spark, emb):
     got = out.toPandas()
     caching.release(out)
     assert len(got) == emb.count() and {"vec_id", "topic", "keep"} <= set(got)
+
+
+def test_topic_share_drift_zero_on_identical_and_detects_shift(spark, emb):
+    """Identical snapshots drift 0 on every topic; dropping a biased subset
+    from B moves shares. The model is frozen on A, so B's assignment uses
+    A's centroids by construction."""
+    same = similarity.topic_share_drift(
+        emb, emb, "vec_id", "embedding", n_topics=8
+    ).toPandas()
+    assert (same["share_diff"] == 0).all()
+    assert (same["n_a"] == same["n_b"]).all()
+    assert abs(same["share_a"].sum() - 1.0) < 1e-4
+
+    a = similarity.topic_assign(emb, "vec_id", "embedding", n_topics=8).toPandas()
+    hot = a["topic"].mode()[0]
+    drop = set(a[a["topic"] == hot]["vec_id"].head(50))
+    b_df = emb.filter(~emb.vec_id.isin(drop))
+    drifted = similarity.topic_share_drift(
+        emb, b_df, "vec_id", "embedding", n_topics=8
+    ).toPandas()
+    assert drifted["share_diff"].sum() > 0
+    row = drifted[drifted["topic"] == hot].iloc[0]
+    assert row["share_b"] < row["share_a"]  # the thinned topic lost share
+    assert abs(drifted["share_b"].sum() - 1.0) < 1e-4
