@@ -441,6 +441,29 @@ def tfidf_topk(
     )
 
 
+def tfidf_vocab(
+    df: DataFrame, text_col: str = "text", max_vocab: int | None = None
+) -> "tuple[dict, int]":
+    """Bounded TF-IDF vocabulary model for stream-side keyword tagging:
+    (token -> document frequency) dict plus the corpus doc count. The dict
+    collects to the driver — the model-artifact collect (same class as
+    kmeans centroids / the IF forest), bounded by construction when
+    ``max_vocab`` is set: the vocabulary truncates to the max_vocab
+    highest-df tokens (df desc, token asc — a TakeOrdered over |vocab|
+    aggregated rows, never the corpus). DF counting matches tfidf_topk's
+    exactly (distinct tokens per doc, lowercased whitespace tokens)."""
+    toks = df.select(
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("token")
+    )
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    if max_vocab is not None:
+        dfreq = dfreq.orderBy(F.col("df").desc(), F.col("token").asc()).limit(
+            int(max_vocab)
+        )
+    n_docs = df.count()
+    return {r["token"]: r["df"] for r in dfreq.collect()}, n_docs
+
+
 def token_freq_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Frequency-of-frequencies (Zipf) spectrum of the corpus vocabulary:
     one row per occurrence count with the number of distinct token types

@@ -577,6 +577,101 @@ def stream_topic_assign(
     return topic_assign(stream_df, id_col, vec_col, centroids=centroids)
 
 
+def stream_keyword_tag(
+    stream_df: DataFrame,
+    vocab: dict,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Streaming TF-IDF keyword tagging — model-serve for text.tfidf_topk:
+    a batch-fitted vocabulary (text.tfidf_vocab: token -> document
+    frequency, corpus doc count) broadcasts into a stateless mapInPandas
+    that computes each incoming doc's term frequencies, smoothed-idf
+    scores, and top-k keywords ENTIRELY row-locally — a doc's tokens live
+    in its own row, so no aggregation state, no watermark, and per-batch
+    output identical to the batch operator on the same vocabulary
+    (equality proven in tests). Tokens outside the vocabulary score with
+    df=0 (maximally rare — the right tagging semantics for novel terms);
+    fit with max_vocab to bound the broadcast for open vocabularies.
+
+    Ranking runs on the RAW scores (ties -> token asc); with integer tf
+    and per-df idf values, raw ties are exact ties, so the order matches
+    the batch operator's round-6 ranking. The half-up output round
+    happens JVM-side (F.round) for oracle-convention parity.
+
+    Emits (id, token, tf, score, tfidf_rank) — up to k rows per doc."""
+    import math
+
+    sess = stream_df.sparkSession
+    bc = sess.sparkContext.broadcast(dict(vocab))
+    n = int(n_docs)
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        v = bc.value
+        for pdf in batches:
+            ids, toks_out, tfs, scores, ranks = [], [], [], [], []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                words = (txt or "").lower().split()
+                if not words:
+                    continue
+                cnt = Counter(words)
+                scored = sorted(
+                    (
+                        (
+                            -tf * (math.log((1.0 + n) / (1.0 + v.get(t, 0))) + 1.0),
+                            t,
+                            tf,
+                        )
+                        for t, tf in cnt.items()
+                    ),
+                )[: int(k)]
+                for r, (neg, t, tf) in enumerate(scored, start=1):
+                    ids.append(rid)
+                    toks_out.append(t)
+                    tfs.append(tf)
+                    scores.append(-neg)
+                    ranks.append(r)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "token": pd.Series(toks_out, dtype="object"),
+                    "tf": pd.Series(tfs, dtype="int64"),
+                    "score": pd.Series(scores, dtype="float64"),
+                    "tfidf_rank": pd.Series(ranks, dtype="int32"),
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            stream_df.schema[id_col],
+            StructField("token", StringType()),
+            StructField("tf", LongType()),
+            StructField("score", DoubleType()),
+            StructField("tfidf_rank", IntegerType()),
+        ]
+    )
+    return (
+        stream_df.select(id_col, text_col)
+        .mapInPandas(gen, schema)
+        .withColumn("score", F.round(F.col("score"), 6))
+    )
+
+
 def stream_near_dup_verified(
     stream_df: DataFrame,
     corpus_manifest: DataFrame,

@@ -713,3 +713,57 @@ def test_stream_near_dup_verified_filters_and_matches_batch(spark, stream_dirs):
     }
     assert batch_pairs == pairs
     manifest.unpersist()
+
+
+def test_stream_keyword_tag_matches_batch_tfidf(spark, stream_dirs):
+    """Streaming TF-IDF tagging against a batch-fitted vocabulary is
+    row-identical to the batch operator when the vocabulary was fit on the
+    same corpus (every token known, identical df/N): the stateless
+    row-local kernel IS tfidf_topk's math. Unknown tokens score df=0."""
+    from beymani_spark.operators.text import tfidf_topk, tfidf_vocab
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_keyword_tag
+
+    src, chk = stream_dirs
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    docs.write.mode("overwrite").parquet(src)
+    vocab, n_docs = tfidf_vocab(docs, "text")
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stream_keyword_tag(stream, vocab, n_docs, "doc_id", "text", k=5)
+        .writeStream.format("memory")
+        .queryName("kw_t")
+        .option("checkpointLocation", chk + "/kw")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["tfidf_rank"]): (r["token"], r["tf"], r["score"])
+        for r in spark.sql("select * from kw_t").collect()
+    }
+    batch = {
+        (r["doc_id"], r["tfidf_rank"]): (r["token"], r["tf"], r["score"])
+        for r in tfidf_topk(docs, "doc_id", "text", k=5).collect()
+    }
+    assert got == batch and len(got) > 0
+
+    # unknown tokens (absent from the fitted vocab) rank FIRST: df=0 is
+    # maximally rare, the tagging semantics for novel terms
+    import math
+
+    novel = spark.createDataFrame(
+        [(901, "zzzunseen zzzunseen the the the")], ["doc_id", "text"]
+    )
+    out = stream_keyword_tag(novel, vocab, n_docs, k=2).collect()
+    by_rank = {r["tfidf_rank"]: r for r in out}
+    assert by_rank[1]["token"] == "zzzunseen"
+    expect = round(2 * (math.log((1 + n_docs) / 1.0) + 1.0), 6)
+    assert abs(by_rank[1]["score"] - expect) < 1e-9
+
+    # bounded-vocab fit truncates deterministically
+    small, _ = tfidf_vocab(docs, "text", max_vocab=10)
+    assert len(small) == 10 and set(small) <= set(vocab)
