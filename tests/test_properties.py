@@ -136,3 +136,48 @@ def test_median_mad_approx_close_to_exact(spark):
     # generous relative envelope to keep the test about wiring, not the sketch
     np.testing.assert_allclose(approx["median"], exact["median"], rtol=0.05)
     np.testing.assert_allclose(approx["mad"], exact["mad"], rtol=0.05)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    toklists=st.lists(
+        st.lists(
+            st.text(alphabet="abcdefg", min_size=1, max_size=4),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_cdc_chunks_partition_tokens(spark, toklists):
+    """For ANY token content, cdc_chunk_dedup's chunks partition each doc's
+    tokens: on a duplicate-free corpus every chunk is kept and clean_text
+    reassembles the original token stream exactly."""
+    from beymani_spark.operators.dedup import cdc_chunk_dedup
+
+    # make docs pairwise distinct so nothing cross-dedups; prefix a doc tag
+    rows = [(i, " ".join([f"d{i}x"] + t)) for i, t in enumerate(toklists)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in cdc_chunk_dedup(df, "doc_id").collect()}
+    for i, t in enumerate(toklists):
+        assert out[i].n_kept == out[i].n_chunks
+        assert out[i].clean_text == " ".join([f"d{i}x"] + t)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    ns=st.lists(st.integers(0, 500), min_size=1, max_size=20),
+    length=st.integers(1, 64),
+)
+def test_context_length_plan_accounting_identity(spark, ns, length):
+    """n_chunks*L always equals n_tokens + padded_tokens (the slot-token
+    identity), and chunk counts are the exact ceil-div."""
+    from beymani_spark.operators.packing import context_length_plan
+
+    rows = [(("w " * n).strip(),) for n in ns]
+    df = spark.createDataFrame(rows, ["text"])
+    r = context_length_plan(df, "text", lengths=(length,)).collect()[0]
+    assert r.n_chunks * length == r.n_tokens + r.padded_tokens
+    assert r.n_chunks == sum((n + length - 1) // length for n in ns)
+    assert r.n_tokens == sum(ns) and r.n_docs == len(ns)
