@@ -90,6 +90,37 @@ def deterministic_split(
     return df.withColumn(split_col, expr)
 
 
+def score_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    seed: int = 42,
+    gamma: float = 1.0,
+    u_col: str | None = None,
+) -> DataFrame:
+    """Probability-proportional-to-score sampling: keep a row iff
+    hash_uniform(id, seed) < score^gamma, for a [0,1] score column — the
+    SOFT companion to the hard gates (quality_rank_gate cuts a cliff at a
+    percentile; this keeps every doc with probability equal to its
+    sharpened score, preserving some low-score mass for diversity, the
+    standard soft quality-filter of web-corpus pipelines). gamma sharpens
+    toward the hard gate; gamma=0 degenerates to a plain full sample.
+
+    Deterministic pure function of (id, seed) — stable under
+    repartitioning and appends, like every sampler here; single-pass
+    column expression, zero shuffle."""
+    u = hash_uniform(F.col(id_col), seed)
+    rate = (
+        F.pow(F.col(score_col), F.lit(float(gamma)))
+        if float(gamma) != 1.0
+        else F.col(score_col)
+    )
+    out = df.filter(u < rate)
+    if u_col:
+        out = out.withColumn(u_col, u)
+    return out
+
+
 def decayed_sample(
     df: DataFrame,
     id_col: str,

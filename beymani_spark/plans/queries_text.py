@@ -70,6 +70,53 @@ FROM f
 """
 
 
+# Soft quality sampling: keep iff u(doc_id) < RAW quality (both engines
+# compute the same ratio arithmetic, so the compare cannot flip); output
+# rounds for the hash only.
+_QUALITY_SAMPLE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {{toks}} AS toks FROM documents
+), f AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({{stop}}, x))) * 1.0 / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+  FROM t
+), q AS (
+  SELECT doc_id,
+         0.25 * least(1.0, n_tokens / 50.0)
+       + 0.25 * (1.0 - least(1.0, punct_ratio * 4.0))
+       + 0.25 * least(1.0, stopword_ratio * 5.0)
+       + 0.25 * type_token_ratio AS quality
+  FROM f
+)
+SELECT doc_id, round(quality, 6) AS quality, round({{u}}, 6) AS u
+FROM q WHERE {{u}} < quality
+"""
+
+
+def _quality_sample_oracle() -> str:
+    return _QUALITY_SAMPLE_ORACLE.format(
+        toks=_TOKS_SQL, stop=repr(text.STOPWORDS), u=_U_SQL
+    )
+
+
+@register("quality_sample", lambda sf_dir: _quality_sample_oracle())
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filter (sampling.score_sample): keep each doc with
+    probability equal to its [0,1] quality score — hash-deterministic, so
+    the kept set replays exactly; the soft companion to the hard
+    percentile gates, preserving low-score diversity mass."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs)
+    out = sampling.score_sample(scored, "doc_id", "quality", seed=42, u_col="u")
+    return out.select(
+        "doc_id", F.round("quality", 6).alias("quality"), F.round("u", 6).alias("u")
+    )
+
+
 @register("quality_score", _QUALITY_ORACLE)
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

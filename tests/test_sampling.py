@@ -352,3 +352,31 @@ def test_tfidf_topk_hand_checked(spark):
     assert list(d2["token"]) == ["cherry", "apple"]
     # every doc emits at most k rows, ranks are 1..k
     assert (out.groupby("doc_id")["tfidf_rank"].max() <= 2).all()
+
+
+def test_score_sample_expected_mass_and_determinism(spark):
+    """score_sample keeps each row with probability ~score (measured kept
+    fraction tracks the mean score), is a pure function of (id, seed), and
+    gamma sharpens toward the hard gate."""
+    from beymani_spark.operators.sampling import score_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100 / 100.0).alias("s")
+    )
+    kept = score_sample(df, "doc_id", "s", seed=42)
+    n = kept.count()
+    mean_s = 0.495  # mean of 0/100..99/100
+    assert abs(n / 4000 - mean_s) < 0.05
+    # deterministic + partition-invariant
+    again = score_sample(df.repartition(17), "doc_id", "s", seed=42)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # zero scores never survive; score 1.0 rows always do
+    ones = spark.range(50).select(F.col("id").alias("doc_id"), F.lit(1.0).alias("s"))
+    assert score_sample(ones, "doc_id", "s").count() == 50
+    zeros = ones.withColumn("s", F.lit(0.0))
+    assert score_sample(zeros, "doc_id", "s").count() == 0
+    # gamma > 1 keeps strictly fewer (sharper preference for high scores)
+    sharp = score_sample(df, "doc_id", "s", seed=42, gamma=2.0).count()
+    assert sharp < n
