@@ -579,3 +579,56 @@ def test_prototype_prune_single_exchange_no_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(topic" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_cdc_chunk_dedup_same_ownership_shape_as_fixed(spark):
+    """The CDC chunker is pure codegen array work on the scan; ownership
+    must keep chunk_dedup's shape: partial+final agg over hashed chunk
+    keys (map-side combine), never a window over the chunk partition, no
+    raw chunk text on the ownership shuffle."""
+    from beymani_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    out = dedup.cdc_chunk_dedup(docs, "doc_id", "text")
+    plan = _plan(out)
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_topk_partial_aggs_and_broadcast_count(spark):
+    """TF and DF both partial-aggregate (map-side combine on hot tokens);
+    the corpus count joins as a broadcast 1-row frame; the only window is
+    the per-doc top-k."""
+    from beymani_spark.operators import text as textops
+
+    docs = load_table(spark, SF, "documents")
+    out = textops.tfidf_topk(docs, "doc_id", "text", k=5)
+    plan = _plan(out)
+    assert "partial_count" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "row_number" in plan
+    # (doc,token) TF agg, token-side DF agg + join re-exchange, doc window
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_topic_share_drift_narrow_aggregates_only(spark):
+    """Both snapshots reduce through broadcast-argmax scans + partial-agg
+    groupBy(topic); the join and share windows run over n_topics rows —
+    the embedding table itself never exchanges on anything but topic."""
+    from beymani_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    a = emb.filter("label % 2 = 0")
+    b = emb.filter("label % 2 != 0")
+    out = sim.topic_share_drift(a, b, "vec_id", "embedding", n_topics=8)
+    plan = _plan(out)
+    assert plan.count("MapInPandas") == 2
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    # every hash exchange is keyed on the tiny topic column
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith("topic") for k in keys), keys
