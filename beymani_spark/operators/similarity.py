@@ -458,6 +458,28 @@ def ivf_topk(
     )
 
 
+def centroids_to_df(spark, cents: "np.ndarray") -> DataFrame:
+    """Centroid matrix -> model DataFrame (cell_id, centroid) for
+    sources.models.save_model — the persistence form of the
+    fit_spherical_centroids artifact, so a batch fit serves tomorrow's
+    streaming jobs (stream_topic_assign) without refitting."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell_id int, centroid array<double>",
+    )
+
+
+def centroids_from_df(df: DataFrame) -> "np.ndarray":
+    """Inverse of centroids_to_df: rebuild the (n_cells x dim) matrix in
+    cell_id order. The only collect is the model itself (n_cells rows)."""
+    import numpy as np
+
+    rows = df.select("cell_id", "centroid").collect()
+    return np.stack(
+        [np.asarray(r["centroid"]) for r in sorted(rows, key=lambda r: r["cell_id"])]
+    )
+
+
 def topic_assign(
     df: DataFrame,
     id_col: str,

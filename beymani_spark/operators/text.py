@@ -464,6 +464,26 @@ def tfidf_vocab(
     return {r["token"]: r["df"] for r in dfreq.collect()}, n_docs
 
 
+def vocab_to_df(spark, vocab: dict, n_docs: int) -> DataFrame:
+    """TF-IDF vocabulary -> model DataFrame (token, df, n_docs — the doc
+    count rides every row so the artifact is self-describing) for
+    sources.models.save_model; a batch fit then serves streaming keyword
+    tagging (streaming.stream_keyword_tag) without recounting."""
+    return spark.createDataFrame(
+        [(t, int(d), int(n_docs)) for t, d in vocab.items()],
+        "token string, df long, n_docs long",
+    )
+
+
+def vocab_from_df(df: DataFrame) -> "tuple[dict, int]":
+    """Inverse of vocab_to_df. The only collect is the model itself
+    (|vocab| rows — bound it at fit time with tfidf_vocab(max_vocab=...))."""
+    rows = df.select("token", "df", "n_docs").collect()
+    if not rows:
+        return {}, 0
+    return {r["token"]: r["df"] for r in rows}, int(rows[0]["n_docs"])
+
+
 def token_freq_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Frequency-of-frequencies (Zipf) spectrum of the corpus vocabulary:
     one row per occurrence count with the number of distinct token types

@@ -84,3 +84,50 @@ def test_two_job_file_pipeline_matches_single_job(spark):
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_centroid_model_roundtrip_serves_stream_assign(spark, tmp_path):
+    """Fit once, save, reload tomorrow, serve: a reloaded centroid model
+    must produce byte-identical topic assignments to the in-memory fit."""
+    import numpy as np
+
+    from beymani_spark.operators import similarity
+    from beymani_spark.sources import load_table
+    from beymani_spark.sources.models import load_model, save_model
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = similarity.fit_spherical_centroids(
+        emb, "embedding", n_cells=8, iterations=10, seed=42, presample=4096
+    )
+    path = str(tmp_path / "topic_model")
+    save_model(similarity.centroids_to_df(spark, cents), path, name="topic_centroids")
+    back = similarity.centroids_from_df(
+        load_model(spark, path, expect_name="topic_centroids")
+    )
+    assert np.array_equal(back, cents)
+    a = similarity.topic_assign(emb, "vec_id", "embedding", centroids=cents).collect()
+    b = similarity.topic_assign(emb, "vec_id", "embedding", centroids=back).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_vocab_model_roundtrip_serves_keyword_tag(spark, tmp_path):
+    """Reloaded TF-IDF vocabulary serves stream_keyword_tag with output
+    identical to the freshly-fit model."""
+    from beymani_spark.operators.text import tfidf_vocab, vocab_from_df, vocab_to_df
+    from beymani_spark.sources import load_table
+    from beymani_spark.sources.models import load_model, save_model
+    from beymani_spark.streaming.jobs import stream_keyword_tag
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    vocab, n = tfidf_vocab(docs, "text", max_vocab=50)
+    path = str(tmp_path / "vocab_model")
+    save_model(vocab_to_df(spark, vocab, n), path, name="tfidf_vocab")
+    v2, n2 = vocab_from_df(load_model(spark, path, expect_name="tfidf_vocab"))
+    assert v2 == vocab and n2 == n
+    a = stream_keyword_tag(docs, vocab, n, k=3).collect()
+    b = stream_keyword_tag(docs, v2, n2, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
