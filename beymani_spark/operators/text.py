@@ -441,6 +441,53 @@ def tfidf_topk(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct n-grams
+    whose corpus-wide FIRST occurrence (min doc id) is this doc — the
+    memorization/novelty audit of a curation pipeline ("how much of this
+    doc is text the corpus hasn't seen"). Exact duplicates score 0 on the
+    later copy; boilerplate-heavy docs score low even when no whole chunk
+    repeats, which is what makes this a finer signal than chunk_dedup's
+    n_kept.
+
+    Output: (id, n_grams, n_novel, novelty = round(n_novel/n_grams, 6));
+    docs with fewer than ``n`` tokens have no grams and are omitted (no
+    evidence — the contamination_check convention).
+
+    Scale shape: one distinct-gram explode (_exploded_grams, the text-
+    family's lowercased tokenization), a partial-aggregated min-owner
+    groupBy keyed on the two-seed xxhash64 of the gram (fixed-width longs
+    on the hot shuffle, the chunk_dedup key convention), one equi-join
+    back, one per-doc count agg. Engine-exact: counts are longs, the
+    share is one long/long division."""
+    sh = _exploded_grams(df, id_col, text_col, n, keep_dups=False)
+    hashed = sh.select(
+        "_id",
+        F.xxhash64("gram").alias("_h1"),
+        F.xxhash64("gram", F.lit(1)).alias("_h2"),
+    )
+    first = hashed.groupBy("_h1", "_h2").agg(F.min("_id").alias("_owner"))
+    per_doc = (
+        hashed.join(first, ["_h1", "_h2"])
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("_owner") == F.col("_id")).cast("long")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+    )
+
+
 def tfidf_vocab(
     df: DataFrame, text_col: str = "text", max_vocab: int | None = None
 ) -> "tuple[dict, int]":

@@ -70,6 +70,44 @@ FROM f
 """
 
 
+# N-gram novelty: share of a doc's distinct trigrams whose corpus-wide
+# first occurrence (min doc_id) is this doc. Docs with < 3 tokens have no
+# grams and are omitted (no evidence).
+_NOVELTY_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                               FOR i IN range(1, len(toks) - 1)])) AS gram
+  FROM t WHERE len(toks) >= 3
+), own AS (
+  SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty
+FROM g JOIN own USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+@register("ngram_novelty", _NOVELTY_ORACLE)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram novelty (text.ngram_novelty): share of a doc's
+    distinct trigrams first seen in this doc — the memorization/novelty
+    curation audit; exact later-copies score 0, boilerplate-heavy docs
+    score low without any whole chunk repeating."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_novelty(docs, "doc_id", "text", n=3)
+
+
 # Soft quality sampling: keep iff u(doc_id) < RAW quality (both engines
 # compute the same ratio arithmetic, so the compare cannot flip); output
 # rounds for the hash only.

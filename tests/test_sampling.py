@@ -380,3 +380,26 @@ def test_score_sample_expected_mass_and_determinism(spark):
     # gamma > 1 keeps strictly fewer (sharper preference for high scores)
     sharp = score_sample(df, "doc_id", "s", seed=42, gamma=2.0).count()
     assert sharp < n
+
+
+def test_ngram_novelty_hand_checked(spark):
+    """Novelty semantics on a hand corpus: a verbatim later copy scores 0,
+    the original scores 1, a half-overlapping doc scores its novel share,
+    sub-n-token docs are omitted."""
+    from beymani_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # 3 trigrams, all first here
+            (2, "a b c d e"),          # exact copy: novelty 0
+            (3, "c d e f g"),          # trigrams: cde(owned by 1), def, efg
+            (4, "x y"),                # < 3 tokens: omitted
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in ngram_novelty(df, "doc_id", "text", n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].novelty == 1.0 and out[1].n_grams == 3
+    assert out[2].novelty == 0.0 and out[2].n_novel == 0
+    assert out[3].n_grams == 3 and out[3].n_novel == 2
+    assert abs(out[3].novelty - round(2 / 3, 6)) < 1e-12
