@@ -253,6 +253,61 @@ def q_pseudo_relevance_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, ["threshold"])
 
 
+# The reference's full chained workflow as ONE query: score (zscore) ->
+# learn a per-key threshold from the score distribution (pseudo-relevance
+# top-5%) -> tag against the LEARNED threshold -> per-key outlier summary.
+# The outlier compare runs on ROUND-6 score vs ROUND-6 threshold on both
+# sides: quantile interpolation agrees across engines to well under 1e-6
+# but not bitwise, so a raw compare could flip for the one sample sitting
+# exactly at the quantile.
+_ANOMALY_PIPELINE_ORACLE = _ZSCORE_CTE + """
+, thr AS (
+  SELECT event_type, count(*) AS n_all, quantile_cont(raw, 0.95) AS t
+  FROM scored GROUP BY event_type
+)
+SELECT s.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN round(s.raw, 6) > round(t.t, 6) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN round(s.raw, 6) > round(t.t, 6) THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS outlier_rate,
+       round(any_value(t.t), 6) AS threshold
+FROM scored s JOIN thr t USING (event_type)
+WHERE s.raw IS NOT NULL AND t.n_all >= 20
+GROUP BY s.event_type
+"""
+
+
+@register("anomaly_pipeline", _ANOMALY_PIPELINE_ORACLE)
+def q_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's chained anomaly workflow end-to-end (cf. the and.conf
+    pipeline of StatsBasedOutlierPredictor -> PseudoRelevanceThresholdFinder
+    -> OutlierCounter): z-score every event against per-key stats, learn
+    each key's threshold as the top-5% score quantile, tag against the
+    learned (not fixed) threshold, and report the per-key outlier summary.
+    Every stage is the already-verified operator; this pins the chain."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+    thr = post.pseudo_relevance_threshold(
+        scored, ["event_type"], top_fraction=0.05, min_count=20
+    ).filter(F.col("threshold").isNotNull())
+    tagged = (
+        scored.filter(F.col("score").isNotNull())
+        .join(thr.select("event_type", "threshold"), "event_type")
+        .withColumn(
+            "_o",
+            (F.round("score", R) > F.round("threshold", R)).cast("long"),
+        )
+    )
+    out = tagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("_o").alias("n_outliers"),
+        F.round(F.sum("_o") / F.count("*"), R).alias("outlier_rate"),
+        F.round(F.first("threshold"), R).alias("threshold"),
+    )
+    return out
+
+
 _THRESHOLD_LEARNER_SPLITS = [0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
 
 _THRESHOLD_LEARNER_ORACLE = _ZSCORE_CTE + """

@@ -152,17 +152,22 @@ def test_median_mad_approx_close_to_exact(spark):
 )
 def test_cdc_chunks_partition_tokens(spark, toklists):
     """For ANY token content, cdc_chunk_dedup's chunks partition each doc's
-    tokens: on a duplicate-free corpus every chunk is kept and clean_text
+    tokens: with globally-unique tokens (no chunk can equal any other,
+    within or across docs — hypothesis found that shared suffixes and
+    in-doc repeats legitimately dedup) every chunk is kept and clean_text
     reassembles the original token stream exactly."""
     from beymani_spark.operators.dedup import cdc_chunk_dedup
 
-    # make docs pairwise distinct so nothing cross-dedups; prefix a doc tag
-    rows = [(i, " ".join([f"d{i}x"] + t)) for i, t in enumerate(toklists)]
+    uniq = [
+        [f"d{i}t{j}{tok}" for j, tok in enumerate(t)]
+        for i, t in enumerate(toklists)
+    ]
+    rows = [(i, " ".join(t)) for i, t in enumerate(uniq)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: r for r in cdc_chunk_dedup(df, "doc_id").collect()}
-    for i, t in enumerate(toklists):
+    for i, t in enumerate(uniq):
         assert out[i].n_kept == out[i].n_chunks
-        assert out[i].clean_text == " ".join([f"d{i}x"] + t)
+        assert out[i].clean_text == " ".join(t)
 
 
 @settings(max_examples=15, deadline=None)
