@@ -767,3 +767,63 @@ def test_stream_keyword_tag_matches_batch_tfidf(spark, stream_dirs):
     # bounded-vocab fit truncates deterministically
     small, _ = tfidf_vocab(docs, "text", max_vocab=10)
     assert len(small) == 10 and set(small) <= set(vocab)
+
+
+def test_stream_tag_learned_threshold_matches_batch_pipeline(spark, stream_dirs):
+    """The batch-learn -> stream-serve loop: thresholds learned offline
+    (pseudo-relevance top-5%) tag a live scored stream; per-key outlier
+    counts equal the batch anomaly_pipeline's, and unlearned keys label
+    'I', never 'N'."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators import post, profile, zscore
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_tag_learned_threshold, stream_zscore
+
+    src, chk = stream_dirs
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").parquet(src)
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored_b = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+    thr = post.pseudo_relevance_threshold(
+        scored_b, ["event_type"], top_fraction=0.05, min_count=20
+    ).filter(F.col("threshold").isNotNull())
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    scored_s = stream_zscore(stream, stats, ["event_type"], ["value"])
+    q = (
+        stream_tag_learned_threshold(scored_s, thr, ["event_type"])
+        .writeStream.format("memory")
+        .queryName("ltag_t")
+        .option("checkpointLocation", chk + "/ltag")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select event_type, sum(case when label = 'O' then 1 else 0 end) n_outliers,"
+        " sum(case when label in ('O','N') then 1 else 0 end) n"
+        " from ltag_t group by event_type"
+    ).collect()
+    stream_counts = {r.event_type: (r.n, r.n_outliers) for r in got}
+
+    from beymani_spark.plans import QUERIES
+
+    batch = {
+        r.event_type: (r.n, r.n_outliers)
+        for r in QUERIES["anomaly_pipeline"].builder(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for k, (n, o) in batch.items():
+        assert stream_counts[k] == (n, o), (k, stream_counts[k], (n, o))
+
+    # an unlearned key labels 'I' — unknown keys never pass as normal
+    alien = spark.createDataFrame(
+        [(999, "unseen_type", 3.0)], ["event_id", "event_type", "value"]
+    )
+    scored_a = zscore.zscore(alien, stats, ["event_type"], ["value"])
+    out = stream_tag_learned_threshold(scored_a, thr, ["event_type"]).collect()
+    assert [r.label for r in out] == ["I"]
