@@ -287,3 +287,47 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = profile.key_skew_audit(ev, ["user_id"], k=20)
     return _round(out, ["share", "skew"])
+
+
+# CUBE rollup over the corpus accounting dims — the grouping-sets surface
+# the reference lacks entirely (SURVEY §2.6: "No grouping sets/cube").
+# Rolled-up dimension values surface as 'ALL' (coalesce on both sides —
+# NULL group keys would ride on engine NULL-ordering differences);
+# grouping_id is spelled explicitly as 2*grouping(source)+grouping(lang)
+# so the bitmask convention is pinned rather than engine-default.
+_CORPUS_CUBE_ORACLE = """
+SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang,
+       2 * GROUPING(source) + GROUPING(lang) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY CUBE (source, lang)
+"""
+
+
+@register("corpus_cube", _CORPUS_CUBE_ORACLE)
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE accounting over (source, lang): every rollup combination in one
+    pass — the grouping-sets form of corpus_stats (Catalyst expands the
+    cube into partial-aggregated grouping sets; one shuffle). Rolled-up
+    dims read 'ALL'; gid is the explicit 2*g(source)+g(lang) bitmask."""
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    # grouping() is only legal inside the cube's own agg select
+    out = docs.cube("source", "lang").agg(
+        (F.lit(2) * F.grouping("source") + F.grouping("lang"))
+        .cast("long")
+        .alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    return out.select(
+        F.coalesce("source", F.lit("ALL")).alias("source"),
+        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+        "gid",
+        "n_docs",
+        "n_tokens",
+    )
