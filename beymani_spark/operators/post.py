@@ -76,6 +76,49 @@ def only_outliers(df: DataFrame, label_col: str = "label") -> DataFrame:
     return df.filter(F.col(label_col) == "O")
 
 
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    round_bounds: int | None = None,
+) -> DataFrame:
+    """Per-key percentile capping — the "cap, don't drop" companion to the
+    reference's outlier REMOVAL (OutlierUtility.scala:45-82 filters tagged
+    rows out; winsorizing clamps extreme values to the [lower, upper]
+    quantiles instead, the standard robust-statistics cleaning step when
+    downstream aggregates must keep every row). Adds ``<value>_w`` (the
+    clamped value) plus a ``capped`` flag; the raw column is preserved.
+
+    Scale shape: one partial-aggregated per-key quantile pass (exact
+    interpolated percentile — the quartiles kernel), broadcast back onto
+    the fact table; the fact table itself never shuffles.
+
+    ``round_bounds`` clamps against ROUNDED quantile bounds: quantile
+    interpolation agrees across engines to well under 1e-6 but not
+    bitwise, so an oracle-replayed run pins round_bounds=6 to keep the
+    capped flag deterministic for the sample sitting exactly at a
+    bound."""
+    lo = F.percentile(value_col, F.lit(float(lower)))
+    hi = F.percentile(value_col, F.lit(float(upper)))
+    if round_bounds is not None:
+        lo, hi = F.round(lo, round_bounds), F.round(hi, round_bounds)
+    bounds = df.groupBy(*keys).agg(lo.alias("_lo"), hi.alias("_hi"))
+    j = df.join(F.broadcast(bounds), list(keys), "left")
+    v = F.col(value_col)
+    # greatest/least IGNORE nulls (a null value would silently become the
+    # bound); nulls must pass through as nulls, unflagged
+    clamped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    )
+    return (
+        j.withColumn(f"{value_col}_w", clamped)
+        .withColumn("capped", v.isNotNull() & (clamped != v))
+        .drop("_lo", "_hi")
+    )
+
+
 def remove_outliers(df: DataFrame, label_col: str = "label") -> DataFrame:
     """Clean dataset: original columns of non-outlier rows (replaces the
     reference's cached-input ``subtract`` shuffle with a plain filter)."""

@@ -308,6 +308,45 @@ def q_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Winsorize: the clamp runs against ROUND-6 bounds on both sides —
+# quantile interpolation agrees across engines to well under 1e-6 but not
+# bitwise, and a sample sitting exactly at a bound would flip the capped
+# flag on a raw compare (the anomaly_pipeline remedy).
+_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS lo,
+         round(quantile_cont(value, 0.95), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w,
+       (e.value < b.lo OR e.value > b.hi) AS capped
+FROM events e JOIN b USING (event_type)
+"""
+
+
+@register("winsorize", _WINSORIZE_ORACLE)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key percentile capping (post.winsorize): clamp event values to
+    their key's [p5, p95] band — the cap-don't-drop companion to the
+    reference's outlier removal; bounds broadcast back, the fact table
+    never shuffles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = post.winsorize(
+        ev, ["event_type"], "value", lower=0.05, upper=0.95, round_bounds=R
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("value_w", R).alias("value_w"),
+        "capped",
+    )
+
+
 _THRESHOLD_LEARNER_SPLITS = [0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
 
 _THRESHOLD_LEARNER_ORACLE = _ZSCORE_CTE + """

@@ -582,3 +582,36 @@ def test_autoencoder_linear_path_unchanged_by_activation_param(spark):
     mu_a, sd_a, w_a = mv.ae_fit_core(x, 2, 200, 0.05, 42)
     mu_b, sd_b, w_b = mv.ae_fit_core(x, 2, 200, 0.05, 42, "linear")
     assert (w_a == w_b).all() and (mu_a == mu_b).all() and (sd_a == sd_b).all()
+
+
+def test_winsorize_clamps_and_flags(spark):
+    """winsorize clamps to the per-key quantile band, preserves raw values,
+    flags exactly the out-of-band rows, and NULL values pass through
+    unflagged."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.post import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [
+        ("a", 1000.0),
+        ("a", -1000.0),
+        ("b", 5.0),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = winsorize(df, ["k"], "value", lower=0.05, upper=0.95).collect()
+    a = [r for r in out if r.k == "a"]
+    capped = [r for r in a if r.capped]
+    assert {r.value for r in capped} >= {1000.0, -1000.0}
+    lo = min(r.value_w for r in a)
+    hi = max(r.value_w for r in a)
+    assert hi < 1000.0 and lo > -1000.0
+    for r in a:
+        assert lo - 1e-9 <= r.value_w <= hi + 1e-9
+        if not r.capped:
+            assert r.value_w == r.value
+        else:
+            # capped rows land exactly on a band edge
+            assert r.value_w in (lo, hi)
+    nulls = [r for r in out if r.k == "b" and r.value is None]
+    assert nulls and not nulls[0].capped and nulls[0].value_w is None
