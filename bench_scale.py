@@ -84,6 +84,8 @@ HEAVY = [
     "prototype_prune",
     "tfidf_topk",
     "cdc_chunk_dedup",
+    "ngram_novelty",
+    "semantic_leak_check",
 ]
 
 
