@@ -99,3 +99,67 @@ def asof_join(
     return carried.select(
         *left_cols, F.col("_m_ts").alias("matched_ts"), *right_cols
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: float,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+) -> DataFrame:
+    """Time-proximity join — every (left, right) pair on the same key whose
+    timestamps lie within ``tolerance_seconds`` of each other (the
+    correlation/CEP primitive: "which B events happened around each A
+    event"). Spark has no interval-join primitive and a naive
+    |left_ts - right_ts| <= t predicate joins as a per-key nested loop.
+
+    Implementation is time-BUCKETIZED: both sides bucket by
+    floor(epoch / tolerance); a qualifying pair's buckets can differ by at
+    most 1, so the left side explodes to its bucket and both neighbors
+    (3 rows) and the join is a pure (keys, bucket) EQUI-join with the
+    exact |Δt| <= t filter applied to the candidates. Shuffle volume is
+    3|L| + |R| rows; per-task pair work is bounded by events-per-key-per-
+    2·tolerance — the join degrades only if a single key packs huge
+    event counts into one tolerance window, which is the output's own
+    size lower bound (the join cannot beat its result cardinality).
+
+    Output: key cols + (left_id, left ts, right_id, right ts,
+    delta_seconds = right - left, signed). Self-pairs are NOT excluded —
+    filter on ids downstream if left and right are the same table.
+    """
+    t = float(tolerance_seconds)
+    lb = F.floor(F.col(left_ts).cast("timestamp").cast("double") / F.lit(t))
+    rb = F.floor(F.col(right_ts).cast("timestamp").cast("double") / F.lit(t))
+    l = left.select(
+        *keys,
+        F.col(left_id),
+        F.col(left_ts).alias("_lts"),
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("_bk"),
+    )
+    r = right.select(
+        *keys,
+        F.col(right_id),
+        F.col(right_ts).alias("_rts"),
+        rb.alias("_bk"),
+    )
+    delta = (
+        F.col("_rts").cast("timestamp").cast("double")
+        - F.col("_lts").cast("timestamp").cast("double")
+    )
+    return (
+        l.join(r, [*keys, "_bk"])
+        .withColumn("delta_seconds", delta)
+        .filter(F.abs(F.col("delta_seconds")) <= F.lit(t))
+        .select(
+            *keys,
+            left_id,
+            F.col("_lts").alias(left_ts),
+            right_id,
+            F.col("_rts").alias(right_ts),
+            "delta_seconds",
+        )
+    )

@@ -331,3 +331,44 @@ def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
     )
+
+
+# Interval (time-proximity) self-join: event pairs on the same user within
+# 5 minutes of each other. The Spark side is the bucketized equi-join
+# (operators/asof.py:interval_join — 3|L|+|R| shuffle rows, never a per-key
+# nested loop); the oracle is DuckDB's native inequality join.
+_EVENT_PAIRS_ORACLE = """
+SELECT a.user_id,
+       a.event_id AS left_id, b.event_id AS right_id,
+       round(epoch(b.ts) - epoch(a.ts), 6) AS delta_seconds
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id <> b.event_id
+ AND abs(epoch(b.ts) - epoch(a.ts)) <= 300
+"""
+
+
+@register("event_pairs", _EVENT_PAIRS_ORACLE)
+def q_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-proximity pairs (asof.interval_join): every pair of events by
+    the same user within 300 s — the correlation/CEP primitive, joined as
+    a time-bucketized equi-join instead of a per-key nested loop."""
+    from ..operators.asof import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.select("user_id", F.col("event_id").alias("left_id"), "ts")
+    r = ev.select("user_id", F.col("event_id").alias("right_id"), "ts")
+    out = interval_join(
+        l.withColumnRenamed("ts", "lts"),
+        r.withColumnRenamed("ts", "rts"),
+        ["user_id"],
+        "lts",
+        "rts",
+        tolerance_seconds=300,
+        left_id="left_id",
+        right_id="right_id",
+    ).filter(F.col("left_id") != F.col("right_id"))
+    return out.select(
+        "user_id", "left_id", "right_id",
+        F.round("delta_seconds", 6).alias("delta_seconds"),
+    )

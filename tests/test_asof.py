@@ -139,3 +139,49 @@ def test_asof_join_rejects_name_collisions(spark):
         asof_join(
             left.withColumn("_r_v", F.lit(1)), right, ["k"], "ts", "rts", ["v"]
         )
+
+
+def test_interval_join_matches_brute_force_and_bucket_edges(spark):
+    """Bucketized interval join == the naive range-predicate join on a
+    fixture spanning bucket boundaries (pairs in adjacent and same
+    buckets, inclusive tolerance edge, cross-key exclusion)."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.asof import interval_join
+
+    rows = [
+        ("u1", 1, "2026-01-01 00:00:00"),
+        ("u1", 2, "2026-01-01 00:04:59"),   # 299 s from #1: in
+        ("u1", 3, "2026-01-01 00:05:00"),   # exactly 300 s from #1: in (<=)
+        ("u1", 4, "2026-01-01 00:10:01"),   # 301 s from #3: out
+        ("u2", 5, "2026-01-01 00:00:30"),   # other key: never pairs with u1
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, event_id long, ts string").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    l = ev.select("user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("lts"))
+    r = ev.select("user_id", F.col("event_id").alias("right_id"), F.col("ts").alias("rts"))
+    got = {
+        (x.left_id, x.right_id)
+        for x in interval_join(
+            l, r, ["user_id"], "lts", "rts", 300, "left_id", "right_id"
+        ).filter("left_id != right_id").collect()
+    }
+    brute = {
+        (a.event_id, b.event_id)
+        for a in ev.collect()
+        for b in ev.collect()
+        if a.user_id == b.user_id
+        and a.event_id != b.event_id
+        and abs((b.ts - a.ts).total_seconds()) <= 300
+    }
+    assert got == brute
+    assert (1, 3) in got and (3, 1) in got      # inclusive edge, both orders
+    assert (3, 4) not in got                     # 301 s: out
+    assert not any(5 in p and (1 in p or 2 in p) for p in got)
+
+    # plan: a pure equi-join — never a nested-loop range join
+    plan = interval_join(
+        l, r, ["user_id"], "lts", "rts", 300, "left_id", "right_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
