@@ -68,6 +68,54 @@ def stream_temporal_aggregate(
     )
 
 
+def stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: float,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the streaming form of
+    asof.interval_join: every same-key (left, right) pair whose event
+    times lie within ``tolerance_seconds``. Both sides carry a watermark
+    and the join condition bounds the event-time range, so Spark's
+    stream-stream join keeps only ``watermark + tolerance`` of state per
+    side and evicts the rest — bounded state by construction, the one
+    join class the stream-static jobs can't express (both sides live).
+
+    Column names must be disjoint across the two inputs (Spark
+    stream-stream joins resolve by name); ``keys`` lists pairs of
+    (left_key, right_key) column names. Emits left cols + right cols +
+    delta_seconds (right - left, signed). Watermark must be >= the
+    tolerance or qualifying pairs get evicted before their partner
+    arrives."""
+    t = float(tolerance_seconds)
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    # watermarks need TIMESTAMP, not NTZ (same cast rule as the windowed
+    # aggregate above)
+    l = left_stream
+    if dict(l.dtypes).get(left_ts) == "timestamp_ntz":
+        l = l.withColumn(left_ts, lt.cast("timestamp"))
+    r = right_stream
+    if dict(r.dtypes).get(right_ts) == "timestamp_ntz":
+        r = r.withColumn(right_ts, rt.cast("timestamp"))
+    l = l.withWatermark(left_ts, watermark)
+    r = r.withWatermark(right_ts, watermark)
+    cond = None
+    for lk, rk in keys:
+        c = F.col(lk) == F.col(rk)
+        cond = c if cond is None else (cond & c)
+    interval = F.expr(
+        f"{right_ts} BETWEEN {left_ts} - INTERVAL {t} SECONDS"
+        f" AND {left_ts} + INTERVAL {t} SECONDS"
+    )
+    cond = interval if cond is None else (cond & interval)
+    delta = rt.cast("double") - lt.cast("double")
+    return l.join(r, cond).withColumn("delta_seconds", delta)
+
+
 def stream_tag_learned_threshold(
     scored_stream: DataFrame,
     thresholds: DataFrame,

@@ -827,3 +827,68 @@ def test_stream_tag_learned_threshold_matches_batch_pipeline(spark, stream_dirs)
     scored_a = zscore.zscore(alien, stats, ["event_type"], ["value"])
     out = stream_tag_learned_threshold(scored_a, thr, ["event_type"]).collect()
     assert [r.label for r in out] == ["I"]
+
+
+def test_stream_interval_join_matches_batch(spark, stream_dirs):
+    """Watermarked stream-stream interval join emits exactly the batch
+    interval_join's pair set (both sides live; state bounded by
+    watermark + tolerance)."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.asof import interval_join
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_interval_join
+
+    src, chk = stream_dirs
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    schema = ev.schema
+    ls = (
+        spark.readStream.schema(schema).parquet(src)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("lts"),
+        )
+    )
+    rs = (
+        spark.readStream.schema(schema).parquet(src)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("rts"),
+        )
+    )
+    q = (
+        stream_interval_join(
+            ls, rs, [("l_user", "r_user")], "lts", "rts", 300, watermark="10 minutes"
+        )
+        .filter("left_id != right_id")
+        .writeStream.format("memory")
+        .queryName("sij_t")
+        .option("checkpointLocation", chk + "/sij")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.left_id, r.right_id)
+        for r in spark.sql("select left_id, right_id from sij_t").collect()
+    }
+    batch = {
+        (r.left_id, r.right_id)
+        for r in interval_join(
+            ev.select("user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("lts")),
+            ev.select("user_id", F.col("event_id").alias("right_id"), F.col("ts").alias("rts")),
+            ["user_id"],
+            "lts",
+            "rts",
+            300,
+            "left_id",
+            "right_id",
+        ).filter("left_id != right_id").collect()
+    }
+    assert got == batch and len(got) > 0
