@@ -19,6 +19,8 @@ median/MAD uses exact ``percentile`` (two passes) for oracle parity — swap to
 """
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -378,4 +380,86 @@ def key_skew_audit(
         )
         .orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols])
         .limit(k)
+    )
+
+
+def rolling_features(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value_col: str,
+    window: int = 5,
+    lags: Sequence[int] = (1,),
+) -> DataFrame:
+    """Per-key rolling/lag feature engineering — the standard ML feature
+    prep pass over an event series: trailing-``window`` mean/std/min/max
+    (current row included, partial windows allowed at the head) plus
+    ``lag_<k>`` columns. One exchange on the keys, one sort — the same
+    shape as every windowed scorer here; at 100 TB the bound is the
+    per-key sort spill, not memory.
+
+    Deterministic ordering: rows order by (ts, value) within a key so
+    same-timestamp rows cannot flip lag values between runs (the
+    repetition a raw ts orderBy would allow)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts).asc(), F.col(value_col).asc())
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    lw = Window.partitionBy(*keys).orderBy(F.col(ts).asc(), F.col(value_col).asc())
+    out = (
+        df.withColumn(f"roll_mean_{window}", F.avg(value_col).over(w))
+        .withColumn(f"roll_std_{window}", F.stddev_samp(value_col).over(w))
+        .withColumn(f"roll_min_{window}", F.min(value_col).over(w))
+        .withColumn(f"roll_max_{window}", F.max(value_col).over(w))
+    )
+    for k in lags:
+        out = out.withColumn(f"lag_{int(k)}", F.lag(value_col, int(k)).over(lw))
+    return out
+
+
+#: Benford first-digit expected shares, log10(1 + 1/d) — module-level so the
+#: Spark expression and the SQL oracle bake the IDENTICAL float literals
+BENFORD_SHARES = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_audit(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """First-significant-digit (Benford's-law) audit per key — the classic
+    fabricated/synthetic-data and unit-mismatch screen: per digit 1-9, the
+    observed share vs the Benford expectation log10(1+1/d) and the excess.
+    A key whose excesses are large and systematic (spikes at 1 and 5,
+    say) warrants a provenance look before the data trains anything.
+
+    Digit extraction is ENGINE-EXACT by construction: the value scales to
+    an integer first (floor(|v| * scale)) and the digit is the first
+    character of that integer's decimal rendering — integers render
+    identically everywhere, where a log10-based digit could flip at
+    power-of-10 ulp boundaries and double->string formatting differs
+    between engines. Zero/null values are excluded (no leading digit).
+
+    Scale shape: one partial-aggregated groupBy(keys, digit); the share
+    window runs over the <= 9-rows-per-key aggregated frame."""
+    iv = F.floor(F.abs(F.col(value_col)) * F.lit(int(scale))).cast("long")
+    base = df.select(*keys, iv.alias("_iv")).filter(F.col("_iv") > 0)
+    digit = F.substring(F.col("_iv").cast("string"), 1, 1).cast("int")
+    counts = base.withColumn("digit", digit).groupBy(*keys, "digit").agg(
+        F.count("*").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy(*keys))
+    expected = F.lit(None).cast("double")
+    for d, s in sorted(BENFORD_SHARES.items()):
+        expected = F.when(F.col("digit") == d, F.lit(s)).otherwise(expected)
+    share = F.col("n") / total
+    return counts.select(
+        *keys,
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(share - expected, 6).alias("excess"),
     )

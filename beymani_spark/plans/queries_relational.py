@@ -372,3 +372,80 @@ def q_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "left_id", "right_id",
         F.round("delta_seconds", 6).alias("delta_seconds"),
     )
+
+
+# Rolling/lag feature prep: trailing-5 window + lag-1, ordered (ts, value)
+# within each key so same-timestamp rows cannot flip lags between engines.
+_ROLLING_ORACLE = """
+SELECT event_id, event_type, value,
+       round(avg(value) OVER w5, 6) AS roll_mean_5,
+       round(stddev_samp(value) OVER w5, 6) AS roll_std_5,
+       round(min(value) OVER w5, 6) AS roll_min_5,
+       round(max(value) OVER w5, 6) AS roll_max_5,
+       round(lag(value, 1) OVER wl, 6) AS lag_1
+FROM events
+WINDOW w5 AS (PARTITION BY event_type ORDER BY ts, value
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       wl AS (PARTITION BY event_type ORDER BY ts, value)
+"""
+
+
+@register("rolling_features", _ROLLING_ORACLE)
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rolling/lag ML feature prep (profile.rolling_features):
+    trailing-5 mean/std/min/max + lag-1 per event_type, deterministic
+    (ts, value) ordering; one exchange, one sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = profile.rolling_features(
+        ev, ["event_type"], "ts", "value", window=5, lags=(1,)
+    )
+    out = out.select(
+        "event_id", "event_type", "value",
+        "roll_mean_5", "roll_std_5", "roll_min_5", "roll_max_5", "lag_1",
+    )
+    return _round(
+        out, ["roll_mean_5", "roll_std_5", "roll_min_5", "roll_max_5", "lag_1"]
+    )
+
+
+def _benford_oracle() -> str:
+    """First-digit audit oracle: the digit comes from the decimal rendering
+    of floor(|value|*100) (integers render identically in every engine —
+    a log10 digit could flip at power-of-10 ulp boundaries); the Benford
+    expectations are the SAME Python float literals the Spark expression
+    bakes (profile.BENFORD_SHARES)."""
+    from ..operators.profile import BENFORD_SHARES
+
+    case = " ".join(
+        f"WHEN digit = {d} THEN {s!r}" for d, s in sorted(BENFORD_SHARES.items())
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(floor(abs(value) * 100) AS BIGINT) AS iv
+  FROM events
+), dig AS (
+  SELECT event_type, CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM base WHERE iv > 0
+), c AS (
+  SELECT event_type, digit, count(*) AS n FROM dig GROUP BY event_type, digit
+), t AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.digit, CAST(c.n AS BIGINT) AS n,
+       round(c.n * 1.0 / t.total, 6) AS share,
+       round(CASE {case} END, 6) AS benford_share,
+       round(c.n * 1.0 / t.total - CASE {case} END, 6) AS excess
+FROM c JOIN t USING (event_type)
+"""
+
+
+@register("benford_audit", lambda sf_dir: _benford_oracle())
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit (Benford) audit (profile.benford_audit): per
+    event_type, observed digit shares vs log10(1+1/d) expectation — the
+    fabricated-data / unit-mismatch screen. Digit extracted via exact
+    integer rendering; one partial-agg groupBy, tiny share window."""
+    ev = load_table(spark, sf_dir, "events")
+    return profile.benford_audit(ev, ["event_type"], "value", scale=100)

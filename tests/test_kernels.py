@@ -615,3 +615,43 @@ def test_winsorize_clamps_and_flags(spark):
             assert r.value_w in (lo, hi)
     nulls = [r for r in out if r.k == "b" and r.value is None]
     assert nulls and not nulls[0].capped and nulls[0].value_w is None
+
+
+def test_rolling_features_hand_checked(spark):
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.profile import rolling_features
+
+    rows = [("k", i, float(v)) for i, v in enumerate([10, 20, 30, 40, 50, 60])]
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    out = {
+        r.ts: r
+        for r in rolling_features(df, ["k"], "ts", "value", window=3, lags=(1, 2)).collect()
+    }
+    assert out[0].roll_mean_3 == 10.0 and out[0].lag_1 is None
+    assert out[2].roll_mean_3 == 20.0 and out[2].roll_min_3 == 10.0
+    assert out[5].roll_mean_3 == 50.0 and out[5].roll_max_3 == 60.0
+    assert out[3].lag_1 == 30.0 and out[3].lag_2 == 20.0
+
+
+def test_benford_audit_digit_extraction_and_shares(spark):
+    """Digits come from the scaled-integer rendering: 0.05 -> 5, 123.4 ->
+    1, -67 -> 6; zeros/nulls excluded; shares sum to 1 per key and the
+    expectations are the Benford constants."""
+    import math
+
+    from beymani_spark.operators.profile import benford_audit
+
+    rows = [
+        ("a", 0.05), ("a", 123.4), ("a", -67.0), ("a", 0.0), ("a", None),
+        ("b", 999.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = benford_audit(df, ["k"], "value", scale=100).collect()
+    a = {r.digit: r for r in out if r.k == "a"}
+    assert set(a) == {5, 1, 6}
+    assert all(abs(r.share - round(1 / 3, 6)) < 1e-9 for r in a.values())
+    for d, r in a.items():
+        assert abs(r.benford_share - round(math.log10(1 + 1 / d), 6)) < 1e-9
+    b = [r for r in out if r.k == "b"]
+    assert len(b) == 1 and b[0].digit == 9 and b[0].share == 1.0
