@@ -449,3 +449,42 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rendering; one partial-agg groupBy, tiny share window."""
     ev = load_table(spark, sf_dir, "events")
     return profile.benford_audit(ev, ["event_type"], "value", scale=100)
+
+
+# Explicit pivot: per-user event-type count matrix. Pivot values are
+# PINNED (not inferred) so the plan is a single partial-aggregated
+# groupBy — value inference would cost an extra distinct scan — and the
+# output schema is deterministic for the hash compare.
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_USER_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+           for t in _EVENT_TYPES
+       )},
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY user_id
+"""
+
+
+@register("user_event_pivot", _USER_PIVOT_ORACLE)
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (groupBy().pivot() with pinned values):
+    the wide activity-matrix shape feature stores consume; one
+    partial-aggregated shuffle, no inference scan."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    total = None
+    for t in _EVENT_TYPES:
+        c = F.coalesce(F.col(t), F.lit(0)).cast("long")
+        total = c if total is None else total + c
+    return wide.select("user_id", *cols, total.alias("n_total"))

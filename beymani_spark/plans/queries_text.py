@@ -2137,3 +2137,68 @@ def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sampling.stratum_percentile(scored, "source", "quality", out_col="q_pct")
     return _round(out.select("doc_id", "source", "quality", "q_pct"), ["q_pct"])
+
+
+# Per-source data card: the one-stop corpus accounting row a release ships
+# with. mean_quality is an avg over doubles — the pricing_summary
+# precedent (partial-agg sum order differs from DuckDB's sequential sum
+# by ~1e-15 relative; round-6 absorbs it).
+_CURATION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, lang, text, {_TOKS_SQL} AS toks FROM documents
+), f AS (
+  SELECT doc_id, source, lang, len(toks) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({{stop}}, x))) * 1.0 / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+  FROM t
+), q AS (
+  SELECT doc_id, source, lang, n_tokens,
+         0.25 * least(1.0, n_tokens / 50.0)
+       + 0.25 * (1.0 - least(1.0, punct_ratio * 4.0))
+       + 0.25 * least(1.0, stopword_ratio * 5.0)
+       + 0.25 * type_token_ratio AS quality
+  FROM f
+), d AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS dup_count
+  FROM documents
+)
+SELECT q.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT q.lang) AS BIGINT) AS n_langs,
+       round(avg(q.quality), 6) AS mean_quality,
+       CAST(sum(CASE WHEN d.dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_docs,
+       round(sum(CASE WHEN d.dup_count > 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS dup_rate
+FROM q JOIN d USING (doc_id)
+GROUP BY q.source
+"""
+
+
+def _curation_oracle() -> str:
+    return _CURATION_ORACLE.format(stop=repr(text.STOPWORDS))
+
+
+@register("curation_report", lambda sf_dir: _curation_oracle())
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: docs, tokens, languages, mean quality, and
+    exact-dup mass in one row per source — the release-accounting summary
+    every corpus drop ships with. One codegen scan + one digest groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs)
+    d = dedup.exact_duplicates(docs, "doc_id")
+    j = q.select("doc_id", "source", "lang", "n_tokens", "quality").join(
+        d.select("doc_id", "dup_count"), "doc_id"
+    )
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.sum((F.col("dup_count") > 1).cast("long")).alias("dup_docs"),
+        F.round(
+            F.sum((F.col("dup_count") > 1).cast("long")) / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
