@@ -488,3 +488,46 @@ def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.coalesce(F.col(t), F.lit(0)).cast("long")
         total = c if total is None else total + c
     return wide.select("user_id", *cols, total.alias("n_total"))
+
+
+# JSON scalar-function surface over the semi-structured props column (the
+# reference has no JSON-on-data functions at all — SURVEY §2.6): extract a
+# typed field path and profile it per key, counting rows where the path is
+# missing/unparseable instead of silently dropping them.
+_JSON_STATS_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x GROUP BY event_type
+"""
+
+
+@register("json_field_stats", _JSON_STATS_ORACLE)
+def q_json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON-path extraction + per-key profile over the props column
+    (get_json_object stays codegen — no UDF, no schema inference pass);
+    unparseable/missing paths count as n - n_parsed rather than
+    vanishing."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("_k").alias("n_parsed"),
+            F.sum("_k").alias("sum_k"),
+            F.round(F.avg("_k"), 6).alias("avg_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
