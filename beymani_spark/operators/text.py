@@ -547,3 +547,45 @@ def token_freq_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.count("*").alias("n_types"),
         (F.count("*") * F.col("freq")).alias("n_occurrences"),
     ).select("freq", "n_types", "n_occurrences")
+
+
+def vocab_coverage(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("source",),
+    text_col: str = "text",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Tokenizer-budget coverage audit: fix the vocabulary to the corpus's
+    ``vocab_size`` most frequent tokens (count desc, token asc — the
+    vocab_topk rule) and report, per stratum, how much of the token
+    stream it covers: total occurrences, in-vocab occurrences, coverage
+    share, and distinct OOV types. The companion to zipf_spectrum /
+    context_length_plan when sizing a tokenizer: coverage tells you what
+    a budget BUYS, the spectrum what it costs.
+
+    Scale shape: one explode + one partial-agg groupBy(token) to |vocab|
+    rows, a TakeOrdered top-V over that aggregated frame, broadcast of
+    the V-row vocab back onto a second token pass, one partial-agg
+    groupBy(strata). Engine-exact: counts are longs, coverage is one
+    long/long division."""
+    toks = df.select(
+        *group_cols, F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("token").asc())
+        .limit(int(vocab_size))
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    j = toks.join(F.broadcast(vocab), "token", "left")
+    return j.groupBy(*group_cols).agg(
+        F.count("*").alias("n_occurrences"),
+        F.sum(F.col("_in_vocab").isNotNull().cast("long")).alias("n_covered"),
+        F.round(
+            F.sum(F.col("_in_vocab").isNotNull().cast("long")) / F.count("*"), 6
+        ).alias("coverage"),
+        F.count_distinct(
+            F.when(F.col("_in_vocab").isNull(), F.col("token"))
+        ).alias("oov_types"),
+    )

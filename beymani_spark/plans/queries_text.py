@@ -2202,3 +2202,41 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("dup_count") > 1).cast("long")) / F.count("*"), 6
         ).alias("dup_rate"),
     )
+
+
+# Tokenizer coverage: vocab = top-100 tokens corpus-wide (count desc,
+# token asc — the vocab_topk rule); per-source coverage of the token
+# stream. All integer arithmetic; coverage is one long/long division.
+_VOCAB_COVERAGE_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ORDER BY cnt DESC, token ASC LIMIT 100
+  )
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       round(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS coverage,
+       CAST(count(DISTINCT CASE WHEN v.token IS NULL THEN t.token END)
+            AS BIGINT) AS oov_types
+FROM toks t LEFT JOIN vocab v USING (token)
+GROUP BY t.source
+"""
+
+
+@register("vocab_coverage", _VOCAB_COVERAGE_ORACLE)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget coverage (text.vocab_coverage): share of each
+    source's token stream covered by the corpus-wide top-100 vocabulary,
+    plus distinct OOV types — what a vocab budget BUYS, next to
+    zipf_spectrum's what it costs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, ("source",), "text", vocab_size=100)
