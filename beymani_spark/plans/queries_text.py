@@ -193,6 +193,54 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(docs).select("doc_id", "lang", "pred_lang")
 
 
+# Heuristic-vs-label confusion matrix: the model-eval view of lang_id —
+# per (label, prediction) cell count plus the cell's share of its label
+# row (recall when lang == pred_lang). Composes the lang_id CTE verbatim.
+_LANG_CONFUSION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKS_SQL.replace("trim(text)", "trim(lower(text))")} AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         {_lang_hits_sql("en")} AS h_en, {_lang_hits_sql("es")} AS h_es,
+         {_lang_hits_sql("de")} AS h_de, {_lang_hits_sql("fr")} AS h_fr,
+         {_lang_hits_sql("zh")} AS h_zh
+  FROM t
+), p AS (
+  SELECT lang,
+         CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+              WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+              WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de'
+              WHEN h_fr >= h_zh THEN 'fr'
+              ELSE 'zh' END AS pred_lang
+  FROM h
+), c AS (
+  SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY lang, pred_lang
+), t2 AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY lang
+)
+SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+       round(c.n * 1.0 / t2.total, 6) AS label_share
+FROM c JOIN t2 USING (lang)
+"""
+
+
+@register("lang_confusion", _LANG_CONFUSION_ORACLE)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-prediction confusion matrix for the lang-ID heuristic —
+    the model-eval view every classifier in the pipeline should ship
+    with; diagonal cells' label_share is per-language recall."""
+    from pyspark.sql import Window as W
+
+    pred = text.lang_id(load_table(spark, sf_dir, "documents"))
+    counts = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(W.partitionBy("lang"))
+    return counts.select(
+        "lang", "pred_lang", "n",
+        F.round(F.col("n") / total, 6).alias("label_share"),
+    )
+
+
 _FINGERPRINT_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
