@@ -531,3 +531,101 @@ def q_json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# User-behavior analytics (operators/behavior.py): ordered funnel, cohort
+# retention, exact rolling active users — the event-analytics workloads a
+# training-data pipeline runs next to the anomaly operators (reference stops
+# at sessionization, SURVEY §2.6). All conversions/retention shares are
+# int/int divisions rounded to 6 on both sides (engine-exact).
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+c AS (
+  SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+       round(n_users * 1.0 / first_value(n_users)
+             OVER (ORDER BY step_idx), 6) AS conversion
+FROM c
+"""
+
+
+@register("funnel_steps", _FUNNEL_ORACLE)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered view->click->purchase funnel (behavior.funnel_steps):
+    each step keeps only users whose first qualifying event is strictly
+    after their first event of the previous step; per-step frames shrink
+    monotonically, so the plan is |steps| keyed aggregations."""
+    from ..operators.behavior import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+_COHORT_ORACLE = """
+WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+cells AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, a.d) AS day_offset,
+         count(*) AS n_active
+  FROM a JOIN f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       round(n_active * 1.0 /
+             max(CASE WHEN day_offset = 0 THEN n_active END)
+             OVER (PARTITION BY cohort_day), 6) AS retention
+FROM cells
+"""
+
+
+@register("cohort_retention", _COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention matrix (behavior.cohort_retention): first-touch
+    cohort per user, distinct activity days joined back on the user key,
+    retention as the round-6 share of the offset-0 cohort size."""
+    from ..operators.behavior import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+_ROLLING_ACTIVE_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+cov AS (SELECT user_id, d AS od,
+               unnest(generate_series(d, d + INTERVAL '6' DAY,
+                                      INTERVAL '1' DAY)) AS d2
+        FROM ud)
+SELECT d2 AS d,
+       count(DISTINCT CASE WHEN d2 = od THEN user_id END) AS n_active_1d,
+       count(DISTINCT user_id) AS n_active_wd
+FROM cov WHERE d2 <= (SELECT max(d) FROM ud)
+GROUP BY d2
+"""
+
+
+@register("rolling_active_users", _ROLLING_ACTIVE_ORACLE)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active users per day, DAU + WAU in one pass
+    (behavior.rolling_active_users): the deduplicated user-day frame
+    explodes by the window length (bounded 7x) and one distinct-count per
+    cover day replaces a per-day range self-join."""
+    from ..operators.behavior import rolling_active_users
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_active_users(ev, window_days=7)
