@@ -28,9 +28,12 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_hours: int | None = None,
 ) -> DataFrame:
     """Strict ordered funnel: a user is at step i iff they performed
-    ``steps[i]`` strictly AFTER their first qualifying time for step i-1.
+    ``steps[i]`` strictly AFTER their first qualifying time for step i-1
+    (and, when ``max_gap_hours`` is set, no later than that many hours
+    after it — the conversion-window variant product analytics uses).
 
     Returns one row per step: (step_idx, step, n_users, conversion) where
     conversion is the round-6 share of step-1 users still present (int/int
@@ -47,12 +50,15 @@ def funnel_steps(
         if prev is None:
             cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
         else:
-            cur = (
-                ev.join(prev.select("_u", F.col("_t").alias("_pt")), "_u")
-                .filter(F.col("_ts") > F.col("_pt"))
-                .groupBy("_u")
-                .agg(F.min("_ts").alias("_t"))
+            qual = ev.join(prev.select("_u", F.col("_t").alias("_pt")), "_u").filter(
+                F.col("_ts") > F.col("_pt")
             )
+            if max_gap_hours is not None:
+                qual = qual.filter(
+                    F.col("_ts")
+                    <= F.col("_pt") + F.expr(f"INTERVAL {max_gap_hours} HOUR")
+                )
+            cur = qual.groupBy("_u").agg(F.min("_ts").alias("_t"))
         counts.append(
             cur.agg(F.count("*").alias("n_users")).select(
                 F.lit(i + 1).alias("step_idx"), F.lit(step).alias("step"), "n_users"
@@ -143,4 +149,50 @@ def rolling_active_users(
             ),
             F.countDistinct("_u").alias("n_active_wd"),
         )
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event's value is credited to
+    the user's most recent PRECEDING non-conversion event type (``'none'``
+    when the conversion is the user's first event).  One user-keyed window
+    over per-user event sequences (bounded partitions — a user's history,
+    never the whole table), then a groupBy to |event types| rows:
+    (touch_type, n_conversions, total_value round-6, value_share round-6).
+
+    Ordering is (ts, id_col) on both engines so same-instant events
+    attribute deterministically.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = df.withColumn(
+        "_touch",
+        F.last(
+            F.when(F.col(type_col) != conversion_type, F.col(type_col)),
+            ignorenulls=True,
+        ).over(w),
+    )
+    conv = (
+        touched.filter(F.col(type_col) == conversion_type)
+        .groupBy(F.coalesce(F.col("_touch"), F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+    )
+    # |event types| rows — the single-partition share window is bounded
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return conv.withColumn(
+        "value_share", F.round(F.col("total_value") / F.sum("total_value").over(wt), 6)
     )

@@ -1108,3 +1108,64 @@ def dedup_stats(
         )
         .select("cluster_size", "n_clusters", "n_docs")
     )
+
+
+def source_similarity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard between corpus GROUPS (sources, snapshots,
+    shards): each group's shingle set is the union over its documents; one
+    row per co-occurring unordered pair (group_a < group_b) with the exact
+    intersection size and round-6 Jaccard — the source-overlap matrix a
+    curation report ranks "which crawls duplicate each other" from.
+
+    Scale shape: the exploded (group, shingle) frame is deduplicated with
+    one partial-aggregated shuffle, then pairs come from a per-shingle
+    groupBy whose collected group array is bounded by |groups| (a corpus
+    has tens of sources, not millions) — join volume is at most
+    |distinct shingles| x |groups|^2, never a doc-level self-join. Groups
+    sharing no shingle don't appear (their Jaccard is 0 by construction).
+    """
+    sh = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(shingles(F.col(text_col), n)).alias("_sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("_g").agg(F.count("*").alias("_n"))
+    per_gram = (
+        sh.groupBy("_sh")
+        .agg(F.sort_array(F.collect_set("_g")).alias("_gs"))
+        .filter(F.size("_gs") >= 2)
+    )
+    pairs = (
+        per_gram.select(F.explode("_gs").alias("source_a"), "_gs")
+        .select("source_a", F.explode("_gs").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("_g").alias("source_a"), F.col("_n").alias("_na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_g").alias("source_b"), F.col("_n").alias("_nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "intersection",
+            F.round(
+                F.col("intersection")
+                / (F.col("_na") + F.col("_nb") - F.col("intersection")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

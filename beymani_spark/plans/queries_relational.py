@@ -629,3 +629,164 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_active_users(ev, window_days=7)
+
+
+_FUNNEL_GAP_ORACLE = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t
+         AND e.ts <= s1.t + INTERVAL '48' HOUR GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+         AND e.ts <= s2.t + INTERVAL '48' HOUR GROUP BY e.user_id),
+c AS (
+  SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+       round(n_users * 1.0 / first_value(n_users)
+             OVER (ORDER BY step_idx), 6) AS conversion
+FROM c
+"""
+
+
+@register("funnel_time_bounded", _FUNNEL_GAP_ORACLE)
+def q_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (behavior.funnel_steps max_gap_hours=48):
+    each step must land strictly after AND within 48h of the previous
+    step's first qualifying time — the time-bounded variant product
+    analytics reports; the plan is the same shrinking keyed aggregations."""
+    from ..operators.behavior import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"], max_gap_hours=48)
+
+
+_ATTRIBUTION_ORACLE = """
+WITH t AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+), conv AS (
+  SELECT coalesce(touch, 'none') AS touch_type,
+         count(*) AS n_conversions,
+         round(sum(value), 6) AS total_value
+  FROM t WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT touch_type, n_conversions, total_value,
+       round(total_value / sum(total_value) OVER (), 6) AS value_share
+FROM conv
+"""
+
+
+@register("last_touch_attribution", _ATTRIBUTION_ORACLE)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (behavior.last_touch_attribution):
+    purchase value credited to the user's most recent preceding
+    non-purchase event type via one user-keyed IGNORE-NULLS window
+    (deterministic (ts, event_id) ordering on both engines), aggregated
+    to |event types| rows."""
+    from ..operators.behavior import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(ev)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped join-strategy queries: a 3-table selective join with top-k
+# pushdown (Q3 shape) and a conditional semi-join (Q4 shape). These exercise
+# the planner paths a warehouse workload leans on at 100 TB — selective
+# dimension filters feeding shuffled fact joins (AQE picks broadcast when the
+# filtered side fits), TakeOrderedAndProject instead of a global sort, and a
+# left-semi join that never materializes the many-rows side.
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority", _SHIPPING_PRIORITY_ORACLE)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped-revenue orders for one market segment (TPC-H Q3
+    shape): segment-filtered customers join date-filtered orders and
+    lineitems, aggregate revenue, then a limit-10 ordered by the ROUND-6
+    revenue with an o_orderkey tie-break so the top-k set is deterministic
+    on both engines. The plan ends in TakeOrderedAndProject — per-partition
+    heaps, never a global sort."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+_LATE_SHIPMENT_ORACLE = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("late_shipment_priority", _LATE_SHIPMENT_ORACLE)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority with at least one lineitem shipped >90 days after
+    the order date, over one order-date half-year (TPC-H Q4 shape): a LEFT
+    SEMI join on the order key with the late-shipment residual predicate —
+    existence semantics without materializing or deduplicating the
+    many-lineitems side."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -2288,3 +2288,34 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipf_spectrum's what it costs."""
     docs = load_table(spark, sf_dir, "documents")
     return text.vocab_coverage(docs, ("source",), "text", vocab_size=100)
+
+
+_SOURCE_SIM_ORACLE = f"""
+WITH t AS (
+  SELECT source, {_TOKS_SQL} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT source, unnest({_SHINGLE_SQL}) AS g FROM t
+), sz AS (
+  SELECT source, count(*) AS n FROM sh GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS intersection
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.intersection,
+       round(i.intersection * 1.0 / (za.n + zb.n - i.intersection), 6) AS jaccard
+FROM inter i
+JOIN sz za ON za.source = i.source_a
+JOIN sz zb ON zb.source = i.source_b
+"""
+
+
+@register("source_similarity", _SOURCE_SIM_ORACLE)
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap matrix (dedup.source_similarity): exact shingle-set
+    Jaccard between every co-occurring pair of sources — the
+    which-crawls-duplicate-each-other view over the same shingle machinery
+    the doc-level dedup family uses; pair generation is per-shingle with
+    arrays bounded by |sources|, never a doc-level self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.source_similarity(docs, "source", "text", n=3)
