@@ -86,6 +86,7 @@ HEAVY = [
     "cdc_chunk_dedup",
     "ngram_novelty",
     "semantic_leak_check",
+    "source_similarity",
 ]
 
 

@@ -196,3 +196,50 @@ def last_touch_attribution(
     return conv.withColumn(
         "value_share", F.round(F.col("total_value") / F.sum("total_value").over(wt), 6)
     )
+
+
+def event_gaps(
+    df: DataFrame,
+    min_gap_hours: float = 24.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key activity-gap (outage) detection: every pair of CONSECUTIVE
+    events for a key separated by at least ``min_gap_hours`` becomes one
+    row (key, gap_start, gap_end, gap_hours) — the "which sensors went
+    dark, when, for how long" report, and the inverse of sessionize()
+    (rollup.py:184): sessionize groups the activity between gaps, this
+    returns the gaps themselves.
+
+    Timestamps are compared in integer epoch SECONDS (the repo's
+    engine-parity convention — rollup.py:203) and gap_hours is the round-6
+    quotient by 3600, so both engines agree bit-for-bit. Ordering within a
+    key is (ts, id) so same-instant events pair deterministically.
+
+    Scale shape: one hash exchange on the key + a per-key ordered window —
+    partitions are one key's history, bounded by per-key event counts,
+    never the whole table; the filter drops non-gap rows before anything
+    downstream."""
+    # NTZ fixture timestamps: cast via session-UTC timestamp to epoch longs
+    # (rollup.py:203 convention)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(epoch).over(w)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    return (
+        df.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col),
+            (epoch - prev).alias("_gap_s"),
+            prev_ts.alias("gap_start"),
+        )
+        .filter(F.col("_gap_s") >= int(min_gap_hours * 3600))
+        .select(
+            F.col(user_col),
+            "gap_start",
+            F.col(ts_col).alias("gap_end"),
+            F.round(F.col("_gap_s") / 3600.0, 6).alias("gap_hours"),
+        )
+    )

@@ -384,3 +384,43 @@ def stratum_percentile(
     sort (spills, never OOMs) — the stratified_rank_filter shape."""
     w = Window.partitionBy(stratum_col).orderBy(F.col(value_col).asc())
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): keep the ``k`` rows with the smallest
+    ``key = -ln(u(id)) / weight`` — each row's inclusion probability is
+    proportional to its weight, and like every sampler here the draw is a
+    pure function of (id, seed): re-running on more executors, resuming, or
+    replaying in another engine yields the SAME k rows. The "sample 1M docs
+    proportional to quality" primitive a curation pipeline needs once rates
+    alone can't hit an exact budget.
+
+    ``u`` is the exact dyadic hash uniform shifted by 2^-33 (still exactly
+    representable: (2m+1)/2^33, 33 bits < 53) so u=0 can't produce an
+    infinite key. ln() is the one non-dyadic step; adjacent keys in any
+    realistic frame are separated by ~range/n >> 1 ulp, and ties break on
+    id, so the kept SET is engine-stable (key values themselves are
+    emitted round-6 for the hash). Rows with weight <= 0 or NULL are
+    excluded (zero mass).
+
+    Scale shape: one narrow codegen scan computing the key, then a global
+    top-k — Spark plans orderBy().limit(k) as TakeOrderedAndProject:
+    per-partition k-row heaps + a k-row driver merge, never a global sort
+    or a single-partition window. 100 TB in, k rows shuffled out.
+    """
+    u = hash_uniform(F.col(id_col), seed) + F.lit(2.0 ** -33)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(key_col, key)
+        .orderBy(key_col, id_col)
+        .limit(int(k))
+    )

@@ -790,3 +790,143 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+_EVENT_GAPS_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         lag(ts) OVER w AS gap_start,
+         ts AS gap_end,
+         floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, gap_start, gap_end, round(gap_s / 3600.0, 6) AS gap_hours
+FROM g WHERE gap_s >= 3600 * 24
+"""
+
+
+@register("event_gaps", _EVENT_GAPS_ORACLE)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-gap report (behavior.event_gaps): consecutive
+    events >= 24h apart — the which-keys-went-dark inverse of
+    sessionize(). Integer epoch-second arithmetic (rollup.py parity
+    convention); one user-keyed exchange, bounded partitions."""
+    from ..operators.behavior import event_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_gaps(ev, min_gap_hours=24.0)
+
+
+_CONSTRAINT_AUDIT_ORACLE = """
+SELECT 'completeness(o_custkey)' AS constraint, 'o_custkey' AS col_name,
+       round(count(o_custkey) * 1.0 / count(*), 6) AS metric,
+       1.0 AS threshold
+FROM orders
+UNION ALL
+SELECT 'uniqueness(o_orderkey)', 'o_orderkey',
+       round(count(DISTINCT o_orderkey) * 1.0 / count(*), 6), 1.0
+FROM orders
+UNION ALL
+SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
+       round(sum(CASE WHEN o_orderstatus IN ('O', 'F') THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6), 0.99
+FROM orders
+UNION ALL
+SELECT 'bounds(o_totalprice)', 'o_totalprice',
+       round(sum(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= 400000.0
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6), 0.95
+FROM orders
+"""
+
+_CONSTRAINT_AUDIT_ORACLE = (
+    "SELECT *, metric >= threshold AS passed FROM (" + _CONSTRAINT_AUDIT_ORACLE + ")"
+)
+
+
+@register("constraint_audit", _CONSTRAINT_AUDIT_ORACLE)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate over orders
+    (constraints.constraint_audit): completeness, key uniqueness,
+    accepted status values, price bounds — the whole suite evaluated in
+    ONE aggregation pass (conditional partial aggs + one Expand for the
+    distinct), then unpivoted to one row per constraint."""
+    from ..operators.constraints import constraint_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return constraint_audit(
+        orders,
+        [
+            {"kind": "completeness", "column": "o_custkey", "threshold": 1.0},
+            {"kind": "uniqueness", "column": "o_orderkey", "threshold": 1.0},
+            {
+                "kind": "accepted_values",
+                "column": "o_orderstatus",
+                "values": ["O", "F"],
+                "threshold": 0.99,
+            },
+            {
+                "kind": "bounds",
+                "column": "o_totalprice",
+                "lo": 0.0,
+                "hi": 400000.0,
+                "threshold": 0.95,
+            },
+        ],
+    )
+
+
+_REFERENTIAL_AUDIT_ORACLE = """
+WITH k AS (
+  SELECT l_orderkey AS _k, count(*) AS _n FROM lineitem GROUP BY 1
+), o AS (
+  SELECT coalesce(sum(_n), 0) AS n_orphans FROM k
+  WHERE _k NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT CAST((SELECT sum(_n) FROM k) AS BIGINT) AS n_child,
+       CAST(o.n_orphans AS BIGINT) AS n_orphans,
+       round(((SELECT sum(_n) FROM k) - o.n_orphans)
+             / (SELECT sum(_n) FROM k), 6) AS metric,
+       o.n_orphans = 0 AS passed
+FROM o
+"""
+
+
+@register("referential_audit", _REFERENTIAL_AUDIT_ORACLE)
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity gate (constraints.referential_audit):
+    lineitem.l_orderkey containment in orders.o_orderkey. The fact table
+    collapses to distinct keys BEFORE the anti-join probe, so the 100 TB
+    side is scanned once and the probe runs on key cardinality."""
+    from ..operators.constraints import referential_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return referential_audit(li, "l_orderkey", orders, "o_orderkey")
+
+
+_FUZZY_NAME_ORACLE = """
+WITH n AS (
+  SELECT p_name AS name, count(*) AS n FROM part
+  WHERE p_name IS NOT NULL AND length(p_name) > 0 GROUP BY 1
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS dist, a.n AS n_a, b.n AS n_b
+FROM n a JOIN n b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+@register("fuzzy_name_match", _FUZZY_NAME_ORACLE)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-level fuzzy entity match (linkage.fuzzy_name_match):
+    pairs of distinct part names within Levenshtein distance 1 with
+    occurrence mass, via the lossless deletion-neighborhood blocker
+    (SymSpell) — rows collapse to the name dictionary first, candidates
+    come from one equi-join on the variant hash, and exact levenshtein
+    verifies candidates only. No cross join at any stage; the oracle's
+    quadratic scan is over the 64-name dictionary."""
+    from ..operators.linkage import fuzzy_name_match
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_name_match(part, "p_name", max_dist=1)

@@ -2319,3 +2319,30 @@ def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays bounded by |sources|, never a doc-level self-join."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.source_similarity(docs, "source", "text", n=3)
+
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         -ln({_U_SQL} + 1.1641532182693481e-10) / n_chars AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, round(k, 6) AS sample_key
+FROM r ORDER BY k, doc_id LIMIT 500
+"""
+
+
+@register("weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (sampling.weighted_sample,
+    Efraimidis-Spirakis): the 500 docs kept with probability proportional
+    to n_chars, as a pure function of (doc_id, seed) — rerun-stable and
+    engine-replayable. Plans as TakeOrderedAndProject (per-partition
+    top-k heaps), never a global sort."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.weighted_sample(docs, "doc_id", "n_chars", k=500, seed=42)
+    return out.select(
+        "doc_id", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    )

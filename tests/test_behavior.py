@@ -120,3 +120,25 @@ def test_behavior_plan_shapes(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in fplan
+
+
+def test_event_gaps_basic(spark):
+    import datetime as dt
+
+    from beymani_spark.operators.behavior import event_gaps
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        # user 1: 2h gap, then 30h gap
+        (1, 1, t0), (2, 1, t0 + dt.timedelta(hours=2)),
+        (3, 1, t0 + dt.timedelta(hours=32)),
+        # user 2: single event -> no gap rows
+        (4, 2, t0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = event_gaps(df, min_gap_hours=24.0)
+    got = [(r.user_id, r.gap_hours) for r in out.collect()]
+    assert got == [(1, 30.0)]
+    r = out.first()
+    assert r.gap_start == t0 + dt.timedelta(hours=2)
+    assert r.gap_end == t0 + dt.timedelta(hours=32)

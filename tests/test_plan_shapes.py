@@ -632,3 +632,46 @@ def test_topic_share_drift_narrow_aggregates_only(spark):
 
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert keys and all(k.startswith("topic") for k in keys), keys
+
+
+def test_weighted_sample_is_takeordered_not_global_sort(spark):
+    """A-ES top-k must plan as TakeOrderedAndProject (per-partition heaps),
+    never a global Sort + Limit over the full frame."""
+    from beymani_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents")
+    out = sampling.weighted_sample(docs, "doc_id", "n_chars", k=100)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
+def test_constraint_audit_single_scan_partial_aggs(spark):
+    """The whole constraint suite evaluates in ONE scan of the table with
+    map-side partial aggregation; only one FileScan may appear."""
+    from beymani_spark.operators.constraints import constraint_audit
+
+    orders = load_table(spark, SF, "orders")
+    out = constraint_audit(
+        orders,
+        [
+            {"kind": "completeness", "column": "o_custkey", "threshold": 1.0},
+            {"kind": "bounds", "column": "o_totalprice", "lo": 0, "hi": 1e6,
+             "threshold": 0.9},
+        ],
+    )
+    plan = _plan(out)
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan
+
+
+def test_fuzzy_match_no_cartesian_hashed_key_join(spark):
+    """Candidate pairs must come from an equi-join on the variant hash —
+    never a cartesian/nested-loop product of the name dictionary."""
+    from beymani_spark.operators.linkage import fuzzy_name_match
+
+    part = load_table(spark, SF, "part")
+    out = fuzzy_name_match(part, "p_name", max_dist=1)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan

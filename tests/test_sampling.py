@@ -403,3 +403,32 @@ def test_ngram_novelty_hand_checked(spark):
     assert out[2].novelty == 0.0 and out[2].n_novel == 0
     assert out[3].n_grams == 3 and out[3].n_novel == 2
     assert abs(out[3].novelty - round(2 / 3, 6)) < 1e-12
+
+
+def test_weighted_sample_determinism_and_bias(spark, docs):
+    out = sampling.weighted_sample(docs, "doc_id", "n_chars", k=200, seed=42)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert len(ids) == 200
+    # pure function of (id, seed): repartitioning must not change the set
+    out2 = sampling.weighted_sample(
+        docs.repartition(13), "doc_id", "n_chars", k=200, seed=42
+    )
+    assert sorted(r.doc_id for r in out2.collect()) == ids
+    # weight bias: sampled docs should skew longer than the corpus mean
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_smp = out.agg(F.avg("n_chars")).first()[0]
+    assert mean_smp > mean_all
+    # k >= n degenerates to "all positive-weight rows"
+    n = docs.count()
+    assert (
+        sampling.weighted_sample(docs, "doc_id", "n_chars", k=n + 10).count()
+        == docs.filter(F.col("n_chars") > 0).count()
+    )
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -5.0), (4, None), (5, 3.0)], ["id", "w"]
+    )
+    kept = {r.id for r in sampling.weighted_sample(df, "id", "w", k=10).collect()}
+    assert kept == {1, 5}
