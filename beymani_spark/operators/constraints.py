@@ -61,8 +61,13 @@ def constraint_audit(df: DataFrame, constraints: Sequence[Mapping]) -> DataFrame
     from the 1-row aggregate on the driver-free stack() path."""
     if not constraints:
         raise ValueError("constraint_audit requires at least one constraint")
+    # Guard the empty-frame edge: 0/0 double division is NaN, and Spark
+    # orders NaN ABOVE every value, so an unguarded empty batch would PASS
+    # every constraint. An empty batch reports metric NULL and fails.
+    n = F.count(F.lit(1))
     aggs = [
-        F.round(_metric(c), 6).alias(f"_m{i}") for i, c in enumerate(constraints)
+        F.when(n > 0, F.round(_metric(c), 6)).alias(f"_m{i}")
+        for i, c in enumerate(constraints)
     ]
     one = df.agg(*aggs)
     # unpivot the 1-row aggregate to (constraint, column, metric, threshold)
@@ -83,7 +88,9 @@ def constraint_audit(df: DataFrame, constraints: Sequence[Mapping]) -> DataFrame
         "col_name",
         "metric",
         "threshold",
-        (F.col("metric") >= F.col("threshold")).alias("passed"),
+        F.coalesce(F.col("metric") >= F.col("threshold"), F.lit(False)).alias(
+            "passed"
+        ),
     )
 
 

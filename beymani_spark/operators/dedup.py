@@ -39,18 +39,34 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column."""
+    """Distinct word n-gram shingles of a text column.
+
+    Built by chained ``zip_with`` over shifted slices, NOT by indexing the
+    token array inside a ``transform`` lambda: expressions referenced from
+    a higher-order-function body are re-evaluated PER ELEMENT (codegen
+    subexpression elimination does not reach through lambdas), so the
+    obvious ``element_at(tokens(text), i+j)`` form re-splits the text once
+    per gram position — quadratic per document (measured 13x slower at
+    sf0.1). ``zip_with``/``slice`` evaluate their array children once per
+    row, so this form costs O(n) splits per row. Callers that already
+    project the token array (exploded_shingles) stay on their single-split
+    path."""
     t = tokens(text)
     size = F.size(t)
-    grams = F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+    grams = t
+    for j in range(1, n):
+        # zip_with pads the shorter side with NULLs to the longer length;
+        # slice the tail off so no truncated gram survives
+        grams = F.slice(
+            F.zip_with(
+                grams,
+                F.slice(t, j + 1, F.greatest(size - j, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+            1,
+            F.greatest(size - j, F.lit(0)),
+        )
+    grams = F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -1122,8 +1138,10 @@ def source_similarity(
     intersection size and round-6 Jaccard — the source-overlap matrix a
     curation report ranks "which crawls duplicate each other" from.
 
-    Scale shape: the exploded (group, shingle) frame is deduplicated with
-    one partial-aggregated shuffle, then pairs come from a per-shingle
+    Scale shape: shingles collapse to a TWO-SEED xxhash64 composite (16
+    bytes, exact for practical purposes — the chunk_dedup hashed-key
+    convention) BEFORE the distinct, so the data-sized shuffle carries
+    longs, never raw shingle strings; pairs then come from a per-shingle
     groupBy whose collected group array is bounded by |groups| (a corpus
     has tens of sources, not millions) — join volume is at most
     |distinct shingles| x |groups|^2, never a doc-level self-join. Groups
@@ -1134,11 +1152,16 @@ def source_similarity(
             F.col(group_col).alias("_g"),
             F.explode(shingles(F.col(text_col), n)).alias("_sh"),
         )
+        .select(
+            "_g",
+            F.xxhash64("_sh").alias("_h1"),
+            F.xxhash64("_sh", F.lit(1)).alias("_h2"),
+        )
         .distinct()
     )
     sizes = sh.groupBy("_g").agg(F.count("*").alias("_n"))
     per_gram = (
-        sh.groupBy("_sh")
+        sh.groupBy("_h1", "_h2")
         .agg(F.sort_array(F.collect_set("_g")).alias("_gs"))
         .filter(F.size("_gs") >= 2)
     )

@@ -930,3 +930,40 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     return fuzzy_name_match(part, "p_name", max_dist=1)
+
+
+_SMALL_QTY_ORACLE = """
+WITH lim AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qlim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand, round(sum(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+FROM lineitem l
+JOIN lim ON l.l_partkey = lim.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < lim.qlim
+GROUP BY p.p_brand
+"""
+
+
+@register("small_quantity_revenue", _SMALL_QTY_ORACLE)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue of below-one-fifth-of-average-quantity lineitems
+    (TPC-H Q17 shape, de-correlated): the scalar subquery becomes one
+    partial-aggregated per-part average joined back to the fact on the
+    part key, then the brand dim joins in — the decorrelation Catalyst
+    itself applies to Q17. l_quantity is integer-valued so the 0.2*avg
+    limit is bit-exact on both engines regardless of summation order;
+    revenue is round-6 by convention."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lim = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("_qlim"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(lim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qlim"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )

@@ -113,3 +113,16 @@ def test_referential_audit(spark):
     # 9 and NULL are orphans (2 of 5 rows)
     assert (row.n_child, row.n_orphans, row.passed) == (5, 2, False)
     assert row.metric == 0.6
+
+
+def test_constraint_audit_empty_frame_fails_not_passes(spark):
+    """0/0 double division is NaN and Spark sorts NaN above everything —
+    an unguarded empty batch would silently PASS its gate. It must fail
+    with a NULL metric instead."""
+    df = spark.createDataFrame([], "id INT, v DOUBLE")
+    rows = constraint_audit(
+        df, [{"kind": "completeness", "column": "v", "threshold": 0.9}]
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].metric is None
+    assert rows[0].passed is False
