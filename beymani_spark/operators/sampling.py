@@ -424,3 +424,34 @@ def weighted_sample(
         .orderBy(key_col, id_col)
         .limit(int(k))
     )
+
+
+def weighted_sample_by(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    stratum_col: str,
+    k: int,
+    seed: int = 42,
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: ``k`` rows PER
+    ``stratum_col`` group, each kept with probability proportional to
+    ``weight_col`` within its stratum (the "500 docs per language,
+    quality-weighted" budget draw). Same A-ES key as weighted_sample —
+    deterministic in (id, seed), engine-replayable; strata smaller than k
+    keep all their positive-weight rows.
+
+    Scale shape: ONE hash exchange on the stratum key + a per-stratum
+    window sort (spills, never OOMs) — the stratified_rank_filter shape;
+    ties break on id so the kept set is stable."""
+    u = hash_uniform(F.col(id_col), seed) + F.lit(2.0 ** -33)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(stratum_col).orderBy(key_col, id_col)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(key_col, key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )

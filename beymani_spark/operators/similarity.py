@@ -838,16 +838,36 @@ def quantize_int8(
 
     The dequantized value is code_i / scale; downstream ANN operators can
     run on codes with int arithmetic (the standard IVF/PQ storage layout's
-    simplest form)."""
+    simplest form).
+
+    scale and codes are projected as REAL columns between steps: an
+    expression referenced from inside a transform lambda is re-evaluated
+    per element (no subexpression elimination through HOF lambdas), so
+    inlining scale into the codes lambda would recompute the array_max
+    per component — O(d²) per row."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, F.abs))
-    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0))
-    codes = F.transform(v, lambda x: F.round(x * scale).cast("int"))
-    return df.select(
+    scaled = df.select(
         F.col(id_col),
-        scale.alias("scale"),
-        codes.alias("codes"),
+        v.alias("_v"),
+        F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0)).alias(
+            "scale"
+        ),
+    )
+    coded = scaled.select(
+        id_col,
+        "scale",
+        F.transform(
+            "_v", lambda x: F.round(x * F.col("scale")).cast("int")
+        ).alias("codes"),
+    )
+    return coded.select(
+        id_col,
+        "scale",
+        "codes",
         F.aggregate(
-            codes, F.lit(0).cast("long"), lambda acc, c: acc + F.abs(c).cast("long")
+            F.col("codes"),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + F.abs(c).cast("long"),
         ).alias("q_l1"),
     )

@@ -2346,3 +2346,34 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_chars", F.round("sample_key", 6).alias("sample_key")
     )
+
+
+_WEIGHTED_SAMPLE_BY_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         -ln({_U_SQL} + 1.1641532182693481e-10) / n_chars AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), ranked AS (
+  SELECT doc_id, lang, n_chars, k,
+         row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+  FROM r
+)
+SELECT lang, doc_id, n_chars, round(k, 6) AS sample_key
+FROM ranked WHERE rn <= 100
+"""
+
+
+@register("weighted_sample_by", _WEIGHTED_SAMPLE_BY_ORACLE)
+def q_weighted_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample (sampling.weighted_sample_by): 100
+    docs per lang, length-weighted — the per-domain budget draw. One
+    stratum exchange + per-stratum window; deterministic in (id, seed)."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.weighted_sample_by(
+        docs, "doc_id", "n_chars", "lang", k=100, seed=42
+    )
+    return out.select(
+        "lang", "doc_id", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    )

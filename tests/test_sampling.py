@@ -432,3 +432,21 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     kept = {r.id for r in sampling.weighted_sample(df, "id", "w", k=10).collect()}
     assert kept == {1, 5}
+
+
+def test_weighted_sample_by_per_stratum_budget(spark, docs):
+    out = sampling.weighted_sample_by(docs, "doc_id", "n_chars", "lang", k=50)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    pops = {r.lang: r.n for r in docs.filter(F.col("n_chars") > 0)
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(50, pops[lang])
+    # deterministic under repartition
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in sampling.weighted_sample_by(
+            docs.repartition(7), "doc_id", "n_chars", "lang", k=50
+        ).collect()
+    )
+    assert a == b
