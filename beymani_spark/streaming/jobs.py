@@ -798,3 +798,50 @@ def stream_near_dup_verified(
         .filter(F.col("jaccard") >= F.lit(float(min_jaccard)))
         .select(id_col, corpus_id_col, "jaccard")
     )
+
+
+def stream_constraint_gate(
+    stream_df: DataFrame,
+    constraints: Sequence,
+    audit_path: str,
+    out_path: str,
+    checkpoint: str,
+    mode: str = "reject_batch",
+):
+    """Per-micro-batch data-quality gate (the streaming form of
+    constraints.constraint_audit): each micro-batch is audited against the
+    declarative suite in one aggregation pass; the audit rows (stamped
+    with batch_id) append to ``audit_path``, and the batch's DATA appends
+    to ``out_path`` only if every constraint passed (``mode=
+    'reject_batch'`` — a bad ingest batch is quarantined whole, the
+    standard write-audit-publish pattern) or unconditionally
+    (``mode='tag_only'``, audit trail without gating).
+
+    foreachBatch gives exactly-once via the checkpoint's batch-id ledger
+    as long as the writes are idempotent per batch_id; plain parquet
+    append can duplicate the LAST batch after a crash between the two
+    writes — at scale, point both paths at a transactional table format
+    or partition by batch_id and overwrite. State held: none (the audit
+    is a 1-row aggregate per batch; nothing carries across batches).
+
+    Returns the StreamingQuery."""
+    if mode not in ("reject_batch", "tag_only"):
+        raise ValueError("mode must be 'reject_batch' or 'tag_only'")
+    from ..operators.constraints import constraint_audit
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        audit = constraint_audit(batch_df, constraints).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        rows = audit.collect()  # |constraints| rows — bounded by the suite
+        audit.sparkSession.createDataFrame(rows, audit.schema).write.mode(
+            "append"
+        ).parquet(audit_path)
+        if mode == "tag_only" or all(r.passed for r in rows):
+            batch_df.write.mode("append").parquet(out_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

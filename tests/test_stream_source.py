@@ -157,3 +157,48 @@ def test_kafka_branch_fails_with_clear_error_without_connector(spark):
                 "subscribe": "events",
             },
         )
+
+
+def test_stream_constraint_gate_quarantines_bad_batch(spark, tmp_path):
+    """Two file micro-batches: one clean, one violating the bounds
+    constraint — the audit ledger records both, the output path holds only
+    the clean batch's rows."""
+    import time
+
+    from beymani_spark.streaming.jobs import stream_constraint_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    audit_p, out_p = str(tmp_path / "audit"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    good = spark.createDataFrame([(1, 5.0), (2, 7.0)], ["id", "v"])
+    good.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+
+    stream = (
+        spark.readStream.schema("id BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_constraint_gate(
+        stream,
+        [{"kind": "bounds", "column": "v", "lo": 0.0, "hi": 10.0, "threshold": 1.0}],
+        audit_p,
+        out_p,
+        ckpt,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            bad = spark.createDataFrame([(3, 99.0), (4, 1.0)], ["id", "v"])
+            bad.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+            q.processAllAvailable()
+            break
+    finally:
+        q.stop()
+
+    audit = spark.read.parquet(audit_p).orderBy("batch_id").collect()
+    assert [r.passed for r in audit] == [True, False]
+    assert audit[1].metric == 0.5
+    out = spark.read.parquet(out_p)
+    assert sorted(r.id for r in out.collect()) == [1, 2]
