@@ -967,3 +967,42 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )
+
+
+_PROMO_SHARE_ORACLE = """
+SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+       round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
+@register("promo_revenue_share", _PROMO_SHARE_ORACLE)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly promo revenue share (TPC-H Q14 shape, grouped by month
+    instead of filtered to one): the conditional-aggregate ratio over a
+    fact-dim join — the dim side is small and broadcast, the fact table
+    aggregates with map-side partials, and the ratio is computed on the
+    aggregated frame (never per row)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 6).alias("revenue"),
+        )
+    )
