@@ -158,3 +158,52 @@ def test_dedup_clusters_giant_chain_converges_logarithmically(spark):
     import math
 
     assert stats["rounds"] <= math.ceil(math.log2(n)) + 2, stats
+
+
+def test_behavior_windows_giant_user_complete(spark):
+    """A bot user with 10x the median history: the behavior family's
+    user-keyed windows (attribution, gaps) must stay per-key-complete —
+    one window sort per user, spill-not-OOM (SCALE.md behavior row)."""
+    import datetime as dt
+
+    from beymani_spark.operators.behavior import event_gaps, last_touch_attribution
+
+    t0 = dt.datetime(2025, 1, 1)
+    big = spark.range(BIG_N).select(
+        F.col("id").alias("event_id"),
+        F.lit(7).alias("user_id"),
+        (F.lit(t0) + F.make_interval(mins=F.col("id").cast("int"))).alias("ts"),
+        F.when(F.col("id") % 100 == 99, F.lit("purchase"))
+        .otherwise(F.lit("view"))
+        .alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    small = spark.range(SMALL_N).select(
+        (F.col("id") + BIG_N).alias("event_id"),
+        (F.col("id") % 4).alias("user_id"),
+        (F.lit(t0) + F.make_interval(hours=F.col("id").cast("int"))).alias("ts"),
+        F.lit("purchase").alias("event_type"),
+        F.lit(2.0).alias("value"),
+    )
+    ev = big.unionByName(small).repartition(32)
+
+    att = {r.touch_type: r.n_conversions for r in last_touch_attribution(ev).collect()}
+    # big user: every 100th event is a purchase preceded by views -> 200
+    # conversions credited to 'view'; small users' purchases follow
+    # purchases (touch 'none' for each user's first, 'none' via coalesce
+    # only when no prior non-purchase event exists -> all SMALL_N land on
+    # 'none' since their histories are purchase-only)
+    assert att["view"] == BIG_N // 100
+    assert att["none"] == SMALL_N
+
+    # gaps: big user events are 1 min apart (no 24h gap); small users are
+    # 1h apart -> no gaps either; then verify a planted 30h gap surfaces
+    assert event_gaps(ev, min_gap_hours=24.0).count() == 0
+    planted = ev.unionByName(
+        spark.createDataFrame(
+            [(99_999, 7, t0 + dt.timedelta(days=400), "view", 0.0)],
+            "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE",
+        )
+    )
+    gaps = event_gaps(planted, min_gap_hours=24.0).collect()
+    assert len(gaps) == 1 and gaps[0].user_id == 7
