@@ -675,3 +675,25 @@ def test_fuzzy_match_no_cartesian_hashed_key_join(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "xxhash64" in plan
+
+
+def test_warehouse_shape_plans(spark):
+    """The TPC-H-shaped registry queries exist to pin planner paths: Q3's
+    top-k must be TakeOrderedAndProject (never a global sort), Q4's
+    existence check a left-semi join (never materializing the lineitem
+    side), Q14's dim join a broadcast — and none may degrade to a
+    cartesian product."""
+    from beymani_spark.plans.registry import QUERIES
+
+    checks = {
+        "shipping_priority": ["TakeOrderedAndProject"],
+        "late_shipment_priority": ["LeftSemi"],
+        "promo_revenue_share": ["BroadcastHashJoin"],
+        "small_quantity_revenue": [],
+    }
+    for name, wants in checks.items():
+        plan = _plan(QUERIES[name].builder(spark, SF))
+        for w in wants:
+            assert w in plan, f"{name}: expected {w}"
+        assert "CartesianProduct" not in plan, name
+        assert "PushedFilters: [" in plan, f"{name}: no pushdown reached the scan"
