@@ -87,6 +87,12 @@ HEAVY = [
     "ngram_novelty",
     "semantic_leak_check",
     "source_similarity",
+    "event_gaps",
+    "last_touch_attribution",
+    "weighted_sample",
+    "constraint_audit",
+    "shipping_priority",
+    "small_quantity_revenue",
 ]
 
 
@@ -135,8 +141,21 @@ SELECT l_orderkey + {k * OFF} AS l_orderkey, l_partkey, l_suppkey, l_linenumber,
 FROM li0"""
 
 
+def _ord_sql(k: int) -> str:
+    # orders blow up WITH lineitem (o_orderkey offsets match _li_sql's) so
+    # order-grain joins stay hit; o_custkey is NOT offset — the customer
+    # dimension stays fixed while facts grow, the realistic 100 TB shape
+    if k == 0:
+        return "SELECT * FROM ord0"
+    return f"""
+SELECT o_orderkey + {k * OFF} AS o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM ord0"""
+
+
 def ensure_scale_dir() -> None:
     import duckdb
+    import shutil
 
     os.makedirs(SCALE_DIR, exist_ok=True)
     con = duckdb.connect()
@@ -144,11 +163,18 @@ def ensure_scale_dir() -> None:
     con.execute(f"CREATE VIEW emb0 AS SELECT * FROM '{BASE}/embeddings.parquet'")
     con.execute(f"CREATE VIEW ev0 AS SELECT * FROM '{BASE}/events.parquet'")
     con.execute(f"CREATE VIEW li0 AS SELECT * FROM '{BASE}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW ord0 AS SELECT * FROM '{BASE}/orders.parquet'")
+    # dimensions stay fixed as facts grow: copy verbatim
+    for dim in ("customer", "part", "supplier", "nation", "region"):
+        dst = os.path.join(SCALE_DIR, f"{dim}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(os.path.join(BASE, f"{dim}.parquet"), dst)
     for name, gen in (
         ("documents", _doc_sql),
         ("embeddings", _emb_sql),
         ("events", _ev_sql),
         ("lineitem", _li_sql),
+        ("orders", _ord_sql),
     ):
         out = os.path.join(SCALE_DIR, f"{name}.parquet")
         if os.path.exists(out):

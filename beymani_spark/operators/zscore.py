@@ -260,3 +260,54 @@ def iqr_score(
     ]
     drop = [f"_{c}_{v}" for v in values for c in ("q1", "q3", "iqr")]
     return _finish(joined, per_attr, weights, strategy, threshold, exp_const, drop)
+
+
+def zscore_attribution(
+    df: DataFrame,
+    stats: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    threshold: float = 3.0,
+    cycle: str | None = None,
+    ts: str | None = None,
+) -> DataFrame:
+    """Outlier EXPLANATION for the multi-attribute z-score family: for each
+    row whose largest per-attribute |z| exceeds ``threshold``, emit which
+    attribute drove it — ``top_attr`` (argmax over the round-6 per-attr
+    z's, ties resolved by ``values`` order via a deterministic CASE chain)
+    and ``max_z``. The triage view an operator actually reads ("this order
+    is anomalous BECAUSE of its discount"), one step past the reference's
+    score-only output (StatsBasedOutlierPredictor emits the aggregate
+    score; per-attr contributions are internal).
+
+    All z's are rounded to 6 BEFORE the argmax and the threshold cut, so
+    the kept set and the attribution are summation-order-stable across
+    engines. A zero/NULL std contributes z=0 (can't drive an outlier).
+
+    Scale shape: same broadcast-model codegen scan as zscore() — the fact
+    table never shuffles; the filter drops non-outliers at the scan."""
+    joined, _ = _join_model(df, stats, keys, values, ["mean", "std"], cycle, ts)
+    zcols = {}
+    for v in values:
+        z = F.when(
+            F.col(f"_std_{v}") > 0,
+            F.abs(F.col(v) - F.col(f"_mean_{v}")) / F.col(f"_std_{v}"),
+        ).otherwise(F.lit(0.0))
+        zcols[v] = F.round(F.coalesce(z, F.lit(0.0)), 6)
+    # project the rounded z's as real columns, then argmax over them
+    out = joined.select(
+        *df.columns, *[zcols[v].alias(f"z_{v}") for v in values]
+    )
+    max_z = F.greatest(*[F.col(f"z_{v}") for v in values]) if len(values) > 1 else F.col(f"z_{values[0]}")
+    top = F.lit(values[-1])
+    for v in reversed(values[:-1]):
+        later = [F.col(f"z_{v}") >= F.col(f"z_{w}") for w in values[values.index(v) + 1:]]
+        cond = later[0]
+        for c in later[1:]:
+            cond = cond & c
+        top = F.when(cond, F.lit(v)).otherwise(top)
+    return (
+        out.withColumn("max_z", max_z)
+        .withColumn("top_attr", top)
+        .filter(F.col("max_z") > F.lit(float(threshold)))
+    )

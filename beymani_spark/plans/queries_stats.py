@@ -465,3 +465,48 @@ def q_score_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, ["event_type"], "ts", short_window=5, long_window=50, z_threshold=2.0
     )
     return _round(out.select("event_id", "event_type", "shift_z", "shift_label"), ["shift_z"])
+
+
+_ZSCORE_ATTRIBUTION_ORACLE = """
+WITH f AS (
+  SELECT event_id, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+  FROM events
+), s AS (
+  SELECT event_type, avg(value) mv, stddev_samp(value) sv,
+         avg(k_val) mk, stddev_samp(k_val) sk
+  FROM f GROUP BY 1
+), z AS (
+  SELECT f.event_id, f.event_type,
+         round(coalesce(CASE WHEN sv > 0 THEN abs(value - mv) / sv END, 0), 6)
+           AS z_value,
+         round(coalesce(CASE WHEN sk > 0 THEN abs(k_val - mk) / sk END, 0), 6)
+           AS z_k_val
+  FROM f JOIN s USING (event_type)
+)
+SELECT event_id, event_type, z_value, z_k_val,
+       greatest(z_value, z_k_val) AS max_z,
+       CASE WHEN z_value >= z_k_val THEN 'value' ELSE 'k_val' END AS top_attr
+FROM z WHERE greatest(z_value, z_k_val) > 3.0
+"""
+
+
+@register("zscore_attribution", _ZSCORE_ATTRIBUTION_ORACLE)
+def q_zscore_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier explanation (zscore.zscore_attribution): which attribute —
+    the event value or the typed JSON props field — drove each >3-sigma
+    row. Round-6 z's on both engines before the argmax and the cut; the
+    stats model broadcasts, the fact table never shuffles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("double").alias("k_val"),
+    )
+    stats = profile.numerical_stats(ev, ["event_type"], ["value", "k_val"])
+    out = zscore.zscore_attribution(
+        ev, stats, ["event_type"], ["value", "k_val"], threshold=3.0
+    )
+    return out.select(
+        "event_id", "event_type", "z_value", "z_k_val", "max_z", "top_attr"
+    )
