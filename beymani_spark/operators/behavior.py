@@ -243,3 +243,85 @@ def event_gaps(
             F.round(F.col("_gap_s") / 3600.0, 6).alias("gap_hours"),
         )
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value splits
+    EQUALLY across every preceding touch (non-conversion event) of the
+    same user since the previous conversion — the equal-credit companion
+    of last_touch_attribution. Touches after a user's final conversion
+    earn nothing; conversions with no preceding touch keep their full
+    value under 'none' (so total credit always equals total conversion
+    value — the books balance).
+
+    Mechanics (two user-keyed windows + one aggregation, no pair join):
+    events get a per-user row_number over the (ts, id) order; each TOUCH
+    finds its next conversion's row_number via a min() over the
+    strictly-following frame restricted to conversions; touches grouped
+    by that conversion share its value / touch-count. The row_number is
+    the conversion key on both engines — a plain int, no struct ordering
+    semantics to match.
+
+    Scale shape: one hash exchange on the user key feeding both windows,
+    then a groupBy to (conversion) and a groupBy to |event types| rows —
+    partitions are one user's history, bounded."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    is_conv = F.col(type_col) == conversion_type
+    marked = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col),
+        F.col(value_col),
+        is_conv.alias("_is_conv"),
+        F.row_number().over(w).alias("_rn"),
+        F.min(F.when(is_conv, F.row_number().over(w))).over(wf).alias("_next_conv"),
+    )
+    touches = marked.filter(~F.col("_is_conv") & F.col("_next_conv").isNotNull())
+    conversions = marked.filter(F.col("_is_conv")).select(
+        "_u",
+        F.col("_rn").alias("_ck"),
+        F.col(value_col).alias("_cv"),
+    )
+    credited = (
+        touches.groupBy(
+            "_u", F.col("_next_conv").alias("_ck"), F.col(type_col).alias("touch_type")
+        )
+        .agg(F.count("*").alias("_n_type"))
+        .withColumn(
+            "_n_tot",
+            F.sum("_n_type").over(Window.partitionBy("_u", "_ck")),
+        )
+        .join(conversions, ["_u", "_ck"])
+        .select(
+            "touch_type",
+            (F.col("_cv") * F.col("_n_type") / F.col("_n_tot")).alias("_credit"),
+            F.col("_n_type").alias("_n_touches"),
+        )
+    )
+    # conversions nobody touched keep their value under 'none'
+    touched_keys = touches.select("_u", F.col("_next_conv").alias("_ck")).distinct()
+    untouched = conversions.join(touched_keys, ["_u", "_ck"], "left_anti").select(
+        F.lit("none").alias("touch_type"),
+        F.col("_cv").alias("_credit"),
+        F.lit(0).cast("long").alias("_n_touches"),
+    )
+    per_type = (
+        credited.unionByName(untouched)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("_n_touches").alias("n_touches"),
+            F.round(F.sum("_credit"), 6).alias("total_credit"),
+        )
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per_type.withColumn(
+        "credit_share", F.round(F.col("total_credit") / F.sum("total_credit").over(wt), 6)
+    )

@@ -1006,3 +1006,54 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev), 6).alias("revenue"),
         )
     )
+
+
+_LINEAR_ATTRIBUTION_ORACLE = """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         event_type = 'purchase' AS is_conv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), m2 AS (
+  SELECT *,
+         min(CASE WHEN is_conv THEN rn END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_conv
+  FROM m
+), t AS (
+  SELECT user_id, next_conv AS ck, event_type AS touch_type,
+         count(*) AS n_type
+  FROM m2 WHERE NOT is_conv AND next_conv IS NOT NULL
+  GROUP BY 1, 2, 3
+), tt AS (
+  SELECT *, sum(n_type) OVER (PARTITION BY user_id, ck) AS n_tot FROM t
+), conv AS (
+  SELECT user_id, rn AS ck, value AS cv FROM m2 WHERE is_conv
+), credited AS (
+  SELECT touch_type, cv * n_type / n_tot AS credit, n_type AS n_touches
+  FROM tt JOIN conv USING (user_id, ck)
+  UNION ALL
+  SELECT 'none', cv, 0
+  FROM conv ANTI JOIN (SELECT DISTINCT user_id, ck FROM t) k USING (user_id, ck)
+), per AS (
+  SELECT touch_type, CAST(sum(n_touches) AS BIGINT) AS n_touches,
+         round(sum(credit), 6) AS total_credit
+  FROM credited GROUP BY 1
+)
+SELECT touch_type, n_touches, total_credit,
+       round(total_credit / sum(total_credit) OVER (), 6) AS credit_share
+FROM per
+"""
+
+
+@register("linear_attribution", _LINEAR_ATTRIBUTION_ORACLE)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (behavior.linear_attribution): each
+    purchase's value split equally across the touches since the user's
+    previous purchase; untouched purchases stay under 'none' so total
+    credit equals total conversion value. Two user-keyed windows + one
+    equi-join on (user, conversion row_number) — no pair join."""
+    from ..operators.behavior import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return linear_attribution(ev)

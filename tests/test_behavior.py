@@ -142,3 +142,29 @@ def test_event_gaps_basic(spark):
     r = out.first()
     assert r.gap_start == t0 + dt.timedelta(hours=2)
     assert r.gap_end == t0 + dt.timedelta(hours=32)
+
+
+def test_linear_attribution_books_balance(spark):
+    import datetime as dt
+
+    from beymani_spark.operators.behavior import linear_attribution
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        # user 1: view+click -> purchase(10) split 5/5; then view -> purchase(4)
+        (1, 1, t0, "view", 0.0),
+        (2, 1, t0 + dt.timedelta(hours=1), "click", 0.0),
+        (3, 1, t0 + dt.timedelta(hours=2), "purchase", 10.0),
+        (4, 1, t0 + dt.timedelta(hours=3), "view", 0.0),
+        (5, 1, t0 + dt.timedelta(hours=4), "purchase", 4.0),
+        # user 2: untouched purchase stays under 'none'
+        (6, 2, t0, "purchase", 7.0),
+        # user 3: trailing touch after the last purchase earns nothing
+        (7, 3, t0, "purchase", 1.0),
+        (8, 3, t0 + dt.timedelta(hours=1), "view", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type", "value"])
+    got = {r.touch_type: (r.n_touches, r.total_credit) for r in linear_attribution(df).collect()}
+    assert got == {"view": (2, 9.0), "click": (1, 5.0), "none": (0, 8.0)}
+    # credit conservation: total credit == total conversion value
+    assert sum(v for _, v in got.values()) == 22.0
