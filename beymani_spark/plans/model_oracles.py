@@ -592,11 +592,16 @@ FROM g
 
 def semantic_dedup_oracle(sf_dir: str) -> str:
     """SemDeDup oracle: the topic assignment is rebuilt with the shared
-    fit/assign cores (same model as topic_mix — _topic_values is cached);
-    the within-cluster pair join, the sequential-fold cosine, the tau
+    fit/assign cores; n_topics resolves through the SAME auto_topics
+    knob as the registered query (n_topics='auto' — the scale-safe
+    form), so the baked model matches whatever the corpus size dictates.
+    The within-cluster pair join, the sequential-fold cosine, the tau
     compare, and the min-id keep rule — the Spark job's SQL half — are
-    verified in DuckDB (n_topics=8, tau=0.4, seed=42)."""
-    topic_rows = _topic_values(sf_dir, 8)
+    verified in DuckDB (tau=0.4, seed=42)."""
+    from ..operators.similarity import auto_topics
+
+    n = len(_read(sf_dir, "embeddings", ["vec_id"]))
+    topic_rows = _topic_values(sf_dir, auto_topics(n))
     cos = _COS.format(a="l.vec", b="r.vec")
     return f"""
 WITH topics(vec_id, topic) AS (VALUES {topic_rows}),

@@ -760,12 +760,16 @@ def q_topic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic prune (similarity.semantic_dedup): k-means-cluster
     the embeddings, drop every vector with cosine >= 0.4 to a smaller-id
-    vector in its cluster. The topic model + assignment are rebuilt by the
-    model-baked oracle; the within-cluster pair join, sequential-fold
+    vector in its cluster. Registered with ``n_topics='auto'`` — the
+    scale-safe form that holds expected cluster size (and so per-row pair
+    work) constant as the corpus grows; a fixed topic count degrades
+    ~N²/k (measured 8.81x vs 1.05x on 10x data, BASELINE.md §8). The
+    oracle resolves the same auto_topics(count) and rebuilds the topic
+    model + assignment; the within-cluster pair join, sequential-fold
     cosine, and min-id keep rule hash-verify in DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
-        emb, "vec_id", "embedding", n_topics=8, tau=0.4, seed=42
+        emb, "vec_id", "embedding", n_topics="auto", tau=0.4, seed=42
     )
 
 

@@ -62,74 +62,27 @@ from . import queries_packing  # noqa: E402,F401
 # per round so every registry query accumulates a driver-green row — and so
 # the NEWEST driver-green row for every query stays fresh: r2 verified its
 # front-50, r3 the next 50, r4 the 9 never-windowed + its 21 new queries +
-# 20 r3-certified refreshes (CORRECTNESS_r02/r03/r04).
+# 20 r3-certified refreshes, r5 re-certified the r2-stale core 50
+# (CORRECTNESS_r02..r05). tests/test_rotation_audit.py enforces this
+# machinery: it fails if any registered query goes too long without a
+# driver-green row given the committed CORRECTNESS files + this window.
 #
-# Round-5 window (the r4 verdict's directive #1): the queries added this
-# round first, then the 50 queries whose NEWEST driver-green row is r2 —
-# two rounds of shared-code churn (caching, sources, functions, hash keys)
-# since their last hard sf0.01 check. One r2-certified query is displaced
-# to slot 51 by the new entry: dedup_minhash_lsh, chosen because the judge
-# re-verified it hash-exact at sf0.01 on current code during the r4 review
-# (the freshest independent signal in the stale set). Everything r3/r4
-# certified follows. ALL registry queries also run in the local mirror
-# (tests/test_oracle_parity.py) at every round.
+# Round-6 window (the r5 verdict's directive #1): the 52 queries with NO
+# driver-green row in any round — everything added in round 5 (the
+# LLM-pipeline / behavior / relational extensions). All 52 pass the local
+# DuckDB mirror at sf0.001 AND sf0.01 on current code, and the judge
+# independently re-verified 10 of them hash-exact at sf0.01 during the r5
+# review. 52 > 50, so two are displaced to slots 51–52: linear_attribution
+# and funnel_time_bounded, chosen BECAUSE they are in the judge's
+# re-verified set (the freshest independent signal among the candidates).
+#
+# Round-7 plan (committed now per r5 directive #8, so nothing waits two
+# rounds): head = linear_attribution, funnel_time_bounded,
+# dedup_minhash_lsh (newest row r2), then the r3-certified set (21), then
+# the oldest r4-certified queries — i.e. exactly the slot 51+ order below;
+# the r7 edit is "delete the first 50 names and append them at the tail".
 _PRIORITY = [
-    # --- new in round 5 ---
-    "corpus_to_manifest",
-    # --- r2-stale set: newest driver-green row is CORRECTNESS_r02 ---
-    "zscore",                    # 1 StatsBasedOutlierPredictor
-    "multivariate_histogram",    # 2 MultiVariateDistribution
-    "markov_cond_prob",          # 3 MarkovChainPredictor
-    "ngram_frequency",           # 4 NgramFrequencyPredictor
-    "spectral_residual",         # 5 SpectralResiduePredictor
-    "one_step_ahead",            # 6 OneStepAheadPredictor
-    "subsequence_distance",      # 7 SubSequenceDistanceDetector
-    "local_neighborhood",        # 8 LocalNeighborhoodDetector
-    "change_point",              # 9 ChangePointDetector
-    "in_range",                  # 10 InRangeBasedPredictor
-    "out_range",                 # 11 OutRangeBasedPredictor
-    "lof",                       # 15 LocalDensityBasedPredictor
-    "level_shift_segments",      # 18 OutlierLevelShift
-    "score_level_shift",         # 19 OutlierScoreLevelShift
-    "outlier_cluster",           # 20 OutlierCluster
-    "hierarchical_aggregate",    # 21 OutlierAggregator
-    "outlier_counts",            # 22 OutlierCounter
-    "threshold_learner",         # 23 ThresholdLearner
-    "pseudo_relevance_threshold",  # 24 PseudoRelevanceThresholdFinder
-    "clean_output_anti_join",    # 25 OutlierUtility
-    "robust_zscore",             # K2
-    "extreme_value",             # K3
-    "est_prob",                  # K4
-    "est_attr_prob",             # K5
-    "est_meta_prob",             # K6
-    "est_cum_prob",              # K7
-    "iqr_score",                 # K8
-    "mahalanobis",               # K9
-    "entropy_increase",          # K11
-    "distribution_sorter",       # M2
-    "entropy_sorter",            # M3
-    "average_distance",          # M4
-    "neighbor_density",          # M5
-    "relative_density",          # M6
-    "numerical_stats",
-    "median_mad",
-    "temporal_aggregate",
-    "auto_correlation",
-    "discretize_quantile",
-    "markov_transition",
-    "drift_ddm",
-    "drift_eddm",
-    "drift_fhddm",
-    "drift_ecdd",
-    "lp_drift",
-    "drift_consensus",
-    "local_drift",
-    "score_stats",
-    "media_features",
-    # --- slot 51+: displaced r2 query (judge sf0.01-verified in r4) and
-    # --- round-5 additions beyond the window (local-mirror-verified at
-    # --- sf0.001 AND sf0.01 this round; next rotation gives them rows) ---
-    "dedup_minhash_lsh",
+    # --- never-driver-checked: round-5 early additions (14) ---
     "corpus_length_drift",
     "media_dup_pairs",
     "corpus_quality_drift_by_lang",
@@ -144,6 +97,71 @@ _PRIORITY = [
     "split_leak_check",
     "token_mix",
     "quality_calibrate",
+    # --- never-driver-checked: round-5 late additions (36 of 38) ---
+    "anomaly_pipeline",
+    "winsorize",
+    "zscore_attribution",
+    "ngram_novelty",
+    "quality_sample",
+    "lang_confusion",
+    "semantic_dedup",           # re-registered n_topics='auto' this round
+    "topic_drift",
+    "prototype_prune",
+    "tfidf_topk",
+    "cdc_chunk_dedup",
+    "semantic_leak_check",
+    "curation_report",
+    "vocab_coverage",
+    "source_similarity",
+    "weighted_sample",
+    "weighted_sample_by",
+    "corpus_cube",
+    "event_pairs",
+    "rolling_features",
+    "benford_audit",
+    "user_event_pivot",
+    "json_field_stats",
+    "funnel_steps",
+    "cohort_retention",
+    "rolling_active_users",
+    "last_touch_attribution",
+    "shipping_priority",
+    "late_shipment_priority",
+    "event_gaps",
+    "constraint_audit",
+    "referential_audit",
+    "fuzzy_name_match",
+    "small_quantity_revenue",
+    "promo_revenue_share",
+    "context_length_plan",
+    # --- slots 51–52: displaced never-checked (judge sf0.01-verified in
+    # --- the r5 review — freshest independent signal); r7 window head ---
+    "linear_attribution",
+    "funnel_time_bounded",
+    # --- r2-certified (newest driver row r2; judge-verified r4) ---
+    "dedup_minhash_lsh",
+    # --- r3-certified set (newest driver row r3) ---
+    "embedding_quantize",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "bpe_token_count",
+    "text_features",
+    "doc_fingerprint",
+    "repetition_score",
+    "contamination_check",
+    "bigram_logprob",
+    "vocab_topk",
+    "corpus_stats",
+    "stratified_sample",
+    "train_split",
+    "decayed_sample",
+    "media_resize",
+    "media_frames",
+    "asof_join_snapshots",
+    "sessionize_events",
+    "rollup_timebuckets",
+    "pricing_summary",
     # --- r4-certified set (CORRECTNESS_r04 green rows) ---
     "pii_scan",
     "chunk_dedup",
@@ -195,28 +213,57 @@ _PRIORITY = [
     "cosine_dup_pairs",
     "cosine_topk",
     "ann_lsh_topk",
-    # --- r3-certified set ---
-    "embedding_quantize",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "bpe_token_count",
-    "text_features",
-    "doc_fingerprint",
-    "repetition_score",
-    "contamination_check",
-    "bigram_logprob",
-    "vocab_topk",
-    "corpus_stats",
-    "stratified_sample",
-    "train_split",
-    "decayed_sample",
-    "media_resize",
-    "media_frames",
-    "asof_join_snapshots",
-    "sessionize_events",
-    "rollup_timebuckets",
-    "pricing_summary",
+    # --- r5-certified set (CORRECTNESS_r05 green rows — freshest) ---
+    "corpus_to_manifest",
+    "zscore",                    # 1 StatsBasedOutlierPredictor
+    "multivariate_histogram",    # 2 MultiVariateDistribution
+    "markov_cond_prob",          # 3 MarkovChainPredictor
+    "ngram_frequency",           # 4 NgramFrequencyPredictor
+    "spectral_residual",         # 5 SpectralResiduePredictor
+    "one_step_ahead",            # 6 OneStepAheadPredictor
+    "subsequence_distance",      # 7 SubSequenceDistanceDetector
+    "local_neighborhood",        # 8 LocalNeighborhoodDetector
+    "change_point",              # 9 ChangePointDetector
+    "in_range",                  # 10 InRangeBasedPredictor
+    "out_range",                 # 11 OutRangeBasedPredictor
+    "lof",                       # 15 LocalDensityBasedPredictor
+    "level_shift_segments",      # 18 OutlierLevelShift
+    "score_level_shift",         # 19 OutlierScoreLevelShift
+    "outlier_cluster",           # 20 OutlierCluster
+    "hierarchical_aggregate",    # 21 OutlierAggregator
+    "outlier_counts",            # 22 OutlierCounter
+    "threshold_learner",         # 23 ThresholdLearner
+    "pseudo_relevance_threshold",  # 24 PseudoRelevanceThresholdFinder
+    "clean_output_anti_join",    # 25 OutlierUtility
+    "robust_zscore",             # K2
+    "extreme_value",             # K3
+    "est_prob",                  # K4
+    "est_attr_prob",             # K5
+    "est_meta_prob",             # K6
+    "est_cum_prob",              # K7
+    "iqr_score",                 # K8
+    "mahalanobis",               # K9
+    "entropy_increase",          # K11
+    "distribution_sorter",       # M2
+    "entropy_sorter",            # M3
+    "average_distance",          # M4
+    "neighbor_density",          # M5
+    "relative_density",          # M6
+    "numerical_stats",
+    "median_mad",
+    "temporal_aggregate",
+    "auto_correlation",
+    "discretize_quantile",
+    "markov_transition",
+    "drift_ddm",
+    "drift_eddm",
+    "drift_fhddm",
+    "drift_ecdd",
+    "lp_drift",
+    "drift_consensus",
+    "local_drift",
+    "score_stats",
+    "media_features",
 ]
 _rank = {n: i for i, n in enumerate(_PRIORITY)}
 _ordered = sorted(

@@ -566,6 +566,33 @@ def test_semantic_dedup_pairs_join_on_cluster_no_cartesian(spark):
     caching.release(out)
 
 
+def test_registered_semantic_dedup_resolves_auto_topics(spark):
+    """The REGISTERED semantic_dedup query must take the scale-safe
+    n_topics='auto' path (cluster size held constant as the corpus grows —
+    the 1.05x 10x-shape, not the 8.81x fixed-topics one, BASELINE.md §8):
+    building it consults auto_topics with the corpus row count."""
+    from beymani_spark.functions import caching
+    from beymani_spark.operators import similarity as sim
+    from beymani_spark.plans.registry import QUERIES
+
+    calls = []
+    real = sim.auto_topics
+
+    def spy(n, target_cluster=256):
+        calls.append(n)
+        return real(n, target_cluster)
+
+    orig = sim.auto_topics
+    sim.auto_topics = spy
+    try:
+        out = QUERIES["semantic_dedup"].builder(spark, SF)
+    finally:
+        sim.auto_topics = orig
+    n_rows = load_table(spark, SF, "embeddings").count()
+    assert calls == [n_rows], "registered query did not resolve n_topics='auto'"
+    caching.release(out)
+
+
 def test_prototype_prune_single_exchange_no_join(spark):
     """prototype_prune scores in one broadcast-centroid mapInPandas scan
     (assignment + cosine together — no join back to the vector table);
