@@ -18,8 +18,12 @@ netpbm P5/P6) in pure numpy — header parse, BT.601 luma, nearest resize
 library (tests/test_real_codec.py); ``decode='wav'`` (RIFF/WAVE PCM16
 audio) and ``decode='avi'`` (uncompressed RIFF-AVI video frames) do the
 same for the other two modalities on the shared RIFF chunk machinery.
-Arbitrary-container video decode additionally needs an ffmpeg binding
-(PyAV); it stays guarded the same way.
+``decode='png'`` decodes MAINSTREAM image bytes — real PNG — with only
+stdlib zlib + numpy (chunk walk, inflate, all five scanline unfilters,
+palette/alpha color types; ``png_encode`` is the matching fixture
+encoder); Pillow stays the fast swap-in. Arbitrary-container video
+decode additionally needs an ffmpeg binding (PyAV); it stays guarded
+the same way.
 
 At 100 TB: payloads dominate storage; these operators preserve columnar
 pruning (metadata-only queries never touch payload bytes because parquet
@@ -134,12 +138,202 @@ def _ppm_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     return gray
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: bytes-per-pixel by PNG color type (bit depth 8)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """REAL PNG decode with no external library: stdlib ``zlib`` inflate +
+    numpy per-row unfilter — the mainstream-image-format member of the
+    in-sandbox codec family (netpbm `_ppm_pixels`, WAV `_wav_samples`,
+    AVI `_avi_frames`). Pillow remains the fast swap-in via
+    ``decode='real'``; this path removes the "no mainstream image codec
+    ever executed" gap genuinely in-sandbox.
+
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelming majority
+    of real-world PNGs. 16-bit and Adam7 interlace raise with a clear
+    message (use ``decode='real'``). All five scanline filters (None /
+    Sub / Up / Average / Paeth) are implemented; Sub is a vectorized
+    per-channel cumulative sum mod 256, Up is whole-row vectorized, and
+    only Average/Paeth (true byte-serial dependency chains) fall back to
+    a per-byte loop. Color collapses to integer BT.601 luma (alpha
+    ignored — features describe the raster, not compositing) and the
+    resize to the requested grid is the family's shared deterministic
+    nearest-neighbor rule."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("png decode supports PNG payloads (bad signature)")
+    pos, ihdr, plte, idat = len(_PNG_SIG), None, None, []
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        cid = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"PLTE":
+            plte = body
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("truncated png: missing IHDR or IDAT")
+    w0 = int.from_bytes(ihdr[0:4], "big")
+    h0 = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError("png decode supports bit depth 8 (use decode='real')")
+    if interlace:
+        raise ValueError("png decode supports non-interlaced only (use decode='real')")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None or comp != 0 or filt != 0:
+        raise ValueError(f"png: unsupported color/compression ({color}/{comp}/{filt})")
+    if w0 <= 0 or h0 <= 0:
+        raise ValueError("png: bad dimensions")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w0 * channels
+    if len(raw) < (stride + 1) * h0:
+        raise ValueError("png: short raster")
+
+    out = np.empty((h0, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    bpp = channels
+    for y in range(h0):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 1:  # Sub: per-channel cumulative sum mod 256
+            cur = np.cumsum(line.reshape(w0, bpp), axis=0, dtype=np.int64)
+            cur = (cur & 0xFF).reshape(stride)
+        elif ft in (3, 4):  # Average / Paeth: byte-serial
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown scanline filter {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+
+    px = out.reshape(h0, w0, channels).astype(np.int64)
+    if color == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3).astype(np.int64)
+        rgb = pal[px[..., 0]]
+        gray = (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2] + 500) // 1000
+    elif color in (2, 6):
+        gray = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2] + 500) // 1000
+    else:  # 0 grayscale, 4 gray+alpha: first channel is the luma
+        gray = px[..., 0]
+    gray = gray.astype(np.uint8)
+    if (w0, h0) != (width, height):
+        ys = np.linspace(0, h0 - 1, height).astype(int)
+        xs = np.linspace(0, w0 - 1, width).astype(int)
+        gray = gray[ys][:, xs]
+    return gray
+
+
+def png_encode(
+    pixels: np.ndarray, color: int = 0, filters: Sequence[int] | int = 0
+) -> bytes:
+    """Minimal stdlib PNG ENCODER (fixture/ingest utility, and the
+    synthesizer behind the media_features_png correctness query): emits a
+    spec-valid bit-depth-8 PNG — signature, IHDR, optional PLTE, one IDAT,
+    IEND, CRC-32 per chunk — for color types 0 (gray, pixels (h, w)),
+    2 (RGB, pixels (h, w, 3)) and 6 (RGBA, pixels (h, w, 4)). ``filters``
+    applies the given scanline filter type per row (int = same type every
+    row), computing the spec's residuals so the decoder's unfilter paths
+    are exercised on real filtered data. The zlib stream uses level-0
+    stored blocks, which keeps the payload a pure deterministic function
+    of the pixels — the property the DuckDB oracle relies on."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.int64)
+    if color == 0:
+        px = px.reshape(px.shape[0], px.shape[1], 1)
+    h0, w0, channels = px.shape
+    if _PNG_CHANNELS.get(color) != channels:
+        raise ValueError(f"pixels shape {px.shape} does not match color type {color}")
+    flat = px.reshape(h0, w0 * channels)
+    ftypes = [filters] * h0 if isinstance(filters, int) else list(filters)
+    if len(ftypes) != h0:
+        raise ValueError("one filter type per row required")
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w0 * channels, dtype=np.int64)
+    for y in range(h0):
+        cur, ft = flat[y], ftypes[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if ft == 0:
+            res = cur
+        elif ft == 1:
+            res = cur - left
+        elif ft == 2:
+            res = cur - prev
+        elif ft == 3:
+            res = cur - (left + prev) // 2
+        elif ft == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            res = cur - pred
+        else:
+            raise ValueError(f"png: unknown scanline filter {ft}")
+        raw.append(ft)
+        raw.extend((res & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w0.to_bytes(4, "big")
+        + h0.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 0))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_batch(payloads: list[bytes], width: int, height: int, decode: str) -> np.ndarray:
     """(batch, height, width) uint8 pixels via the selected codec."""
     if decode == "real":
         return np.stack([_real_pixels(p, width, height) for p in payloads])
     if decode == "ppm":
         return np.stack([_ppm_pixels(p, width, height) for p in payloads])
+    if decode == "png":
+        return np.stack([_png_pixels(p, width, height) for p in payloads])
     return np.stack([_fake_pixels(p, width, height) for p in payloads])
 
 
@@ -162,7 +356,7 @@ def decode_features(
 ) -> DataFrame:
     """(media_id, n_bytes, features array<double>) — decode + global feature
     extraction per media item."""
-    if decode not in ("fake", "real", "ppm"):
+    if decode not in ("fake", "real", "ppm", "png"):
         raise ValueError(f"unknown decode mode: {decode}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -210,7 +404,7 @@ def resize(
             if not payloads:
                 yield pd.DataFrame(columns=[id_col, "width", "height", "pixels"])
                 continue
-            if decode in ("real", "ppm"):
+            if decode in ("real", "ppm", "png"):
                 # these codecs resize during decode — already (height, width)
                 small = _decode_batch(payloads, width, height, decode)
                 small = small.reshape(len(payloads), -1).astype(np.int64)

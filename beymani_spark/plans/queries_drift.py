@@ -303,6 +303,74 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real-PNG variant of media_features: same SHA-256 counter raster, but the
+# payload is a GENUINE PNG (32x32 grayscale, level-0 zlib stored blocks,
+# scanline filters cycling None/Sub/Up/Average/Paeth across rows) decoded
+# back by the stdlib PNG codec. Level-0 zlib framing is fully determined by
+# the spec, so the payload size is a constant the oracle states exactly:
+# 8 (signature) + 25 (IHDR) + 12 + (2 + 5 + 33*32 + 4) (IDAT: zlib header +
+# stored-block header + filterbyte-prefixed raster + adler32) + 12 (IEND).
+_PNG_MEDIA_BYTES = 8 + 25 + 12 + (2 + 5 + 33 * 32 + 4) + 12  # = 1124
+
+_MEDIA_FEATURES_PNG_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(
+           string_agg(sha256(text || CAST(j AS VARCHAR)), '' ORDER BY j),
+           '(.).', '\\1', 'g') AS nib
+  FROM documents, generate_series(0, 31) AS t(j)
+  GROUP BY doc_id, text
+)
+SELECT media_id, CAST({_PNG_MEDIA_BYTES} AS BIGINT) AS n_bytes,
+       round((length(nib) - length(replace(nib, '0', ''))) / 1024.0, 6) AS f0,
+       round((length(nib) - length(replace(nib, '7', ''))) / 1024.0, 6) AS f7
+FROM h
+"""
+
+
+@register("media_features_png", _MEDIA_FEATURES_PNG_ORACLE)
+def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mainstream-image-codec execution proof as a driver-checked query:
+    each document's text expands through the SAME deterministic SHA-256
+    counter stream as media_features, but the raster is then ENCODED as a
+    genuine PNG (multimodal.png_encode — level-0 zlib, all five scanline
+    filters cycling across rows) and decoded back by the stdlib PNG codec
+    (multimodal._png_pixels: chunk walk, zlib inflate, numpy unfilter)
+    inside the Arrow-batched mapInPandas path. The oracle replays only the
+    raster arithmetic — any codec bug on either side of the round trip
+    breaks the value hash. Payload size is the spec-determined constant
+    _PNG_MEDIA_BYTES, asserted exactly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    png_filters = [y % 5 for y in range(32)]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                multimodal.png_encode(
+                    multimodal._fake_pixels(t.encode("utf-8"), 32, 32).astype("int64"),
+                    color=0,
+                    filters=png_filters,
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    out = multimodal.decode_features(media, decode="png", n_features=16)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+    )
+
+
 # Multimodal near-dup composition: decode -> int8 quantize -> exact-cosine
 # pair generation. The int8 step is what makes the pair decision ENGINE-
 # EXACT, not merely close: integer code dot products and squared norms are

@@ -138,6 +138,8 @@ _PRIORITY = [
     # --- the r5 review — freshest independent signal); r7 window head ---
     "linear_attribution",
     "funnel_time_bounded",
+    # --- new in round 6 (never-checked; r7 window with the two above) ---
+    "media_features_png",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---

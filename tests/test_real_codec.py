@@ -315,3 +315,168 @@ def test_avi_decode_top_down_raster(spark):
     # and the default bottom-up form round-trips to the same top-down frame
     frames_bu, _ = multimodal._avi_frames(_avi_rgb24([frame], 4, 3, bits=8))
     np.testing.assert_array_equal(frames_bu[0], frame)
+
+
+# ------------------------------------------------------------------- PNG
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + cid
+        + body
+        + zlib.crc32(cid + body).to_bytes(4, "big")
+    )
+
+
+def test_png_round_trips_every_filter_and_color_type(spark):
+    """The stdlib PNG codec (zlib inflate + numpy unfilter) must invert the
+    encoder's spec residuals for ALL five scanline filters and the three
+    encoder color types; color collapses to the family's integer BT.601
+    luma."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, size=(7, 5), dtype=np.int64)
+    for filters in (0, 1, 2, 3, 4, [0, 1, 2, 3, 4, 3, 1]):
+        p = multimodal.png_encode(g, color=0, filters=filters)
+        np.testing.assert_array_equal(
+            multimodal._png_pixels(p, 5, 7), g.astype(np.uint8)
+        )
+    rgb = rng.integers(0, 256, size=(6, 4, 3), dtype=np.int64)
+    p = multimodal.png_encode(rgb, color=2, filters=[4, 3, 2, 1, 0, 4])
+    exp = (
+        (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2] + 500) // 1000
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(multimodal._png_pixels(p, 4, 6), exp)
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.int64)
+    p = multimodal.png_encode(rgba, color=6, filters=4)
+    exp = (
+        (299 * rgba[..., 0] + 587 * rgba[..., 1] + 114 * rgba[..., 2] + 500) // 1000
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(multimodal._png_pixels(p, 3, 3), exp)
+
+
+def test_png_decode_hash_pinned_fixture(spark):
+    """Hash-pinned real-codec proof: a deterministic hand-built PNG (every
+    filter type across its rows, level-0 zlib) must decode to the exact
+    pinned raster, and the payload itself must be byte-stable — the
+    property the media_features_png oracle relies on."""
+    import hashlib
+
+    import numpy as np
+
+    h0, w0 = 12, 16
+    g = (np.arange(h0)[:, None] * 31 + np.arange(w0)[None, :] * 7) % 256
+    payload = multimodal.png_encode(g, color=0, filters=[y % 5 for y in range(h0)])
+    assert (
+        hashlib.sha256(payload).hexdigest()
+        == "20c97c23d589379d06ef6e348ba87aa04713b0c38b1578d52d2037ca7e20b60c"
+    )
+    dec = multimodal._png_pixels(payload, w0, h0)
+    np.testing.assert_array_equal(dec, g.astype(np.uint8))
+    assert (
+        hashlib.sha256(dec.tobytes()).hexdigest()
+        == "efe31826013aaa77c1e0f41fb3ef01a8b090f0920b953a7c2c6732fdce942aef"
+    )
+
+
+def test_png_decode_runs_real_bytes_end_to_end(spark):
+    """decode='png' through the full mapInPandas batch path: resize reads
+    the codec's native grid, decode_features histograms the 32x32 decode."""
+    import numpy as np
+
+    g = (np.arange(8)[:, None] * 32 + np.arange(8)[None, :] * 4) % 256
+    payloads = [
+        multimodal.png_encode(g, color=0, filters=2),
+        multimodal.png_encode(np.full((4, 4), 200, dtype=np.int64), color=0),
+    ]
+    df = _media_df(spark, payloads)
+    out = {
+        r.media_id: r
+        for r in multimodal.resize(df, width=2, height=2, decode="png").collect()
+    }
+    ys = np.linspace(0, 7, 2).astype(int)
+    assert list(out[0].pixels) == list(
+        g.astype(np.uint8)[ys][:, ys].ravel()
+    )
+    assert list(out[1].pixels) == [200] * 4
+    feats = {
+        r.media_id: r
+        for r in multimodal.decode_features(df, decode="png", n_features=4).collect()
+    }
+    for r in feats.values():
+        assert abs(sum(r.features) - 1.0) < 1e-9
+    # the constant-200 image lands entirely in bucket 3 (192..255)
+    assert feats[1].features[3] == 1.0
+
+
+def test_png_decode_palette(spark):
+    """Color type 3: indices look up PLTE RGB entries before the luma
+    collapse."""
+    import zlib
+
+    import numpy as np
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 128, 128, 128])
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    payload = (
+        multimodal._PNG_SIG
+        + _png_chunk(
+            b"IHDR",
+            (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0]),
+        )
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert multimodal._png_pixels(payload, 2, 2).flatten().tolist() == [
+        76,
+        150,
+        29,
+        128,
+    ]
+
+
+def test_png_decode_rejects_unsupported_clearly(spark):
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        multimodal._png_pixels(b"JFIF not a png", 8, 8)
+    ok = multimodal.png_encode(np.zeros((2, 2), dtype=np.int64), color=0)
+    # 16-bit depth
+    bad = bytearray(ok)
+    bad[8 + 8 + 8] = 16
+    with _pytest.raises(ValueError, match="bit depth"):
+        multimodal._png_pixels(bytes(bad), 2, 2)
+    # Adam7 interlace
+    bad = bytearray(ok)
+    bad[8 + 8 + 12] = 1
+    with _pytest.raises(ValueError, match="interlaced"):
+        multimodal._png_pixels(bytes(bad), 2, 2)
+    # unknown scanline filter inside the raster
+    raw = b"\x09\x00\x00"
+    payload = (
+        multimodal._PNG_SIG
+        + _png_chunk(
+            b"IHDR",
+            (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0]),
+        )
+        + _png_chunk(b"IDAT", zlib.compress(raw, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="filter"):
+        multimodal._png_pixels(payload, 2, 1)
+    # missing IDAT
+    payload = multimodal._PNG_SIG + _png_chunk(
+        b"IHDR",
+        (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0]),
+    )
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal._png_pixels(payload, 2, 1)
