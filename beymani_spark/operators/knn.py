@@ -275,13 +275,33 @@ def knn(
     )
 
 
+#: zero-distance guard for the density family: a point whose k nearest
+#: neighbors are EXACT duplicates has avg_dist / k-distance 0, and a bare
+#: division crashes the whole job under ANSI SQL (found by the altseed
+#: duplicate-vector sweep — guaranteed to occur in any deduplicating corpus
+#: at scale). The epsilon keeps densities finite (sklearn's LOF convention);
+#: duplicate clusters score as extreme inliers instead of aborting the job.
+EPS = 1e-10
+
+#: ceiling for LOF scores: a point whose NEIGHBORS are exact duplicates
+#: inherits their epsilon-sized lrd and scores an astronomically large LOF
+#: (~1/EPS) whose floating-point ulp exceeds any fixed rounding tolerance —
+#: an artifact magnitude, not a ranking. Genuine LOF values live in ~[0.5,
+#: 100]; everything above the cap means "neighborhood is a duplicate
+#: cluster", pinned to one deterministic value in both engines.
+LOF_CAP = 1e6
+
+
 def average_distance(
     pairs: DataFrame, k: int, keys: Sequence[str] = (), scale: float = 1000.0
 ) -> DataFrame:
-    """M4: per-entity avg distance to its k nearest + density = scale/avg."""
+    """M4: per-entity avg distance to its k nearest + density =
+    scale/(avg + EPS) — see EPS for the duplicate-neighborhood guard."""
     nn = knn(pairs, k, keys)
     out = nn.groupBy(*keys, "src").agg(F.avg("dist").alias("avg_dist"))
-    return out.withColumn("density", F.lit(float(scale)) / F.col("avg_dist"))
+    return out.withColumn(
+        "density", F.lit(float(scale)) / (F.col("avg_dist") + F.lit(EPS))
+    )
 
 
 def relative_density(
@@ -323,7 +343,13 @@ def lof(pairs: DataFrame, k: int, keys: Sequence[str] = ()) -> DataFrame:
     """Local Outlier Factor from a pair-distance set.
 
     kNN -> k-distance -> reach-dist(p,o) = max(dist(p,o), kdist(o)) ->
-    lrd(p) = k / Σ reach-dist -> LOF(p) = avg(lrd(o)) / lrd(p).
+    lrd(p) = k / (Σ reach-dist + EPS) -> LOF(p) = avg(lrd(o)) / lrd(p).
+
+    The EPS term is the duplicate-neighborhood guard (see EPS): a point
+    inside an exact-duplicate cluster has every reach-dist 0, so the bare
+    k/Σ division aborts the job under ANSI SQL; with the epsilon, such
+    points get a huge-but-finite lrd and an LOF near 1 — duplicates are
+    inliers of their own cluster, the standard LOF treatment.
     """
     nn = knn(pairs, k, keys).select(*keys, "src", "dst", "dist")
     kdist = nn.groupBy(*keys, "src").agg(F.max("dist").alias("kdist"))
@@ -332,7 +358,7 @@ def lof(pairs: DataFrame, k: int, keys: Sequence[str] = ()) -> DataFrame:
         [*keys, "dst"],
     ).withColumn("reach_dist", F.greatest(F.col("dist"), F.col("_kdist_o")))
     lrd = reach.groupBy(*keys, "src").agg(
-        (F.lit(float(k)) / F.sum("reach_dist")).alias("lrd")
+        (F.lit(float(k)) / (F.sum("reach_dist") + F.lit(EPS))).alias("lrd")
     )
     nbr_lrd = nn.join(
         lrd.select(*keys, F.col("src").alias("dst"), F.col("lrd").alias("_lrd_o")),
@@ -340,6 +366,9 @@ def lof(pairs: DataFrame, k: int, keys: Sequence[str] = ()) -> DataFrame:
     ).groupBy(*keys, "src").agg(F.avg("_lrd_o").alias("_avg_nbr_lrd"))
     return (
         lrd.join(nbr_lrd, [*keys, "src"])
-        .withColumn("lof", F.col("_avg_nbr_lrd") / F.col("lrd"))
+        .withColumn(
+            "lof",
+            F.least(F.col("_avg_nbr_lrd") / F.col("lrd"), F.lit(LOF_CAP)),
+        )
         .select(*keys, "src", "lrd", "lof")
     )

@@ -208,6 +208,7 @@ def score_level_shift(
     long_window: int = 50,
     z_threshold: float = 2.0,
     score_col: str = "score",
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """z = (mean(score) over short trailing window − mean over long trailing
     window) / stddev over long trailing window; rows with z > threshold are
@@ -215,17 +216,17 @@ def score_level_shift(
     (reference :78-105) via a forward-looking window max."""
     ws = (
         Window.partitionBy(*keys)
-        .orderBy(ts)
+        .orderBy(ts, *order_cols)
         .rowsBetween(-(short_window - 1), 0)
     )
     wl = (
         Window.partitionBy(*keys)
-        .orderBy(ts)
+        .orderBy(ts, *order_cols)
         .rowsBetween(-(long_window - 1), 0)
     )
     wfwd = (
         Window.partitionBy(*keys)
-        .orderBy(ts)
+        .orderBy(ts, *order_cols)
         .rowsBetween(0, short_window - 1)
     )
     z = (F.avg(score_col).over(ws) - F.avg(score_col).over(wl)) / F.stddev_samp(

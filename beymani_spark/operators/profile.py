@@ -221,13 +221,14 @@ def auto_correlation(
     ts: str,
     value: str,
     lags: Sequence[int] = (1,),
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-key autocorrelation at configured lags (≙ chombo AutoCorrelation).
 
     corr(x_t, x_{t-L}) over the seq-ordered series; one window pass builds all
     lag columns, one aggregation computes all correlations.
     """
-    w = Window.partitionBy(*keys).orderBy(ts)
+    w = Window.partitionBy(*keys).orderBy(ts, *order_cols)
     cols = [F.lag(value, lag).over(w).alias(f"_lag{lag}") for lag in lags]
     lagged = df.select(*keys, F.col(value), *cols)
     aggs = [F.corr(F.col(value), F.col(f"_lag{lag}")).alias(f"acf_{lag}") for lag in lags]

@@ -3,6 +3,13 @@
 is processed by a vectorized numpy kernel (no scipy dependency — the
 two-sample statistics are implemented directly).
 
+Determinism under timestamp ties: every kernel orders its group by
+``(ts, *order_cols)`` with a STABLE sort. Real event data always carries
+colliding timestamps at scale, and a bare ts sort makes any
+order-sensitive output engine- and run-ambiguous — pass a unique
+tie-break column (the event id) via ``order_cols`` for reproducible
+results (found by the alternate-seed parity sweep, tests/altseed.py).
+
   spectral_residual ≙ SpectralResiduePredictor (/root/reference/spark/src/
       main/scala/org/beymani/spark/seq/SpectralResiduePredictor.scala:74-153;
       hoidla FastFourierTransformWindow): saliency map — FFT, log amplitude
@@ -51,6 +58,7 @@ def spectral_residual(
     neighbor_window: int = 21,
     threshold: float = 3.0,
     relative: bool = True,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Adds sr_score and label. Score = saliency minus its trailing
     ``neighbor_window`` moving average (SpectralResiduePredictor.scala:
@@ -60,7 +68,7 @@ def spectral_residual(
     paper's normalized form) so the threshold is scale-free."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        pdf = pdf.sort_values([ts, *order_cols], kind="mergesort").reset_index(drop=True)
         x = pdf[value].to_numpy(dtype=float)
         n = len(x)
         if n < 4:
@@ -107,6 +115,7 @@ def one_step_ahead(
     threshold: float = 3.0,
     init_stats: DataFrame | None = None,
     emit_stats: bool = False,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Adds predicted, osa_score, label; outliers are replaced by their
     prediction inside the rolling window (reference feedback semantics).
@@ -126,7 +135,7 @@ def one_step_ahead(
     window itself is rebuilt from those rows; scoring begins after them)."""
 
     def run(pdf: pd.DataFrame, init: tuple[int, float, float]) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        pdf = pdf.sort_values([ts, *order_cols], kind="mergesort").reset_index(drop=True)
         x = pdf[value].to_numpy(dtype=float)
         n = len(x)
         work = x.copy()
@@ -245,6 +254,7 @@ def subsequence_distance(
     threshold: float | None = None,
     exclusion: int | None = None,
     parallelism: int | None = None,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Discord detection: one output row per window offset with the min
     distance to any non-overlapping window (self-join of subsequences).
@@ -258,12 +268,13 @@ def subsequence_distance(
     excl = exclusion if exclusion is not None else window
     if parallelism and parallelism > 1:
         out = _subsequence_distance_chunked(
-            df, keys, ts, value, window, excl, int(parallelism)
+            df, keys, ts, value, window, excl, int(parallelism),
+            order_cols=order_cols,
         )
         return _tag_discord(out, threshold)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        pdf = pdf.sort_values([ts, *order_cols], kind="mergesort").reset_index(drop=True)
         x = pdf[value].to_numpy(dtype=float)
         n = len(x) - window + 1
         key_cols = {k: pdf[k].iloc[0] for k in keys}
@@ -327,12 +338,13 @@ def _subsequence_distance_chunked(
     window: int,
     excl: int,
     n_chunks: int,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Within-key parallel discord profile (see subsequence_distance)."""
 
     def pkernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         chunk = int(key[-1])
-        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        pdf = pdf.sort_values([ts, *order_cols], kind="mergesort").reset_index(drop=True)
         x = pdf[value].to_numpy(dtype=float)
         n = len(x) - window + 1
         cols = [*keys, "offset", "start_ts", "_d2"]
@@ -384,6 +396,8 @@ def subsequence_distance_ref(
     window: int = 16,
     threshold: float | None = None,
     parallelism: int | None = None,
+    order_cols: Sequence[str] = (),
+    ref_order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Separate-reference-series discord mode (SubSequenceDistanceDetector
     union/tag path, :79-84): each window of the test series is scored by its
@@ -425,8 +439,8 @@ def subsequence_distance_ref(
         cols = [*keys, "offset", "start_ts", out_col]
         if len(data) == 0 or len(ref) < window:
             return pd.DataFrame(columns=cols)
-        data = data.sort_values(ts).reset_index(drop=True)
-        ref = ref.sort_values("_rts").reset_index(drop=True)
+        data = data.sort_values([ts, *order_cols], kind="mergesort").reset_index(drop=True)
+        ref = ref.sort_values(["_rts", *_ref_oc], kind="mergesort").reset_index(drop=True)
         x = data[value].to_numpy(dtype=float)
         r = ref["_rval"].to_numpy(dtype=float)
         n = len(x) - window + 1
@@ -454,8 +468,12 @@ def subsequence_distance_ref(
     # from the same lineage (scoring a series against itself) trips Spark's
     # self-join attribute dedup, which prunes same-named data columns out of
     # the right Arrow batch (see knn.blocked_vec_pairs)
+    _ref_oc = [f"_ro{i}" for i in range(len(ref_order_cols))]
     ref_sel = ref_df.select(
-        *keys, F.col(ts).alias("_rts"), F.col(value).alias("_rval")
+        *keys,
+        F.col(ts).alias("_rts"),
+        F.col(value).alias("_rval"),
+        *[F.col(c).alias(a) for c, a in zip(ref_order_cols, _ref_oc)],
     )
     if n_chunks == 1:
         out = (
@@ -492,6 +510,7 @@ def ngram_frequency(
     ngram: int = 2,
     window: int = 20,
     threshold: float = 0.5,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """#4 NgramFrequencyPredictor (/root/reference/spark/src/main/scala/org/
     beymani/spark/seq/NgramFrequencyPredictor.scala:87-195): values quantized
@@ -502,7 +521,7 @@ def ngram_frequency(
     full-window score (reference backfill, :137-147)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        pdf = pdf.sort_values([ts, *order_cols], kind="mergesort").reset_index(drop=True)
         x = pdf[value].to_numpy(dtype=float)
         n = len(x)
         qs = np.quantile(x, np.linspace(0, 1, n_bins + 1)[1:-1])
@@ -590,15 +609,23 @@ _STATS = {"ks": _ks_stat, "cvm": _cvm_stat, "ad": _ad_stat}
 
 
 def change_point_checkpoint(
-    df: DataFrame, keys: Sequence[str], ts: str, window: int = 64
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    window: int = 64,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-key resume checkpoint for change_point: the ts at the center of
     the last full window, seqValues(size - 1 - window/2)
     (ChangePointDetector.scala:152-155). A codegen row_number filter —
-    row window//2 + 1 counting from the end."""
+    row window//2 + 1 counting from the end. ``order_cols`` tie-breaks
+    equal timestamps (descending, mirroring the ascending kernel order) so
+    the checkpoint row is the same one change_point's kernel would index."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(F.col(ts).desc())
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts).desc(), *[F.col(c).desc() for c in order_cols]
+    )
     return (
         df.withColumn("_rdesc", F.row_number().over(w))
         .filter(F.col("_rdesc") == window // 2 + 1)
@@ -616,6 +643,7 @@ def change_point(
     stat: str = "ks",
     critical_value: float | None = None,
     checkpoint: DataFrame | None = None,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Sliding two-sample test between window halves; emits (keys..., center
     ts, stat value[, is_change]) every ``step`` offsets.
@@ -638,7 +666,7 @@ def change_point(
         )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        pdf = pdf.sort_values([ts, *order_cols], kind="mergesort").reset_index(drop=True)
         x = pdf[value].to_numpy(dtype=float)
         cols = [*keys, "center_ts", "stat"] + (
             ["is_change"] if critical_value is not None else []
@@ -695,6 +723,7 @@ def one_step_ahead_multi(
     method: str = "average",
     alpha: float = 0.3,
     threshold: float = 3.0,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Multi-attribute one-step-ahead (OneStepAheadPredictor.scala:133-162):
     each attribute keeps its own prediction window, residual moments and
@@ -714,7 +743,7 @@ def one_step_ahead_multi(
         ew_sum = ew.sum()
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        pdf = pdf.sort_values([ts, *order_cols], kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         xs = {v: pdf[v].to_numpy(dtype=float) for v in values}
         works = {v: xs[v].copy() for v in values}
@@ -771,6 +800,7 @@ def change_point_multi(
     stat: str = "ks",
     critical_value: float | None = None,
     checkpoint: DataFrame | None = None,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Multi-attribute change points (ChangePointDetector.scala:104-151
     flatMaps over attr.ordinals): melt the value columns to (attr, value)
@@ -781,6 +811,7 @@ def change_point_multi(
     melted = df.select(
         *keys,
         F.col(ts),
+        *[F.col(c) for c in order_cols],
         F.expr(
             "stack({n}, {pairs}) as (attr, value)".format(
                 n=len(values),
@@ -792,4 +823,5 @@ def change_point_multi(
         melted, [*keys, "attr"], ts, "value",
         window=window, step=step, stat=stat,
         critical_value=critical_value, checkpoint=checkpoint,
+        order_cols=order_cols,
     )

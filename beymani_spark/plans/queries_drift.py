@@ -34,7 +34,8 @@ def _drift_query(detector: str, **params):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         errs = _error_stream(spark, sf_dir)
         out = drift_mod.drift_detect(
-            errs, ["event_type"], "ts", "is_error", detector, **params
+            errs, ["event_type"], "ts", "is_error", detector,
+            order_cols=["event_id"], **params
         )
         diag = {"ddm": ["pr", "sd"], "eddm": ["cur"], "fhddm": ["acc"], "ecdd": ["z"]}[
             detector
@@ -224,10 +225,12 @@ FROM ddm d JOIN fh f ON d.event_type = f.event_type AND d.event_id = f.event_id
 def q_drift_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     errs = _error_stream(spark, sf_dir)
     d1 = drift_mod.drift_detect(
-        errs, ["event_type"], "ts", "is_error", "ddm", threshold=3.0, warmup=50
+        errs, ["event_type"], "ts", "is_error", "ddm", threshold=3.0, warmup=50,
+        order_cols=["event_id"],
     ).select("event_type", "event_id", F.col("drift").alias("drift_ddm"))
     d2 = drift_mod.drift_detect(
-        errs, ["event_type"], "ts", "is_error", "fhddm", conf_level=1e-6, win_size=100
+        errs, ["event_type"], "ts", "is_error", "fhddm", conf_level=1e-6, win_size=100,
+        order_cols=["event_id"],
     ).select("event_type", "event_id", F.col("drift").alias("drift_fhddm"))
     joined = d1.join(d2, ["event_type", "event_id"])
     out = drift_mod.consensus_drift(joined, ["drift_ddm", "drift_fhddm"], consensus="any")
@@ -251,7 +254,7 @@ WITH v AS (
 ), topk AS (
   SELECT src, dst, dist FROM nn WHERE nn_rank <= 5
 ), dens AS (
-  SELECT src AS dst, 1000.0 / avg(dist) AS dst_density FROM topk GROUP BY src
+  SELECT src AS dst, 1000.0 / (avg(dist) + 1e-10) AS dst_density FROM topk GROUP BY src
 )
 SELECT t.src, t.dst, round(d.dst_density, 6) AS dst_density
 FROM topk t JOIN dens d USING (dst)

@@ -145,7 +145,7 @@ def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_FREQ_ORACLE = """
 WITH ordered AS (
   SELECT event_type, event_id, value AS v,
-         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn
   FROM events
 ), edges AS (
   SELECT event_type, quantile_cont(v, [0.125,0.25,0.375,0.5,0.625,0.75,0.875]) AS qs FROM ordered GROUP BY event_type
@@ -205,7 +205,8 @@ def q_ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (grams ending in [max(1, i-29), i])."""
     ev = load_table(spark, sf_dir, "events")
     out = sequence.ngram_frequency(
-        ev, ["event_type"], "ts", "value", n_bins=8, ngram=2, window=30, threshold=1.0
+        ev, ["event_type"], "ts", "value", n_bins=8, ngram=2, window=30, threshold=1.0,
+        order_cols=["event_id"],
     )
     return _round(out.select("event_id", "event_type", "ng_score", "label"), ["ng_score"])
 
@@ -245,10 +246,10 @@ def q_lp_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") > 120).cast("int").alias("predicted"),
     )
     out = drift_mod.lp_drift(
-        lab, ["event_type"], "ts", "predicted", "actual", threshold=0.05
+        lab, ["event_type"], "ts", "predicted", "actual", threshold=0.05,
+        order_cols=["event_id"],
     )
-    # deterministic ordering: ts ties broken by event_id on the oracle side;
-    # events ts are unique so plain ts ordering matches
+    # deterministic ordering: ts ties broken by event_id on BOTH sides
     return _round(
         out.select("event_type", "event_id", "ecount", "count", "ediff", "drift"),
         ["ediff"],
@@ -262,12 +263,12 @@ def q_lp_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # other-half/own-half - 1, top-20 by (|drift| desc, index asc).
 _LOCAL_DRIFT_ORACLE = """
 WITH recent AS (
-  SELECT event_type, ts, value,
+  SELECT event_type, event_id, ts, value,
          row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS _rn
   FROM events QUALIFY _rn <= 4000
 ), idx AS (
   SELECT event_type, value,
-         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS i,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS i,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM recent
 ), p AS (
@@ -317,7 +318,8 @@ def q_local_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
     )
     out = drift_mod.local_drift(
-        recent, ["event_type"], "ts", ["value"], neighborhood_size=0.02, top_k=20
+        recent, ["event_type"], "ts", ["value"], neighborhood_size=0.02, top_k=20,
+        order_cols=["event_id"],
     )
     return _round(out, ["drift_score"])
 
@@ -327,12 +329,12 @@ WITH m AS (
   SELECT event_type, quantile_cont(event_id, 0.6) AS m FROM events GROUP BY event_type
 ), ref0 AS (
   SELECT e.event_type, CAST(round(e.value * 100, 0) AS DOUBLE) AS v,
-         row_number() OVER (PARTITION BY e.event_type ORDER BY e.ts) - 1 AS rn,
+         row_number() OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id) - 1 AS rn,
          count(*) OVER (PARTITION BY e.event_type) AS n
   FROM events e JOIN m USING (event_type) WHERE e.event_id <= m.m
 ), test0 AS (
   SELECT e.event_type, CAST(round(e.value * 100, 0) AS DOUBLE) AS v,
-         row_number() OVER (PARTITION BY e.event_type ORDER BY e.ts) - 1 AS rn,
+         row_number() OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id) - 1 AS rn,
          count(*) OVER (PARTITION BY e.event_type) AS n
   FROM events e JOIN m USING (event_type) WHERE e.event_id > m.m
 ), rw AS (
@@ -381,6 +383,7 @@ def q_subsequence_distance_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_m")
     )
     out = sequence.subsequence_distance_ref(
-        test, ref, ["event_type"], "ts", "value", window=16, parallelism=8
+        test, ref, ["event_type"], "ts", "value", window=16, parallelism=8,
+        order_cols=["event_id"], ref_order_cols=["event_id"],
     )
     return _round(out.select("event_type", "offset", "discord_score"), ["discord_score"])

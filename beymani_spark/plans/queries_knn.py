@@ -38,7 +38,7 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AVG_DIST_ORACLE = _PAIRS_CTE + """
 SELECT src, round(avg(dist), 6) AS avg_dist,
-       round(1000.0 / avg(dist), 6) AS density
+       round(1000.0 / (avg(dist) + 1e-10), 6) AS density
 FROM topk GROUP BY src
 """
 
@@ -51,7 +51,7 @@ def q_average_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REL_DENSITY_ORACLE = _PAIRS_CTE + """
 , dens AS (
-  SELECT src, avg(dist) AS avg_dist, 1000.0 / avg(dist) AS density
+  SELECT src, avg(dist) AS avg_dist, 1000.0 / (avg(dist) + 1e-10) AS density
   FROM topk GROUP BY src
 ), nbr AS (
   SELECT t.src, sum(d.density) AS nbr_density
@@ -76,12 +76,12 @@ _LOF_ORACLE = _PAIRS_CTE + """
   SELECT t.src, t.dst, greatest(t.dist, ko.kdist) AS reach_dist
   FROM topk t JOIN kdist ko ON t.dst = ko.src
 ), lrd AS (
-  SELECT src, 5.0 / sum(reach_dist) AS lrd FROM reach GROUP BY src
+  SELECT src, 5.0 / (sum(reach_dist) + 1e-10) AS lrd FROM reach GROUP BY src
 ), nbr AS (
   SELECT t.src, avg(lo.lrd) AS avg_nbr_lrd
   FROM topk t JOIN lrd lo ON t.dst = lo.src GROUP BY t.src
 )
-SELECT l.src, round(l.lrd, 6) AS lrd, round(n.avg_nbr_lrd / l.lrd, 6) AS lof
+SELECT l.src, round(l.lrd, 6) AS lrd, round(least(n.avg_nbr_lrd / l.lrd, 1000000.0), 6) AS lof
 FROM lrd l JOIN nbr n ON l.src = n.src
 """
 

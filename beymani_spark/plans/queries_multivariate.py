@@ -192,7 +192,7 @@ def q_autoencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPECTRAL_ORACLE = """
 WITH ordered AS (
   SELECT event_type, event_id, value AS v,
-         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
 ), freq AS (
@@ -248,14 +248,17 @@ def q_spectral_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # relative trailing-average scoring: ~p99 of the fixture's score
     # distribution, so the label column tags the true saliency tail
-    out = sequence.spectral_residual(ev, ["event_type"], "ts", "value", threshold=1.0)
+    out = sequence.spectral_residual(
+        ev, ["event_type"], "ts", "value", threshold=1.0,
+        order_cols=["event_id"],
+    )
     return _round(out.select("event_id", "event_type", "sr_score", "label"), ["sr_score"])
 
 
 _OSA_ORACLE = """
 WITH RECURSIVE ordered AS (
   SELECT event_type, event_id, CAST(round(value * 100, 0) AS DOUBLE) AS v,
-         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn
   FROM events
 ), state AS (
   -- sequential replay of the reference's window-feedback loop: one recursion
@@ -300,7 +303,8 @@ def q_one_step_ahead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.round(F.col("value") * 100, 0)
     )
     out = sequence.one_step_ahead(
-        ev, ["event_type"], "ts", "value", window=8, method="average", threshold=3.0
+        ev, ["event_type"], "ts", "value", window=8, method="average", threshold=3.0,
+        order_cols=["event_id"],
     )
     # rows before the first full window have no prediction: normalize the
     # kernel's NaN to SQL NULL so the driver hash agrees with the oracle
@@ -319,7 +323,7 @@ def q_one_step_ahead(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSEQ_ORACLE = """
 WITH ordered AS (
   SELECT event_type, CAST(round(value * 100, 0) AS DOUBLE) AS v,
-         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
 ), wins AS (
@@ -343,7 +347,8 @@ def q_subsequence_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.round(F.col("value") * 100, 0)
     )
     out = sequence.subsequence_distance(
-        ev, ["event_type"], "ts", "value", window=16, parallelism=8
+        ev, ["event_type"], "ts", "value", window=16, parallelism=8,
+        order_cols=["event_id"],
     )
     return _round(
         out.select("event_type", "offset", "discord_score"), ["discord_score"]
@@ -353,7 +358,7 @@ def q_subsequence_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHANGE_POINT_ORACLE = """
 WITH ordered AS (
   SELECT event_type, value, ts,
-         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn
   FROM events
 ), nk AS (
   SELECT event_type, count(*) AS n FROM ordered GROUP BY event_type
@@ -385,14 +390,14 @@ FROM st JOIN ordered o ON o.event_type = st.event_type AND o.rn = st.start + 32
 _CHANGE_POINT_RESUME_ORACLE = """
 WITH prefix AS (
   SELECT event_type, ts,
-         row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events WHERE ts < TIMESTAMP '2024-01-19 00:00:00'
 ), cp AS (
   SELECT event_type, ts AS cp_ts FROM prefix WHERE rn = n - 1 - 32
 ), ordered AS (
   SELECT e.event_type, e.value, e.ts,
-         row_number() OVER (PARTITION BY e.event_type ORDER BY e.ts) - 1 AS rn
+         row_number() OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id) - 1 AS rn
   FROM events e JOIN cp USING (event_type) WHERE e.ts >= cp.cp_ts
 ), nk AS (
   SELECT event_type, count(*) AS n FROM ordered GROUP BY event_type
@@ -427,9 +432,12 @@ def q_change_point_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     ev = load_table(spark, sf_dir, "events")
     prefix = ev.filter(F.col("ts") < F.lit("2024-01-19 00:00:00").cast("timestamp"))
-    cp = sequence.change_point_checkpoint(prefix, ["event_type"], "ts", window=64)
+    cp = sequence.change_point_checkpoint(
+        prefix, ["event_type"], "ts", window=64, order_cols=["event_id"]
+    )
     out = sequence.change_point(
-        ev, ["event_type"], "ts", "value", window=64, step=8, stat="ks", checkpoint=cp
+        ev, ["event_type"], "ts", "value", window=64, step=8, stat="ks", checkpoint=cp,
+        order_cols=["event_id"],
     )
     return _round(
         out.select("event_type", F.unix_timestamp("center_ts").alias("center_epoch"), "stat"),
@@ -512,7 +520,8 @@ def q_change_point_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = sequence.change_point(
-        ev, ["event_type"], "ts", "value", window=64, step=8, stat="ks"
+        ev, ["event_type"], "ts", "value", window=64, step=8, stat="ks",
+        order_cols=["event_id"],
     )
     return _round(
         out.select("event_type", F.unix_timestamp("center_ts").alias("center_epoch"), "stat"),

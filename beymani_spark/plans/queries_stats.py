@@ -428,7 +428,9 @@ FROM lagged GROUP BY event_type
 @register("auto_correlation", _AUTOCORR_ORACLE)
 def q_auto_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    out = profile.auto_correlation(ev, ["event_type"], "ts", "value", lags=(1, 2))
+    out = profile.auto_correlation(
+        ev, ["event_type"], "ts", "value", lags=(1, 2), order_cols=["event_id"]
+    )
     return _round(out, ["acf_1", "acf_2"])
 
 
@@ -444,12 +446,12 @@ WITH stats AS (
   SELECT event_id, event_type, ts,
          (avg(score) OVER ws - avg(score) OVER wl) / stddev_samp(score) OVER wl AS shift_z
   FROM scored
-  WINDOW ws AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
-         wl AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+  WINDOW ws AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         wl AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, event_type, round(shift_z, 6) AS shift_z,
        CASE WHEN max(CASE WHEN shift_z > 2.0 THEN 1 ELSE 0 END)
-              OVER (PARTITION BY event_type ORDER BY ts
+              OVER (PARTITION BY event_type ORDER BY ts, event_id
                     ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1
             THEN 'O' ELSE 'N' END AS shift_label
 FROM z
@@ -462,7 +464,8 @@ def q_score_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = profile.numerical_stats(ev, ["event_type"], ["value"])
     scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
     out = post.score_level_shift(
-        scored, ["event_type"], "ts", short_window=5, long_window=50, z_threshold=2.0
+        scored, ["event_type"], "ts", short_window=5, long_window=50, z_threshold=2.0,
+        order_cols=["event_id"],
     )
     return _round(out.select("event_id", "event_type", "shift_z", "shift_label"), ["shift_z"])
 

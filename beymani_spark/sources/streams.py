@@ -44,6 +44,13 @@ _KAFKA_PASSTHROUGH = (
     "failondataloss",
 )
 
+#: the exact record schema Spark's kafka connector produces — the contract
+#: every downstream job sees; the broker-less shim pins itself to it
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
 
 def decode_value(df: DataFrame, conf: Mapping[str, str]) -> DataFrame:
     """Decode a Kafka-shaped frame (binary ``value`` column) into typed
@@ -82,9 +89,13 @@ def open_stream(spark: SparkSession, conf: Mapping[str, str]) -> DataFrame:
     - ``kafka``: ``kafka.*`` options pass through verbatim, plus
       subscribe/assign/startingOffsets/...; the value payload is decoded
       per decode_value. Needs the spark-sql-kafka connector on the
-      classpath (raises a clear error otherwise — this repo's test env
-      has no broker, so the kafka branch is exercised to that boundary
-      and decode_value is verified separately).
+      classpath (raises a clear error otherwise). ``kafka.shim.path``
+      swaps ONLY the broker connection for a file stream pinned to the
+      connector's exact record schema (KAFKA_RECORD_SCHEMA: key/value
+      binary + topic/partition/offset/timestamp/timestampType) — the
+      broker-less contract-test stand-in, so everything downstream of
+      the source boundary (value decoding, job plans, sinks) executes
+      identically with or without a real broker.
     - ``file``: ``path`` + ``schema`` (DDL, required — streaming file
       sources cannot infer) + ``file.format`` (parquet/csv/json/text,
       default parquet) + optional ``maxFilesPerTrigger``.
@@ -92,11 +103,22 @@ def open_stream(spark: SparkSession, conf: Mapping[str, str]) -> DataFrame:
     """
     fmt = str(conf.get("format", "")).lower()
     if fmt == "kafka":
+        shim = conf.get("kafka.shim.path")
         reader = spark.readStream.format("kafka")
         for k, val in conf.items():
             lk = str(k).lower()
-            if lk.startswith("kafka.") or lk in _KAFKA_PASSTHROUGH:
+            if lk.startswith("kafka.") and lk != "kafka.shim.path":
                 reader = reader.option(k, val)
+            elif lk in _KAFKA_PASSTHROUGH:
+                reader = reader.option(k, val)
+        if shim:
+            # broker-less stand-in: identical record schema, identical
+            # downstream decode — only the source connection differs
+            raw = (
+                spark.readStream.schema(KAFKA_RECORD_SCHEMA)
+                .parquet(str(shim))
+            )
+            return decode_value(raw, conf)
         try:
             raw = reader.load()
         except Exception as e:  # connector jar absent or options invalid

@@ -166,6 +166,7 @@ def lp_drift(
     predicted_col: str,
     actual_col: str,
     threshold: float = 0.1,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """sucodr lp (:235-262): signed prediction-disagreement rate — +1 when
     (pred=1, actual=0), −1 when (pred=0, actual=1); drift when the cumulative
@@ -174,7 +175,7 @@ def lp_drift(
 
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts)
+        .orderBy(ts, *order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     delta = (
@@ -201,6 +202,7 @@ def local_drift(
     values: Sequence[str],
     neighborhood_size: float = 0.05,
     top_k: int = 20,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """sucodr UnsupConceptDrift.localDrift (:363-395): split each key's
     seq-ordered rows in half (old vs new window), take each point's
@@ -216,7 +218,7 @@ def local_drift(
     row_idx asc)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        pdf = pdf.sort_values([ts, *order_cols], kind="mergesort").reset_index(drop=True)
         x = pdf[list(values)].to_numpy(dtype=float)
         n = len(x)
         key_cols = {k: pdf[k].iloc[0] for k in keys}
@@ -269,6 +271,7 @@ def drift_detect(
     ts: str,
     error_col: str,
     detector: str = "ddm",
+    order_cols: Sequence[str] = (),
     **params,
 ) -> DataFrame:
     """Per-key drift scan; output adds the detector's diagnostic columns."""
@@ -280,7 +283,7 @@ def drift_detect(
     ]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        pdf = pdf.sort_values([ts, *order_cols], kind="mergesort").reset_index(drop=True)
         vals = pdf[error_col].to_numpy()
         out_cols, _ = scan(vals, **params)
         res = pdf.copy()

@@ -14,6 +14,14 @@ fieldsGrouping by entity -> stateful predictor bolt -> Redis alert queue
 Watermark + late-data policy is a new capability — the reference has none.
 The scoring expressions are the *same* column expressions as the batch
 operators (stats join + tag), so batch/stream parity is by construction.
+
+Timestamp ties: stateful kernels order each micro-batch by ts. Unlike the
+batch operators (which take ``order_cols`` tie-breaks — sequence.py), a
+stream cannot be made tie-deterministic by sorting alone: rows with equal
+timestamps may land in DIFFERENT micro-batches, so arrival order is the
+real order. Exact replays of tie-heavy history should use the batch
+operators with ``order_cols``; the streaming path guarantees determinism
+per micro-batch only.
 """
 from __future__ import annotations
 

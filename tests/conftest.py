@@ -22,3 +22,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_ORACLE
+
+
+@pytest.fixture(scope="session")
+def alt_sf_dir():
+    """Alternate-seed/skew fixture build (materialized on first use)."""
+    from .altseed import build_altseed
+
+    return build_altseed()

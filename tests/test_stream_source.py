@@ -202,3 +202,92 @@ def test_stream_constraint_gate_quarantines_bad_batch(spark, tmp_path):
     assert audit[1].metric == 0.5
     out = spark.read.parquet(out_p)
     assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
+# --- kafka-shape contract (broker-less shim) ---------------------------------
+
+
+def test_kafka_shim_runs_job_end_to_end_with_pinned_schema(spark, tmp_path):
+    """Executes the kafka branch of open_stream against the broker-less
+    shim: parquet records carrying the connector's EXACT schema
+    (KAFKA_RECORD_SCHEMA — key/value binary, topic, partition, offset,
+    timestamp, timestampType) flow through the same option handling,
+    the same delimited value decode, a real scoring job, and a memory
+    sink. Pins both the record schema and the decoded output schema, so
+    a connector-contract drift fails here instead of on a live broker."""
+    import datetime as dt
+
+    from beymani_spark.streaming.jobs import stream_zscore
+
+    shim = tmp_path / "topic"
+    rows = [
+        (
+            b"e%d" % (i % 3),
+            (f"e{i % 3},2024-01-01 00:00:{i:02d},{float(i % 17)}").encode(),
+            "events",
+            i % 2,
+            i,
+            dt.datetime(2024, 1, 1, 0, 0, i),
+            0,
+        )
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, streams.KAFKA_RECORD_SCHEMA).write.parquet(str(shim))
+
+    conf = {
+        "format": "kafka",
+        "kafka.bootstrap.servers": "broker:9092",  # exercised, unused by shim
+        "subscribe": "events",
+        "kafka.shim.path": str(shim),
+        "value.format": "delimited",
+        "value.delimiter": ",",
+        "value.schema": "event_type string, ts timestamp, value double",
+    }
+    src = streams.open_stream(spark, conf)
+    assert src.isStreaming
+    # decoded stream schema is exactly the declared value schema
+    assert [(f.name, f.dataType.simpleString()) for f in src.schema.fields] == [
+        ("event_type", "string"),
+        ("ts", "timestamp"),
+        ("value", "double"),
+    ]
+
+    stats = spark.createDataFrame(
+        [("e0", "value", 8.0, 2.0), ("e1", "value", 8.0, 2.0), ("e2", "value", 8.0, 2.0)],
+        "event_type string, attr string, mean double, std double",
+    )
+    scored = stream_zscore(src, stats, ["event_type"], ["value"], threshold=3.0)
+    q = streams.start_sink(
+        scored,
+        {
+            "format": "memory",
+            "queryName": "kafka_shim",
+            "checkpoint": str(tmp_path / "ck"),
+            "trigger": "availableNow",
+        },
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql("select * from kafka_shim").toPandas()
+    assert len(got) == 40
+    # stream output equals the batch job on the same decoded records
+    batch = spark.createDataFrame(
+        [(f"e{i % 3}", float(i % 17)) for i in range(40)],
+        "event_type string, value double",
+    )
+    exp = stream_zscore(batch, stats, ["event_type"], ["value"], threshold=3.0).toPandas()
+    key = ["event_type", "value", "score", "label"]
+    assert sorted(map(tuple, got[key].itertuples(index=False))) == sorted(
+        map(tuple, exp[key].itertuples(index=False))
+    )
+
+
+def test_kafka_shim_record_schema_matches_connector_contract(spark):
+    """The shim schema string is the connector's documented record shape —
+    guard against accidental edits."""
+    assert streams.KAFKA_RECORD_SCHEMA == (
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, timestampType int"
+    )
