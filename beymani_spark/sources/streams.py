@@ -152,14 +152,95 @@ def open_stream(spark: SparkSession, conf: Mapping[str, str]) -> DataFrame:
     raise ValueError(f"unknown stream format: {conf.get('format')!r}")
 
 
+def encode_value(df: DataFrame, conf: Mapping[str, str]) -> DataFrame:
+    """Mirror of decode_value for the PRODUCING side: serialize a typed
+    frame into the kafka record shape (string ``value``, optional string
+    ``key``) per ``value.format``:
+
+    - ``'delimited'``: concat_ws(``value.delimiter``) over ``value.columns``
+      (comma-separated list; default: every non-key column in frame order)
+      — the reference's queue-message format.
+    - ``'json'``: to_json over the same struct.
+    - ``'raw'`` (default): the single ``value.columns`` column cast to
+      string.
+
+    ``key.column`` (optional) casts that column to the record key —
+    Kafka's partitioner hashes it, so pick the entity id to preserve the
+    reference's fieldsGrouping semantics end-to-end. Pure codegen
+    (concat_ws / to_json), no Python in the hot path."""
+    vfmt = str(conf.get("value.format", "raw")).lower()
+    key_col = conf.get("key.column")
+    cols_conf = conf.get("value.columns")
+    cols = (
+        [c.strip() for c in str(cols_conf).split(",") if c.strip()]
+        if cols_conf
+        else [c for c in df.columns if c != key_col]
+    )
+    if vfmt == "delimited":
+        value = F.concat_ws(
+            str(conf.get("value.delimiter", ",")),
+            *[F.col(c).cast("string") for c in cols],
+        )
+    elif vfmt == "json":
+        value = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    elif vfmt == "raw":
+        if len(cols) != 1:
+            raise ValueError("value.format='raw' needs exactly one value column")
+        value = F.col(cols[0]).cast("string")
+    else:
+        raise ValueError(f"unknown value.format: {vfmt}")
+    out = [value.alias("value")]
+    if key_col:
+        out.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*out)
+
+
 def start_sink(df: DataFrame, conf: Mapping[str, str]):
     """Start a writeStream from a config dict and return the query:
-    ``format`` (parquet/json/csv/memory/console/noop), ``checkpoint``
+    ``format`` (parquet/json/csv/memory/console/noop/kafka), ``checkpoint``
     (checkpointLocation — required for file sinks: it is what makes
     restart exactly-once), ``path`` (file sinks), ``queryName`` (memory),
     ``outputMode`` (default append), ``trigger`` ('availableNow',
-    'once', or a processing-time interval like '5 seconds')."""
+    'once', or a processing-time interval like '5 seconds').
+
+    ``kafka``: the frame is serialized to key/value per encode_value, then
+    written by Spark's kafka sink (``kafka.*`` options pass through;
+    ``topic`` required). ``kafka.shim.path`` swaps ONLY the broker
+    connection for a parquet sink of the same key/value record — the
+    broker-less contract-test stand-in, symmetric with open_stream's
+    source shim, so the encode path and job plan execute identically."""
     fmt = str(conf.get("format", "parquet")).lower()
+    if fmt == "kafka":
+        rec = encode_value(df, conf)
+        shim = conf.get("kafka.shim.path")
+        if shim:
+            sink_conf = {
+                **{k: v for k, v in conf.items() if not str(k).startswith("kafka.")},
+                "format": "parquet",
+                "path": str(shim),
+            }
+            return start_sink(rec, sink_conf)
+        if "topic" not in conf:
+            raise ValueError("kafka sink requires 'topic'")
+        writer = (
+            rec.writeStream.format("kafka")
+            .option("topic", str(conf["topic"]))
+            .outputMode(str(conf.get("outputMode", "append")))
+        )
+        for k, val in conf.items():
+            if str(k).lower().startswith("kafka."):
+                writer = writer.option(k, val)
+        if "checkpoint" not in conf:
+            raise ValueError("kafka sink requires 'checkpoint' for exactly-once")
+        writer = writer.option("checkpointLocation", str(conf["checkpoint"]))
+        trig = conf.get("trigger")
+        if trig == "availableNow":
+            writer = writer.trigger(availableNow=True)
+        elif trig == "once":
+            writer = writer.trigger(once=True)
+        elif trig:
+            writer = writer.trigger(processingTime=str(trig))
+        return writer.start()
     if fmt in ("parquet", "json", "csv") and "path" not in conf:
         raise ValueError(f"{fmt} sink requires 'path'")
     writer = df.writeStream.format(fmt).outputMode(str(conf.get("outputMode", "append")))
