@@ -325,3 +325,86 @@ def linear_attribution(
     return per_type.withColumn(
         "credit_share", F.round(F.col("total_credit") / F.sum("total_credit").over(wt), 6)
     )
+
+
+def u_shaped_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    edge_weight: float = 0.4,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: within each
+    conversion's touch group the FIRST and LAST touch each earn
+    ``edge_weight`` (default 40%) of the conversion value and the middle
+    touches share the remainder equally; a single touch earns 100%, two
+    touches split 50/50. Conversions with no preceding touch keep their
+    value under 'none' — total credit equals total conversion value, same
+    conservation law as linear_attribution.
+
+    Same plan shape as linear_attribution (one user-keyed exchange feeding
+    the windows, then tiny aggregations): touches find their next
+    conversion's row_number; min/max row_number over the (user, conversion)
+    partition mark the U's edges; per-touch weight is a CASE on position.
+    The weights are exact binary-representable-or-shared literals on both
+    engines, so the oracle hash-verifies after round-6."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    is_conv = F.col(type_col) == conversion_type
+    marked = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col),
+        F.col(value_col),
+        is_conv.alias("_is_conv"),
+        F.row_number().over(w).alias("_rn"),
+        F.min(F.when(is_conv, F.row_number().over(w))).over(wf).alias("_next_conv"),
+    )
+    touches = marked.filter(~F.col("_is_conv") & F.col("_next_conv").isNotNull())
+    conversions = marked.filter(F.col("_is_conv")).select(
+        "_u", F.col("_rn").alias("_ck"), F.col(value_col).alias("_cv")
+    )
+    grp = Window.partitionBy("_u", "_next_conv")
+    pos = (
+        touches.withColumn("_n_tot", F.count("*").over(grp))
+        .withColumn("_first", F.min("_rn").over(grp))
+        .withColumn("_last", F.max("_rn").over(grp))
+    )
+    ew = float(edge_weight)
+    weight = (
+        F.when(F.col("_n_tot") == 1, F.lit(1.0))
+        .when(F.col("_n_tot") == 2, F.lit(0.5))
+        .when(F.col("_rn") == F.col("_first"), F.lit(ew))
+        .when(F.col("_rn") == F.col("_last"), F.lit(ew))
+        .otherwise(F.lit(1.0 - 2 * ew) / (F.col("_n_tot") - 2))
+    )
+    credited = (
+        pos.withColumn("_w", weight)
+        .join(conversions, (pos["_u"] == conversions["_u"])
+              & (pos["_next_conv"] == conversions["_ck"]))
+        .select(
+            F.col(type_col).alias("touch_type"),
+            (F.col("_cv") * F.col("_w")).alias("_credit"),
+            F.lit(1).cast("long").alias("_n_touches"),
+        )
+    )
+    touched_keys = touches.select("_u", F.col("_next_conv").alias("_ck")).distinct()
+    untouched = conversions.join(touched_keys, ["_u", "_ck"], "left_anti").select(
+        F.lit("none").alias("touch_type"),
+        F.col("_cv").alias("_credit"),
+        F.lit(0).cast("long").alias("_n_touches"),
+    )
+    per_type = (
+        credited.unionByName(untouched)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("_n_touches").alias("n_touches"),
+            F.round(F.sum("_credit"), 6).alias("total_credit"),
+        )
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per_type.withColumn(
+        "credit_share", F.round(F.col("total_credit") / F.sum("total_credit").over(wt), 6)
+    )

@@ -88,3 +88,66 @@ def pii_filter(
     for _, (pat, _tok) in pats.items():
         total = total + F.regexp_count(F.col(text_col), F.lit(pat))
     return df.filter(total <= F.lit(max_total))
+
+
+def pii_pseudonymize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "pseudo",
+    patterns: Mapping[str, tuple[str, str]] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Replace every PII match with a DETERMINISTIC pseudonym —
+    ``<KIND>_<md5(match ":" seed)[:8]>`` — instead of redaction's flat
+    token. Equal values map to equal pseudonyms (referential integrity
+    survives: the same email is the same entity across the corpus, joins
+    and dedup still work), unequal values collide only at md5 odds, and
+    nothing is reversible without the original value. The salt ``seed``
+    breaks rainbow-table linkage across corpora.
+
+    Mechanics, still pure codegen: per kind (patterns order, each pass on
+    the previous pass's output), extract the matches in appearance order
+    and fold replace(acc, match, pseudonym(match)) over them with
+    F.aggregate — replacing ALL occurrences at a match's first encounter
+    makes later duplicates no-ops, so no distinct/ordering semantics are
+    needed. The md5-based pseudonym reuses the sampling family's engine-
+    exact hash convention, so the DuckDB oracle (list_reduce) reproduces
+    the rewrite byte-for-byte. Cost is one regex extraction pass + one
+    fold per kind — scan-side, no shuffle, no UDF.
+
+    Each pass is projected as a REAL intermediate column: the pass input
+    feeds both the extraction and the fold init, and inlining a non-cheap
+    expression referenced twice doubles the expression tree per kind
+    (2^kinds blow-up — the lang_id/quantize JIT trap). CollapseProject
+    keeps a non-cheap alias that is referenced more than once, so each
+    pass's regex work runs exactly once per row."""
+    pats = dict(patterns or DEFAULT_PATTERNS)
+
+    def _fold(prefix: Column):
+        # closure factory, NOT a default arg: PySpark maps a lambda's
+        # parameter count onto the HOF arity, so a bound `p=prefix` third
+        # parameter mis-binds aggregate's 2-arg merge (the lang_id trap)
+        return lambda acc, m: F.replace(
+            acc,
+            m,
+            F.concat(
+                prefix,
+                F.substring(F.md5(F.concat_ws(":", m, F.lit(str(seed)))), 1, 8),
+            ),
+        )
+
+    out = df
+    cur = text_col
+    for i, (kind, (pat, _tok)) in enumerate(pats.items()):
+        nxt = out_col if i == len(pats) - 1 else f"_pseudo{i}"
+        out = out.withColumn(
+            nxt,
+            F.aggregate(
+                F.regexp_extract_all(F.col(cur), F.lit(pat), F.lit(0)),
+                F.col(cur),
+                _fold(F.lit(kind.upper() + "_")),
+            ),
+        )
+        cur = nxt
+    drop = [f"_pseudo{i}" for i in range(max(0, len(pats) - 1))]
+    return out.drop(*drop) if drop else out.withColumn(out_col, F.col(text_col))

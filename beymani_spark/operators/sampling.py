@@ -455,3 +455,47 @@ def weighted_sample_by(
         .filter(F.col("_rn") <= int(k))
         .drop("_rn")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    seed: int = 42,
+    mode: str = "exact",
+) -> DataFrame:
+    """Per-domain document cap — the balancing pass every crawled corpus
+    applies so one mega-domain cannot dominate the mixture (C4/Gopher
+    pipelines cap per registered domain). Keeps at most ``cap`` rows per
+    ``key_col``, chosen DETERMINISTICALLY: the cap-winners are the rows
+    with the smallest hash_uniform(id, seed) — a pure function of
+    (id, seed), so re-runs, repartitions and engines agree exactly.
+
+    ``mode='exact'`` ranks within each domain over one hash exchange on
+    the key (row_number over (u, id)) — exact top-``cap``; the per-key
+    ordered window sorts one domain's rows, so a pathological mega-domain
+    bounds the task (the altseed hot-key draw stress-tests this shape).
+    ``mode='rate'`` is the 100 TB off-ramp: a tiny per-key count
+    aggregate broadcasts back and the scan keeps u < cap/n — ZERO fact
+    shuffle, ``cap`` per domain in expectation (Chernoff-tight for the
+    caps that matter), the statistical capping large pipelines actually
+    run when exact-k is not worth a shuffle. Same hash, same
+    determinism; only the guarantee differs (exact-k vs expected-k).
+    """
+    u = hash_uniform(F.col(id_col), seed)
+    if mode == "rate":
+        counts = df.groupBy(key_col).agg(F.count("*").alias("_n"))
+        return (
+            df.join(F.broadcast(counts), key_col)
+            .filter(u < F.lit(float(cap)) / F.col("_n"))
+            .drop("_n")
+        )
+    if mode != "exact":
+        raise ValueError(f"unknown mode: {mode}")
+    w = Window.partitionBy(key_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(cap))
+        .drop("_rk")
+    )

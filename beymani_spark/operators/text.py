@@ -589,3 +589,114 @@ def vocab_coverage(
             F.when(F.col("_in_vocab").isNull(), F.col("token"))
         ).alias("oov_types"),
     )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    max_dup_line_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition/format quality gates (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1; same family as C4's heuristics) — the rule
+    set large-scale corpus builds apply before model-based filters:
+
+    - word count in [min_words, max_words]; mean word length in
+      [min_word_len, max_word_len]
+    - <= max_bullet_ratio of lines start with a bullet; <=
+      max_ellipsis_ratio end with an ellipsis
+    - symbol-to-word ratio (# and ... occurrences per word) <=
+      max_symbol_ratio
+    - >= min_alpha_ratio of words contain an alphabetic character
+    - >= min_stopwords DISTINCT stopwords appear (the "real prose" test)
+    - duplicate-line fraction <= max_dup_line_ratio
+
+    Appends the raw metrics, one boolean per gate, and ``gopher_pass``
+    (AND of all gates). Everything is array/codegen expressions over ONE
+    tokenization and ONE line split — a scan-speed map pass that fuses
+    with surrounding filters; ratios use try_divide so a degenerate
+    (empty) doc yields NULL metrics and a False pass instead of aborting
+    the scan under ANSI. Reference analogue: none (the reference has no
+    corpus-quality surface); extends quality_score/text_features."""
+    toks = tokens(F.col(text_col))
+    out = df.withColumn("_toks", toks).withColumn(
+        "_lines",
+        F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        ),
+    )
+    n_words = F.size("_toks")
+    n_lines = F.size("_lines")
+    mean_wl = F.try_divide(
+        F.aggregate(F.col("_toks"), F.lit(0), lambda a, x: a + F.length(x)), n_words
+    )
+    bullets = F.size(
+        F.filter(
+            F.col("_lines"),
+            lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+        )
+    )
+    ellipses = F.size(
+        F.filter(
+            F.col("_lines"),
+            lambda x: x.endswith("...") | x.endswith("…"),
+        )
+    )
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"#", "")
+    )
+    n_ell = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / F.lit(3)
+    alpha_words = F.size(F.filter(F.col("_toks"), lambda x: x.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(F.col("_toks"), lambda x: F.lower(x))),
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+        )
+    )
+    dup_lines = F.try_divide(
+        (n_lines - F.size(F.array_distinct("_lines"))).cast("double"), n_lines
+    )
+    metrics = {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "bullet_ratio": F.try_divide(bullets.cast("double"), n_lines),
+        "ellipsis_ratio": F.try_divide(ellipses.cast("double"), n_lines),
+        "symbol_ratio": F.try_divide(n_hash + n_ell, n_words),
+        "alpha_ratio": F.try_divide(alpha_words.cast("double"), n_words),
+        "n_stopwords": n_stop,
+        "dup_line_ratio": dup_lines,
+    }
+    for name, expr in metrics.items():
+        out = out.withColumn(name, expr)
+    gates = {
+        "gate_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "gate_word_len": (F.col("mean_word_len") >= min_word_len)
+        & (F.col("mean_word_len") <= max_word_len),
+        "gate_bullets": F.col("bullet_ratio") <= max_bullet_ratio,
+        "gate_ellipsis": F.col("ellipsis_ratio") <= max_ellipsis_ratio,
+        "gate_symbols": F.col("symbol_ratio") <= max_symbol_ratio,
+        "gate_alpha": F.col("alpha_ratio") >= min_alpha_ratio,
+        "gate_stopwords": F.col("n_stopwords") >= min_stopwords,
+        "gate_dup_lines": F.col("dup_line_ratio") <= max_dup_line_ratio,
+    }
+    # NULL metrics (empty doc) must gate False, not NULL
+    for name, expr in gates.items():
+        out = out.withColumn(name, F.coalesce(expr, F.lit(False)))
+    all_pass = None
+    for name in gates:
+        c = F.col(name)
+        all_pass = c if all_pass is None else all_pass & c
+    return out.withColumn("gopher_pass", all_pass).drop("_toks", "_lines")

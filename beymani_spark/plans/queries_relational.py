@@ -1057,3 +1057,62 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return linear_attribution(ev)
+
+
+_U_SHAPED_ORACLE = """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         event_type = 'purchase' AS is_conv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), m2 AS (
+  SELECT *,
+         min(CASE WHEN is_conv THEN rn END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_conv
+  FROM m
+), t AS (
+  SELECT user_id, next_conv AS ck, event_type AS touch_type, rn,
+         count(*) OVER (PARTITION BY user_id, next_conv) AS n_tot,
+         min(rn) OVER (PARTITION BY user_id, next_conv) AS first_rn,
+         max(rn) OVER (PARTITION BY user_id, next_conv) AS last_rn
+  FROM m2 WHERE NOT is_conv AND next_conv IS NOT NULL
+), w AS (
+  SELECT user_id, ck, touch_type,
+         CASE WHEN n_tot = 1 THEN 1.0
+              WHEN n_tot = 2 THEN 0.5
+              WHEN rn = first_rn THEN 0.4
+              WHEN rn = last_rn THEN 0.4
+              ELSE (1.0 - 2 * 0.4) / (n_tot - 2) END AS wgt
+  FROM t
+), conv AS (
+  SELECT user_id, rn AS ck, value AS cv FROM m2 WHERE is_conv
+), credited AS (
+  SELECT touch_type, cv * wgt AS credit, 1 AS n_touches
+  FROM w JOIN conv USING (user_id, ck)
+  UNION ALL
+  SELECT 'none', cv, 0
+  FROM conv ANTI JOIN (SELECT DISTINCT user_id, ck FROM w) k USING (user_id, ck)
+), per AS (
+  SELECT touch_type, CAST(sum(n_touches) AS BIGINT) AS n_touches,
+         round(sum(credit), 6) AS total_credit
+  FROM credited GROUP BY 1
+)
+SELECT touch_type, n_touches, total_credit,
+       round(total_credit / sum(total_credit) OVER (), 6) AS credit_share
+FROM per
+"""
+
+
+@register("u_shaped_attribution", _U_SHAPED_ORACLE)
+def q_u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution (behavior.u_shaped_attribution):
+    first and last touch each earn 40% of the conversion value, middles
+    share the rest; single touch 100%, pair 50/50; untouched conversions
+    stay under 'none'. Credit conservation and the share table
+    hash-verify; the middle weight is written as (1.0 - 2*0.4) on BOTH
+    engines so the float literal matches bit-for-bit."""
+    from ..operators.behavior import u_shaped_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return u_shaped_attribution(ev)

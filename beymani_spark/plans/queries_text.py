@@ -2381,3 +2381,208 @@ def q_weighted_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "lang", "doc_id", "n_chars", F.round("sample_key", 6).alias("sample_key")
     )
+
+
+# --- Gopher-rule quality gates ------------------------------------------------
+
+# The fixture text is single-line word soup, so the query augments every
+# k-th doc deterministically (both engines compute the same derived text)
+# to exercise each gate: bullet-heavy multi-line, duplicated lines,
+# ellipsis-heavy lines, symbol-only.
+_GOPHER_AUG_SQL = """
+CASE
+  WHEN doc_id % 7 = 0 THEN replace(text, ' ', chr(10) || '- ')
+  WHEN doc_id % 7 = 1 THEN text || repeat(chr(10) || 'same line', 5)
+  WHEN doc_id % 7 = 2 THEN replace(text, ' ', '...' || chr(10))
+  WHEN doc_id % 7 = 3 THEN '# ## ###'
+  ELSE text
+END
+"""
+
+_STOP_SQL = "['the','a','and','of','to','is','it','that','in','for','on','with']"
+
+_GOPHER_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id, {_GOPHER_AUG_SQL} AS t FROM documents
+), f AS (
+  SELECT doc_id, t,
+         list_filter(regexp_split_to_array(trim(t), '\\s+'), x -> x <> '') AS toks,
+         list_filter(list_transform(regexp_split_to_array(t, '\\n'), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM a
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+         END AS mean_word_len,
+         CASE WHEN len(lines) > 0 THEN
+           len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%'))
+             * 1.0 / len(lines) END AS bullet_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…'))
+             * 1.0 / len(lines) END AS ellipsis_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           ((length(t) - length(replace(t, '#', '')))
+            + (length(t) - length(replace(t, '...', ''))) / 3)
+             * 1.0 / len(toks) END AS symbol_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+             * 1.0 / len(toks) END AS alpha_ratio,
+         len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+                            {_STOP_SQL})) AS n_stopwords,
+         CASE WHEN len(lines) > 0 THEN
+           (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+         END AS dup_line_ratio
+  FROM f
+), g AS (
+  SELECT *,
+         coalesce(n_words >= 20 AND n_words <= 100000, FALSE) AS gate_words,
+         coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE) AS gate_word_len,
+         coalesce(bullet_ratio <= 0.9, FALSE) AS gate_bullets,
+         coalesce(ellipsis_ratio <= 0.3, FALSE) AS gate_ellipsis,
+         coalesce(symbol_ratio <= 0.1, FALSE) AS gate_symbols,
+         coalesce(alpha_ratio >= 0.8, FALSE) AS gate_alpha,
+         coalesce(n_stopwords >= 1, FALSE) AS gate_stopwords,
+         coalesce(dup_line_ratio <= 0.3, FALSE) AS gate_dup_lines
+  FROM m
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(bullet_ratio, 6) AS bullet_ratio,
+       round(ellipsis_ratio, 6) AS ellipsis_ratio,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       round(dup_line_ratio, 6) AS dup_line_ratio,
+       gate_words, gate_word_len, gate_bullets, gate_ellipsis,
+       gate_symbols, gate_alpha, gate_stopwords, gate_dup_lines,
+       (gate_words AND gate_word_len AND gate_bullets AND gate_ellipsis
+        AND gate_symbols AND gate_alpha AND gate_stopwords AND gate_dup_lines)
+         AS gopher_pass
+FROM g
+"""
+
+
+@register("gopher_quality", _GOPHER_ORACLE)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gates (text.gopher_quality, arXiv:2112.11446
+    §A1.1) over deterministically-augmented documents: word-count /
+    word-length bounds, bullet/ellipsis line ratios, symbol-to-word
+    ratio, alphabetic-word ratio, distinct-stopword floor,
+    duplicate-line ceiling — every corpus build's pre-tokenization
+    filter set, one codegen scan, each gate + the AND hash-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.regexp_replace(F.col("text"), " ", "\n- "))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.col("text"), F.repeat(F.concat(nl, F.lit("same line")), 5)))
+        .when(F.col("doc_id") % 7 == 2,
+              F.regexp_replace(F.col("text"), " ", "...\n"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("# ## ###"))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    out = text.gopher_quality(aug, "t", min_words=20, min_stopwords=1)
+    metrics = ["mean_word_len", "bullet_ratio", "ellipsis_ratio",
+               "symbol_ratio", "alpha_ratio", "dup_line_ratio"]
+    sel = out.select(
+        "doc_id", "n_words", *metrics, "n_stopwords",
+        "gate_words", "gate_word_len", "gate_bullets", "gate_ellipsis",
+        "gate_symbols", "gate_alpha", "gate_stopwords", "gate_dup_lines",
+        "gopher_pass",
+    )
+    return _round(sel, metrics)
+
+
+# --- per-domain document cap --------------------------------------------------
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, source,
+         {_U_SQL} AS u
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rk
+  FROM u
+)
+SELECT doc_id, source FROM r WHERE rk <= 10
+"""
+
+
+@register("domain_cap", _DOMAIN_CAP_ORACLE)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (sampling.domain_cap mode='exact'): keep the 10
+    hash-smallest docs per source — the domain-balancing pass every
+    crawled corpus applies. The winners are a pure function of (doc_id,
+    seed), so the oracle replays the md5-uniform rank exactly. The
+    'rate' mode (zero fact shuffle, expected-k) is the 100 TB shape,
+    plan-asserted in tests."""
+    from ..operators.sampling import domain_cap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return domain_cap(docs, "source", "doc_id", cap=10, seed=42)
+
+
+# --- deterministic PII pseudonymization ----------------------------------------
+
+_PII_PSEUDO_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+), p1 AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(t, regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')),
+    (acc, x) -> replace(acc, x, 'EMAIL_' || substr(md5(x || ':42'), 1, 8))) AS t
+  FROM a
+), p2 AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(t, regexp_extract_all(t, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')),
+    (acc, x) -> replace(acc, x, 'SSN_' || substr(md5(x || ':42'), 1, 8))) AS t
+  FROM p1
+), p3 AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(t, regexp_extract_all(t, '\\+?\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b')),
+    (acc, x) -> replace(acc, x, 'PHONE_' || substr(md5(x || ':42'), 1, 8))) AS t
+  FROM p2
+), p4 AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(t, regexp_extract_all(t, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')),
+    (acc, x) -> replace(acc, x, 'IPV4_' || substr(md5(x || ':42'), 1, 8))) AS t
+  FROM p3
+)
+SELECT doc_id, t AS pseudo FROM p4
+"""
+
+
+@register("pii_pseudonymize", _PII_PSEUDO_ORACLE)
+def q_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII pseudonymization (pii.pii_pseudonymize) over the
+    same augmented documents as pii_scan: every match becomes
+    <KIND>_<md5(match:seed)[:8]>, so equal values stay join-equal across
+    the corpus while the raw value disappears. Pure codegen fold — the
+    oracle replays it with list_reduce byte-for-byte."""
+    from ..operators import pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com from 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0.1 ssn 123-45-6789 call 555-867-5309"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = pii.pii_pseudonymize(aug, "t", "pseudo", seed=42)
+    return out.select("doc_id", "pseudo")

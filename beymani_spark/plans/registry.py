@@ -140,6 +140,10 @@ _PRIORITY = [
     "funnel_time_bounded",
     # --- new in round 6 (never-checked; r7 window with the two above) ---
     "media_features_png",
+    "gopher_quality",
+    "domain_cap",
+    "pii_pseudonymize",
+    "u_shaped_attribution",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---

@@ -784,3 +784,74 @@ def test_cdc_chunk_dedup_resyncs_after_insertion(spark):
     rows = {r.doc_id: r for r in cdc_chunk_dedup(tiny, "doc_id").collect()}
     assert rows[8].n_chunks == 1 and rows[8].clean_text == "a b"
     assert rows[9].n_chunks == 1 and rows[9].clean_text == "a b c d"
+
+
+def test_pii_pseudonymize_referential_integrity(spark):
+    """Equal PII values map to equal pseudonyms (joins/dedup survive);
+    different values get different pseudonyms; a different seed relinks
+    nothing; clean text passes through untouched."""
+    from beymani_spark.operators import pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@x.com and again a@x.com plus b@y.org"),
+            (2, "same person a@x.com elsewhere"),
+            (3, "no pii here"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.pseudo for r in pii.pii_pseudonymize(df, "text").collect()}
+    import re
+
+    tags1 = re.findall(r"EMAIL_[0-9a-f]{8}", out[1])
+    tags2 = re.findall(r"EMAIL_[0-9a-f]{8}", out[2])
+    assert len(tags1) == 3 and len(set(tags1)) == 2  # a@x.com twice, b@y.org once
+    assert tags1[0] == tags1[1] == tags2[0]          # same value, same pseudonym
+    assert tags1[2] != tags1[0]
+    assert "a@x.com" not in out[1] and "b@y.org" not in out[1]
+    assert out[3] == "no pii here"
+    out9 = {r.id: r.pseudo for r in pii.pii_pseudonymize(df, "text", seed=9).collect()}
+    assert out9[1] != out[1]  # salt breaks cross-corpus linkage
+
+
+def test_gopher_quality_gates_edge_docs(spark):
+    """Empty doc gates False everywhere (NULL metrics coalesce); a clean
+    prose doc passes; bullet/duplicate-line/symbol docs fail exactly their
+    gate."""
+    from beymani_spark.operators import text as text_ops
+
+    prose = "the quick brown fox jumps over a lazy dog and it runs far " * 4
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, prose),
+            (2, "\n".join("- item the a of to" for _ in range(10))),
+            (3, prose + "\nsame line\nsame line\nsame line\nsame line"),
+            (4, "# " * 60 + "the a of to is it"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in text_ops.gopher_quality(docs, "text", min_words=20).collect()
+    }
+    assert out[0].gopher_pass is False and out[0].gate_words is False
+    assert out[1].gopher_pass is True
+    assert out[2].gate_bullets is False
+    assert out[3].gate_dup_lines is False
+    assert out[4].gate_symbols is False and out[4].gate_alpha is False
+
+
+def test_domain_cap_deterministic_and_capped(spark):
+    from beymani_spark.operators.sampling import domain_cap
+    from beymani_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source"
+    )
+    a = sorted(r.doc_id for r in domain_cap(docs, cap=7).collect())
+    b = sorted(
+        r.doc_id
+        for r in domain_cap(docs.repartition(13), cap=7).collect()
+    )
+    assert a == b, "cap winners must not depend on partitioning"

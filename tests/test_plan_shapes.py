@@ -724,3 +724,23 @@ def test_warehouse_shape_plans(spark):
             assert w in plan, f"{name}: expected {w}"
         assert "CartesianProduct" not in plan, name
         assert "PushedFilters: [" in plan, f"{name}: no pushdown reached the scan"
+
+
+def test_domain_cap_rate_mode_no_fact_shuffle(spark):
+    """domain_cap(mode='rate') must keep the fact scan shuffle-free: the
+    per-key counts broadcast back and the keep decision is a scan-side
+    hash compare — the 100 TB shape. Exact mode is allowed its one key
+    exchange (ranked window)."""
+    from beymani_spark.operators.sampling import domain_cap
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    plan = _plan(domain_cap(docs, "source", "doc_id", cap=5, mode="rate"))
+    assert "BroadcastHashJoin" in plan
+    # the only allowed exchange is the broadcast of the tiny counts side
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
+    n_rows = domain_cap(docs, "source", "doc_id", cap=5, mode="rate").count()
+    assert 0 < n_rows < 500  # statistically capped, never empty/full here
+
+    exact = domain_cap(docs, "source", "doc_id", cap=5, mode="exact")
+    counts = exact.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
