@@ -531,8 +531,15 @@ def ngram_frequency(
         for g in grams:
             ref[g] = ref.get(g, 0) + 1
         ref_max = max(ref.values()) if ref else 1
-        ref_norm = {g: c / ref_max for g, c in ref.items()}
 
+        # Score in EXACT integer arithmetic, one float division at the end:
+        # Σ (c/mx − r/ref_max)² = Σ (c·ref_max − r·mx)² / (mx·ref_max)².
+        # A float-accumulated sum's last-bit noise depends on term order, and
+        # a score landing within an ulp of the round-6 boundary then flips
+        # between engines (found by the sf0.01 altseed sweep — one row in
+        # ~10k). Python ints are arbitrary-precision, the DuckDB oracle sums
+        # the same numerators in HUGEINT, and float(S)/float(D) rounds once,
+        # identically, on both sides.
         scores = np.zeros(n)
         if n >= window:
             counts: dict = {}
@@ -550,11 +557,10 @@ def ngram_frequency(
                             del counts[g_old]
                 if i >= window - 1:
                     mx = max(counts.values()) if counts else 1
-                    s = 0.0
-                    seen = set()
+                    num = 0
                     for g, c in counts.items():
-                        s += (c / mx - ref_norm.get(g, 0.0)) ** 2
-                        seen.add(g)
+                        num += (c * ref_max - ref.get(g, 0) * mx) ** 2
+                    s = float(num) / float((mx * ref_max) ** 2)
                     scores[i] = s
                     if first_score is None:
                         first_score = s

@@ -172,14 +172,19 @@ WITH ordered AS (
 ), wmx AS (
   SELECT event_type, i, max(c) AS mx FROM wg GROUP BY 1, 2
 ), sc AS (
+  -- exact integer numerator (HUGEINT sum — order-free), ONE double
+  -- division: Σ(c/mx − r/refmax)² = Σ(c·refmax − r·mx)² / (mx·refmax)².
+  -- Mirrors the kernel's Python-int accumulation so a score within an ulp
+  -- of the round-6 boundary cannot flip between engines.
   SELECT w.event_type, w.i,
-         sum((w.c / CAST(wm.mx AS DOUBLE)
-              - coalesce(CAST(r.c AS DOUBLE) / rm.mx, 0.0)) ** 2) AS s
+         CAST(sum((w.c * rm.mx - coalesce(r.c, 0) * wm.mx)
+                  * (w.c * rm.mx - coalesce(r.c, 0) * wm.mx)) AS DOUBLE)
+           / CAST((wm.mx * rm.mx) * (wm.mx * rm.mx) AS DOUBLE) AS s
   FROM wg w
   JOIN wmx wm ON wm.event_type = w.event_type AND wm.i = w.i
   LEFT JOIN ref r ON r.event_type = w.event_type AND r.s1 = w.s1 AND r.s2 = w.s2
   JOIN refmax rm ON rm.event_type = w.event_type
-  GROUP BY 1, 2
+  GROUP BY 1, 2, wm.mx, rm.mx
 ), first AS (
   SELECT event_type, s AS s0 FROM sc WHERE i = 29
 )

@@ -36,9 +36,13 @@ from __future__ import annotations
 
 import os
 
-BASE = "/root/testdata/sf0.001"
+#: BEYMANI_ALTSEED_BASE overrides the source draw (e.g. sf0.01 for a
+#: bigger one-off sweep); the output dir is suffixed so builds don't mix
+BASE = os.environ.get("BEYMANI_ALTSEED_BASE", "/root/testdata/sf0.001")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ALT_DIR = os.path.join(REPO, ".altseed")
+ALT_DIR = os.path.join(
+    REPO, ".altseed" + ("01" if BASE.endswith("sf0.01") else "")
+)
 
 _TABLE_SQL = {
     "region": "SELECT * FROM region0",
