@@ -382,8 +382,11 @@ def u_shaped_attribution(
     )
     credited = (
         pos.withColumn("_w", weight)
-        .join(conversions, (pos["_u"] == conversions["_u"])
-              & (pos["_next_conv"] == conversions["_ck"]))
+        # name-based join (linear_attribution convention): both sides cut
+        # from the same lineage, so an expression join would trip Spark's
+        # ambiguous-self-join resolution
+        .withColumnRenamed("_next_conv", "_ck")
+        .join(conversions, ["_u", "_ck"])
         .select(
             F.col(type_col).alias("touch_type"),
             (F.col("_cv") * F.col("_w")).alias("_credit"),

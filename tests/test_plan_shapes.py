@@ -744,3 +744,30 @@ def test_domain_cap_rate_mode_no_fact_shuffle(spark):
     exact = domain_cap(docs, "source", "doc_id", cap=5, mode="exact")
     counts = exact.groupBy("source").count().collect()
     assert all(r["count"] <= 5 for r in counts)
+
+
+def test_gopher_and_pseudonymize_are_pure_scan_expressions(spark):
+    """gopher_quality and pii_pseudonymize are scan-speed map passes: no
+    exchange, no Python, whole-stage codegen over one projection."""
+    from beymani_spark.operators import pii
+    from beymani_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF, "documents")
+    gplan = _plan(text_ops.gopher_quality(docs, "text"))
+    assert "Exchange" not in gplan and "Python" not in gplan
+    assert gplan.lstrip().startswith("*("), "gopher must stay in codegen"
+    pplan = _plan(pii.pii_pseudonymize(docs, "text"))
+    assert "Exchange" not in pplan and "Python" not in pplan
+
+
+def test_u_shaped_attribution_keyed_windows_no_cartesian(spark):
+    """u_shaped_attribution's heavy windows are user-keyed (never a
+    single-partition global window over the fact table) and the
+    touch-conversion join is an equi-join — no cartesian/BNLJ."""
+    from beymani_spark.operators.behavior import u_shaped_attribution
+
+    ev = load_table(spark, SF, "events")
+    plan = _plan(u_shaped_attribution(ev))
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
