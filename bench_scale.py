@@ -93,6 +93,13 @@ HEAVY = [
     "constraint_audit",
     "shipping_priority",
     "small_quantity_revenue",
+    # round-6 additions
+    "gopher_quality",
+    "domain_cap",
+    "pii_pseudonymize",
+    "u_shaped_attribution",
+    "media_features_png",
+    "media_features_jpg",
 ]
 
 

@@ -21,7 +21,10 @@ same for the other two modalities on the shared RIFF chunk machinery.
 ``decode='png'`` decodes MAINSTREAM image bytes — real PNG — with only
 stdlib zlib + numpy (chunk walk, inflate, all five scanline unfilters,
 palette/alpha color types; ``png_encode`` is the matching fixture
-encoder); Pillow stays the fast swap-in. Arbitrary-container video
+encoder), and ``decode='jpg'`` decodes baseline JPEG (canonical-huffman
+entropy decode, dequantize, 8x8 IDCT; ``jpg_encode`` is the matching
+encoder) — the deflate-lossless + huffman-DCT-lossy mainstream pair,
+both with no codec library; Pillow stays the fast swap-in. Arbitrary-container video
 decode additionally needs an ffmpeg binding (PyAV); it stays guarded
 the same way.
 
@@ -334,6 +337,8 @@ def _decode_batch(payloads: list[bytes], width: int, height: int, decode: str) -
         return np.stack([_ppm_pixels(p, width, height) for p in payloads])
     if decode == "png":
         return np.stack([_png_pixels(p, width, height) for p in payloads])
+    if decode == "jpg":
+        return np.stack([_jpg_pixels(p, width, height) for p in payloads])
     return np.stack([_fake_pixels(p, width, height) for p in payloads])
 
 
@@ -356,7 +361,7 @@ def decode_features(
 ) -> DataFrame:
     """(media_id, n_bytes, features array<double>) — decode + global feature
     extraction per media item."""
-    if decode not in ("fake", "real", "ppm", "png"):
+    if decode not in ("fake", "real", "ppm", "png", "jpg"):
         raise ValueError(f"unknown decode mode: {decode}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -404,7 +409,7 @@ def resize(
             if not payloads:
                 yield pd.DataFrame(columns=[id_col, "width", "height", "pixels"])
                 continue
-            if decode in ("real", "ppm", "png"):
+            if decode in ("real", "ppm", "png", "jpg"):
                 # these codecs resize during decode — already (height, width)
                 small = _decode_batch(payloads, width, height, decode)
                 small = small.reshape(len(payloads), -1).astype(np.int64)
@@ -731,3 +736,383 @@ def audio_features(
         gen,
         schema=f"{id_col} long, n_bytes long, rms double, peak int, zero_cross int",
     )
+
+
+# --------------------------------------------------------------------- JPEG
+
+#: standard luminance quantization table (JPEG Annex K.1, row-major)
+_JPG_QTABLE = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+#: standard DC/AC luminance huffman specs (Annex K.3): (bits[1..16], values)
+_JPG_DC_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPG_AC_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+#: zigzag order: _JPG_ZIGZAG[k] = (row, col) of the k-th coefficient
+_JPG_ZIGZAG = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+)
+
+
+def _jpg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis: row u of D is the u-th cosine."""
+    x = np.arange(8)
+    d = np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+    d *= np.sqrt(2.0 / 8.0)
+    d[0] *= 1.0 / np.sqrt(2.0)
+    return d
+
+
+def _jpg_canonical_codes(bits: Sequence[int], values: Sequence[int]):
+    """JPEG canonical huffman assignment: (code, length) per symbol."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+def _jpg_magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) encoding of a DPCM/AC value (spec F.1.2.1):
+    negative values store as value - 1 in `size` low bits."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def jpg_encode(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """Minimal baseline-JPEG ENCODER for grayscale rasters (fixture/ingest
+    utility, the lossy companion of png_encode): level shift, 8x8
+    orthonormal DCT, quantization (Annex K.1 luminance table by default —
+    pass np.ones((8,8)) for near-lossless), zigzag, DPCM DC + RLE AC,
+    standard Annex K huffman tables, byte-stuffed entropy stream inside
+    SOI/DQT/SOF0/DHT/SOS/EOI. Single component, no subsampling. Output is
+    a spec-valid baseline JFIF stream any decoder accepts."""
+    q = _JPG_QTABLE if qtable is None else np.asarray(qtable, dtype=np.int64)
+    px = np.asarray(pixels, dtype=np.int64)
+    h0, w0 = px.shape
+    hp, wp = ((h0 + 7) // 8) * 8, ((w0 + 7) // 8) * 8
+    padded = np.pad(px, ((0, hp - h0), (0, wp - w0)), mode="edge")
+    d = _jpg_dct_matrix()
+    dc_codes = _jpg_canonical_codes(*_JPG_DC_SPEC)
+    ac_codes = _jpg_canonical_codes(*_JPG_AC_SPEC)
+    zz_r = np.array([rc[0] for rc in _JPG_ZIGZAG])
+    zz_c = np.array([rc[1] for rc in _JPG_ZIGZAG])
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(hp // 8):
+        for bx in range(wp // 8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128
+            coef = d @ block.astype(np.float64) @ d.T
+            quant = np.rint(coef / q).astype(np.int64)
+            zz = quant[zz_r, zz_c]
+            # DC
+            size, amp = _jpg_magnitude(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(amp, size)
+            # AC with (run, size) RLE + ZRL/EOB
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k] != 0), default=0)
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                size, amp = _jpg_magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(amp, size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_q = q[zz_r, zz_c]
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
+    sof0 = seg(
+        0xC0,
+        bytes([8])
+        + h0.to_bytes(2, "big")
+        + w0.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPG_DC_SPEC[0]) + bytes(_JPG_DC_SPEC[1])
+        + bytes([0x10]) + bytes(_JPG_AC_SPEC[0]) + bytes(_JPG_AC_SPEC[1]),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("jpg: entropy stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1  # unstuff
+            else:
+                raise ValueError("jpg: unexpected marker inside entropy data")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpg_huff_table(bits: Sequence[int], values: Sequence[int]):
+    """code->(symbol) lookup keyed by (length, code) for canonical tables."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpg_decode_symbol(br: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpg: invalid huffman code")
+
+
+def _jpg_extend(amp: int, size: int) -> int:
+    """Inverse of _jpg_magnitude (spec F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+
+
+def _jpg_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """REAL baseline-JPEG decode with no external library: marker walk,
+    canonical-huffman entropy decode (DC DPCM + AC run/size RLE, byte
+    unstuffing), dequantize, dezigzag, orthonormal 8x8 IDCT in numpy —
+    the lossy-compressed companion of ``_png_pixels``, completing the
+    mainstream-image pair (deflate-lossless + huffman-DCT-lossy) the
+    in-sandbox codec family executes end-to-end.
+
+    Supported: baseline sequential DCT (SOF0), 8-bit, grayscale or
+    interleaved multi-component with NO chroma subsampling (all sampling
+    factors 1x1) — luma is component 1's plane (JPEG's Y channel IS the
+    BT.601 luma, so no color convert is needed for the feature path).
+    Progressive (SOF2), 12-bit, subsampled, arithmetic-coded and
+    restart-marker streams raise clearly (use ``decode='real'``/Pillow).
+    Resize to the requested grid is the family's shared deterministic
+    nearest-neighbor rule."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpg decode supports JPEG payloads (bad SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None  # (h0, w0, [(comp_id, qid)]) after SOF0
+    comp_tables: list[tuple[int, int]] = []  # (dc_id, ac_id) per component
+    scan_data = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpg: marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = body
+            while b:
+                prec, tid = b[0] >> 4, b[0] & 0x0F
+                if prec != 0:
+                    raise ValueError("jpg: 16-bit quant tables not supported")
+                q = np.zeros((8, 8), dtype=np.int64)
+                for k, (r, c) in enumerate(_JPG_ZIGZAG):
+                    q[r, c] = b[1 + k]
+                qtables[tid] = q
+                b = b[65:]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "jpg decode supports baseline sequential (SOF0) only — "
+                "progressive/extended streams need decode='real' (Pillow)"
+            )
+        elif marker == 0xC0:  # SOF0
+            if body[0] != 8:
+                raise ValueError("jpg: only 8-bit precision supported")
+            h0 = int.from_bytes(body[1:3], "big")
+            w0 = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "jpg: chroma subsampling not supported (1x1 only) — "
+                        "use decode='real'"
+                    )
+                comps.append((cid, qid))
+            frame = (h0, w0, comps)
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = body
+            while b:
+                tclass, tid = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                nvals = sum(bits)
+                values = list(b[17 : 17 + nvals])
+                htables[(tclass, tid)] = _jpg_huff_table(bits, values)
+                b = b[17 + nvals :]
+        elif marker == 0xDD:
+            raise ValueError("jpg: restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            comp_tables = []
+            for c in range(ns):
+                tsel = body[2 + 2 * c]
+                comp_tables.append((tsel >> 4, tsel & 0x0F))
+            scan_data = payload[pos + 2 + size :]
+            break
+        pos += 2 + size
+    if frame is None or scan_data is None:
+        raise ValueError("truncated jpg: missing SOF0 or SOS")
+    h0, w0, comps = frame
+    if h0 == 0 or w0 == 0:
+        raise ValueError("jpg: bad dimensions")
+    bh, bw_ = (h0 + 7) // 8, (w0 + 7) // 8
+    d = _jpg_dct_matrix()
+    zz_r = np.array([rc[0] for rc in _JPG_ZIGZAG])
+    zz_c = np.array([rc[1] for rc in _JPG_ZIGZAG])
+    br = _BitReader(scan_data)
+    luma = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    prev_dc = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci, (cid, qid) in enumerate(comps):
+                dc_t = htables.get((0, comp_tables[ci][0]))
+                ac_t = htables.get((1, comp_tables[ci][1]))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("jpg: missing huffman table")
+                zz = np.zeros(64, dtype=np.int64)
+                size = _jpg_decode_symbol(br, dc_t)
+                prev_dc[ci] += _jpg_extend(br.bits(size), size)
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = _jpg_decode_symbol(br, ac_t)
+                    run, size = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("jpg: AC index overrun")
+                    zz[k] = _jpg_extend(br.bits(size), size)
+                    k += 1
+                if ci == 0:  # luma plane is all the feature path needs
+                    coef = np.zeros((8, 8), dtype=np.float64)
+                    coef[zz_r, zz_c] = zz * qtables[qid][zz_r, zz_c]
+                    block = d.T @ coef @ d + 128.0
+                    luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.rint(block), 0, 255
+                    ).astype(np.uint8)
+    gray = luma[:h0, :w0]
+    if (w0, h0) != (width, height):
+        ys = np.linspace(0, h0 - 1, height).astype(int)
+        xs = np.linspace(0, w0 - 1, width).astype(int)
+        gray = gray[ys][:, xs]
+    return gray

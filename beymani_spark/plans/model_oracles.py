@@ -710,3 +710,40 @@ v AS (
 SELECT vec_id, topic, proto_cos, round(pr, 6) AS proto_pr, pr < 0.5 AS keep
 FROM r
 """
+
+
+# ------------------------------------------------------------- jpeg features
+
+
+def media_features_jpg_oracle(sf_dir: str) -> str:
+    """Real-JPEG feature oracle: the codec half (encode -> baseline JPEG ->
+    huffman/IDCT decode) cannot run in SQL, so — like the fitted-model
+    oracles above — it is replayed off-Spark with the SAME deterministic
+    kernels (multimodal.jpg_encode/_jpg_pixels over the SHA-256 counter
+    raster each doc derives from its text) and baked as VALUES; the
+    accounting half (payload size, 16-bucket histogram shares, round-6)
+    is verified in DuckDB. A codec bug on the Spark side breaks the hash
+    because the driver's Spark run decodes for real."""
+    from ..operators.multimodal import _fake_pixels, _jpg_pixels, jpg_encode
+
+    pdf = _read(sf_dir, "documents", ["doc_id", "text"])
+    pdf = pdf[pdf["doc_id"] % 4 == 0]  # the query's bounded subset
+    rows = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        raster = _fake_pixels(text.encode("utf-8"), 32, 32).astype(np.int64)
+        payload = jpg_encode(raster)
+        px = _jpg_pixels(payload, 32, 32)
+        hist = np.bincount(
+            ((px.astype(np.int64) * 16) // 256).ravel(), minlength=16
+        )
+        rows.append(
+            f"({int(doc_id)}, {len(payload)}, "
+            f"{hist[0] / 1024.0!r}, {hist[7] / 1024.0!r})"
+        )
+    values = ", ".join(rows)
+    return f"""
+WITH m(media_id, n_bytes, f0_raw, f7_raw) AS (VALUES {values})
+SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       round(f0_raw, 6) AS f0, round(f7_raw, 6) AS f7
+FROM m
+"""

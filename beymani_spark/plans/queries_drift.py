@@ -13,6 +13,7 @@ from ..operators import knn, multimodal
 from ..sources import load_table
 from ..streaming import drift as drift_mod
 from .queries_knn import _pairs
+from .model_oracles import media_features_jpg_oracle as _media_features_jpg_oracle
 from .queries_stats import _round
 from .registry import register
 
@@ -366,6 +367,52 @@ def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(encode, schema="media_id long, payload binary")
     out = multimodal.decode_features(media, decode="png", n_features=16)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+    )
+
+
+@register("media_features_jpg", _media_features_jpg_oracle)
+def q_media_features_jpg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-mainstream-codec execution proof: each document's
+    deterministic raster is ENCODED as a genuine baseline JPEG
+    (multimodal.jpg_encode — DCT, Annex K quantization, canonical
+    huffman, byte stuffing) and decoded back by the stdlib JPEG decoder
+    (multimodal._jpg_pixels) inside the mapInPandas batch path. The
+    codec half is replayed off-Spark by the model-baked oracle with the
+    same kernels (the lossy decode is not SQL-expressible); payload
+    sizes and histogram features hash-verify in DuckDB. Completes the
+    mainstream pair with media_features_png (deflate-lossless +
+    huffman-DCT-lossy). Bounded to the deterministic doc_id % 4 = 0
+    subset: the per-bit huffman entropy loops are Python-side (the
+    documented slow-but-real in-sandbox path; Pillow is the fast
+    swap-in), and the driver's bench budget wants the registered form
+    bounded — the codec coverage is identical."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(F.col("doc_id").alias("media_id"), "text")
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                multimodal.jpg_encode(
+                    multimodal._fake_pixels(t.encode("utf-8"), 32, 32).astype("int64")
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    out = multimodal.decode_features(media, decode="jpg", n_features=16)
     return out.select(
         "media_id",
         "n_bytes",

@@ -140,6 +140,7 @@ _PRIORITY = [
     "funnel_time_bounded",
     # --- new in round 6 (never-checked; r7 window with the two above) ---
     "media_features_png",
+    "media_features_jpg",
     "gopher_quality",
     "domain_cap",
     "pii_pseudonymize",

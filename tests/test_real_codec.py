@@ -480,3 +480,105 @@ def test_png_decode_rejects_unsupported_clearly(spark):
     )
     with _pytest.raises(ValueError, match="truncated"):
         multimodal._png_pixels(payload, 2, 1)
+
+
+# ------------------------------------------------------------------ JPEG
+
+
+def test_jpg_round_trips_exactly_at_unit_quantization(spark):
+    """With Q=1 the only loss is DCT/IDCT float rounding: the gradient
+    fixture must round-trip EXACTLY and random noise within 1 LSB —
+    proving the huffman entropy coder (DPCM DC, RLE AC, ZRL/EOB, byte
+    stuffing) inverts bit-perfectly."""
+    import numpy as np
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    g = ((np.arange(24)[:, None] * 5 + np.arange(16)[None, :] * 3) % 256).astype(
+        np.int64
+    )
+    dec = multimodal._jpg_pixels(multimodal.jpg_encode(g, qtable=ones), 16, 24)
+    np.testing.assert_array_equal(dec, g.astype(np.uint8))
+    rng = np.random.default_rng(5)
+    r = rng.integers(0, 256, size=(16, 16), dtype=np.int64)
+    dec = multimodal._jpg_pixels(multimodal.jpg_encode(r, qtable=ones), 16, 16)
+    assert int(np.abs(dec.astype(int) - r).max()) <= 1
+    # non-multiple-of-8 dims: edge padding encoded, cropped on decode
+    odd = rng.integers(0, 256, size=(11, 13), dtype=np.int64)
+    dec = multimodal._jpg_pixels(multimodal.jpg_encode(odd, qtable=ones), 13, 11)
+    assert dec.shape == (11, 13)
+    assert int(np.abs(dec.astype(int) - odd).max()) <= 1
+
+
+def test_jpg_hash_pinned_fixture(spark):
+    """Byte-stable encoder + pinned decode of the standard-table stream."""
+    import hashlib
+
+    import numpy as np
+
+    g = ((np.arange(24)[:, None] * 5 + np.arange(16)[None, :] * 3) % 256).astype(
+        np.int64
+    )
+    p1 = multimodal.jpg_encode(g, qtable=np.ones((8, 8), dtype=np.int64))
+    assert (
+        hashlib.sha256(p1).hexdigest()
+        == "c8d3fbd4afa35b3e0f97ec01ddd1582fdcabdd52232359e8cb6b95e1ba1ddd5a"
+    )
+    dec = multimodal._jpg_pixels(multimodal.jpg_encode(g), 16, 24)
+    assert (
+        hashlib.sha256(dec.tobytes()).hexdigest()
+        == "c27dcb5484c695bf27add9d31f9afea8ed13c981479a9a19e697ac89e5cf2720"
+    )
+    # lossy but close on smooth data with the Annex K table
+    assert int(np.abs(dec.astype(int) - g).max()) <= 3
+
+
+def test_jpg_decode_runs_real_bytes_end_to_end(spark):
+    """decode='jpg' through the full mapInPandas batch path."""
+    import numpy as np
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    payloads = [
+        multimodal.jpg_encode(
+            ((np.arange(8)[:, None] * 32 + np.arange(8)[None, :] * 4) % 256).astype(
+                np.int64
+            ),
+            qtable=ones,
+        ),
+        multimodal.jpg_encode(np.full((8, 8), 200, dtype=np.int64), qtable=ones),
+    ]
+    df = _media_df(spark, payloads)
+    feats = {
+        r.media_id: r
+        for r in multimodal.decode_features(df, decode="jpg", n_features=4).collect()
+    }
+    for r in feats.values():
+        assert abs(sum(r.features) - 1.0) < 1e-9
+    assert feats[1].features[3] == 1.0  # constant 200 -> bucket 3
+    out = {
+        r.media_id: r
+        for r in multimodal.resize(df, width=2, height=2, decode="jpg").collect()
+    }
+    assert list(out[1].pixels) == [200] * 4
+
+
+def test_jpg_decode_rejects_unsupported_clearly(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SOI"):
+        multimodal._jpg_pixels(b"not a jpeg", 8, 8)
+    ok = bytearray(multimodal.jpg_encode(np.zeros((8, 8), dtype=np.int64)))
+    # flip SOF0 -> SOF2 (progressive)
+    sof_at = bytes(ok).index(b"\xff\xc0")
+    bad = bytearray(ok)
+    bad[sof_at + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        multimodal._jpg_pixels(bytes(bad), 8, 8)
+    # claim 2x2 subsampling
+    bad = bytearray(ok)
+    bad[sof_at + 4 + 7] = 0x22  # sampling byte of component 1
+    with _pytest.raises(ValueError, match="subsampling"):
+        multimodal._jpg_pixels(bytes(bad), 8, 8)
+    # truncated: no SOS
+    with _pytest.raises(ValueError, match="truncated|SOS"):
+        multimodal._jpg_pixels(bytes(ok[:sof_at]) + b"\xff\xd9", 8, 8)
