@@ -861,14 +861,21 @@ def jpg_encode(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     zz_r = np.array([rc[0] for rc in _JPG_ZIGZAG])
     zz_c = np.array([rc[1] for rc in _JPG_ZIGZAG])
 
+    # batch the DCT: (n_blocks, 8, 8) einsum once, python loops only for
+    # the entropy coder (the per-symbol part that is inherently serial)
+    nby, nbx = hp // 8, wp // 8
+    blocks = (
+        padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    coefs = np.einsum("ij,bjk,lk->bil", d, blocks.reshape(-1, 8, 8), d)
+    quants = np.rint(coefs / q).astype(np.int64)
+    zz_all = quants[:, zz_r, zz_c]
+
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(hp // 8):
-        for bx in range(wp // 8):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128
-            coef = d @ block.astype(np.float64) @ d.T
-            quant = np.rint(coef / q).astype(np.int64)
-            zz = quant[zz_r, zz_c]
+    for bi in range(nby * nbx):
+            zz = zz_all[bi]
             # DC
             size, amp = _jpg_magnitude(int(zz[0]) - prev_dc)
             prev_dc = int(zz[0])
@@ -946,9 +953,13 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
 
