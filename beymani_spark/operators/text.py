@@ -700,3 +700,59 @@ def gopher_quality(
         c = F.col(name)
         all_pass = c if all_pass is None else all_pass & c
     return out.withColumn("gopher_pass", all_pass).drop("_toks", "_lines")
+
+
+def text_normalize(
+    df: DataFrame, text_col: str = "text", out_col: str = "normalized"
+) -> DataFrame:
+    """Canonical whitespace/control normalization — the first pass of every
+    corpus build: strip C0 control characters (except the whitespace the
+    next rule handles), collapse every whitespace run to one space, trim.
+    Appends ``out_col`` plus ``n_removed`` (chars dropped — the audit
+    column a cleaning report sums). Pure codegen regexp passes in the
+    Java-regex ∩ RE2 dialect (the pii.py portability rule), so the rewrite
+    is oracle-verifiable byte-for-byte. Deliberately NOT unicode NFC:
+    Spark has no ICU normalizer builtin, and a half-portable normalization
+    is worse than a documented none."""
+    col = F.regexp_replace(F.col(text_col), r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    out = df.withColumn(out_col, col)
+    return out.withColumn(
+        "n_removed", F.length(F.col(text_col)) - F.length(F.col(out_col))
+    )
+
+
+def sentence_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", short: int = 4
+) -> DataFrame:
+    """Per-document sentence-shape profile: sentences split on
+    ``[.!?]+\\s+`` (consuming the terminator — lookbehind is not in the
+    RE2 ∩ Java dialect, and a consistent consuming rule is just as good a
+    quality signal), then (n_sentences, mean/max sentence token count,
+    short-sentence fraction). Listy/fragmented docs (navigation, tag
+    soup) score high short_frac and low mean length — the complement of
+    gopher_quality's line gates on the sentence axis. One codegen array
+    pass; try_divide keeps empty docs NULL instead of aborting the scan."""
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+\s+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    out = df.withColumn("_sents", sents)
+    n = F.size("_sents")
+    tok_counts = F.transform(
+        F.col("_sents"), lambda s: F.size(F.filter(F.split(s, r"\s+"), lambda x: x != ""))
+    )
+    out = out.withColumn("_tc", tok_counts)
+    total = F.aggregate(F.col("_tc"), F.lit(0), lambda a, x: a + x)
+    n_short = F.size(F.filter(F.col("_tc"), lambda x: x < F.lit(int(short))))
+    return (
+        out.select(
+            F.col(id_col),
+            n.alias("n_sentences"),
+            F.try_divide(total.cast("double"), n).alias("mean_sent_tokens"),
+            F.coalesce(F.array_max("_tc"), F.lit(0)).alias("max_sent_tokens"),
+            F.try_divide(n_short.cast("double"), n).alias("short_frac"),
+        )
+    )

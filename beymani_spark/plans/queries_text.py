@@ -2586,3 +2586,114 @@ def q_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pii.pii_pseudonymize(aug, "t", "pseudo", seed=42)
     return out.select("doc_id", "pseudo")
+
+
+# --- whitespace/control normalization ------------------------------------------
+
+# every 5th doc gets injected control chars + ragged whitespace so the
+# rewrite has real work on both engines
+_NORM_AUG_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN chr(9) || ' ' || text || '  ' || chr(11)"
+    " || 'tail' || chr(1) ELSE text END"
+)
+
+_TEXT_NORMALIZE_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id, {_NORM_AUG_SQL} AS t FROM documents
+), n AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(
+           regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'),
+           '\\s+', ' ', 'g')) AS normalized
+  FROM a
+)
+SELECT doc_id, normalized,
+       CAST(length(t) - length(normalized) AS BIGINT) AS n_removed
+FROM n
+"""
+
+
+@register("text_normalize", _TEXT_NORMALIZE_ORACLE)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control normalization (text.text_normalize) over
+    documents with injected control chars + ragged whitespace: the
+    rewritten text and the removed-char audit count hash-verify
+    byte-for-byte (RE2 ∩ Java regex dialect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("\t "), F.col("text"), F.lit("  \x0btail\x01")
+            ),
+        ).otherwise(F.col("text")).alias("t"),
+    )
+    out = text.text_normalize(aug, "t")
+    return out.select("doc_id", "normalized", "n_removed")
+
+
+# --- per-document sentence profile ----------------------------------------------
+
+# every 6th doc becomes punctuated pseudo-sentences (the fixture word soup
+# has no terminators) so the splitter produces real sentence structure
+# coalesce: DuckDB's array_to_string over an EMPTY transformed list is
+# NULL (empty-doc edge caught by the altseed draw); Spark's fold init ''
+_SENT_AUG_SQL = (
+    "CASE WHEN doc_id % 6 = 0 THEN"
+    " coalesce(array_to_string(list_transform(list_filter("
+    "   regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),"
+    "   x -> x || CASE WHEN length(x) % 3 = 0 THEN '. ' ELSE ' ' END), ''), '')"
+    " ELSE text END"
+)
+
+_SENTENCE_STATS_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id, {_SENT_AUG_SQL} AS t FROM documents
+), s AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_split_to_array(t, '[.!?]+\\s+'), x -> trim(x)), x -> x <> '')
+           AS sents
+  FROM a
+), c AS (
+  SELECT doc_id, len(sents) AS n_sentences,
+         list_transform(sents,
+           s -> len(list_filter(regexp_split_to_array(s, '\\s+'), x -> x <> '')))
+           AS tc
+  FROM s
+)
+SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+       round(CASE WHEN n_sentences > 0
+             THEN list_sum(tc) * 1.0 / n_sentences END, 6) AS mean_sent_tokens,
+       CAST(coalesce(list_max(tc), 0) AS INT) AS max_sent_tokens,
+       round(CASE WHEN n_sentences > 0
+             THEN len(list_filter(tc, x -> x < 4)) * 1.0 / n_sentences END, 6)
+         AS short_frac
+FROM c
+"""
+
+
+@register("sentence_stats", _SENTENCE_STATS_ORACLE)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence profile (text.sentence_stats) over documents
+    augmented with deterministic punctuation: sentence counts, mean/max
+    sentence token lengths, short-sentence fraction — the fragmented-text
+    quality signal on the sentence axis."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    punct = F.aggregate(
+        toks,
+        F.lit(""),
+        lambda acc, x: F.concat(
+            acc,
+            x,
+            F.when(F.length(x) % 3 == 0, F.lit(". ")).otherwise(F.lit(" ")),
+        ),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0, punct).otherwise(F.col("text")).alias("t"),
+    )
+    out = text.sentence_stats(aug, "doc_id", "t", short=4)
+    return _round(out, ["mean_sent_tokens", "short_frac"])

@@ -145,6 +145,8 @@ _PRIORITY = [
     "domain_cap",
     "pii_pseudonymize",
     "u_shaped_attribution",
+    "text_normalize",
+    "sentence_stats",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---
