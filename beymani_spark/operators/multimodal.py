@@ -71,7 +71,8 @@ def _real_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     except ImportError as e:  # pragma: no cover - exercised only sans PIL
         raise NotImplementedError(
             "decode='real' requires Pillow (PIL), not present in this "
-            "environment; use decode='fake'"
+            "environment; use decode='png' or decode='jpg' (in-sandbox "
+            "stdlib codecs), decode='ppm', or decode='fake'"
         ) from e
     import io
 
