@@ -464,3 +464,38 @@ def benford_audit(
         F.round(expected, 6).alias("benford_share"),
         F.round(share - expected, 6).alias("excess"),
     )
+
+
+def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column completeness/cardinality data card: one row per column
+    with (n_rows, n_nulls, null_frac, n_distinct) — the first table every
+    ingest review reads, and the input to null-rate drift alerts. One
+    aggregation pass computes every column's counts (Catalyst expands the
+    multi-distinct into one shuffle over the requested columns); the melt
+    to rows is a stack() projection of the single aggregate row, so the
+    scan reads only ``cols`` and the shuffle carries counting state, not
+    data. NULL n_distinct counts exclude NULLs (SQL COUNT DISTINCT
+    semantics, identical in DuckDB)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+    row = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{c}', `_nn_{c}`, `_nd_{c}`" for c in cols
+    )
+    melted = row.select(
+        F.col("_n"),
+        F.expr(
+            f"stack({len(cols)}, {pairs}) as (column, _nonnull, n_distinct)"
+        ),
+    )
+    return melted.select(
+        "column",
+        F.col("_n").alias("n_rows"),
+        (F.col("_n") - F.col("_nonnull")).alias("n_nulls"),
+        F.round((F.col("_n") - F.col("_nonnull")) / F.col("_n"), 6).alias(
+            "null_frac"
+        ),
+        "n_distinct",
+    )

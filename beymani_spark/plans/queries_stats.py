@@ -513,3 +513,41 @@ def q_zscore_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "z_value", "z_k_val", "max_z", "top_attr"
     )
+
+
+_COLUMN_PROFILE_ORACLE = """
+SELECT 'c_custkey' AS column, count(*) AS n_rows,
+       count(*) - count(c_custkey) AS n_nulls,
+       round((count(*) - count(c_custkey)) * 1.0 / count(*), 6) AS null_frac,
+       count(DISTINCT c_custkey) AS n_distinct
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+       round((count(*) - count(c_nationkey)) * 1.0 / count(*), 6),
+       count(DISTINCT c_nationkey)
+FROM customer
+UNION ALL
+SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+       round((count(*) - count(c_acctbal)) * 1.0 / count(*), 6),
+       count(DISTINCT c_acctbal)
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+       round((count(*) - count(c_mktsegment)) * 1.0 / count(*), 6),
+       count(DISTINCT c_mktsegment)
+FROM customer
+"""
+
+
+@register("column_profile", _COLUMN_PROFILE_ORACLE)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness/cardinality data card
+    (profile.column_profile): n_rows / n_nulls / null_frac / n_distinct
+    per column in ONE aggregation pass — the ingest-review table and the
+    input to null-rate drift alerts. The altseed draw injects NULL
+    c_acctbal rows, so both the zero- and nonzero-null paths are
+    hash-verified."""
+    cust = load_table(spark, sf_dir, "customer")
+    return profile.column_profile(
+        cust, ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )

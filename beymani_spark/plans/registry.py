@@ -147,6 +147,7 @@ _PRIORITY = [
     "u_shaped_attribution",
     "text_normalize",
     "sentence_stats",
+    "column_profile",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---
