@@ -1192,3 +1192,39 @@ def source_similarity(
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_rate_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source duplicate-mass card: for each source, the document count
+    and the share of its documents whose exact text digest occurs more
+    than once CORPUS-WIDE — the 'which feed is reposting the corpus'
+    metric a curation review reads next to dedup_stats' global histogram.
+    One digest partial-agg (shuffle carries distinct digests, never text)
+    + an equi-join of the dup-digest set (AQE broadcasts it when small —
+    at 100 TB the dup set can be large, so no forced broadcast) + one
+    per-source aggregate. md5 digests, the family's oracle-replicable
+    default."""
+    digests = df.select(
+        F.col(source_col), F.md5(F.col(text_col).cast("binary")).alias("_dg")
+    )
+    counts = digests.groupBy("_dg").agg(F.count("*").alias("_n"))
+    flagged = digests.join(
+        counts.filter(F.col("_n") > 1).select("_dg").withColumn("_dup", F.lit(1)),
+        "_dg",
+        "left",
+    )
+    return (
+        flagged.groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+        )
+    )

@@ -499,3 +499,37 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         ),
         "n_distinct",
     )
+
+
+def column_profile_drift(
+    df_a: DataFrame, df_b: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Data-quality drift between two snapshots: column_profile of each
+    side joined on the column name, with null-fraction and distinct-count
+    deltas — the alert feed behind 'a upstream schema change silently
+    nulled a field'. Two single-pass aggregates + a |cols|-row join; the
+    fact tables never co-shuffle."""
+    a = column_profile(df_a, cols).select(
+        "column",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("null_frac").alias("null_frac_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+    )
+    b = column_profile(df_b, cols).select(
+        "column",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("null_frac").alias("null_frac_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+    )
+    return a.join(b, "column").select(
+        "column",
+        "n_rows_a",
+        "n_rows_b",
+        "null_frac_a",
+        "null_frac_b",
+        F.round(F.col("null_frac_b") - F.col("null_frac_a"), 6).alias(
+            "null_frac_delta"
+        ),
+        "n_distinct_a",
+        "n_distinct_b",
+    )

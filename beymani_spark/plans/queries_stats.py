@@ -551,3 +551,49 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.column_profile(
         cust, ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"]
     )
+
+
+# snapshot split for the drift card: even vs odd custkey — both engines
+# compute the identical halves; the altseed NULL injection gives the two
+# sides different null rates so the delta is nonzero there
+_COLUMN_PROFILE_DRIFT_ORACLE = """
+WITH a AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+     b AS (SELECT * FROM customer WHERE c_custkey % 2 = 1),
+pa AS (
+  SELECT 'c_acctbal' AS "column", count(*) AS n_rows_a,
+         round((count(*) - count(c_acctbal)) * 1.0 / count(*), 6) AS null_frac_a,
+         count(DISTINCT c_acctbal) AS n_distinct_a
+  FROM a
+  UNION ALL
+  SELECT 'c_mktsegment', count(*),
+         round((count(*) - count(c_mktsegment)) * 1.0 / count(*), 6),
+         count(DISTINCT c_mktsegment)
+  FROM a
+), pb AS (
+  SELECT 'c_acctbal' AS "column", count(*) AS n_rows_b,
+         round((count(*) - count(c_acctbal)) * 1.0 / count(*), 6) AS null_frac_b,
+         count(DISTINCT c_acctbal) AS n_distinct_b
+  FROM b
+  UNION ALL
+  SELECT 'c_mktsegment', count(*),
+         round((count(*) - count(c_mktsegment)) * 1.0 / count(*), 6),
+         count(DISTINCT c_mktsegment)
+  FROM b
+)
+SELECT "column", n_rows_a, n_rows_b, null_frac_a, null_frac_b,
+       round(null_frac_b - null_frac_a, 6) AS null_frac_delta,
+       n_distinct_a, n_distinct_b
+FROM pa JOIN pb USING ("column")
+"""
+
+
+@register("column_profile_drift", _COLUMN_PROFILE_DRIFT_ORACLE)
+def q_column_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift card (profile.column_profile_drift) between two
+    deterministic customer snapshots (even vs odd custkey): per-column
+    null-fraction and distinct-count deltas — the 'upstream silently
+    nulled a field' alert feed."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_custkey") % 2 == 0)
+    b = cust.filter(F.col("c_custkey") % 2 != 0)
+    return profile.column_profile_drift(a, b, ["c_acctbal", "c_mktsegment"])

@@ -2697,3 +2697,32 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = text.sentence_stats(aug, "doc_id", "t", short=4)
     return _round(out, ["mean_sent_tokens", "short_frac"])
+
+
+_DEDUP_RATE_BY_SOURCE_ORACLE = """
+WITH d AS (
+  SELECT source, md5(text) AS dg FROM documents
+), c AS (
+  SELECT dg FROM d GROUP BY dg HAVING count(*) > 1
+), f AS (
+  SELECT d.source, CASE WHEN c.dg IS NULL THEN 0 ELSE 1 END AS dup
+  FROM d LEFT JOIN c USING (dg)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+       round(sum(dup) * 1.0 / count(*), 6) AS dup_frac
+FROM f GROUP BY source
+"""
+
+
+@register("dedup_rate_by_source", _DEDUP_RATE_BY_SOURCE_ORACLE)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-mass card (dedup.dedup_rate_by_source): the
+    share of each source's docs whose exact text digest repeats
+    corpus-wide — 'which feed is reposting the corpus'. Altseed's
+    injected duplicate texts give nonzero rates there; the fixed draw
+    verifies the zero path."""
+    from ..operators.dedup import dedup_rate_by_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_rate_by_source(docs)

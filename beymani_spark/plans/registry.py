@@ -148,6 +148,8 @@ _PRIORITY = [
     "text_normalize",
     "sentence_stats",
     "column_profile",
+    "column_profile_drift",
+    "dedup_rate_by_source",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---
