@@ -261,8 +261,8 @@ def png_encode(
 ) -> bytes:
     """Minimal stdlib PNG ENCODER (fixture/ingest utility, and the
     synthesizer behind the media_features_png correctness query): emits a
-    spec-valid bit-depth-8 PNG — signature, IHDR, optional PLTE, one IDAT,
-    IEND, CRC-32 per chunk — for color types 0 (gray, pixels (h, w)),
+    spec-valid bit-depth-8 PNG — signature, IHDR, one IDAT, IEND, CRC-32
+    per chunk — for color types 0 (gray, pixels (h, w)),
     2 (RGB, pixels (h, w, 3)) and 6 (RGBA, pixels (h, w, 4)). ``filters``
     applies the given scanline filter type per row (int = same type every
     row), computing the spec's residuals so the decoder's unfilter paths
@@ -271,6 +271,11 @@ def png_encode(
     of the pixels — the property the DuckDB oracle relies on."""
     import zlib
 
+    if color not in (0, 2, 6):
+        # palette (3) would need a PLTE chunk this encoder never writes —
+        # reject here instead of emitting a spec-invalid file that only
+        # fails later at decode time
+        raise ValueError(f"png_encode supports color types 0/2/6, not {color}")
     px = np.asarray(pixels, dtype=np.int64)
     if color == 0:
         px = px.reshape(px.shape[0], px.shape[1], 1)
@@ -1018,12 +1023,21 @@ def _jpg_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     frame = None  # (h0, w0, [(comp_id, qid)]) after SOF0
     comp_tables: list[tuple[int, int]] = []  # (dc_id, ac_id) per component
     scan_data = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpg: marker expected")
+        # spec-legal 0xFF fill bytes may pad before any marker code
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone — no 2-byte length follows
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("jpg: truncated segment header")
         size = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         body = payload[pos + 4 : pos + 2 + size]
         if marker == 0xDB:  # DQT (possibly several tables per segment)

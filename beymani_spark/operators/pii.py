@@ -46,7 +46,7 @@ def pii_counts(
     sum. Counts are over the RAW text (each kind sees the original string,
     unlike redaction's sequential rewrite), so the columns are independent
     audit metrics."""
-    pats = dict(patterns or DEFAULT_PATTERNS)
+    pats = dict(DEFAULT_PATTERNS if patterns is None else patterns)
     for kind, (pat, _) in pats.items():
         df = df.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
     # sum the materialized count COLUMNS, not the regexp exprs: re-using the
@@ -67,7 +67,7 @@ def pii_redact(
 ) -> DataFrame:
     """Replace every PII match with its kind token, applying kinds in
     ``patterns`` order (each pass sees the previous pass's output)."""
-    pats = dict(patterns or DEFAULT_PATTERNS)
+    pats = dict(DEFAULT_PATTERNS if patterns is None else patterns)
     col = F.col(text_col)
     for _, (pat, token) in pats.items():
         col = F.regexp_replace(col, pat, token)
@@ -83,7 +83,7 @@ def pii_filter(
     """Keep only rows whose total PII match count is <= ``max_total``
     (default: drop any row containing PII). Single-pass filter expression —
     pushes below wider projections."""
-    pats = dict(patterns or DEFAULT_PATTERNS)
+    pats = dict(DEFAULT_PATTERNS if patterns is None else patterns)
     total: Column = F.lit(0)
     for _, (pat, _tok) in pats.items():
         total = total + F.regexp_count(F.col(text_col), F.lit(pat))
@@ -121,7 +121,7 @@ def pii_pseudonymize(
     (2^kinds blow-up — the lang_id/quantize JIT trap). CollapseProject
     keeps a non-cheap alias that is referenced more than once, so each
     pass's regex work runs exactly once per row."""
-    pats = dict(patterns or DEFAULT_PATTERNS)
+    pats = dict(DEFAULT_PATTERNS if patterns is None else patterns)
 
     def _fold(prefix: Column):
         # closure factory, NOT a default arg: PySpark maps a lambda's
@@ -136,6 +136,9 @@ def pii_pseudonymize(
             ),
         )
 
+    if not pats:  # no patterns: pseudonym text is the raw text, by definition
+        return df.withColumn(out_col, F.col(text_col))
+
     out = df
     cur = text_col
     for i, (kind, (pat, _tok)) in enumerate(pats.items()):
@@ -149,5 +152,6 @@ def pii_pseudonymize(
             ),
         )
         cur = nxt
-    drop = [f"_pseudo{i}" for i in range(max(0, len(pats) - 1))]
-    return out.drop(*drop) if drop else out.withColumn(out_col, F.col(text_col))
+    # NOTE: unconditional — gating on `drop` being non-empty silently
+    # overwrote the single-pattern result with the raw text (PII leak).
+    return out.drop(*[f"_pseudo{i}" for i in range(len(pats) - 1)])

@@ -740,6 +740,15 @@ def media_features_jpg_oracle(sf_dir: str) -> str:
             f"({int(doc_id)}, {len(payload)}, "
             f"{hist[0] / 1024.0!r}, {hist[7] / 1024.0!r})"
         )
+    if not rows:
+        # empty subset (tiny/filtered fixture): an empty VALUES list is a
+        # SQL syntax error — emit an empty result with the right shape
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS media_id, "
+            "CAST(NULL AS BIGINT) AS n_bytes, "
+            "CAST(NULL AS DOUBLE) AS f0, CAST(NULL AS DOUBLE) AS f7 "
+            "WHERE FALSE"
+        )
     values = ", ".join(rows)
     return f"""
 WITH m(media_id, n_bytes, f0_raw, f7_raw) AS (VALUES {values})

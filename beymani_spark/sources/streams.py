@@ -103,7 +103,13 @@ def open_stream(spark: SparkSession, conf: Mapping[str, str]) -> DataFrame:
     """
     fmt = str(conf.get("format", "")).lower()
     if fmt == "kafka":
-        shim = conf.get("kafka.shim.path")
+        # resolve case-insensitively, matching the passthrough exclusion
+        # below — a mixed-case key must activate the shim, not silently
+        # drop it and dial a real broker
+        shim = next(
+            (v for k, v in conf.items() if str(k).lower() == "kafka.shim.path"),
+            None,
+        )
         reader = spark.readStream.format("kafka")
         for k, val in conf.items():
             lk = str(k).lower()

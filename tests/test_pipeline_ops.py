@@ -813,6 +813,20 @@ def test_pii_pseudonymize_referential_integrity(spark):
     out9 = {r.id: r.pseudo for r in pii.pii_pseudonymize(df, "text", seed=9).collect()}
     assert out9[1] != out[1]  # salt breaks cross-corpus linkage
 
+    # single-pattern call must still pseudonymize (regression: the final
+    # passthrough used to trigger whenever no intermediate column existed,
+    # silently returning the RAW text for len(patterns)==1)
+    one = {
+        r.id: r.pseudo
+        for r in pii.pii_pseudonymize(
+            df, "text", patterns={"email": pii.DEFAULT_PATTERNS["email"]}
+        ).collect()
+    }
+    assert "a@x.com" not in one[1] and re.findall(r"EMAIL_[0-9a-f]{8}", one[1])
+    # zero patterns: pseudonym text is the raw text by definition
+    zero = {r.id: r.pseudo for r in pii.pii_pseudonymize(df, "text", patterns={}).collect()}
+    assert zero[1] == "mail a@x.com and again a@x.com plus b@y.org"
+
 
 def test_gopher_quality_gates_edge_docs(spark):
     """Empty doc gates False everywhere (NULL metrics coalesce); a clean

@@ -582,3 +582,33 @@ def test_jpg_decode_rejects_unsupported_clearly(spark):
     # truncated: no SOS
     with _pytest.raises(ValueError, match="truncated|SOS"):
         multimodal._jpg_pixels(bytes(ok[:sof_at]) + b"\xff\xd9", 8, 8)
+
+
+def test_jpg_header_walk_skips_fill_bytes_and_standalone_markers(spark):
+    """Spec-legal padding between segments — 0xFF fill bytes, TEM (0x01),
+    RSTn (0xD0-0xD7) — carries no length word; externally produced
+    baseline streams using them must decode identically, not misparse the
+    next two bytes as a segment length."""
+    import numpy as np
+
+    g = ((np.arange(16)[:, None] * 7 + np.arange(16)[None, :] * 3) % 256).astype(
+        np.int64
+    )
+    ones = np.ones((8, 8), dtype=np.int64)
+    clean = multimodal.jpg_encode(g, qtable=ones)
+    # inject after SOI: fill byte run, a TEM, and a standalone RST0
+    padded = clean[:2] + b"\xff\xff" + b"\xff\x01" + b"\xff\xd0" + clean[2:]
+    np.testing.assert_array_equal(
+        multimodal._jpg_pixels(padded, 16, 16),
+        multimodal._jpg_pixels(clean, 16, 16),
+    )
+
+
+def test_png_encode_rejects_palette_color_type(spark):
+    """color=3 would need a PLTE chunk the encoder never writes — must be
+    rejected up front, not emitted as a spec-invalid file."""
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="color types 0/2/6"):
+        multimodal.png_encode(np.zeros((4, 4), dtype=np.int64), color=3)
