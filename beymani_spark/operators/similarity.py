@@ -153,6 +153,116 @@ def cosine_dup_pairs(
     )
 
 
+def cosine_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int | str = "auto",
+    seed: int = 42,
+    target_bucket: int = 8,
+    center: bool = True,
+) -> DataFrame:
+    """Bucketed near-dup pairs — the SCALE path for ``cosine_dup_pairs``:
+    random-hyperplane signatures bucket the vectors, candidate pairs are
+    rows whose signatures differ by at most ONE bit (bucket join of each
+    row's signature + its one-bit flips against plain signatures; each
+    qualifying unordered pair matches exactly one probe under the
+    ``src < dst`` filter, so the join is duplicate-free with no dedup
+    shuffle), and the exact cosine runs only inside candidates. Work is
+    sum(bucket_i^2) ~ N^2/2^planes instead of N^2/2, and
+    ``n_planes='auto'`` (knn.auto_planes) grows the plane count with N so
+    the expected bucket size stays constant — the same scale knob that
+    keeps lsh_pair_distances/semantic_dedup linear at 10x/100x.
+
+    ``center=True`` subtracts the corpus mean before hashing (cosine is
+    still computed on the RAW vectors): near-dup corpora live in a narrow
+    cone — e.g. every 16-bucket byte histogram is near uniform — and raw
+    hyperplane signs are then dominated by the shared mean component, so
+    every row lands in ONE bucket and the "sub-quadratic" path degrades
+    straight back to all-pairs. Centering spreads the cone across the
+    signature space. The mean comes from one partial-aggregated component-
+    sum pass (scalar-row collect — a bounded model artifact), exact in any
+    summation order for integer-valued components (int8 codes), so every
+    signature bit is deterministic under repartitioning.
+
+    Output pairs are a SUBSET of cosine_dup_pairs' (true pairs hashed
+    >1 bit apart are missed — recall measured in tests/test_lsh_recall.py);
+    reference analogue: the banded pair-candidate builder replacing
+    sifarish SameTypeSimilarity's all-pairs matcher (SURVEY.md §2.3)."""
+    import random
+
+    from ..functions import caching
+    from .knn import auto_planes
+
+    # One persisted pass of the (possibly expensive — decode, quantize)
+    # upstream pipeline: the count, the centering mean, the dim probe, and
+    # BOTH sides of the bucket join read this frame — without the pin the
+    # upstream would execute five times (the build_corpus_mixed trap).
+    base = (
+        with_norm(df, vec_col)
+        .select(F.col(id_col).alias("_id"), "_vec", "_norm")
+        .persist()
+    )
+    dim = len(base.select("_vec").first()[0])
+    row = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.element_at(F.col("_vec"), i + 1)).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    ).first()
+    if n_planes == "auto":
+        n_planes = auto_planes(row["_n"], target_bucket)
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+    # zero vectors have no direction — they cannot clear a positive
+    # threshold, and their norm would divide the cosine by zero
+    hashed = base.filter(F.col("_norm") > 0)
+    hash_col = "_vec"
+    if center:
+        # float64 sums of integer-valued components are exact in any
+        # summation order (every partial sum is an integer < 2^53), so the
+        # mean — and with it every signature bit — is deterministic under
+        # repartitioning for integral inputs (e.g. int8 codes). True-float
+        # embeddings get an order-dependent ulp on the mean; a 1-ulp
+        # wobble only matters for dots within 1 ulp of zero.
+        mean = F.array(
+            *[F.lit(float(row[f"_s{i}"] / row["_n"])) for i in range(dim)]
+        )
+        hashed = hashed.withColumn(
+            "_cvec", F.zip_with("_vec", mean, lambda a, b: a - b)
+        )
+        hash_col = "_cvec"
+
+    a = (
+        add_lsh_bucket(hashed, hash_col, planes, out_col="_probes", hamming=1)
+        .withColumn("_bucket", F.explode("_probes"))
+        .select(
+            F.col("_id").alias("src"),
+            F.col("_vec").alias("_va"),
+            F.col("_norm").alias("_na"),
+            "_bucket",
+        )
+    )
+    b = add_lsh_bucket(hashed, hash_col, planes).select(
+        F.col("_id").alias("dst"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+        "_bucket",
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    out = (
+        a.join(b, "_bucket")
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("src", "dst", "cosine")
+    )
+    return caching.pin(out, base)
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_df: DataFrame,

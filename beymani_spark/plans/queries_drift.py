@@ -486,6 +486,119 @@ def q_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("src", "dst", F.round("cosine", 6).alias("cosine"))
 
 
+def _media_dup_pairs_lsh_oracle(sf_dir: str) -> str:
+    """Model-baked oracle for the LSH-bucketed media near-dup query: the
+    seeded hyperplane signatures (the model component — auto plane count,
+    centering mean, random.Random(42) gaussians) are replayed off-Spark
+    with the SAME deterministic kernels over the sha-counter raster each
+    doc derives from its text, and baked as VALUES; the accounting half —
+    nibble-histogram features, int8 quantization, exact integer cosine,
+    threshold — is verified in DuckDB by the same CTEs as the exact
+    all-pairs oracle, restricted to signature-hamming <= 1 candidates
+    (bit_count(xor(...))). A bucketing bug on the Spark side changes the
+    candidate set and breaks the hash, because the driver's Spark run
+    buckets for real."""
+    import random
+
+    import numpy as np
+
+    from ..operators.knn import auto_planes
+    from ..operators.multimodal import _fake_pixels
+    from .model_oracles import _read
+
+    pdf = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = len(pdf)
+    feats = []
+    for text in pdf["text"]:
+        px = _fake_pixels(text.encode("utf-8"), 32, 32)
+        hist = np.bincount(px.astype(np.int64).ravel() >> 4, minlength=16)
+        feats.append(hist / 1024.0)
+    f = np.asarray(feats, dtype=np.float64)
+    m = np.abs(f).max(axis=1)
+    scale = np.where(m > 0, 127.0 / m, 0.0)
+    # Spark F.round is HALF_UP; features are nonnegative so floor(x+0.5)
+    codes = np.floor(f * scale[:, None] + 0.5)
+    n_planes = auto_planes(n, 8)
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(n_planes)]
+    p = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    mean = codes.sum(axis=0) / n  # integer-valued floats: sum is exact
+    bits = ((codes - mean) @ p) >= 0
+    weights = 1 << np.arange(n_planes - 1, -1, -1)
+    sigs = (bits.astype(np.int64) * weights).sum(axis=1)
+    sig_rows = ", ".join(
+        f"({int(i)}, {int(s)})" for i, s in zip(pdf["doc_id"], sigs)
+    )
+    nib_counts = ", ".join(
+        f"(length(nib) - length(replace(nib, '{c}', ''))) / 1024.0"
+        for c in _NIBBLES
+    )
+    return f"""
+WITH sig(media_id, sig) AS (VALUES {sig_rows}),
+h AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(string_agg(sha256(text || CAST(j AS VARCHAR)), '' ORDER BY j),
+                        '(.).', '\\1', 'g') AS nib
+  FROM documents, generate_series(0, 31) AS t(j)
+  GROUP BY doc_id, text
+), feat AS (
+  SELECT media_id, [{nib_counts}] AS f
+  FROM h
+), q AS (
+  SELECT media_id,
+         list_transform(f, x -> CAST(round(x * CASE WHEN m > 0 THEN 127.0/m ELSE 0.0 END) AS BIGINT)) AS codes
+  FROM (SELECT media_id, f, list_max(list_transform(f, x -> abs(x))) AS m FROM feat)
+), p AS (
+  SELECT a.media_id AS src, b.media_id AS dst,
+         CAST(list_sum(list_transform(list_zip(a.codes, b.codes), z -> z[1]*z[2])) AS DOUBLE) AS dot,
+         sqrt(CAST(list_sum(list_transform(a.codes, x -> x*x)) AS DOUBLE)) AS na,
+         sqrt(CAST(list_sum(list_transform(b.codes, x -> x*x)) AS DOUBLE)) AS nb
+  FROM q a JOIN q b ON a.media_id < b.media_id
+  JOIN sig sa ON sa.media_id = a.media_id
+  JOIN sig sb ON sb.media_id = b.media_id
+  WHERE bit_count(xor(sa.sig, sb.sig)) <= 1
+)
+SELECT src, dst, round(dot / (na * nb), 6) AS cosine
+FROM p WHERE dot / (na * nb) >= {_MEDIA_DUP_T}
+"""
+
+
+@register("media_dup_pairs_lsh", _media_dup_pairs_lsh_oracle)
+def q_media_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup, SCALE form: the same decode -> int8-quantize ->
+    threshold-cosine composition as media_dup_pairs, with the pair stage
+    swapped from the exact all-pairs engine to the LSH-bucketed candidate
+    builder (similarity.cosine_dup_pairs_lsh, n_planes='auto', centered
+    signatures) — the registered, driver-checked version of the swap the
+    exact query's scale note documents, mirroring semantic_dedup's
+    n_topics='auto' move. Work is N^2/2^planes with the plane count
+    tracking N, so the query stays near-linear as the corpus grows
+    (BASELINE.md §8); output is the candidate-restricted subset of
+    media_dup_pairs (exact duplicates always collide — identical vectors
+    share a signature — so dedup recall on true copies is 1)."""
+    from ..functions import caching
+    from ..operators import similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = multimodal.decode_features(media, decode="fake", n_features=16)
+    q = similarity.quantize_int8(feats, "media_id", "features")
+    pairs = similarity.cosine_dup_pairs_lsh(
+        q.select("media_id", "codes"),
+        "media_id",
+        "codes",
+        threshold=_MEDIA_DUP_T,
+        n_planes="auto",
+        target_bucket=8,
+    )
+    out = pairs.select("src", "dst", F.round("cosine", 6).alias("cosine"))
+    # select() returns a new DataFrame — carry the pinned decode cache over
+    return caching.pin(out, *caching.pinned(pairs))
+
+
 # 8x8 subsample of the 32x32 pseudo-image: row/col indices
 # np.linspace(0,31,8).astype(int) = [0,4,8,13,17,22,26,31], baked as literal
 # flat positions so the oracle does not re-derive numpy's linspace rounding

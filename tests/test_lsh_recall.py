@@ -372,3 +372,44 @@ def test_topic_share_drift_zero_on_identical_and_detects_shift(spark, emb):
     row = drifted[drifted["topic"] == hot].iloc[0]
     assert row["share_b"] < row["share_a"]  # the thinned topic lost share
     assert abs(drifted["share_b"].sum() - 1.0) < 1e-4
+
+
+def test_media_dup_pairs_lsh_recall_vs_exact(spark):
+    """LSH-bucketed media near-dup vs the exact all-pairs form: the LSH
+    output must be a strict candidate-subset of the exact pairs, with
+    measured recall above a breakage floor. Measured 0.38 at sf0.001 —
+    the fixture's 0.997-threshold pairs are random near-ties of sha-
+    derived histograms (no structural similarity), hyperplane LSH's
+    adversarial case; see the altseed test below for the exact-duplicate
+    guarantee that dedup actually relies on."""
+    from beymani_spark.functions import caching
+    from beymani_spark.plans.registry import QUERIES
+
+    exact = QUERIES["media_dup_pairs"].builder(spark, SF).collect()
+    approx_df = QUERIES["media_dup_pairs_lsh"].builder(spark, SF)
+    approx = approx_df.collect()
+    caching.release(approx_df)
+    truth = {(r.src, r.dst) for r in exact}
+    got = {(r.src, r.dst) for r in approx}
+    assert got <= truth, "LSH emitted a pair the exact engine did not"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.25, f"media_dup_pairs_lsh recall collapsed: {recall:.2f}"
+
+
+def test_media_dup_pairs_lsh_exact_duplicates_always_collide(spark, alt_sf_dir):
+    """Identical texts decode to identical feature vectors, which share a
+    signature bit-for-bit — so every cosine == 1.0 pair from the exact
+    engine MUST appear in the LSH output (recall 1.0 on true copies, the
+    property corpus dedup rests on). The altseed draw plants 10% exact
+    text copies to make this non-vacuous."""
+    from beymani_spark.functions import caching
+    from beymani_spark.plans.registry import QUERIES
+
+    exact = QUERIES["media_dup_pairs"].builder(spark, alt_sf_dir).collect()
+    dup_pairs = {(r.src, r.dst) for r in exact if r.cosine == 1.0}
+    assert dup_pairs, "altseed draw should contain exact text copies"
+    approx_df = QUERIES["media_dup_pairs_lsh"].builder(spark, alt_sf_dir)
+    got = {(r.src, r.dst) for r in approx_df.collect()}
+    caching.release(approx_df)
+    missed = dup_pairs - got
+    assert not missed, f"exact duplicates missed by LSH: {sorted(missed)[:5]}"

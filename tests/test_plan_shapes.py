@@ -771,3 +771,28 @@ def test_u_shaped_attribution_keyed_windows_no_cartesian(spark):
     assert "Exchange hashpartitioning(user_id" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_dup_pairs_lsh_bucket_join_no_allpairs(spark):
+    """The REGISTERED media_dup_pairs_lsh form must pair via the _bucket
+    equi-join (candidate volume sum(bucket^2) ~ N^2/2^planes with
+    auto-sized planes) — never a cartesian / broadcast-nested-loop
+    all-pairs — and the decode+quantize pipeline must be pinned once for
+    its four consumers (count, mean, both join sides)."""
+    import re
+
+    from beymani_spark.functions import caching
+    from beymani_spark.plans.registry import QUERIES
+
+    out = QUERIES["media_dup_pairs_lsh"].builder(spark, SF)
+    out.count()
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[_bucket", plan
+    ), "pair stage must be keyed on the LSH bucket"
+    assert "InMemoryTableScan" in plan, "decode pipeline must be pinned, not re-run"
+    assert caching.pinned(out)
+    caching.release(out)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
