@@ -446,6 +446,51 @@ FROM s
 """
 
 
+@lru_cache(maxsize=4)
+def iforest_merge_oracle(sf_dir: str) -> str:
+    """IsolationForestMerge scoring oracle: the merged pool — base batch
+    (l_orderkey % 3 != 0) unioned with an OVERLAPPING incremental batch
+    (l_orderkey % 3 != 2, so the % 3 == 1 rows appear twice — the
+    append-to-pool duplication the reference's merge produces) — is
+    presampled and refit off-Spark with the same shared cores
+    (num_trees=40, subsample=128, seed=7, presample=16*128), then every
+    lineitem row's path-length score through the MERGED forest is baked as
+    nested CASE; threshold 0.6. A union/bookkeeping bug on the Spark side
+    changes the fitted pool and breaks the hash. Reference:
+    multi/IsolationForestMerge.scala:35-203."""
+    import math
+
+    import pandas as pd
+
+    values = _PCA_VALUES
+    max_depth = int(math.ceil(math.log2(128)))
+    pdf = _read(sf_dir, "lineitem", ["l_orderkey", _KM_KEY, *values])
+    old = pdf[pdf["l_orderkey"] % 3 != 0]
+    new = pdf[pdf["l_orderkey"] % 3 != 2]
+    pool = pd.concat([old, new], ignore_index=True)
+    branches = []
+    for key in sorted(pool[_KM_KEY].unique()):
+        sub = pool[pool[_KM_KEY] == key]
+        kept = sub[_presample(sub, values, 16 * 128, 7)]
+        x = kept[values].to_numpy(dtype=float)
+        trees = iforest_fit_core(x, 40, 128, 7, max_depth)
+        n_s = trees[0][1]
+        paths = " + ".join(f"({_tree_sql(t, 0, list(values))})" for t, _ in trees)
+        sc = f"pow(2.0, (-(({paths}) / 40.0)) / {_lit(_c_factor(n_s))})"
+        branches.append(f"WHEN '{key}' THEN {sc}")
+    case = f"CASE {_KM_KEY} " + " ".join(branches) + " END"
+    return f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, {_KM_KEY}, {case} AS sc
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, {_KM_KEY},
+       round(sc, 6) AS score,
+       CASE WHEN sc IS NULL THEN 'I' WHEN sc > 0.6 THEN 'O' ELSE 'N' END AS label
+FROM s
+"""
+
+
 # ------------------------------------------------------------------ IVF ANN
 
 _COS = (

@@ -19,6 +19,7 @@ from ..sources import load_table
 from .model_oracles import (
     autoencoder_oracle,
     autoencoder_tanh_oracle,
+    iforest_merge_oracle,
     iforest_oracle,
     kmeans_mixed_oracle,
     kmeans_oracle,
@@ -133,6 +134,36 @@ def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     values = ["l_quantity", "l_extendedprice", "l_discount"]
     model = multivariate.isolation_forest_fit(
         li, ["l_returnflag"], values, num_trees=50, subsample=128, seed=42
+    )
+    out = multivariate.isolation_forest_score(
+        li, model, ["l_returnflag"], values, threshold=0.6
+    )
+    return _round(
+        out.select("l_orderkey", "l_linenumber", "l_returnflag", "score", "label"),
+        ["score"],
+    )
+
+
+@register("isolation_forest_merge", iforest_merge_oracle)
+def q_isolation_forest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#14 IsolationForestMerge (multi/IsolationForestMerge.scala:35-203):
+    incremental retraining — a base batch (l_orderkey % 3 != 0) merged
+    with an OVERLAPPING incremental batch (% 3 != 2; the % 3 == 1 rows
+    enter the pool twice, exactly the append-to-pool duplication the
+    reference's re-sample-and-merge produces), refit as one forest
+    (multivariate.isolation_forest_merge: unionByName + presampled
+    bounded refit), then the FULL table scored against the merged model
+    over the broadcast tree set. The oracle bakes the merged forest fit
+    off-Spark with the same shared cores."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    values = ["l_quantity", "l_extendedprice", "l_discount"]
+    old = li.filter(F.col("l_orderkey") % 3 != 0)
+    new = li.filter(F.col("l_orderkey") % 3 != 2)
+    model = multivariate.isolation_forest_merge(
+        old, new, ["l_returnflag"], values, num_trees=40, subsample=128, seed=7
     )
     out = multivariate.isolation_forest_score(
         li, model, ["l_returnflag"], values, threshold=0.6

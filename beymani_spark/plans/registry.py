@@ -99,6 +99,7 @@ _PRIORITY = [
     "dedup_rate_by_source",
     # --- new in round 7 (never-checked) ---
     "media_dup_pairs_lsh",
+    "isolation_forest_merge",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---
