@@ -295,6 +295,117 @@ def apply_stream_markov(
     )
 
 
+def apply_stream_entropy_increase(
+    stream_df: DataFrame,
+    model_rows: list[dict],
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    width: float | None = None,
+    threshold: float = 0.01,
+    update: bool = True,
+) -> DataFrame:
+    """K11 EntropyIncreaseBasedPredictor, streaming form (reference
+    EntropyIncreaseBasedPredictor.java:44-80 — the one Storm kernel whose
+    stateful form had no analogue job): per-entity histogram state seeded
+    from the batch-fit model (collected attr_histogram rows — the
+    closure-shipped equivalent of the broadcast model), each event scored
+    with the batch formula — H = ln N − S/N with S = Σ cnt·ln cnt, H'(b)
+    adds one member to the event's bucket, score = (H'−H)/H — against the
+    CURRENT histogram, then (``update=True``) the event's bucket count is
+    folded into state so the distribution tracks the stream: the
+    prequential form the reference's bolt state implements, and unseen
+    keys grow their own histogram from nothing (first events tag 'I'
+    until two buckets exist). ``update=False`` freezes the model, making
+    the output row-for-row the batch ``entropy_increase_score`` — the
+    stream==batch parity contract tests/test_drift_streaming.py pins.
+
+    State per key: (buckets array<string>, counts array<long>); N and S
+    are recomputed from the (bucket-cardinality-sized) arrays per event.
+    Numeric bucketing is floor(value/width); ``width=None`` treats the
+    value as categorical (batch bucket_col semantics). Like the rest of
+    the stateful family, state is keyed — the state store partitions by
+    entity exactly as the reference's fieldsGrouping does."""
+    import math
+
+    seed: dict = {}
+    for r in model_rows:
+        if "attr" in r and r["attr"] != value:
+            continue
+        k = tuple(r[kk] for kk in keys)
+        seed.setdefault(k, {})[str(r["bucket"])] = int(r["cnt"])
+
+    out_schema = ", ".join(
+        [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in stream_df.schema
+            if f.name in (*keys, ts, value)
+        ]
+        + ["bucket string", "score double", "label string"]
+    )
+    state_schema = "buckets array<string>, counts array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            bks, cts = state.get
+            hist = {b: int(c) for b, c in zip(list(bks), list(cts))}
+        else:
+            hist = dict(seed.get(tuple(key), {}))
+        rows = []
+        # one global ts sort per trigger: a key's rows can arrive as several
+        # arrow chunks, and per-chunk sorting would interleave them
+        frames = [p for p in pdfs if len(p)]
+        whole = (
+            pd.concat(frames).sort_values(ts) if frames else pd.DataFrame()
+        )
+        if len(whole):
+            for _, row in whole.iterrows():
+                v = row[value]
+                b = (
+                    str(v)
+                    if width is None
+                    else str(int(math.floor(v / float(width))))
+                )
+                n = sum(hist.values())
+                score = None
+                if n > 0:
+                    s = sum(c * math.log(c) for c in hist.values())
+                    h = math.log(n) - s / n
+                    if h > 0:
+                        cb = hist.get(b, 0)
+                        s_new = (
+                            s
+                            - (cb * math.log(cb) if cb > 0 else 0.0)
+                            + (cb + 1) * math.log(cb + 1)
+                        )
+                        h_new = math.log(n + 1) - s_new / (n + 1)
+                        score = (h_new - h) / h
+                rows.append(
+                    {
+                        **{k_: row[k_] for k_ in keys},
+                        ts: row[ts],
+                        value: row[value],
+                        "bucket": b,
+                        "score": score,
+                        "label": "I"
+                        if score is None
+                        else ("O" if score > threshold else "N"),
+                    }
+                )
+                if update:
+                    hist[b] = hist.get(b, 0) + 1
+        state.update((list(hist.keys()), [hist[k_] for k_ in hist]))
+        yield pd.DataFrame(rows)
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def apply_stream_drift(
     stream_df: DataFrame,
     keys: Sequence[str],

@@ -892,3 +892,110 @@ def test_stream_interval_join_matches_batch(spark, stream_dirs):
         ).filter("left_id != right_id").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_entropy_increase_matches_batch_and_accumulates(spark, stream_dirs):
+    """K11 streaming form. (a) update=False freezes the seeded histogram:
+    output must equal batch entropy_increase_score row-for-row. (b)
+    update=True folds each event into state: a python prequential replay
+    over the event_id order reproduces every score exactly, proving the
+    histogram actually accumulates across the feed."""
+    import math
+
+    import numpy as np
+
+    from beymani_spark.operators import histogram
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import apply_stream_entropy_increase
+
+    src, chk = stream_dirs
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    ev.write.mode("overwrite").parquet(src + "/ei")
+    hist = histogram.attr_histogram(ev, ["event_type"], ["value"], [10.0])
+    model_rows = [r.asDict() for r in hist.collect()]
+
+    # (a) frozen model == batch scorer
+    stream = spark.readStream.schema(ev.schema).parquet(src + "/ei")
+    scored = apply_stream_entropy_increase(
+        stream, model_rows, ["event_type"], "ts", "value",
+        width=10.0, threshold=0.01, update=False,
+    )
+    q = (
+        scored.writeStream.format("memory").queryName("ei_t")
+        .outputMode("append").option("checkpointLocation", chk + "/ei")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from ei_t").toPandas()
+        .sort_values(["event_type", "ts", "value"], ignore_index=True)
+    )
+    batch = (
+        histogram.entropy_increase_score(
+            ev, hist, ["event_type"], "value", 10.0, threshold=0.01
+        )
+        .select("event_type", "ts", "value", "bucket", "score", "label")
+        .toPandas()
+        .sort_values(["event_type", "ts", "value"], ignore_index=True)
+    )
+    assert len(got) == len(batch) > 0
+    assert list(got.bucket.astype(str)) == list(batch.bucket.astype(str))
+    np.testing.assert_allclose(
+        got.score.to_numpy(float), batch.score.to_numpy(float),
+        rtol=1e-9, equal_nan=True,
+    )
+    assert list(got.label) == list(batch.label)
+
+    # (b) accumulating state == python prequential replay (event_id as the
+    # order column: unique, so the replay order is the stream's order)
+    stream2 = spark.readStream.schema(ev.schema).parquet(src + "/ei")
+    scored2 = apply_stream_entropy_increase(
+        stream2, model_rows, ["event_type"], "event_id", "value",
+        width=10.0, threshold=0.01, update=True,
+    )
+    q2 = (
+        scored2.writeStream.format("memory").queryName("ei_u")
+        .outputMode("append").option("checkpointLocation", chk + "/ei_u")
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    pdf = ev.toPandas()
+    seed: dict = {}
+    for r in model_rows:
+        seed.setdefault(r["event_type"], {})[str(r["bucket"])] = int(r["cnt"])
+    expect = {}
+    for key, sub in pdf.groupby("event_type"):
+        h_d = dict(seed.get(key, {}))
+        for _, row in sub.sort_values("event_id").iterrows():
+            b = str(int(math.floor(row["value"] / 10.0)))
+            n = sum(h_d.values())
+            score = None
+            if n > 0:
+                s = sum(c * math.log(c) for c in h_d.values())
+                h = math.log(n) - s / n
+                if h > 0:
+                    cb = h_d.get(b, 0)
+                    s_new = (
+                        s - (cb * math.log(cb) if cb else 0.0)
+                        + (cb + 1) * math.log(cb + 1)
+                    )
+                    score = (math.log(n + 1) - s_new / (n + 1) - h) / h
+            expect[(key, int(row["event_id"]))] = score
+            h_d[b] = h_d.get(b, 0) + 1
+    got2 = spark.sql("select * from ei_u").toPandas()
+    assert len(got2) == len(pdf)
+    for r in got2.itertuples():
+        e = expect[(r.event_type, int(r.event_id))]
+        if e is None:
+            assert r.score is None or np.isnan(r.score)
+        else:
+            assert abs(r.score - e) <= 1e-12 * max(1.0, abs(e))
+    # accumulation must actually move the distribution: for each key, the
+    # same bucket scored at different stream positions gets different
+    # scores (a frozen model would give identical ones)
+    per_bucket = got2.dropna(subset=["score"]).groupby(
+        ["event_type", "bucket"]
+    )["score"].nunique()
+    assert (per_bucket > 1).any()
