@@ -100,6 +100,9 @@ HEAVY = [
     "u_shaped_attribution",
     "media_features_png",
     "media_features_jpg",
+    # round-7 additions
+    "media_dup_pairs_lsh",
+    "isolation_forest_merge",
 ]
 
 
