@@ -103,6 +103,7 @@ HEAVY = [
     # round-7 additions
     "media_dup_pairs_lsh",
     "isolation_forest_merge",
+    "dedup_simhash_auto",
 ]
 
 

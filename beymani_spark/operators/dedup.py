@@ -571,6 +571,135 @@ def simhash_dup_pairs(
     return caching.pin(out, sk)
 
 
+def auto_simhash_bits(
+    n: int, max_hamming: int = 3, target_bucket: int = 8
+) -> int:
+    """Sketch width that holds the expected band-bucket size ~constant as
+    the corpus grows — the Hamming-banding analogue of ``knn.auto_planes``.
+    Pigeonhole banding splits ``bits`` into ``max_hamming+1`` bands of
+    width w; random-pair candidates per band are N^2/2^w, so a FIXED w
+    (the 16-bit default's w=5) degrades quadratically once N outgrows the
+    band space. w = max(8, ceil(log2(n / target_bucket))) keeps buckets
+    ~target-sized; the 96-bit cap (three md5 words) holds it to
+    target·2^24 ≈ 10^8 docs at 4 bands. Note the SEMANTIC trade: a fixed
+    ``max_hamming`` over a wider sketch is a stricter near-dup cut
+    (expected hamming grows with bits for fixed similarity) — exact
+    duplicates always sketch identically, so dedup recall on true copies
+    stays 1 at any width."""
+    import math
+
+    w = max(8, math.ceil(math.log2(max(2.0, n / max(1, target_bucket)))))
+    return min(96, (max_hamming + 1) * w)
+
+
+def simhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 32,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Wide md5 SimHash split into pigeonhole bands: (id, bands
+    array<long>), band i packing sketch bits [i·w, (i+1)·w), w = bits //
+    n_bands. Token-hash bit b comes from bit b%32 of md5 hex word b//32
+    (words = successive 8-hex-char slices of the digest), so any width up
+    to 128 stays bit-for-bit reproducible in DuckDB via the same
+    strpos-nibble arithmetic as the 32-bit form. One md5 per distinct
+    token per doc; the per-bit ±1 sums are one partial-aggregated
+    groupBy."""
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands bands")
+    if bits > 128:
+        raise ValueError("md5 simhash supports at most 128 bits")
+    w = bits // n_bands
+    words_needed = (bits + 31) // 32
+    ex = df.select(
+        F.col(id_col).alias("_sid"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
+    ).withColumn("_hx", F.md5("_tok"))
+    ex = ex.select(
+        "_sid",
+        *[
+            F.conv(F.substring("_hx", 1 + 8 * k, 8), 16, 10)
+            .cast("long")
+            .alias(f"_w{k}")
+            for k in range(words_needed)
+        ],
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"_w{b // 32}"), b % 32).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"_bit_{b}")
+        for b in range(bits)
+    ]
+    sums = ex.groupBy("_sid").agg(*bit_aggs)
+    band_cols = []
+    for i in range(n_bands):
+        val = None
+        for j in range(w):
+            term = F.when(
+                F.col(f"_bit_{i * w + j}") > 0, F.lit(2**j)
+            ).otherwise(F.lit(0))
+            val = term if val is None else val + term
+        band_cols.append(val.cast("long"))
+    return sums.select(
+        F.col("_sid").alias(id_col), F.array(*band_cols).alias("bands")
+    )
+
+
+def simhash_dup_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    target_bucket: int = 8,
+    bits: int | None = None,
+) -> DataFrame:
+    """``simhash_dup_pairs`` with the sketch width scaled to the DATA
+    (auto_simhash_bits): same pigeonhole full-recall banding — a pair
+    within max_hamming differing bits leaves >= 1 of max_hamming+1 bands
+    identical — but band buckets stay ~target_bucket-sized as the corpus
+    grows, so candidate volume is ~N·bucket instead of N^2/2^w. One cheap
+    count resolves the width; a fixed-N deployment can precompute
+    ``auto_simhash_bits(n)`` and pass ``bits``. Hamming is verified over
+    the FULL wide sketch (sum of per-band bit_count(xor))."""
+    n_bands = max_hamming + 1
+    if bits is None:
+        bits = auto_simhash_bits(df.count(), max_hamming, target_bucket)
+    bits = (bits // n_bands) * n_bands
+    sk = simhash_bands(df, id_col, text_col, bits, n_bands).persist()
+    keyed = sk.select(
+        F.col(id_col).alias("_id"), "bands", F.posexplode("bands")
+    )
+    out = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["pos", "col"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("src"),
+            F.col("b._id").alias("dst"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("a.bands"),
+                    F.col("b.bands"),
+                    lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )
+    return caching.pin(out, sk)
+
+
 def rowwise_minhash_bands(
     df: DataFrame,
     id_col: str,

@@ -513,6 +513,83 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_bit_sql_wide(b: int) -> str:
+    """±1 contribution of md5 bit b for the WIDE sketch: word k = b // 32
+    is hex chars 8k+1..8k+8 of the digest; within the word the same
+    nibble arithmetic as _simhash_bit_sql."""
+    k, lb = divmod(b, 32)
+    pos = 8 * k + 8 - lb // 4
+    return (
+        f"CASE WHEN ((strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+        f" // {2 ** (lb % 4)}) % 2 = 1 THEN 1 ELSE -1 END"
+    )
+
+
+def _simhash_auto_oracle(sf_dir: str) -> str:
+    """Oracle for the auto-width SimHash: resolves the same
+    auto_simhash_bits(count) knob off-Spark, then replays the wide
+    multi-word sketch (per-bit ±1 sums over successive md5 words), the
+    per-band packing, and the full-sketch hamming in pure SQL — the whole
+    pipeline hash-verifies, auto knob included."""
+    import duckdb
+
+    from ..operators.dedup import auto_simhash_bits
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    max_h = 3
+    n_bands = max_h + 1
+    bits = auto_simhash_bits(n, max_h, 8)
+    bits = (bits // n_bands) * n_bands
+    w = bits // n_bands
+    bitsums = ", ".join(
+        f"sum({_simhash_bit_sql_wide(b)}) AS s_{b}" for b in range(bits)
+    )
+    band_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN s_{i * w + j} > 0 THEN {2 ** j} ELSE 0 END"
+            for j in range(w)
+        )
+        + f")::BIGINT AS band_{i}"
+        for i in range(n_bands)
+    )
+    hamm = " + ".join(
+        f"bit_count(xor(a.band_{i}, b.band_{i}))" for i in range(n_bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+), h AS (
+  SELECT doc_id, md5(unnest(toks)) AS hx FROM t
+), bitsum AS (
+  SELECT doc_id, {bitsums} FROM h GROUP BY doc_id
+), sk AS (
+  SELECT doc_id, {band_cols} FROM bitsum
+)
+SELECT a.doc_id AS src, b.doc_id AS dst, ({hamm})::INT AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE {hamm} <= {max_h}
+"""
+
+
+@register("dedup_simhash_auto", _simhash_auto_oracle)
+def q_dedup_simhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-width SimHash near-dup — the registered scale form beside the
+    fixed-32-bit dedup_simhash (the same exact-vs-auto pairing as
+    media_dup_pairs / media_dup_pairs_lsh): sketch width tracks the corpus
+    (dedup.auto_simhash_bits) so band buckets — and with them candidate
+    volume — stay bounded as N grows, closing the last documented
+    fixed-width banding ceiling (SCALE.md cliff #2 note). Full pigeonhole
+    recall at the resolved width; exact duplicates sketch identically at
+    any width."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_dup_pairs_auto(
+        docs, "doc_id", max_hamming=3, target_bucket=8
+    )
+
+
 _COS_SQL = (
     "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
     " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"

@@ -100,6 +100,7 @@ _PRIORITY = [
     # --- new in round 7 (never-checked) ---
     "media_dup_pairs_lsh",
     "isolation_forest_merge",
+    "dedup_simhash_auto",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---

@@ -869,3 +869,57 @@ def test_domain_cap_deterministic_and_capped(spark):
         for r in domain_cap(docs.repartition(13), cap=7).collect()
     )
     assert a == b, "cap winners must not depend on partitioning"
+
+
+def test_simhash_auto_width_and_wide_sketch_semantics(spark):
+    """auto_simhash_bits holds band-bucket size as N grows (w tracks
+    log2(N)); the wide multi-word sketch keeps the dedup invariants: exact
+    duplicates sketch identically (hamming 0 at any width), near-identical
+    docs land within the hamming budget, unrelated docs sit far outside
+    it, and the pigeonhole banding finds every within-budget pair."""
+    from beymani_spark.functions import caching
+    from beymani_spark.operators import dedup
+
+    # width formula: fixed floor at small N, log growth, 96-bit cap
+    assert dedup.auto_simhash_bits(500, 3, 8) == 32       # w floor 8
+    assert dedup.auto_simhash_bits(8_192, 3, 8) == 40     # w = 10
+    assert dedup.auto_simhash_bits(1_000_000, 3, 8) == 68  # w = 17
+    assert dedup.auto_simhash_bits(10**9, 3, 8) == 96     # capped
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while seven wizards "
+        "brew strong potions under moonlight near the ancient river"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                 # exact duplicate of 1
+            (3, base + " extra"),      # near-dup: measured hamming 5 @63b
+            (4, "completely different subject matter entirely: stock "
+                "markets closed higher on quarterly earnings reports "
+                "from technology companies worldwide"),  # hamming ~31
+        ],
+        "doc_id long, text string",
+    )
+    # max_hamming=8 -> 9 bands; bits=64 rounds down to 63 (7-bit bands)
+    pairs_df = dedup.simhash_dup_pairs_auto(
+        docs, "doc_id", max_hamming=8, bits=64
+    )
+    got = {(r.src, r.dst): r.hamming for r in pairs_df.collect()}
+    caching.release(pairs_df)
+    assert got[(1, 2)] == 0, "exact duplicates must sketch identically"
+    assert (1, 3) in got and 0 < got[(1, 3)] <= 8, "near-dup within budget"
+    assert (1, 4) not in got and (2, 4) not in got, "unrelated docs excluded"
+
+    # full recall vs a brute-force hamming over the same wide sketch
+    sk = {
+        r[0]: list(r[1])
+        for r in dedup.simhash_bands(docs, "doc_id", bits=63, n_bands=9).collect()
+    }
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    brute = {
+        (i, j): ham(sk[i], sk[j])
+        for i in sk for j in sk if i < j and ham(sk[i], sk[j]) <= 8
+    }
+    assert got == brute, "pigeonhole banding must have full recall"

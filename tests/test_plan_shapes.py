@@ -799,3 +799,60 @@ def test_media_dup_pairs_lsh_bucket_join_no_allpairs(spark):
     # check the released frames directly, not the session-global cache
     # census — the shared test session may hold other tests' caches
     assert all(not f.storageLevel.useMemory for f in pinned)
+
+
+def test_isolation_forest_merge_fit_presamples_union_score_no_exchange(spark):
+    """isolation_forest_merge's refit exchange must carry the
+    hash-presampled UNION pool (xxhash64 threshold filter below the group
+    shuffle — ~2k rows/key at any N, never the fact table), and scoring
+    against the merged model must stay a broadcast-tree MapInPandas with
+    no fact-table exchange."""
+    from beymani_spark.operators import multivariate as mv
+    from beymani_spark.sources import load_table as lt
+
+    li = lt(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity", "l_extendedprice",
+    )
+    keys, vals = ["l_returnflag"], ["l_quantity", "l_extendedprice"]
+    old = li.filter(F.col("l_orderkey") % 3 != 0)
+    new = li.filter(F.col("l_orderkey") % 3 != 2)
+    model = mv.isolation_forest_merge(
+        old, new, keys, vals, num_trees=5, subsample=32, seed=7
+    )
+    mplan = _plan(model)
+    assert "FlatMapGroupsInPandas" in mplan
+    assert "xxhash64" in mplan, "merged fit pool must be hash-presampled"
+    assert "Union" in mplan, "fit must consume the old+new union"
+
+    scored = mv.isolation_forest_score(li, model, keys, vals)
+    scored.count()
+    splan = _plan(scored)
+    assert "MapInPandas" in splan
+    # the only allowed exchange is the few-split round-robin spread of the
+    # single-file test fixture (python-kernel balancing) — never a hash
+    # shuffle or join of the fact table against the model
+    assert "Exchange hashpartitioning" not in splan, (
+        "fact table must not hash-shuffle to score"
+    )
+    assert "Join" not in splan, "merged model must ship broadcast, not join"
+
+
+def test_dedup_simhash_auto_band_join_no_cartesian(spark):
+    """The auto-width SimHash pair stage must be the (band_idx, band_value)
+    equi-join — never a cartesian/BNLJ — with the N-row sketch persisted
+    once for both join sides (the token explode + 30-90 bit aggregations
+    run once, not twice)."""
+    from beymani_spark.functions import caching
+    from beymani_spark.plans.registry import QUERIES
+
+    out = QUERIES["dedup_simhash_auto"].builder(spark, SF)
+    out.count()
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan, "sketch must be pinned, not rebuilt"
+    pinned = caching.pinned(out)
+    assert pinned
+    caching.release(out)
+    assert all(not f.storageLevel.useMemory for f in pinned)
