@@ -204,7 +204,14 @@ def cosine_dup_pairs_lsh(
         .select(F.col(id_col).alias("_id"), "_vec", "_norm")
         .persist()
     )
-    dim = len(base.select("_vec").first()[0])
+    probe = base.select("_vec").first()
+    if probe is None:  # empty input: no pairs, with the right shape
+        base.unpersist()
+        id_t = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"src {id_t}, dst {id_t}, cosine double"
+        )
+    dim = len(probe[0])
     row = base.agg(
         F.count(F.lit(1)).alias("_n"),
         *[

@@ -478,7 +478,12 @@ def iforest_merge_oracle(sf_dir: str) -> str:
         paths = " + ".join(f"({_tree_sql(t, 0, list(values))})" for t, _ in trees)
         sc = f"pow(2.0, (-(({paths}) / 40.0)) / {_lit(_c_factor(n_s))})"
         branches.append(f"WHEN '{key}' THEN {sc}")
-    case = f"CASE {_KM_KEY} " + " ".join(branches) + " END"
+    # empty pool (empty/filtered fixture): every row is model-less -> 'I'
+    case = (
+        f"CASE {_KM_KEY} " + " ".join(branches) + " END"
+        if branches
+        else "CAST(NULL AS DOUBLE)"
+    )
     return f"""
 WITH s AS (
   SELECT l_orderkey, l_linenumber, {_KM_KEY}, {case} AS sc

@@ -508,6 +508,13 @@ def _media_dup_pairs_lsh_oracle(sf_dir: str) -> str:
 
     pdf = _read(sf_dir, "documents", ["doc_id", "text"])
     n = len(pdf)
+    if n == 0:
+        # empty fixture: an empty VALUES list is a SQL syntax error — emit
+        # an empty result with the right column shape
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst,"
+            " CAST(NULL AS DOUBLE) AS cosine WHERE FALSE"
+        )
     feats = []
     for text in pdf["text"]:
         px = _fake_pixels(text.encode("utf-8"), 32, 32)

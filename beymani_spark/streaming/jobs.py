@@ -361,8 +361,14 @@ def apply_stream_entropy_increase(
         if len(whole):
             for _, row in whole.iterrows():
                 v = row[value]
+                # null/NaN value: no bucket — scored as an unseen bucket
+                # (cnt_b = 0), exactly the batch scorer's null-bucket
+                # left-join arithmetic; never folded into state
+                missing = v is None or (isinstance(v, float) and v != v)
                 b = (
-                    str(v)
+                    None
+                    if missing
+                    else str(v)
                     if width is None
                     else str(int(math.floor(v / float(width))))
                 )
@@ -392,7 +398,7 @@ def apply_stream_entropy_increase(
                         else ("O" if score > threshold else "N"),
                     }
                 )
-                if update:
+                if update and b is not None:
                     hist[b] = hist.get(b, 0) + 1
         state.update((list(hist.keys()), [hist[k_] for k_ in hist]))
         yield pd.DataFrame(rows)

@@ -413,3 +413,12 @@ def test_media_dup_pairs_lsh_exact_duplicates_always_collide(spark, alt_sf_dir):
     caching.release(approx_df)
     missed = dup_pairs - got
     assert not missed, f"exact duplicates missed by LSH: {sorted(missed)[:5]}"
+
+
+def test_cosine_dup_pairs_lsh_empty_input(spark):
+    """Empty input returns an empty, correctly-shaped pair frame instead
+    of crashing on the dim probe."""
+    df = spark.createDataFrame([], "media_id long, codes array<int>")
+    out = similarity.cosine_dup_pairs_lsh(df, "media_id", "codes")
+    assert out.count() == 0
+    assert out.columns == ["src", "dst", "cosine"]
