@@ -242,7 +242,16 @@ def lsh_pair_distances(
     if n_planes == "auto":
         n_planes = auto_planes(df.count(), target_bucket)
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe_row = df.select(vec_col).first()
+        if probe_row is None:  # empty input: no pairs, right shape
+            id_t = df.schema[id_col].dataType.simpleString()
+            key_ddl = "".join(
+                f"{k} {df.schema[k].dataType.simpleString()}, " for k in keys
+            )
+            return df.sparkSession.createDataFrame(
+                [], f"{key_ddl}src {id_t}, dst {id_t}, dist double"
+            )
+        dim = len(probe_row[0])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
     if not probe:

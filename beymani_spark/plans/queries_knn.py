@@ -92,6 +92,82 @@ def q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, ["lrd", "lof"])
 
 
+_LOF_TAIL = _LOF_ORACLE.split(", kdist AS", 1)[1]
+
+
+def _lof_lsh_oracle(sf_dir: str) -> str:
+    """Model-baked oracle for the LSH-bucketed LOF: the seeded hyperplane
+    signatures (auto plane count, random.Random(42)) are replayed
+    off-Spark over the same float64 upcast and baked as VALUES; the pair
+    restriction — neighbors only within signature Hamming distance 1, the
+    probe=1 multi-probe contract of knn.lsh_pair_distances — is applied in
+    SQL, and the LOF tail (k-distance, reach, lrd, cap) is the exact
+    query's own verified SQL, reused verbatim."""
+    import random
+
+    import numpy as np
+
+    from ..operators.knn import auto_planes
+    from .model_oracles import _read
+
+    pdf = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = len(pdf)
+    if n == 0:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS DOUBLE) AS lrd,"
+            " CAST(NULL AS DOUBLE) AS lof WHERE FALSE"
+        )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    n_planes = auto_planes(n, 8)
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(x.shape[1])] for _ in range(n_planes)]
+    p = np.asarray(planes, dtype=np.float64).T
+    bits = (x @ p) >= 0
+    weights = 1 << np.arange(n_planes - 1, -1, -1)
+    sigs = (bits.astype(np.int64) * weights).sum(axis=1)
+    sig_rows = ", ".join(
+        f"({int(i)}, {int(s)})" for i, s in zip(pdf["vec_id"], sigs)
+    )
+    return f"""
+WITH sig(vec_id, sig) AS (VALUES {sig_rows}),
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         sqrt(list_sum(list_transform(list_zip(a.vec, b.vec),
+                                      p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+  JOIN sig sa ON sa.vec_id = a.vec_id
+  JOIN sig sb ON sb.vec_id = b.vec_id
+  WHERE bit_count(xor(sa.sig, sb.sig)) <= 1
+), nn AS (
+  SELECT src, dst, dist,
+         row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS nn_rank
+  FROM pairs
+), topk AS (
+  SELECT src, dst, dist FROM nn WHERE nn_rank <= 5
+), kdist AS {_LOF_TAIL}"""
+
+
+@register("lof_lsh", _lof_lsh_oracle)
+def q_lof_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOF over LSH-bucketed candidate neighborhoods — the registered
+    scale form beside the exact `lof` (the same exact-vs-bucketed pairing
+    as media_dup_pairs / dedup_simhash): neighbors are searched only
+    within signature Hamming distance 1 (knn.lsh_pair_distances,
+    n_planes='auto' holding bucket size as N grows — the §8.1-measured
+    off-ramp for the O(N^2) exact pair stage), then the identical LOF
+    kernel runs on the candidate set. Neighborhoods are approximate —
+    a true neighbor hashed >1 bit away is replaced by the next candidate
+    — so scores differ from exact LOF by construction; the oracle bakes
+    the same signatures and verifies the candidate-restricted LOF
+    hash-exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = knn.lsh_pair_distances(emb, "vec_id", "embedding", n_planes="auto")
+    out = knn.lof(pairs, k=5)
+    return _round(out, ["lrd", "lof"])
+
+
 _LOCAL_NBR_ORACLE = """
 WITH w AS (
   SELECT event_id, event_type, value,

@@ -101,6 +101,7 @@ _PRIORITY = [
     "media_dup_pairs_lsh",
     "isolation_forest_merge",
     "dedup_simhash_auto",
+    "lof_lsh",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---
