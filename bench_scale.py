@@ -104,6 +104,7 @@ HEAVY = [
     "media_dup_pairs_lsh",
     "isolation_forest_merge",
     "dedup_simhash_auto",
+    "embedding_dup_clusters_lsh",
 ]
 
 

@@ -229,14 +229,19 @@ def cosine_dup_pairs_lsh(
     hashed = base.filter(F.col("_norm") > 0)
     hash_col = "_vec"
     if center:
-        # float64 sums of integer-valued components are exact in any
-        # summation order (every partial sum is an integer < 2^53), so the
-        # mean — and with it every signature bit — is deterministic under
-        # repartitioning for integral inputs (e.g. int8 codes). True-float
-        # embeddings get an order-dependent ulp on the mean; a 1-ulp
-        # wobble only matters for dots within 1 ulp of zero.
+        # determinism contract: float64 sums of integer-valued components
+        # are exact in any summation order (every partial sum is an
+        # integer < 2^53); true-float inputs get an order-dependent ulp on
+        # the raw mean, so the mean is ROUNDED to 6 decimals — a
+        # summation-order ulp (~1e-13 relative) can then never move the
+        # centering vector, and with it a signature bit, under
+        # repartitioning (the registry's round-6 convention applied to the
+        # model instead of the output).
         mean = F.array(
-            *[F.lit(float(row[f"_s{i}"] / row["_n"])) for i in range(dim)]
+            *[
+                F.lit(round(float(row[f"_s{i}"] / row["_n"]), 6))
+                for i in range(dim)
+            ]
         )
         hashed = hashed.withColumn(
             "_cvec", F.zip_with("_vec", mean, lambda a, b: a - b)

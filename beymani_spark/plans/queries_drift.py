@@ -529,7 +529,9 @@ def _media_dup_pairs_lsh_oracle(sf_dir: str) -> str:
     rng = random.Random(42)
     planes = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(n_planes)]
     p = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
-    mean = codes.sum(axis=0) / n  # integer-valued floats: sum is exact
+    # integer-valued floats: sum is exact; round-6 mirrors the operator's
+    # mean-determinism contract (no-op here at terminating decimals)
+    mean = np.round(codes.sum(axis=0) / n, 6)
     bits = ((codes - mean) @ p) >= 0
     weights = 1 << np.arange(n_planes - 1, -1, -1)
     sigs = (bits.astype(np.int64) * weights).sum(axis=1)

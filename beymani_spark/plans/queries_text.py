@@ -679,6 +679,89 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_mod.dedup_clusters(emb, "vec_id", pairs)
 
 
+def _emb_clusters_lsh_oracle(sf_dir: str) -> str:
+    """Baked-signature oracle for the LSH-bucketed embedding dup-cluster
+    query: signatures replayed off-Spark (auto planes, round-6 centered
+    mean — the operator's float-determinism contract — seed 42), pair
+    candidates restricted to Hamming <= 1 in SQL, then the exact query's
+    own recursive-CTE connected components over the reduced edge set."""
+    import random
+
+    import numpy as np
+
+    from ..operators.knn import auto_planes
+    from .model_oracles import _read
+
+    pdf = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = len(pdf)
+    if n == 0:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS vec_id,"
+            " CAST(NULL AS BIGINT) AS cluster_rep,"
+            " CAST(NULL AS BIGINT) AS cluster_size WHERE FALSE"
+        )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    mean = np.round(x.sum(axis=0) / n, 6)  # over ALL rows, like the operator
+    n_planes = auto_planes(n, 8)
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(x.shape[1])] for _ in range(n_planes)]
+    p = np.asarray(planes, dtype=np.float64).T
+    bits = ((x - mean) @ p) >= 0
+    weights = 1 << np.arange(n_planes - 1, -1, -1)
+    sigs = (bits.astype(np.int64) * weights).sum(axis=1)
+    sig_rows = ", ".join(
+        f"({int(i)}, {int(s)})" for i, s in zip(pdf["vec_id"], sigs)
+    )
+    return f"""
+WITH RECURSIVE sig(vec_id, sig) AS (VALUES {sig_rows}),
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), cpairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  JOIN sig sa ON sa.vec_id = a.vec_id
+  JOIN sig sb ON sb.vec_id = b.vec_id
+  WHERE bit_count(xor(sa.sig, sb.sig)) <= 1
+    AND {_COS_SQL.format(a="a.vec", b="b.vec")} >= 0.4
+), edges AS (
+  SELECT src AS a, dst AS b FROM cpairs
+  UNION
+  SELECT dst, src FROM cpairs
+), reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+), comp AS (
+  SELECT node, min(r) AS rep FROM reach GROUP BY node
+), lab AS (
+  SELECT e.vec_id, coalesce(c.rep, e.vec_id) AS cluster_rep
+  FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+)
+SELECT vec_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM lab
+"""
+
+
+@register("embedding_dup_clusters_lsh", _emb_clusters_lsh_oracle)
+def q_embedding_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clustering, SCALE form: the pair stage swapped
+    from the exact all-pairs engine to the LSH-bucketed candidate builder
+    (similarity.cosine_dup_pairs_lsh — auto plane count, round-6 centered
+    signatures), then the same union-find/pointer-jumping cluster
+    propagation. Candidate-restricted edges are a subset of the exact
+    query's, so clusters can only split, never merge spuriously; exact
+    duplicate vectors share a signature, so true-copy clusters survive
+    intact at any N."""
+    from ..operators import dedup as dedup_mod
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes="auto"
+    )
+    return dedup_mod.dedup_clusters(emb, "vec_id", pairs)
+
+
 def _ann_lsh_oracle() -> str:
     """Hyperplane-LSH top-k oracle: the seeded planes are data-independent,
     so they are baked into the SQL as double literals built by the SAME

@@ -102,6 +102,7 @@ _PRIORITY = [
     "isolation_forest_merge",
     "dedup_simhash_auto",
     "lof_lsh",
+    "embedding_dup_clusters_lsh",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---

@@ -422,3 +422,41 @@ def test_cosine_dup_pairs_lsh_empty_input(spark):
     out = similarity.cosine_dup_pairs_lsh(df, "media_id", "codes")
     assert out.count() == 0
     assert out.columns == ["src", "dst", "cosine"]
+
+
+def test_embedding_dup_clusters_lsh_refines_exact(spark, alt_sf_dir):
+    """LSH candidate edges are a subset of the exact query's edges, so
+    every LSH cluster must sit inside one exact cluster (approximation
+    can split clusters, never spuriously merge them) — and the altseed
+    draw's planted exact-duplicate vectors must stay clustered together
+    (identical vectors share a signature)."""
+    from beymani_spark.functions import caching
+    from beymani_spark.plans.registry import QUERIES
+
+    exact = {
+        r.vec_id: r.cluster_rep
+        for r in QUERIES["embedding_dup_clusters"].builder(spark, alt_sf_dir).collect()
+    }
+    lsh_df = QUERIES["embedding_dup_clusters_lsh"].builder(spark, alt_sf_dir)
+    lsh = {r.vec_id: r.cluster_rep for r in lsh_df.collect()}
+    caching.release(lsh_df)
+    assert set(lsh) == set(exact)
+    by_lsh_rep: dict = {}
+    for vid, rep in lsh.items():
+        by_lsh_rep.setdefault(rep, set()).add(exact[vid])
+    assert all(len(s) == 1 for s in by_lsh_rep.values()), (
+        "an LSH cluster spans multiple exact clusters (spurious merge)"
+    )
+
+    from beymani_spark.sources import load_table
+
+    emb = load_table(spark, alt_sf_dir, "embeddings").toPandas()
+    by_vec: dict = {}
+    for r in emb.itertuples():
+        by_vec.setdefault(tuple(r.embedding), []).append(r.vec_id)
+    dup_groups = [v for v in by_vec.values() if len(v) > 1]
+    assert dup_groups, "altseed draw should plant exact vector copies"
+    for grp in dup_groups:
+        assert len({lsh[v] for v in grp}) == 1, (
+            "exact-duplicate vectors split across LSH clusters"
+        )
