@@ -533,3 +533,69 @@ def column_profile_drift(
         "n_distinct_a",
         "n_distinct_b",
     )
+
+
+def numeric_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-column numeric distribution card: one row per column with
+    (n, n_nulls, mean, std, min, q25, q50, q75, max) — the numeric
+    companion to ``column_profile``'s completeness card, and the summary
+    table a feature/label review reads before training (the reference's
+    olss.py score-statistics report generalized to any numeric column,
+    `python/app/olss.py:35-115`).
+
+    One aggregation pass over all requested columns (Catalyst computes
+    every aggregate in a single partial+final agg; the scan reads only
+    ``cols``); the melt to rows is a stack() projection of the single
+    aggregate row. With ``exact=True`` quantiles use the exact
+    ``percentile`` aggregate (linear interpolation on the sorted values —
+    identical to DuckDB ``quantile_cont``, so the card is oracle-
+    verifiable). Exact percentile state is O(distinct values) per column;
+    at unbounded-cardinality 100 TB scale pass ``exact=False`` to switch
+    to ``approx_percentile`` (bounded GK sketch state) — same plan shape,
+    approximation documented in the output's provenance, oracle-exempt.
+    """
+    if not (0 < len(quantiles) and all(0.0 <= q <= 1.0 for q in quantiles)):
+        raise ValueError("quantiles must be in [0, 1] and non-empty")
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    pct = F.percentile if exact else F.approx_percentile
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.count(col).alias(f"_nn_{c}"),
+            F.avg(col).alias(f"_mean_{c}"),
+            F.stddev_samp(col).alias(f"_std_{c}"),
+            F.min(col).alias(f"_min_{c}"),
+            pct(col, qarr).alias(f"_q_{c}"),
+            F.max(col).alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{c}', `_nn_{c}`, `_mean_{c}`, `_std_{c}`, `_min_{c}`, "
+        + ", ".join(f"`_q_{c}`[{i}]" for i in range(len(quantiles)))
+        + f", `_max_{c}`"
+        for c in cols
+    )
+    qnames = ", ".join(f"q{int(round(q * 100))}" for q in quantiles)
+    melted = row.select(
+        F.col("_n"),
+        F.expr(
+            f"stack({len(cols)}, {pairs}) as "
+            f"(column, _nonnull, mean, std, min, {qnames}, max)"
+        ),
+    )
+    return melted.select(
+        "column",
+        F.col("_nonnull").alias("n"),
+        (F.col("_n") - F.col("_nonnull")).alias("n_nulls"),
+        "mean",
+        "std",
+        "min",
+        *[f"q{int(round(q * 100))}" for q in quantiles],
+        "max",
+    )

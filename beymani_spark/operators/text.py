@@ -756,3 +756,66 @@ def sentence_stats(
             F.try_divide(n_short.cast("double"), n).alias("short_frac"),
         )
     )
+
+
+def gram_topk(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Per-group heavy-hitter n-grams: the k most frequent n-grams within
+    each group (source/domain/language), with occurrence counts and the
+    share of the group's total n-gram mass — the boilerplate/spam/SEO
+    signal a per-source curation review reads (a repeated navigation
+    header or template sentence dominates its source's top grams long
+    before it moves aggregate quality scores). Generalizes the
+    distribution sorters' top-common bucket listing
+    (reference `dist/DistributionSorter.java:40-130`) to text grams.
+
+    Plan: tokens projected once per row, array-indexed gram transform,
+    one explode -> ONE partial-aggregated groupBy(group, gram) — a viral
+    gram is one reduce key whose counts combine map-side, so shuffle
+    volume is distinct-gram cardinality, not occurrences. The rank
+    window sorts only the aggregated (group, gram, cnt) frame (sort
+    spills, never OOMs); group totals are a second tiny agg of that same
+    frame joined back broadcast. Deterministic ties: rank orders by
+    (cnt DESC, gram ASC).
+
+    Output: (group_col, gram, cnt, rank, share), rank <= k.
+    """
+    tok = df.select(
+        F.col(group_col).alias("_grp"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    t = F.col("_toks")
+    size = F.size(t)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        tok.select("_grp", F.explode(grams).alias("gram"))
+        .groupBy("_grp", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("_grp").agg(F.sum("cnt").alias("_total"))
+    w = Window.partitionBy("_grp").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(totals), "_grp")
+    )
+    return ranked.select(
+        F.col("_grp").alias(group_col),
+        "gram",
+        "cnt",
+        "rank",
+        F.round(F.col("cnt") / F.col("_total").cast("double"), 6).alias("share"),
+    )

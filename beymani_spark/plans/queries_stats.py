@@ -597,3 +597,37 @@ def q_column_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cust.filter(F.col("c_custkey") % 2 == 0)
     b = cust.filter(F.col("c_custkey") % 2 != 0)
     return profile.column_profile_drift(a, b, ["c_acctbal", "c_mktsegment"])
+
+
+def _np_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS "column", count({c}) AS n, count(*) - count({c}) AS n_nulls,
+       round(avg({c}), 6) AS mean, round(stddev_samp({c}), 6) AS std,
+       round(min({c}), 6) AS min,
+       round(quantile_cont({c}, 0.25), 6) AS q25,
+       round(quantile_cont({c}, 0.50), 6) AS q50,
+       round(quantile_cont({c}, 0.75), 6) AS q75,
+       round(max({c}), 6) AS max
+FROM lineitem"""
+
+
+_NUMERIC_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    _np_col_sql(c) for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)
+
+
+@register("numeric_profile", _NUMERIC_PROFILE_ORACLE)
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column numeric distribution card (profile.numeric_profile):
+    count/nulls/mean/std/min/quartiles/max for every numeric lineitem
+    measure in ONE aggregation pass — the numeric companion to
+    column_profile and the generalized form of the reference's olss.py
+    score-statistics report (`python/app/olss.py:35-115`). Quantiles are
+    the EXACT percentile aggregate (linear interpolation, identical to
+    DuckDB quantile_cont); at unbounded-cardinality scale the operator's
+    exact=False switches the same plan to approx_percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = profile.numeric_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return _round(out, ["mean", "std", "min", "q25", "q50", "q75", "max"])

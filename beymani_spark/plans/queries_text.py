@@ -2886,3 +2886,49 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_rate_by_source(docs)
+
+
+# Per-source heavy-hitter trigrams: the k most frequent trigrams within
+# each source with count, rank and share of the source's trigram mass —
+# the boilerplate/template/SEO-spam review card. keep_dups tokenization
+# (every occurrence counts); ties rank (cnt DESC, gram ASC) on both
+# engines so the cut is deterministic.
+_GRAM_TOPK_ORACLE = """
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT source,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 FOR i IN range(1, len(toks) - 1)]) AS gram
+  FROM t WHERE len(toks) >= 3
+), c AS (
+  SELECT source, gram, count(*) AS cnt FROM g GROUP BY source, gram
+), tot AS (
+  SELECT source, sum(cnt) AS total FROM c GROUP BY source
+), r AS (
+  SELECT c.*, row_number() OVER (
+    PARTITION BY source ORDER BY cnt DESC, gram ASC) AS rank
+  FROM c
+)
+SELECT r.source, r.gram, r.cnt, r.rank,
+       round(r.cnt * 1.0 / tot.total, 6) AS share
+FROM r JOIN tot USING (source)
+WHERE rank <= 10
+"""
+
+
+@register("source_gram_topk", _GRAM_TOPK_ORACLE)
+def q_source_gram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy-hitter trigrams (text.gram_topk): top-10 trigrams
+    by occurrence count within each source, with share of the source's
+    total trigram mass — a repeated template/navigation block dominates
+    its source's top grams long before it moves aggregate quality scores.
+    One partial-aggregated groupBy(source, gram) (a viral gram's counts
+    combine map-side); the rank window sorts only the aggregated frame.
+    Generalizes `dist/DistributionSorter.java:40-130` top-common listing
+    to text grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gram_topk(docs, group_col="source", text_col="text", n=3, k=10)

@@ -103,6 +103,8 @@ _PRIORITY = [
     "dedup_simhash_auto",
     "lof_lsh",
     "embedding_dup_clusters_lsh",
+    "numeric_profile",
+    "source_gram_topk",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---

@@ -655,3 +655,42 @@ def test_benford_audit_digit_extraction_and_shares(spark):
         assert abs(r.benford_share - round(math.log10(1 + 1 / d), 6)) < 1e-9
     b = [r for r in out if r.k == "b"]
     assert len(b) == 1 and b[0].digit == 9 and b[0].share == 1.0
+
+
+def test_numeric_profile_hand_computed(spark):
+    """numeric_profile: one-pass per-column card with exact interpolated
+    quartiles (quantile_cont semantics), NULLs excluded from n/quantiles
+    but counted in n_nulls."""
+    from beymani_spark.operators.profile import numeric_profile
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (3.0, 30.0), (4.0, 50.0)],
+        "a double, b double",
+    )
+    out = {r["column"]: r for r in numeric_profile(df, ["a", "b"]).collect()}
+    a = out["a"]
+    assert (a["n"], a["n_nulls"]) == (4, 0)
+    assert a["mean"] == 2.5 and a["min"] == 1.0 and a["max"] == 4.0
+    # quantile_cont on [1,2,3,4]: q25 = 1.75, q50 = 2.5, q75 = 3.25
+    assert abs(a["q25"] - 1.75) < 1e-12
+    assert abs(a["q50"] - 2.5) < 1e-12
+    assert abs(a["q75"] - 3.25) < 1e-12
+    b = out["b"]
+    assert (b["n"], b["n_nulls"]) == (3, 1)
+    # quantiles over non-null [10,30,50]: q50 = 30
+    assert abs(b["q50"] - 30.0) < 1e-12
+
+
+def test_numeric_profile_approx_mode_and_validation(spark):
+    from beymani_spark.operators.profile import numeric_profile
+    import pytest
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "a double")
+    exact = {r["column"]: r for r in numeric_profile(df, ["a"]).collect()}
+    approx = {
+        r["column"]: r for r in numeric_profile(df, ["a"], exact=False).collect()
+    }
+    # approx sketch must land near the exact quartiles on a uniform ramp
+    assert abs(approx["a"]["q50"] - exact["a"]["q50"]) <= 2.0
+    with pytest.raises(ValueError):
+        numeric_profile(df, ["a"], quantiles=[1.5])

@@ -856,3 +856,32 @@ def test_dedup_simhash_auto_band_join_no_cartesian(spark):
     assert pinned
     caching.release(out)
     assert all(not f.storageLevel.useMemory for f in pinned)
+
+
+def test_numeric_profile_single_pass_pruned_scan(spark):
+    """numeric_profile is ONE aggregation pass: a single pruned FileScan
+    (only the requested measures read), partial+final aggregate, and no
+    hash repartition of the fact table — the global agg's SinglePartition
+    exchange carries one row of state per partition."""
+    li = load_table(spark, SF, "lineitem")
+    card = profile.numeric_profile(li, ["l_quantity", "l_discount"])
+    plan = _plan(card)
+    assert plan.count("FileScan") == 1, "must scan lineitem exactly once"
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1], "scan must prune"
+    assert "Exchange hashpartitioning" not in plan, "no fact-table key shuffle"
+    assert "percentile" in plan
+
+
+def test_gram_topk_partial_agg_broadcast_totals_no_cartesian(spark):
+    """gram_topk's gram counts partial-aggregate (a viral gram combines
+    map-side), the totals join back broadcast, and nothing goes
+    cartesian; the rank window sorts only the aggregated frame."""
+    from beymani_spark.operators.text import gram_topk
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(gram_topk(docs, "source", "text", n=3, k=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "totals must broadcast back"
+    assert "partial_count" in plan, "gram counts must combine map-side"
+    assert "Generate explode" in plan

@@ -450,3 +450,41 @@ def test_weighted_sample_by_per_stratum_budget(spark, docs):
         ).collect()
     )
     assert a == b
+
+
+def test_gram_topk_hand_computed(spark):
+    """gram_topk counts every trigram occurrence per group, ranks
+    (cnt DESC, gram ASC) and shares against the group's total gram mass;
+    sub-n-token docs contribute nothing."""
+    from beymani_spark.operators.text import gram_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "a b c a b c a b"),   # grams: abc, bca, cab, abc, bca, cab(no) ...
+            (2, "s1", "a b c"),
+            (3, "s1", "x y"),               # too short: no grams
+            (4, "s2", "p q r p q r"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = gram_topk(df, group_col="source", text_col="text", n=3, k=2).collect()
+    s1 = sorted([r for r in out if r["source"] == "s1"], key=lambda r: r["rank"])
+    # doc1 trigrams: "a b c","b c a","c a b","a b c","b c a","c a b" -> 6
+    # doc2 trigrams: "a b c" -> 1;  total s1 = 7
+    assert [r["gram"] for r in s1] == ["a b c", "b c a"]  # 3, 2; "c a b" ties 2 but gram ASC
+    assert [r["cnt"] for r in s1] == [3, 2]
+    assert abs(s1[0]["share"] - round(3 / 7, 6)) < 1e-9
+    s2 = sorted([r for r in out if r["source"] == "s2"], key=lambda r: r["rank"])
+    # doc4: "p q r","q r p","r p q","p q r" -> pqr=2, qrp=1, rpq=1 (total 4)
+    assert s2[0]["gram"] == "p q r" and s2[0]["cnt"] == 2
+    assert s2[1]["gram"] == "q r p" and s2[1]["cnt"] == 1  # tie with "r p q" broken ASC
+
+
+def test_gram_topk_empty_and_whitespace_input(spark):
+    from beymani_spark.operators.text import gram_topk
+
+    df = spark.createDataFrame(
+        [(1, "s1", ""), (2, "s1", "   "), (3, "s1", "one two")],
+        "doc_id long, source string, text string",
+    )
+    assert gram_topk(df, "source", "text", n=3, k=5).count() == 0
