@@ -105,6 +105,8 @@ HEAVY = [
     "isolation_forest_merge",
     "dedup_simhash_auto",
     "embedding_dup_clusters_lsh",
+    "numeric_profile",
+    "source_gram_topk",
 ]
 
 

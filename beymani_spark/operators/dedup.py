@@ -487,6 +487,41 @@ def dedup_corpus(
     return df.join(keep, id_col)
 
 
+def dedup_corpus_best(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Keep-BEST-per-cluster corpus: like ``dedup_corpus`` but the survivor
+    of each near-dup cluster is the member with the highest ``score_col``
+    (quality, freshness, licence rank — whatever the curation policy
+    maximizes), not the smallest id. This is what production dedup
+    actually wants: when a boilerplate-mangled scrape and a clean original
+    are near-dups, first-occurrence keeps whichever crawled first; this
+    keeps the clean one.
+
+    Selection is ONE partial-aggregating ``max_by`` over the cluster
+    labels (no rank window, no sort): the total order is
+    (coalesce(score, -1.0), -id), so NULL scores lose to any scored
+    member and exact ties keep the smallest id — deterministic under any
+    partitioning. The aggregated keep-set joins back as an equi-join;
+    cluster labels come from ``dedup_clusters`` (same pair graph, same
+    O(log n) propagation bound)."""
+    clusters = dedup_clusters(df, id_col, pairs, src, dst)
+    scored = clusters.join(df.select(id_col, score_col), id_col)
+    order = F.struct(
+        F.coalesce(F.col(score_col).cast("double"), F.lit(-1.0)).alias("_s"),
+        (-F.col(id_col)).alias("_negid"),
+    )
+    best = scored.groupBy("cluster_rep").agg(
+        F.max_by(F.col(id_col), order).alias("_keep")
+    )
+    return df.join(best.select(F.col("_keep").alias(id_col)), id_col)
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

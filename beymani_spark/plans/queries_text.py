@@ -2932,3 +2932,73 @@ def q_source_gram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to text grams."""
     docs = load_table(spark, sf_dir, "documents")
     return text.gram_topk(docs, group_col="source", text_col="text", n=3, k=10)
+
+
+# Quality-aware canonical dedup: each near-dup cluster keeps its highest-
+# quality member (ties -> smallest doc_id; NULL quality loses to any
+# scored member). Cluster graph identical to dedup_corpus; the quality
+# formula is the registered quality_score expression rounded to 6 on both
+# engines so the argmax cannot flip on float noise.
+_CORPUS_BEST_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
+  SELECT src AS a, dst AS b FROM mpairs
+  UNION
+  SELECT dst, src FROM mpairs
+), reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+), comp AS (
+  SELECT node, min(r) AS rep FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), qt AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+), qf AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+  FROM qt
+), q AS (
+  SELECT doc_id,
+         round(0.25 * least(1.0, n_tokens / 50.0)
+             + 0.25 * (1.0 - least(1.0, punct_ratio * 4.0))
+             + 0.25 * least(1.0, stopword_ratio * 5.0)
+             + 0.25 * type_token_ratio, 6) AS quality
+  FROM qf
+), ranked AS (
+  SELECT lab.doc_id, lab.cluster_rep,
+         row_number() OVER (
+           PARTITION BY lab.cluster_rep
+           ORDER BY coalesce(q.quality, -1.0) DESC, lab.doc_id ASC) AS rn
+  FROM lab LEFT JOIN q USING (doc_id)
+)
+SELECT d.doc_id, q.quality, md5(d.text) AS content_hash
+FROM documents d
+JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+LEFT JOIN q ON q.doc_id = d.doc_id
+"""
+
+
+@register("dedup_corpus_best", _CORPUS_BEST_ORACLE)
+def q_dedup_corpus_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-best-per-cluster corpus (dedup.dedup_corpus_best):
+    the survivor of each near-dup cluster is its highest-quality member
+    (rounded quality_score; ties keep the smallest doc_id) — the curation
+    policy production dedup wants when a clean original and a mangled
+    scrape collide. Selection is one partial-aggregating max_by over the
+    cluster labels (no rank window); same minhash pair graph as
+    dedup_corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    qdocs = text.quality_score(docs).withColumn(
+        "_q", F.round(F.col("quality"), 6)
+    ).select(*docs.columns, "_q")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5, hash_fn="md5"
+    )
+    kept = dedup.dedup_corpus_best(qdocs, "doc_id", pairs, "_q")
+    return kept.select(
+        "doc_id", F.col("_q").alias("quality"), F.md5("text").alias("content_hash")
+    )

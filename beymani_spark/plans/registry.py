@@ -105,6 +105,7 @@ _PRIORITY = [
     "embedding_dup_clusters_lsh",
     "numeric_profile",
     "source_gram_topk",
+    "dedup_corpus_best",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---

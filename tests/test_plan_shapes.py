@@ -885,3 +885,24 @@ def test_gram_topk_partial_agg_broadcast_totals_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan, "totals must broadcast back"
     assert "partial_count" in plan, "gram counts must combine map-side"
     assert "Generate explode" in plan
+
+
+def test_dedup_corpus_best_partial_maxby_no_rank_window(spark):
+    """dedup_corpus_best's survivor selection is a partial-aggregating
+    max_by over the cluster labels — never a per-cluster rank window
+    (no Window sort over the labeled corpus) and never a cartesian."""
+    from beymani_spark.operators import dedup as dedup_ops
+    from beymani_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF, "documents")
+    qdocs = text_ops.quality_score(docs).withColumn(
+        "_q", F.round(F.col("quality"), 6)
+    ).select("doc_id", "text", "_q")
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5,
+        hash_fn="md5",
+    )
+    plan = _plan(dedup_ops.dedup_corpus_best(qdocs, "doc_id", pairs, "_q"))
+    assert "partial_max_by" in plan, "survivor argmax must combine map-side"
+    assert "Window" not in plan, "no rank window over the labeled corpus"
+    assert "CartesianProduct" not in plan

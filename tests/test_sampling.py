@@ -488,3 +488,27 @@ def test_gram_topk_empty_and_whitespace_input(spark):
         "doc_id long, source string, text string",
     )
     assert gram_topk(df, "source", "text", n=3, k=5).count() == 0
+
+
+def test_dedup_corpus_best_keeps_highest_score(spark):
+    """dedup_corpus_best keeps the max-score member per near-dup cluster;
+    NULL scores lose to any scored member; exact score ties keep the
+    smallest id; singletons always survive."""
+    from beymani_spark.operators.dedup import dedup_corpus_best
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, None),   # cluster {1,2,3} -> keep 2
+            (4, 0.5), (5, 0.5),              # cluster {4,5}, tie -> keep 4
+            (6, None),                        # singleton, NULL score -> kept
+        ],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_corpus_best(df, "doc_id", pairs, "score").collect()
+    )
+    assert kept == [2, 4, 6]
