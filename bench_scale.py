@@ -107,6 +107,7 @@ HEAVY = [
     "embedding_dup_clusters_lsh",
     "numeric_profile",
     "source_gram_topk",
+    "dedup_corpus_best",
 ]
 
 

@@ -505,15 +505,18 @@ def dedup_corpus_best(
 
     Selection is ONE partial-aggregating ``max_by`` over the cluster
     labels (no rank window, no sort): the total order is
-    (coalesce(score, -1.0), -id), so NULL scores lose to any scored
-    member and exact ties keep the smallest id — deterministic under any
-    partitioning. The aggregated keep-set joins back as an equi-join;
-    cluster labels come from ``dedup_clusters`` (same pair graph, same
-    O(log n) propagation bound)."""
+    (score IS NOT NULL, score, -id) — a NULL score loses to ANY scored
+    member regardless of the score domain (no magic sentinel, so
+    negative scores order correctly too) and exact ties keep the
+    smallest id — deterministic under any partitioning. The aggregated
+    keep-set joins back as an equi-join; cluster labels come from
+    ``dedup_clusters`` (same pair graph, same O(log n) propagation
+    bound)."""
     clusters = dedup_clusters(df, id_col, pairs, src, dst)
     scored = clusters.join(df.select(id_col, score_col), id_col)
     order = F.struct(
-        F.coalesce(F.col(score_col).cast("double"), F.lit(-1.0)).alias("_s"),
+        F.col(score_col).isNotNull().cast("int").alias("_scored"),
+        F.coalesce(F.col(score_col).cast("double"), F.lit(0.0)).alias("_s"),
         (-F.col(id_col)).alias("_negid"),
     )
     best = scored.groupBy("cluster_rep").agg(
@@ -621,9 +624,11 @@ def auto_simhash_bits(
     (expected hamming grows with bits for fixed similarity) — exact
     duplicates always sketch identically, so dedup recall on true copies
     stays 1 at any width."""
-    import math
+    from .knn import auto_planes
 
-    w = max(8, math.ceil(math.log2(max(2.0, n / max(1, target_bucket)))))
+    # the band-width knob IS knn.auto_planes' plane count — one source of
+    # truth for the bucket-size-vs-N scale formula
+    w = auto_planes(n, target_bucket)
     return min(96, (max_hamming + 1) * w)
 
 
@@ -705,6 +710,11 @@ def simhash_dup_pairs_auto(
     n_bands = max_hamming + 1
     if bits is None:
         bits = auto_simhash_bits(df.count(), max_hamming, target_bucket)
+    if bits < n_bands:
+        raise ValueError(
+            f"bits={bits} cannot fill max_hamming+1={n_bands} pigeonhole "
+            "bands (need at least 1 bit per band)"
+        )
     bits = (bits // n_bands) * n_bands
     sk = simhash_bands(df, id_col, text_col, bits, n_bands).persist()
     keyed = sk.select(

@@ -1029,6 +1029,8 @@ def _jpg_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
         # spec-legal 0xFF fill bytes may pad before any marker code
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("jpg: truncated marker")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

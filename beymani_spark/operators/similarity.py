@@ -212,10 +212,29 @@ def cosine_dup_pairs_lsh(
             [], f"src {id_t}, dst {id_t}, cosine double"
         )
     dim = len(probe[0])
+    # centering-mean sums over 1e-6-quantized components as EXACT integers:
+    # floor(v*1e6 + 0.5) is one deterministic IEEE op per row (replayable
+    # bit-for-bit in numpy) and the long sum is order-independent, so the
+    # mean cannot move by a partial-agg ulp under ANY partitioning — a
+    # float64 sum rounded to 6 decimals could still flip at a rounding
+    # boundary (~1e-7/component odds, but nonzero). Integer-valued inputs
+    # (the int8 media codes) produce the identical mean as a raw exact
+    # sum: the scaled quotient S*1e6/(n*1e6) is the same correctly-rounded
+    # double as S/n. NaN components quantize to 0 (nanvl — better than
+    # poisoning the whole mean); NULLs are skipped by sum as before.
     row = base.agg(
         F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(F.element_at(F.col("_vec"), i + 1)).alias(f"_s{i}")
+            F.sum(
+                F.floor(
+                    F.nanvl(
+                        F.element_at(F.col("_vec"), i + 1).cast("double"),
+                        F.lit(0.0),
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+            ).alias(f"_s{i}")
             for i in range(dim)
         ],
     ).first()
@@ -229,17 +248,15 @@ def cosine_dup_pairs_lsh(
     hashed = base.filter(F.col("_norm") > 0)
     hash_col = "_vec"
     if center:
-        # determinism contract: float64 sums of integer-valued components
-        # are exact in any summation order (every partial sum is an
-        # integer < 2^53); true-float inputs get an order-dependent ulp on
-        # the raw mean, so the mean is ROUNDED to 6 decimals — a
-        # summation-order ulp (~1e-13 relative) can then never move the
-        # centering vector, and with it a signature bit, under
-        # repartitioning (the registry's round-6 convention applied to the
-        # model instead of the output).
+        # determinism contract: the quantized-integer sums above are exact
+        # and order-independent, the scaled division is one correctly-
+        # rounded float64 op on exact integers, and the final round-6 is
+        # the registry convention applied to the model — so the centering
+        # vector (and with it every signature bit) is a pure function of
+        # the DATA, never of partitioning or summation order.
         mean = F.array(
             *[
-                F.lit(round(float(row[f"_s{i}"] / row["_n"]), 6))
+                F.lit(round(float(row[f"_s{i}"]) / (row["_n"] * 1e6), 6))
                 for i in range(dim)
             ]
         )

@@ -529,9 +529,14 @@ def _media_dup_pairs_lsh_oracle(sf_dir: str) -> str:
     rng = random.Random(42)
     planes = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(n_planes)]
     p = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
-    # integer-valued floats: sum is exact; round-6 mirrors the operator's
-    # mean-determinism contract (no-op here at terminating decimals)
-    mean = np.round(codes.sum(axis=0) / n, 6)
+    # integer-valued floats: sum is exact, and the operator's quantized-
+    # integer mean (floor(v*1e6+0.5) sums) reduces to the same correctly-
+    # rounded S/n quotient here; python round mirrors the operator's
+    # per-component round (np.round's scale-multiply can differ at a
+    # representation edge)
+    mean = np.array(
+        [round(float(s) / n, 6) for s in codes.sum(axis=0)], dtype=np.float64
+    )
     bits = ((codes - mean) @ p) >= 0
     weights = 1 << np.arange(n_planes - 1, -1, -1)
     sigs = (bits.astype(np.int64) * weights).sum(axis=1)

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import caching
 from ..operators import dedup, similarity, text
 from ..sources import load_table
 from .model_oracles import ivf_oracle as _ivf_oracle
@@ -701,7 +702,17 @@ def _emb_clusters_lsh_oracle(sf_dir: str) -> str:
             " CAST(NULL AS BIGINT) AS cluster_size WHERE FALSE"
         )
     x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-    mean = np.round(x.sum(axis=0) / n, 6)  # over ALL rows, like the operator
+    # the operator's quantized-integer mean: floor(v*1e6 + 0.5) per row
+    # (the identical IEEE ops, so bit-for-bit), exact int64 sums, one
+    # correctly-rounded division, round-6 — order-independent by
+    # construction, unlike a raw float sum
+    q = np.floor(np.nan_to_num(x, nan=0.0) * 1e6 + 0.5).astype(np.int64)
+    # python round (correctly-rounded dtoa), NOT np.round (scale-multiply
+    # approximation) — the operator rounds each component with python round
+    mean = np.array(
+        [round(float(s) / (n * 1e6), 6) for s in q.sum(axis=0)],
+        dtype=np.float64,
+    )  # over ALL rows, like the operator
     n_planes = auto_planes(n, 8)
     rng = random.Random(42)
     planes = [[rng.gauss(0, 1) for _ in range(x.shape[1])] for _ in range(n_planes)]
@@ -759,7 +770,10 @@ def q_embedding_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.cosine_dup_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.4, n_planes="auto"
     )
-    return dedup_mod.dedup_clusters(emb, "vec_id", pairs)
+    out = dedup_mod.dedup_clusters(emb, "vec_id", pairs)
+    # dedup_clusters returns a new DataFrame — carry the pinned
+    # embeddings+norm cache over so release() on the result unpersists it
+    return caching.pin(out, *caching.pinned(pairs))
 
 
 def _ann_lsh_oracle() -> str:
@@ -2972,7 +2986,8 @@ WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
   SELECT lab.doc_id, lab.cluster_rep,
          row_number() OVER (
            PARTITION BY lab.cluster_rep
-           ORDER BY coalesce(q.quality, -1.0) DESC, lab.doc_id ASC) AS rn
+           ORDER BY (q.quality IS NOT NULL) DESC,
+                    coalesce(q.quality, 0.0) DESC, lab.doc_id ASC) AS rn
   FROM lab LEFT JOIN q USING (doc_id)
 )
 SELECT d.doc_id, q.quality, md5(d.text) AS content_hash
@@ -2999,6 +3014,8 @@ def q_dedup_corpus_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", num_hashes=16, bands=4, n=3, min_jaccard=0.5, hash_fn="md5"
     )
     kept = dedup.dedup_corpus_best(qdocs, "doc_id", pairs, "_q")
-    return kept.select(
+    out = kept.select(
         "doc_id", F.col("_q").alias("quality"), F.md5("text").alias("content_hash")
     )
+    # carry the minhash shingle pin so release() on the result unpersists it
+    return caching.pin(out, *caching.pinned(pairs))

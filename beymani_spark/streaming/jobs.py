@@ -355,8 +355,15 @@ def apply_stream_entropy_increase(
         # one global ts sort per trigger: a key's rows can arrive as several
         # arrow chunks, and per-chunk sorting would interleave them
         frames = [p for p in pdfs if len(p)]
+        # stable sort with the value as secondary key: same-key ts ties are
+        # guaranteed at scale (second-granularity sources), and the fold
+        # order changes update=True scores — (ts, value) mergesort makes
+        # the prequential order deterministic under any arrow chunking
+        # (identical rows are fold-order-invariant)
         whole = (
-            pd.concat(frames).sort_values(ts) if frames else pd.DataFrame()
+            pd.concat(frames).sort_values([ts, value], kind="mergesort")
+            if frames
+            else pd.DataFrame()
         )
         if len(whole):
             for _, row in whole.iterrows():

@@ -612,3 +612,12 @@ def test_png_encode_rejects_palette_color_type(spark):
 
     with _pytest.raises(ValueError, match="color types 0/2/6"):
         multimodal.png_encode(np.zeros((4, 4), dtype=np.int64), color=3)
+
+
+def test_jpg_truncated_fill_run_raises_valueerror():
+    """A stream ending in an 0xFF fill run must fail the decoder's
+    ValueError contract, not an IndexError from the fill-byte skip."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal._jpg_pixels(b"\xff\xd8\xff\xff", 8, 8)

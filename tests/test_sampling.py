@@ -512,3 +512,32 @@ def test_dedup_corpus_best_keeps_highest_score(spark):
         for r in dedup_corpus_best(df, "doc_id", pairs, "score").collect()
     )
     assert kept == [2, 4, 6]
+
+
+def test_dedup_corpus_best_negative_scores_beat_null(spark):
+    """A NULL score must lose to ANY scored member — including scores
+    below the old -1.0 sentinel — and a -1.0 score must not tie NULL."""
+    from beymani_spark.operators.dedup import dedup_corpus_best
+
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, None), (3, -1.0), (4, None)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_corpus_best(df, "doc_id", pairs, "score").collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_simhash_auto_rejects_underwide_sketch(spark):
+    """An explicit bits too narrow for max_hamming+1 pigeonhole bands must
+    raise a clear ValueError, not floor the width to zero."""
+    import pytest as _pytest
+
+    from beymani_spark.operators.dedup import simhash_dup_pairs_auto
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bands"):
+        simhash_dup_pairs_auto(df, "doc_id", max_hamming=7, bits=4)
