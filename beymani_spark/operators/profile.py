@@ -540,29 +540,88 @@ def numeric_profile(
     cols: Sequence[str],
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
     exact: bool = True,
+    method: str = "prefix",
 ) -> DataFrame:
     """Per-column numeric distribution card: one row per column with
     (n, n_nulls, mean, std, min, q25, q50, q75, max) — the numeric
     companion to ``column_profile``'s completeness card, and the summary
     table a feature/label review reads before training (the reference's
     olss.py score-statistics report generalized to any numeric column,
-    `python/app/olss.py:35-115`).
+    `python/app/olss.py:35-115`). Quantiles are EXACT linear-interpolated
+    order statistics (``quantile_cont`` semantics), so the card is
+    oracle-verifiable.
 
-    One aggregation pass over all requested columns (Catalyst computes
-    every aggregate in a single partial+final agg; the scan reads only
-    ``cols``); the melt to rows is a stack() projection of the single
-    aggregate row. With ``exact=True`` quantiles use the exact
-    ``percentile`` aggregate (linear interpolation on the sorted values —
-    identical to DuckDB ``quantile_cont``, so the card is oracle-
-    verifiable). Exact percentile state is O(distinct values) per column;
-    at unbounded-cardinality 100 TB scale pass ``exact=False`` to switch
-    to ``approx_percentile`` (bounded GK sketch state) — same plan shape,
-    approximation documented in the output's provenance, oracle-exempt.
+    Two exact engines, same values bit-for-bit:
+
+    - ``method='prefix'`` (default, the 100 TB shape): one moments pass
+      (count/nulls/mean/std/min/max — a single partial+final aggregate
+      over a pruned scan) plus one melt -> partial-aggregated
+      groupBy(column, value) -> the repo's DISTRIBUTED prefix-sum CDF
+      (the ks_two_sample machinery: range partition by (column, value),
+      per-slice ROWS cumsum, broadcast per-slice base offsets — NO
+      single-partition stage and no per-column value map, so a column
+      with billions of distinct values profiles as safely as an enum).
+      The straddling order statistics come from a conditional min over
+      the cum frame against a |cols| x |quantiles| broadcast rank spec;
+      the interpolation replays Spark's ``percentile`` arithmetic
+      (pos = q*(n-1); lo*(ceil(pos)-pos) + hi*(pos-floor(pos))) so both
+      methods agree exactly.
+    - ``method='map'``: the single-aggregate ``percentile`` form — one
+      pass total, but the aggregation state is a per-column
+      O(distinct values) map; the right choice for enum-like columns or
+      small frames.
+
+    ``exact=False`` swaps the map form's aggregate for
+    ``approx_percentile`` (bounded GK sketch state) — oracle-exempt, for
+    one-pass cards over unbounded-cardinality columns where the second
+    pass of 'prefix' is unwanted.
     """
     if not (0 < len(quantiles) and all(0.0 <= q <= 1.0 for q in quantiles)):
         raise ValueError("quantiles must be in [0, 1] and non-empty")
-    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
-    pct = F.percentile if exact else F.approx_percentile
+    if method not in ("prefix", "map"):
+        raise ValueError("method must be 'prefix' or 'map'")
+    qnames = [f"q{int(round(q * 100))}" for q in quantiles]
+
+    if not exact or method == "map":
+        qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+        pct = F.percentile if exact else F.approx_percentile
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            col = F.col(c).cast("double")
+            aggs += [
+                F.count(col).alias(f"_nn_{c}"),
+                F.avg(col).alias(f"_mean_{c}"),
+                F.stddev_samp(col).alias(f"_std_{c}"),
+                F.min(col).alias(f"_min_{c}"),
+                pct(col, qarr).alias(f"_q_{c}"),
+                F.max(col).alias(f"_max_{c}"),
+            ]
+        row = df.agg(*aggs)
+        pairs = ", ".join(
+            f"'{c}', `_nn_{c}`, `_mean_{c}`, `_std_{c}`, `_min_{c}`, "
+            + ", ".join(f"`_q_{c}`[{i}]" for i in range(len(quantiles)))
+            + f", `_max_{c}`"
+            for c in cols
+        )
+        melted = row.select(
+            F.col("_n"),
+            F.expr(
+                f"stack({len(cols)}, {pairs}) as "
+                f"(column, _nonnull, mean, std, min, {', '.join(qnames)}, max)"
+            ),
+        )
+        return melted.select(
+            "column",
+            F.col("_nonnull").alias("n"),
+            (F.col("_n") - F.col("_nonnull")).alias("n_nulls"),
+            "mean",
+            "std",
+            "min",
+            *qnames,
+            "max",
+        )
+
+    # ---- method='prefix': moments pass + distributed prefix-sum quantiles
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         col = F.col(c).cast("double")
@@ -571,31 +630,120 @@ def numeric_profile(
             F.avg(col).alias(f"_mean_{c}"),
             F.stddev_samp(col).alias(f"_std_{c}"),
             F.min(col).alias(f"_min_{c}"),
-            pct(col, qarr).alias(f"_q_{c}"),
             F.max(col).alias(f"_max_{c}"),
         ]
     row = df.agg(*aggs)
     pairs = ", ".join(
-        f"'{c}', `_nn_{c}`, `_mean_{c}`, `_std_{c}`, `_min_{c}`, "
-        + ", ".join(f"`_q_{c}`[{i}]" for i in range(len(quantiles)))
-        + f", `_max_{c}`"
+        f"'{c}', `_nn_{c}`, `_mean_{c}`, `_std_{c}`, `_min_{c}`, `_max_{c}`"
         for c in cols
     )
-    qnames = ", ".join(f"q{int(round(q * 100))}" for q in quantiles)
-    melted = row.select(
+    moments = row.select(
         F.col("_n"),
         F.expr(
             f"stack({len(cols)}, {pairs}) as "
-            f"(column, _nonnull, mean, std, min, {qnames}, max)"
+            "(column, _nonnull, mean, std, min, max)"
         ),
-    )
-    return melted.select(
+    ).select(
         "column",
         F.col("_nonnull").alias("n"),
         (F.col("_n") - F.col("_nonnull")).alias("n_nulls"),
         "mean",
         "std",
         "min",
-        *[f"q{int(round(q * 100))}" for q in quantiles],
         "max",
+    )
+
+    # melt to (column, value) occurrence counts: one scan, one
+    # partial-aggregated groupBy — distinct-value granularity
+    melted = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("double").alias("_v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("_s")
+        )
+        .select(F.col("_s.column").alias("column"), F.col("_s._v").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("column", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # distributed prefix sum keyed on the column (the ks_two_sample /
+    # pack_sequences pattern): range partition, per-slice cumsum,
+    # broadcast per-(column, slice) base offsets
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = melted.repartitionByRange(
+        int(parts), F.col("column"), F.col("_v")
+    ).withColumn("_pid", F.spark_partition_id())
+    wloc = (
+        Window.partitionBy("column", "_pid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        "column", "_pid", "_v", F.sum("_c").over(wloc).alias("_lf")
+    )
+    totals = ranged.groupBy("column", "_pid").agg(F.sum("_c").alias("_t"))
+    wbase = (
+        Window.partitionBy("column")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = totals.select(
+        "column",
+        "_pid",
+        F.coalesce(F.sum("_t").over(wbase), F.lit(0)).alias("_b"),
+        F.sum("_t").over(Window.partitionBy("column")).alias("_cnt"),
+    )
+    cum = local.join(F.broadcast(base), ["column", "_pid"]).select(
+        "column", "_v", (F.col("_b") + F.col("_lf")).alias("_f"), "_cnt"
+    )
+    # rank spec per (column, quantile): Spark percentile arithmetic —
+    # pos = q*(n-1) (one double multiply), straddling 0-based indices
+    # floor/ceil(pos); built from the tiny per-column totals frame
+    spec = (
+        base.groupBy("column")
+        .agg(F.max("_cnt").alias("_cnt"))
+        .select(
+            "column",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in quantiles])
+            ).alias("_q"),
+            "_cnt",
+        )
+        .withColumn("_pos", F.col("_q") * (F.col("_cnt") - 1).cast("double"))
+        .withColumn("_lo", F.floor(F.col("_pos")))
+        .withColumn("_hi", F.ceil(F.col("_pos")))
+    )
+    straddle = (
+        cum.join(F.broadcast(spec), "column")
+        .groupBy("column", "_q", "_pos", "_lo", "_hi")
+        .agg(
+            F.min(F.when(F.col("_f") >= F.col("_lo") + 1, F.col("_v"))).alias(
+                "_vlo"
+            ),
+            F.min(F.when(F.col("_f") >= F.col("_hi") + 1, F.col("_v"))).alias(
+                "_vhi"
+            ),
+        )
+    )
+    qval = F.when(F.col("_lo") == F.col("_hi"), F.col("_vlo")).otherwise(
+        F.col("_vlo") * (F.col("_hi").cast("double") - F.col("_pos"))
+        + F.col("_vhi") * (F.col("_pos") - F.col("_lo").cast("double"))
+    )
+    qcols = [
+        F.min(F.when(F.col("_q") == float(q), F.col("_qv"))).alias(name)
+        for q, name in zip(quantiles, qnames)
+    ]
+    quants = (
+        straddle.withColumn("_qv", qval).groupBy("column").agg(*qcols)
+    )
+    return moments.join(quants, "column", "left").select(
+        "column", "n", "n_nulls", "mean", "std", "min", *qnames, "max"
     )

@@ -858,18 +858,28 @@ def test_dedup_simhash_auto_band_join_no_cartesian(spark):
     assert all(not f.storageLevel.useMemory for f in pinned)
 
 
-def test_numeric_profile_single_pass_pruned_scan(spark):
-    """numeric_profile is ONE aggregation pass: a single pruned FileScan
-    (only the requested measures read), partial+final aggregate, and no
-    hash repartition of the fact table — the global agg's SinglePartition
-    exchange carries one row of state per partition."""
+def test_numeric_profile_plan_shapes(spark):
+    """numeric_profile, both exact engines:
+
+    - method='map' is ONE aggregation pass: a single pruned FileScan,
+      partial+final aggregate, no fact-table hash shuffle — but a
+      percentile value-map lives in the aggregation state.
+    - method='prefix' (default, the 100 TB shape) has NO percentile
+      aggregate anywhere (no per-column value map): the quantiles come
+      from a range-partitioned distributed prefix sum over the
+      partial-aggregated (column, value) counts, so state per task is
+      bounded at any distinct-value cardinality."""
     li = load_table(spark, SF, "lineitem")
-    card = profile.numeric_profile(li, ["l_quantity", "l_discount"])
-    plan = _plan(card)
-    assert plan.count("FileScan") == 1, "must scan lineitem exactly once"
-    assert "l_orderkey" not in plan.split("ReadSchema")[-1], "scan must prune"
-    assert "Exchange hashpartitioning" not in plan, "no fact-table key shuffle"
-    assert "percentile" in plan
+    mplan = _plan(profile.numeric_profile(li, ["l_quantity", "l_discount"], method="map"))
+    assert mplan.count("FileScan") == 1, "map: must scan lineitem exactly once"
+    assert "l_orderkey" not in mplan.split("ReadSchema")[-1], "scan must prune"
+    assert "Exchange hashpartitioning" not in mplan, "map: no fact key shuffle"
+    assert "percentile" in mplan
+    pplan = _plan(profile.numeric_profile(li, ["l_quantity", "l_discount"]))
+    assert "percentile" not in pplan, "prefix: no value-map aggregate"
+    assert "rangepartitioning" in pplan, "prefix: distributed CDF partitioning"
+    assert "l_orderkey" not in pplan.split("ReadSchema")[-1], "scan must prune"
+    assert "CartesianProduct" not in pplan
 
 
 def test_gram_topk_partial_agg_broadcast_totals_no_cartesian(spark):
