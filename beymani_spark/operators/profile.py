@@ -747,3 +747,57 @@ def numeric_profile(
     return moments.join(quants, "column", "left").select(
         "column", "n", "n_nulls", "mean", "std", "min", *qnames, "max"
     )
+
+
+def numeric_profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: Sequence[str],
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    method: str = "prefix",
+) -> DataFrame:
+    """Numeric distribution drift between two snapshots: the
+    ``numeric_profile`` card of each side joined on the column name with
+    mean / std / median deltas — the feature-drift alert feed ("did
+    yesterday's deploy shift a model input's distribution?"), the numeric
+    companion to ``column_profile_drift``'s completeness deltas and the
+    summary-statistic complement of ``ks_two_sample``'s shape test (KS
+    says THAT a distribution moved; this card says WHERE — location,
+    scale, or tail). Two independent cards + a |cols|-row join; the fact
+    tables never co-shuffle."""
+    qnames = [f"q{int(round(q * 100))}" for q in quantiles]
+    a = numeric_profile(df_a, cols, quantiles, method=method).select(
+        "column",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("std").alias("std_a"),
+        *[F.col(q).alias(f"{q}_a") for q in qnames],
+    )
+    b = numeric_profile(df_b, cols, quantiles, method=method).select(
+        "column",
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("std").alias("std_b"),
+        *[F.col(q).alias(f"{q}_b") for q in qnames],
+    )
+    # the location quantile for the delta: q50 when requested (the default),
+    # else the middle of the requested list
+    mid = (
+        f"q{int(round(0.5 * 100))}"
+        if any(float(q) == 0.5 for q in quantiles)
+        else qnames[len(qnames) // 2]
+    )
+    return a.join(b, "column").select(
+        "column",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(F.col("mean_b") - F.col("mean_a"), 6).alias("mean_delta"),
+        "std_a",
+        "std_b",
+        F.round(F.col("std_b") - F.col("std_a"), 6).alias("std_delta"),
+        F.col(f"{mid}_a").alias("median_a"),
+        F.col(f"{mid}_b").alias("median_b"),
+        F.round(F.col(f"{mid}_b") - F.col(f"{mid}_a"), 6).alias("median_delta"),
+    )

@@ -631,3 +631,55 @@ def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
     return _round(out, ["mean", "std", "min", "q25", "q50", "q75", "max"])
+
+
+def _npd_side_sql(c: str, side: str, suffix: str) -> str:
+    return f"""
+  SELECT '{c}' AS "column", count({c}) AS n_{suffix},
+         avg({c}) AS _m{suffix}, stddev_samp({c}) AS _s{suffix},
+         quantile_cont({c}, 0.5) AS _d{suffix}
+  FROM {side}"""
+
+
+_NUMERIC_PROFILE_DRIFT_ORACLE = (
+    """
+WITH a AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+     b AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1),
+sa AS ("""
+    + "\n  UNION ALL".join(
+        _npd_side_sql(c, "a", "a") for c in ["l_extendedprice", "l_discount"]
+    )
+    + """
+), sb AS ("""
+    + "\n  UNION ALL".join(
+        _npd_side_sql(c, "b", "b") for c in ["l_extendedprice", "l_discount"]
+    )
+    + """
+)
+SELECT "column", n_a, n_b,
+       round(_ma, 6) AS mean_a, round(_mb, 6) AS mean_b,
+       round(_mb - _ma, 6) AS mean_delta,
+       round(_sa, 6) AS std_a, round(_sb, 6) AS std_b,
+       round(_sb - _sa, 6) AS std_delta,
+       round(_da, 6) AS median_a, round(_db, 6) AS median_b,
+       round(_db - _da, 6) AS median_delta
+FROM sa JOIN sb USING ("column")
+"""
+)
+
+
+@register("numeric_profile_drift", _NUMERIC_PROFILE_DRIFT_ORACLE)
+def q_numeric_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric distribution drift card (profile.numeric_profile_drift)
+    between two deterministic lineitem snapshots (even vs odd orderkey):
+    per-column mean / std / median deltas — the feature-drift alert feed,
+    and the summary-statistic companion to the KS shape gates (KS says
+    THAT a distribution moved; this says WHERE). Each side's quantiles run
+    on the distributed prefix-sum CDF; the fact tables never co-shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 != 0)
+    out = profile.numeric_profile_drift(a, b, ["l_extendedprice", "l_discount"])
+    return _round(
+        out, ["mean_a", "mean_b", "std_a", "std_b", "median_a", "median_b"]
+    )

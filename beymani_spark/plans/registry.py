@@ -106,6 +106,7 @@ _PRIORITY = [
     "numeric_profile",
     "source_gram_topk",
     "dedup_corpus_best",
+    "numeric_profile_drift",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---

@@ -694,3 +694,20 @@ def test_numeric_profile_approx_mode_and_validation(spark):
     assert abs(approx["a"]["q50"] - exact["a"]["q50"]) <= 2.0
     with pytest.raises(ValueError):
         numeric_profile(df, ["a"], quantiles=[1.5])
+
+
+def test_numeric_profile_drift_hand_computed(spark):
+    """numeric_profile_drift joins the two snapshots' cards on the column
+    name with mean/std/median deltas; the fact frames never co-shuffle."""
+    from beymani_spark.operators.profile import numeric_profile_drift
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    b = spark.createDataFrame([(11.0,), (12.0,), (13.0,)], "x double")
+    out = numeric_profile_drift(a, b, ["x"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert abs(r["mean_delta"] - 10.0) < 1e-9
+    assert abs(r["std_delta"]) < 1e-9
+    assert abs(r["median_a"] - 2.0) < 1e-12
+    assert abs(r["median_delta"] - 10.0) < 1e-9
