@@ -43,6 +43,20 @@ def get_spark(app: str = "beymani-spark", shuffle_partitions: int = 32) -> Spark
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # long sessions running hundreds of DISTINCT queries (the bench's
+        # 194 x warm repeats) generate thousands of codegen classes; the
+        # JVM's default 240 MB code cache fills, JIT compilation stops, and
+        # pure-codegen scan queries degrade ~5-10x (measured: text_normalize
+        # 0.17 -> 1.56 s late in a full-registry run). 512 MB keeps the
+        # whole registry JIT-compiled; UseCodeCacheFlushing is belt and
+        # braces for even longer sessions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
