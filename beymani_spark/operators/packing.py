@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import caching
 from .text import tokens
 
 
@@ -141,8 +142,16 @@ def pack_sequences(
         F.col(id_col),
         (F.coalesce(n_tok, F.lit(0)) + F.lit(int(sep_tokens))).alias("_span"),
     )
-    ranged = narrow.repartitionByRange(int(partitions), F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # persist AFTER the range exchange: the running-total window and the
+    # per-partition totals must observe the SAME physical range boundaries
+    # or the base offsets misalign (RangePartitioner samples with an
+    # RDD-id-derived seed — two materializations can draw different
+    # boundaries; without a cache the consistency rides on exchange
+    # reuse). The frame is (id, span, pid) longs; pinned to the result.
+    ranged = (
+        narrow.repartitionByRange(int(partitions), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     # per-partition running total (window re-shuffles by _pid: rows of one
     # range partition stay together, and only (id, span, pid) longs move).
@@ -201,7 +210,7 @@ def pack_sequences(
             .alias("n_seq_spanned"),
         )
     )
-    return out
+    return caching.pin(out, ranged)
 
 
 def context_length_plan(

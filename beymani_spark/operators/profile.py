@@ -26,6 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import caching
 from ..functions.seasonal import cycle_index
 
 
@@ -284,8 +285,17 @@ def ks_two_sample(
         .agg(F.sum("_ia").alias("_ca"), F.sum("_ib").alias("_cb"))
     )
     parts = df_a.sparkSession.sparkContext.defaultParallelism
-    ranged = g.repartitionByRange(int(parts), *ks, F.col("_v")).withColumn(
-        "_pid", F.spark_partition_id()
+    # persist AFTER the range exchange: the cumsum window and the per-slice
+    # totals must observe the SAME physical range boundaries or the base
+    # offsets misalign (RangePartitioner samples with an RDD-id-derived
+    # seed, so two materializations of the exchange can draw different
+    # boundaries — without a cache the consistency rides entirely on
+    # exchange reuse, which a session can disable). Also saves each branch
+    # re-running the scans + melt + aggregation. Pinned to the result.
+    ranged = (
+        g.repartitionByRange(int(parts), *ks, F.col("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     wloc = Window.partitionBy(*keys, "_pid").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -340,7 +350,8 @@ def ks_two_sample(
         F.max("_na").alias("n_a"),
         F.max("_nb").alias("n_b"),
     ]
-    return c.groupBy(*keys).agg(*aggs) if keys else c.agg(*aggs)
+    out = c.groupBy(*keys).agg(*aggs) if keys else c.agg(*aggs)
+    return caching.pin(out, ranged)
 
 
 def key_skew_audit(
@@ -678,9 +689,23 @@ def numeric_profile(
     # pack_sequences pattern): range partition, per-slice cumsum,
     # broadcast per-(column, slice) base offsets
     parts = df.sparkSession.sparkContext.defaultParallelism
-    ranged = melted.repartitionByRange(
-        int(parts), F.col("column"), F.col("_v")
-    ).withColumn("_pid", F.spark_partition_id())
+    ranged = (
+        melted.repartitionByRange(int(parts), F.col("column"), F.col("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        # persist AFTER the range exchange + _pid assignment: the ranged
+        # frame feeds THREE branches (cumsum window, per-slice totals ->
+        # base offsets, rank spec) whose offsets only reconcile if every
+        # branch observes the SAME physical partitioning. Without a cache
+        # that consistency rides on exchange reuse (and each branch
+        # re-runs the scan + melt + aggregation — measured 4 FileScans of
+        # the fact table per card); persisting ANY frame *below* the
+        # range exchange instead breaks reuse and lets the range sampler
+        # draw different boundaries per branch, silently misaligning the
+        # CDF (caught by the parity mirror). The frame is
+        # |distinct (column, value)| narrow rows; pinned to the result,
+        # caller releases.
+        .persist()
+    )
     wloc = (
         Window.partitionBy("column", "_pid")
         .orderBy("_v")
@@ -744,9 +769,10 @@ def numeric_profile(
     quants = (
         straddle.withColumn("_qv", qval).groupBy("column").agg(*qcols)
     )
-    return moments.join(quants, "column", "left").select(
+    out = moments.join(quants, "column", "left").select(
         "column", "n", "n_nulls", "mean", "std", "min", *qnames, "max"
     )
+    return caching.pin(out, ranged)
 
 
 def numeric_profile_drift(
@@ -756,48 +782,200 @@ def numeric_profile_drift(
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
     method: str = "prefix",
 ) -> DataFrame:
-    """Numeric distribution drift between two snapshots: the
-    ``numeric_profile`` card of each side joined on the column name with
+    """Numeric distribution drift between two snapshots: per-column
     mean / std / median deltas — the feature-drift alert feed ("did
     yesterday's deploy shift a model input's distribution?"), the numeric
     companion to ``column_profile_drift``'s completeness deltas and the
     summary-statistic complement of ``ks_two_sample``'s shape test (KS
     says THAT a distribution moved; this card says WHERE — location,
-    scale, or tail). Two independent cards + a |cols|-row join; the fact
-    tables never co-shuffle."""
-    qnames = [f"q{int(round(q * 100))}" for q in quantiles]
-    a = numeric_profile(df_a, cols, quantiles, method=method).select(
-        "column",
-        F.col("n").alias("n_a"),
-        F.col("mean").alias("mean_a"),
-        F.col("std").alias("std_a"),
-        *[F.col(q).alias(f"{q}_a") for q in qnames],
-    )
-    b = numeric_profile(df_b, cols, quantiles, method=method).select(
-        "column",
-        F.col("n").alias("n_b"),
-        F.col("mean").alias("mean_b"),
-        F.col("std").alias("std_b"),
-        *[F.col(q).alias(f"{q}_b") for q in qnames],
-    )
-    # the location quantile for the delta: q50 when requested (the default),
-    # else the middle of the requested list
-    mid = (
-        f"q{int(round(0.5 * 100))}"
+    scale, or tail).
+
+    The location quantile is 0.5 when ``quantiles`` contains it (the
+    default), else the middle of the requested list. ``method='prefix'``
+    (default) runs ONE joint distributed prefix-sum CDF over both sides
+    (the ks_two_sample two-indicator shape: each side's cumulative counts
+    ride the same range-partitioned pass), plus one cheap moments
+    aggregate per side — half the quantile machinery of two independent
+    cards, same values bit-for-bit. ``method='map'`` joins two one-pass
+    ``numeric_profile`` cards instead. The fact tables never co-shuffle
+    in either form; an empty side reports NULL medians, never a garbage
+    order statistic."""
+    loc_q = (
+        0.5
         if any(float(q) == 0.5 for q in quantiles)
-        else qnames[len(qnames) // 2]
+        else float(sorted(float(q) for q in quantiles)[len(quantiles) // 2])
     )
-    return a.join(b, "column").select(
+    if method == "map":
+        qname = f"q{int(round(loc_q * 100))}"
+        a = numeric_profile(df_a, cols, (loc_q,), method="map").select(
+            "column",
+            F.col("n").alias("n_a"),
+            F.col("mean").alias("_ma"),
+            F.col("std").alias("_sa"),
+            F.col(qname).alias("_da"),
+        )
+        b = numeric_profile(df_b, cols, (loc_q,), method="map").select(
+            "column",
+            F.col("n").alias("n_b"),
+            F.col("mean").alias("_mb"),
+            F.col("std").alias("_sb"),
+            F.col(qname).alias("_db"),
+        )
+        joined = a.join(b, "column")
+        return _npd_shape(joined)
+
+    def moments(df: DataFrame, s: str) -> DataFrame:
+        aggs = []
+        for c in cols:
+            col = F.col(c).cast("double")
+            aggs += [
+                F.count(col).alias(f"_nn_{c}"),
+                F.avg(col).alias(f"_mean_{c}"),
+                F.stddev_samp(col).alias(f"_std_{c}"),
+            ]
+        row = df.agg(*aggs)
+        pairs = ", ".join(
+            f"'{c}', `_nn_{c}`, `_mean_{c}`, `_std_{c}`" for c in cols
+        )
+        return row.select(
+            F.expr(
+                f"stack({len(cols)}, {pairs}) as (column, n_{s}, _m{s}, _s{s})"
+            )
+        )
+
+    def melt(df: DataFrame, ia: int, ib: int) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("column"),
+                                F.col(c).cast("double").alias("_v"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("_s")
+            )
+            .select(F.col("_s.column").alias("column"), F.col("_s._v").alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .select(
+                "column", "_v", F.lit(ia).alias("_ia"), F.lit(ib).alias("_ib")
+            )
+        )
+
+    g = (
+        melt(df_a, 1, 0)
+        .unionByName(melt(df_b, 0, 1))
+        .groupBy("column", "_v")
+        .agg(F.sum("_ia").alias("_ca"), F.sum("_ib").alias("_cb"))
+    )
+    parts = df_a.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        g.repartitionByRange(int(parts), F.col("column"), F.col("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        # persist AFTER the range exchange — same three-consumer offset-
+        # consistency + recompute rationale as numeric_profile's ranged
+        # frame (a cache below the exchange breaks reuse and misaligns
+        # the per-branch range boundaries)
+        .persist()
+    )
+    wloc = (
+        Window.partitionBy("column", "_pid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        "column",
+        "_pid",
+        "_v",
+        F.sum("_ca").over(wloc).alias("_lfa"),
+        F.sum("_cb").over(wloc).alias("_lfb"),
+    )
+    totals = ranged.groupBy("column", "_pid").agg(
+        F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb")
+    )
+    wbase = (
+        Window.partitionBy("column")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("column")
+    base = totals.select(
+        "column",
+        "_pid",
+        F.coalesce(F.sum("_ta").over(wbase), F.lit(0)).alias("_ba"),
+        F.coalesce(F.sum("_tb").over(wbase), F.lit(0)).alias("_bb"),
+        F.sum("_ta").over(wtot).alias("_cna"),
+        F.sum("_tb").over(wtot).alias("_cnb"),
+    )
+    cum = local.join(F.broadcast(base), ["column", "_pid"]).select(
+        "column",
+        "_v",
+        (F.col("_ba") + F.col("_lfa")).alias("_fa"),
+        (F.col("_bb") + F.col("_lfb")).alias("_fb"),
+    )
+    spec = base.groupBy("column").agg(
+        F.max("_cna").alias("_cna"), F.max("_cnb").alias("_cnb")
+    )
+    for s in ("a", "b"):
+        spec = (
+            spec.withColumn(
+                f"_pos{s}",
+                F.lit(loc_q) * (F.col(f"_cn{s}") - 1).cast("double"),
+            )
+            .withColumn(f"_lo{s}", F.floor(F.col(f"_pos{s}")))
+            .withColumn(f"_hi{s}", F.ceil(F.col(f"_pos{s}")))
+        )
+    keys = [
+        "column", "_cna", "_cnb",
+        "_posa", "_loa", "_hia", "_posb", "_lob", "_hib",
+    ]
+    st = (
+        cum.join(F.broadcast(spec), "column")
+        .groupBy(*keys)
+        .agg(
+            F.min(F.when(F.col("_fa") >= F.col("_loa") + 1, F.col("_v"))).alias("_vloa"),
+            F.min(F.when(F.col("_fa") >= F.col("_hia") + 1, F.col("_v"))).alias("_vhia"),
+            F.min(F.when(F.col("_fb") >= F.col("_lob") + 1, F.col("_v"))).alias("_vlob"),
+            F.min(F.when(F.col("_fb") >= F.col("_hib") + 1, F.col("_v"))).alias("_vhib"),
+        )
+    )
+
+    def qv(s: str):
+        interp = F.when(
+            F.col(f"_lo{s}") == F.col(f"_hi{s}"), F.col(f"_vlo{s}")
+        ).otherwise(
+            F.col(f"_vlo{s}") * (F.col(f"_hi{s}").cast("double") - F.col(f"_pos{s}"))
+            + F.col(f"_vhi{s}") * (F.col(f"_pos{s}") - F.col(f"_lo{s}").cast("double"))
+        )
+        # an empty side must report NULL, not the min of the other side's
+        # values (its rank thresholds would degenerate to 0)
+        return F.when(F.col(f"_cn{s}") > 0, interp)
+
+    med = st.select("column", qv("a").alias("_da"), qv("b").alias("_db"))
+    joined = (
+        moments(df_a, "a")
+        .join(moments(df_b, "b"), "column")
+        .join(med, "column", "left")
+    )
+    return caching.pin(_npd_shape(joined), ranged)
+
+
+def _npd_shape(joined: DataFrame) -> DataFrame:
+    """Shared output projection for numeric_profile_drift's two engines."""
+    return joined.select(
         "column",
         "n_a",
         "n_b",
-        "mean_a",
-        "mean_b",
-        F.round(F.col("mean_b") - F.col("mean_a"), 6).alias("mean_delta"),
-        "std_a",
-        "std_b",
-        F.round(F.col("std_b") - F.col("std_a"), 6).alias("std_delta"),
-        F.col(f"{mid}_a").alias("median_a"),
-        F.col(f"{mid}_b").alias("median_b"),
-        F.round(F.col(f"{mid}_b") - F.col(f"{mid}_a"), 6).alias("median_delta"),
+        F.col("_ma").alias("mean_a"),
+        F.col("_mb").alias("mean_b"),
+        F.round(F.col("_mb") - F.col("_ma"), 6).alias("mean_delta"),
+        F.col("_sa").alias("std_a"),
+        F.col("_sb").alias("std_b"),
+        F.round(F.col("_sb") - F.col("_sa"), 6).alias("std_delta"),
+        F.col("_da").alias("median_a"),
+        F.col("_db").alias("median_b"),
+        F.round(F.col("_db") - F.col("_da"), 6).alias("median_delta"),
     )
