@@ -316,7 +316,8 @@ def q_corpus_to_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = packed.join(
         train.select("doc_id", "pred_lang", "source", "quality"), "doc_id"
     )
-    return caching.pin(out, train)
+    # carry pack_sequences' ranged-frame pin alongside the train pin
+    return caching.pin(out, train, *caching.pinned(packed))
 
 
 @register("quality_rank_gate", _RANK_GATE_ORACLE)
