@@ -46,8 +46,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", os.path.join(REPO, ".scale10"))
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+# the default dir is keyed to COPIES: materialization skips existing files,
+# so a shared dir would silently reuse a DIFFERENT blow-up factor's data
+# and mislabel the ratio (a 100-copy run against leftover 10-copy parquet)
+SCALE_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", os.path.join(REPO, f".scale{COPIES}")
+)
 WARM = int(os.environ.get("SPARK_GRAFT_SCALE_WARM", "2"))
 OFF = 10_000_000  # id offset per copy — far above any fixture id range
 
