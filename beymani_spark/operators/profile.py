@@ -800,6 +800,10 @@ def numeric_profile_drift(
     ``numeric_profile`` cards instead. The fact tables never co-shuffle
     in either form; an empty side reports NULL medians, never a garbage
     order statistic."""
+    if not (0 < len(quantiles) and all(0.0 <= float(q) <= 1.0 for q in quantiles)):
+        raise ValueError("quantiles must be in [0, 1] and non-empty")
+    if method not in ("prefix", "map"):
+        raise ValueError("method must be 'prefix' or 'map'")
     loc_q = (
         0.5
         if any(float(q) == 0.5 for q in quantiles)

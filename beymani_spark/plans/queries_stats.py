@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import caching
 from ..operators import post, profile, zscore
 from ..sources import load_table
 from .registry import register
@@ -620,17 +621,23 @@ _NUMERIC_PROFILE_ORACLE = "\nUNION ALL\n".join(
 def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column numeric distribution card (profile.numeric_profile):
     count/nulls/mean/std/min/quartiles/max for every numeric lineitem
-    measure in ONE aggregation pass — the numeric companion to
-    column_profile and the generalized form of the reference's olss.py
-    score-statistics report (`python/app/olss.py:35-115`). Quantiles are
-    the EXACT percentile aggregate (linear interpolation, identical to
-    DuckDB quantile_cont); at unbounded-cardinality scale the operator's
-    exact=False switches the same plan to approx_percentile."""
+    measure — the numeric companion to column_profile and the generalized
+    form of the reference's olss.py score-statistics report
+    (`python/app/olss.py:35-115`). Quantiles are EXACT interpolated order
+    statistics (quantile_cont semantics) computed on the default
+    method='prefix' engine: one moments pass + a melt into the
+    distributed prefix-sum CDF — no per-column value map at any
+    distinct-value cardinality (method='map' is the one-pass percentile-
+    aggregate form; exact=False the one-pass approx sketch)."""
     li = load_table(spark, sf_dir, "lineitem")
     out = profile.numeric_profile(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
-    return _round(out, ["mean", "std", "min", "q25", "q50", "q75", "max"])
+    # _round rebuilds the frame — carry the prefix engine's ranged pin
+    return caching.pin(
+        _round(out, ["mean", "std", "min", "q25", "q50", "q75", "max"]),
+        *caching.pinned(out),
+    )
 
 
 def _npd_side_sql(c: str, side: str, suffix: str) -> str:
@@ -680,6 +687,10 @@ def q_numeric_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_orderkey") % 2 == 0)
     b = li.filter(F.col("l_orderkey") % 2 != 0)
     out = profile.numeric_profile_drift(a, b, ["l_extendedprice", "l_discount"])
-    return _round(
-        out, ["mean_a", "mean_b", "std_a", "std_b", "median_a", "median_b"]
+    # _round rebuilds the frame — carry the joint CDF's ranged pin
+    return caching.pin(
+        _round(
+            out, ["mean_a", "mean_b", "std_a", "std_b", "median_a", "median_b"]
+        ),
+        *caching.pinned(out),
     )

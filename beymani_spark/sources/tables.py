@@ -49,7 +49,9 @@ def get_spark(app: str = "beymani-spark", shuffle_partitions: int = 32) -> Spark
         # pure-codegen scan queries degrade ~5-10x (measured: text_normalize
         # 0.17 -> 1.56 s late in a full-registry run). 512 MB keeps the
         # whole registry JIT-compiled; UseCodeCacheFlushing is belt and
-        # braces for even longer sessions.
+        # braces for even longer sessions. Deployments that set their own
+        # driver Java options must FOLD the code-cache flag into
+        # SPARK_GRAFT_DRIVER_JAVA_OPTS — builder confs replace, not merge.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
@@ -60,6 +62,26 @@ def get_spark(app: str = "beymani-spark", shuffle_partitions: int = 32) -> Spark
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    # extraJavaOptions only applies when THIS call launched the JVM; under
+    # spark-submit or a pre-existing gateway it is silently ignored and the
+    # 240 MB default quietly reinstates the JIT cliff — make that visible
+    try:
+        jvm_args = list(
+            spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
+            .getInputArguments()
+        )
+        if not any("ReservedCodeCacheSize" in a for a in jvm_args):
+            import warnings
+
+            warnings.warn(
+                "driver JVM started without -XX:ReservedCodeCacheSize; "
+                "full-registry sessions may hit the JIT code-cache cliff "
+                "(see BASELINE.md §10.3) — pass the flag via spark-submit "
+                "--driver-java-options",
+                stacklevel=2,
+            )
+    except Exception:  # py4j access is best-effort diagnostics only
+        pass
     return spark
 
 

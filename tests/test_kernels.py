@@ -711,3 +711,32 @@ def test_numeric_profile_drift_hand_computed(spark):
     assert abs(r["std_delta"]) < 1e-9
     assert abs(r["median_a"] - 2.0) < 1e-12
     assert abs(r["median_delta"] - 10.0) < 1e-9
+
+
+def test_numeric_profile_drift_validation(spark):
+    import pytest
+
+    from beymani_spark.operators.profile import numeric_profile_drift
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="quantiles"):
+        numeric_profile_drift(df, df, ["x"], quantiles=[])
+    with pytest.raises(ValueError, match="quantiles"):
+        numeric_profile_drift(df, df, ["x"], quantiles=[1.5])
+    with pytest.raises(ValueError, match="method"):
+        numeric_profile_drift(df, df, ["x"], method="perfix")
+
+
+def test_numeric_card_queries_carry_release_pins(spark):
+    """The registry builders for both numeric cards must carry the prefix
+    engine's ranged-frame pin through their _round wrappers so
+    caching.release() on the registry result actually unpersists it."""
+    from beymani_spark.functions import caching
+    from beymani_spark.plans.registry import QUERIES
+
+    for name in ("numeric_profile", "numeric_profile_drift"):
+        out = QUERIES[name].builder(spark, "/root/testdata/sf0.001")
+        out.collect()
+        assert caching.pinned(out), f"{name}: pin dropped by the builder"
+        caching.release(out, blocking=True)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
