@@ -56,7 +56,7 @@ SCALE_DIR = os.environ.get(
 WARM = int(os.environ.get("SPARK_GRAFT_SCALE_WARM", "2"))
 OFF = 10_000_000  # id offset per copy — far above any fixture id range
 
-TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+TOKS = "list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '')"
 
 #: registry queries in the capture (the heavy tail of BENCH_r04) plus the
 #: named scale-path probes defined in _extra_builders

@@ -32,9 +32,17 @@ FP_MOD = 1000000007
 FP_MULT = 131
 
 
+#: Portable whitespace class, spelled out instead of \s: Java's \s
+#: includes vertical tab \x0B while RE2's (DuckDB) does not, so every
+#: tokenizer/punct expression that must agree with a SQL oracle uses this
+#: explicit class on BOTH engines (the BPE_PATTERN convention applied to
+#: the whole text family; caught by the adversarial-unicode parity draw).
+PORTABLE_WS = r"[ \t\n\f\r\x0B]"
+
+
 def tokens(text: Column) -> Column:
-    """Whitespace tokens, empties removed."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+    """Whitespace tokens, empties removed (PORTABLE_WS class)."""
+    return F.filter(F.split(F.trim(text), PORTABLE_WS + "+"), lambda x: x != "")
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -56,7 +64,7 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     n_stop = F.size(F.filter(F.col("_toks"), lambda x: x.isin(STOPWORDS)))
     punct = F.try_divide(
-        F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")),
+        F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9 \t\n\f\r\x0B]", "")),
         F.length(F.col(text_col)),
     )
     return (
@@ -735,14 +743,14 @@ def sentence_stats(
     pass; try_divide keeps empty docs NULL instead of aborting the scan."""
     sents = F.filter(
         F.transform(
-            F.split(F.col(text_col), r"[.!?]+\s+"), lambda x: F.trim(x)
+            F.split(F.col(text_col), r"[.!?]+" + PORTABLE_WS + "+"), lambda x: F.trim(x)
         ),
         lambda x: x != "",
     )
     out = df.withColumn("_sents", sents)
     n = F.size("_sents")
     tok_counts = F.transform(
-        F.col("_sents"), lambda s: F.size(F.filter(F.split(s, r"\s+"), lambda x: x != ""))
+        F.col("_sents"), lambda s: F.size(F.filter(F.split(s, PORTABLE_WS + "+"), lambda x: x != ""))
     )
     out = out.withColumn("_tc", tok_counts)
     total = F.aggregate(F.col("_tc"), F.lit(0), lambda a, x: a + x)

@@ -13,7 +13,7 @@ from ..operators import packing, sampling, text
 from ..sources import load_table
 from .registry import register
 
-_TOKS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_TOKS_SQL = "list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '')"
 
 _CHUNK_M, _CHUNK_S = 64, 48
 
@@ -196,7 +196,7 @@ WITH lt AS (
   )
 ), f AS (
   SELECT doc_id, len(toks) AS n_tokens,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
          len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
          len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
   FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)

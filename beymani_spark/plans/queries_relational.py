@@ -300,7 +300,7 @@ SELECT coalesce(source, 'ALL') AS source,
        coalesce(lang, 'ALL') AS lang,
        2 * GROUPING(source) + GROUPING(lang) AS gid,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r\\x0B]+'),
                                 x -> x <> ''))) AS BIGINT) AS n_tokens
 FROM documents
 GROUP BY CUBE (source, lang)

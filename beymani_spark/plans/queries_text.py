@@ -16,7 +16,7 @@ from .model_oracles import topic_mix_oracle as _topic_mix_oracle
 from .queries_stats import _round
 from .registry import register
 
-_TOKS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_TOKS_SQL = "list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '')"
 
 _TOKEN_COUNT_ORACLE = f"""
 SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
@@ -35,7 +35,7 @@ WITH t AS (
 )
 SELECT doc_id, len(toks) AS n_tokens,
        round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6) AS avg_token_len,
-       round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
+       round(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
        round(len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks), 6) AS stopword_ratio,
        round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio
 FROM t
@@ -57,7 +57,7 @@ WITH t AS (
   SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
 ), f AS (
   SELECT doc_id, len(toks) AS n_tokens,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
          len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
          len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
   FROM t
@@ -77,7 +77,7 @@ FROM f
 _NOVELTY_ORACLE = """
 WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+'),
                      x -> x <> '') AS toks
   FROM documents
 ), g AS (
@@ -117,7 +117,7 @@ WITH t AS (
   SELECT doc_id, text, {{toks}} AS toks FROM documents
 ), f AS (
   SELECT doc_id, len(toks) AS n_tokens,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
          len(list_filter(toks, x -> list_contains({{stop}}, x))) * 1.0 / len(toks) AS stopword_ratio,
          len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
   FROM t
@@ -1064,7 +1064,7 @@ _GRAMS_SQL = """
            generate_series(1, len(toks) - 2),
            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
   FROM (SELECT doc_id,
-               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+'),
                            x -> x <> '') AS toks
         FROM documents)
 """
@@ -1132,7 +1132,7 @@ WITH b AS (
            list_transform(generate_series(1, len(toks) - 1),
                           i -> toks[i] || ' ' || toks[i+1]) AS grams
     FROM (SELECT doc_id,
-                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+'),
                              x -> x <> '') AS toks
           FROM documents)
   )
@@ -1178,7 +1178,7 @@ WITH b AS (
            list_transform(generate_series(1, len(toks) - 1),
                           i -> toks[i] || ' ' || toks[i+1]) AS grams
     FROM (SELECT doc_id,
-                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+'),
                              x -> x <> '') AS toks
           FROM documents)
   )
@@ -1225,7 +1225,7 @@ def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+'),
                             x -> x <> '')) AS token
   FROM documents
 ), tf AS (
@@ -1258,7 +1258,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VOCAB_ORACLE = """
 SELECT token, count(*) AS cnt FROM (
-  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+'),
                             x -> x <> '')) AS token
   FROM documents
 ) GROUP BY token
@@ -1274,7 +1274,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORPUS_STATS_ORACLE = """
 SELECT source, lang, count(*) AS n_docs,
-       CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r\\x0B]+'),
                                 x -> x <> ''))) AS BIGINT) AS n_tokens,
        CAST(sum(length(text)) AS BIGINT) AS n_chars
 FROM documents GROUP BY source, lang
@@ -1420,7 +1420,7 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_DEDUP_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+         list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '') AS t
   FROM documents
 ), idx AS (
   SELECT doc_id, t,
@@ -1462,7 +1462,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_DEDUP_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+         list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '') AS t
   FROM documents
 ), th AS (
   SELECT doc_id, t, len(t) AS n,
@@ -1516,7 +1516,7 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOILERPLATE_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+         list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '') AS t
   FROM documents
 ), idx AS (
   SELECT doc_id, t,
@@ -1765,7 +1765,7 @@ WITH lt AS (
   )
 ), f AS (
   SELECT doc_id, len(toks) AS n_tokens,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
          len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
          len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
   FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
@@ -1841,7 +1841,7 @@ WITH q AS (
              + 0.25 * type_token_ratio, 6) AS quality
   FROM (
     SELECT doc_id, len(toks) AS n_tokens,
-           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+           length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
            len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
            len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
     FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
@@ -1893,7 +1893,7 @@ WITH q AS (
              + 0.25 * type_token_ratio, 6) AS quality
   FROM (
     SELECT doc_id, lang, len(toks) AS n_tokens,
-           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+           length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
            len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
            len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
     FROM (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents)
@@ -2028,7 +2028,7 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORPUS_AUDIT_ORACLE = f"""
 WITH f AS (
   SELECT doc_id, len(toks) AS n_tokens,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
          len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
          len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
   FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
@@ -2204,7 +2204,7 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZIPF_ORACLE = """
 WITH c AS (
   SELECT token, count(*) AS freq FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+'),
                               x -> x <> '')) AS token
     FROM documents
   ) GROUP BY token
@@ -2327,7 +2327,7 @@ def q_semantic_leak_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CALIBRATE_ORACLE = f"""
 WITH f AS (
   SELECT doc_id, len(toks) AS n_tokens,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
          len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
          len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
   FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
@@ -2374,7 +2374,7 @@ WITH t AS (
   SELECT doc_id, source, lang, text, {_TOKS_SQL} AS toks FROM documents
 ), f AS (
   SELECT doc_id, source, lang, len(toks) AS n_tokens,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
          len(list_filter(toks, x -> list_contains({{stop}}, x))) * 1.0 / len(toks) AS stopword_ratio,
          len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
   FROM t
@@ -2436,7 +2436,7 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VOCAB_COVERAGE_ORACLE = """
 WITH toks AS (
   SELECT source,
-         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+'),
                             x -> x <> '')) AS token
   FROM documents
 ), vocab AS (
@@ -2580,7 +2580,7 @@ WITH a AS (
   SELECT doc_id, {_GOPHER_AUG_SQL} AS t FROM documents
 ), f AS (
   SELECT doc_id, t,
-         list_filter(regexp_split_to_array(trim(t), '\\s+'), x -> x <> '') AS toks,
+         list_filter(regexp_split_to_array(trim(t), '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '') AS toks,
          list_filter(list_transform(regexp_split_to_array(t, '\\n'), x -> trim(x)),
                      x -> x <> '') AS lines
   FROM a
@@ -2778,7 +2778,7 @@ WITH a AS (
   SELECT doc_id, t,
          trim(regexp_replace(
            regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'),
-           '\\s+', ' ', 'g')) AS normalized
+           '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')) AS normalized
   FROM a
 )
 SELECT doc_id, normalized,
@@ -2816,7 +2816,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SENT_AUG_SQL = (
     "CASE WHEN doc_id % 6 = 0 THEN"
     " coalesce(array_to_string(list_transform(list_filter("
-    "   regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),"
+    "   regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> ''),"
     "   x -> x || CASE WHEN length(x) % 3 = 0 THEN '. ' ELSE ' ' END), ''), '')"
     " ELSE text END"
 )
@@ -2827,13 +2827,13 @@ WITH a AS (
 ), s AS (
   SELECT doc_id,
          list_filter(list_transform(
-           regexp_split_to_array(t, '[.!?]+\\s+'), x -> trim(x)), x -> x <> '')
+           regexp_split_to_array(t, '[.!?]+[ \\t\\n\\f\\r\\x0B]+'), x -> trim(x)), x -> x <> '')
            AS sents
   FROM a
 ), c AS (
   SELECT doc_id, len(sents) AS n_sentences,
          list_transform(sents,
-           s -> len(list_filter(regexp_split_to_array(s, '\\s+'), x -> x <> '')))
+           s -> len(list_filter(regexp_split_to_array(s, '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '')))
            AS tc
   FROM s
 )
@@ -2910,7 +2910,7 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRAM_TOPK_ORACLE = """
 WITH t AS (
   SELECT source,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+'),
                      x -> x <> '') AS toks
   FROM documents
 ), g AS (
@@ -2971,7 +2971,7 @@ WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
   SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
 ), qf AS (
   SELECT doc_id, len(toks) AS n_tokens,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
          len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0 / len(toks) AS stopword_ratio,
          len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
   FROM qt
