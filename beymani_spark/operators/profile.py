@@ -983,3 +983,102 @@ def _npd_shape(joined: DataFrame) -> DataFrame:
         F.col("_db").alias("median_b"),
         F.round(F.col("_db") - F.col("_da"), 6).alias("median_delta"),
     )
+
+
+def finite_audit(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column non-finite-value audit: one row per numeric column with
+    (n_rows, n_null, n_nan, n_pos_inf, n_neg_inf, n_finite) — the gate
+    report every stats operator needs BEFORE it runs. IEEE non-finite
+    doubles are data-quality violations first (SCALE.md round-7 note:
+    cross-engine stats semantics diverge on NaN/Inf — DuckDB's
+    STDDEV_SAMP errors on Inf, NaN quantile rank differs), so the audit
+    makes the violation visible and :func:`finite_gate` removes it before
+    any mean/std/quantile touches the column.
+
+    One aggregation pass over all columns (map-side partial counts, the
+    shuffle carries counter state, not data); the melt to rows is a
+    stack() projection of the single aggregate row, same shape as
+    :func:`column_profile`. NaN is detected with isnan (NaN == anything
+    is false in both engines); ±Inf by equality, which NaN can never
+    satisfy. Counts are pure longs, so the result hashes identically on
+    any engine regardless of the non-finite payloads that produced it.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs.append(F.count(col).alias(f"_nn_{c}"))
+        aggs.append(
+            F.sum(F.when(F.isnan(col), 1).otherwise(0)).alias(f"_nan_{c}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(col == F.lit(float("inf")), 1).otherwise(0)
+            ).alias(f"_pi_{c}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(col == F.lit(float("-inf")), 1).otherwise(0)
+            ).alias(f"_ni_{c}")
+        )
+    row = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{c}', `_nn_{c}`, `_nan_{c}`, `_pi_{c}`, `_ni_{c}`" for c in cols
+    )
+    melted = row.select(
+        F.col("_n"),
+        F.expr(
+            f"stack({len(cols)}, {pairs}) as "
+            "(column, _nonnull, n_nan, n_pos_inf, n_neg_inf)"
+        ),
+    )
+    return melted.select(
+        "column",
+        F.col("_n").alias("n_rows"),
+        (F.col("_n") - F.col("_nonnull")).alias("n_null"),
+        "n_nan",
+        "n_pos_inf",
+        "n_neg_inf",
+        (
+            F.col("_nonnull")
+            - F.col("n_nan")
+            - F.col("n_pos_inf")
+            - F.col("n_neg_inf")
+        ).alias("n_finite"),
+    )
+
+
+def finite_gate(
+    df: DataFrame, cols: Sequence[str], mode: str = "drop"
+) -> DataFrame:
+    """Enforce the finite-input contract of the stats family: remove (or
+    NULL out) rows carrying NaN/±Inf in any of ``cols`` so every
+    downstream mean/std/quantile/KS operator sees only finite doubles —
+    the pre-filter SCALE.md's non-finite boundary note prescribes.
+
+    ``mode='drop'`` removes offending rows (NULLs pass — they are the
+    *missing* signal, handled by every aggregate already);
+    ``mode='null'`` keeps the row and NULLs only the offending cells, for
+    pipelines that must preserve row counts. Pure codegen predicates
+    (isnan + ±Inf equality per column), no shuffle — the filter pushes
+    into the scan like any other predicate.
+    """
+    if mode not in ("drop", "null"):
+        raise ValueError(f"finite_gate mode must be 'drop' or 'null', got {mode!r}")
+
+    def bad(c: str) -> F.Column:
+        col = F.col(c).cast("double")
+        return F.isnan(col) | (col == F.lit(float("inf"))) | (
+            col == F.lit(float("-inf"))
+        )
+
+    if mode == "drop":
+        pred = None
+        for c in cols:
+            pred = bad(c) if pred is None else (pred | bad(c))
+        return df.filter(~F.coalesce(pred, F.lit(False)))
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.when(bad(c), F.lit(None)).otherwise(F.col(c))
+        )
+    return out

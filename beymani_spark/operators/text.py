@@ -827,3 +827,55 @@ def gram_topk(
         "rank",
         F.round(F.col("cnt") / F.col("_total").cast("double"), 6).alias("share"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+    out_col: str = "zlib_ratio",
+) -> DataFrame:
+    """Per-document zlib compressibility — the classic cheap quality
+    signal the big web-corpus pipelines (Gopher/CCNet lineage) run beside
+    the rule gates: highly compressible text (low ratio) is templated or
+    repetitive boilerplate, near-incompressible text (ratio ~1) is
+    encrypted/binary junk or hash spam; natural prose sits in a band
+    between. Complements ``repetition_score`` (n-gram level) with a
+    whole-document, vocabulary-free measure.
+
+    Adds ``n_bytes`` (UTF-8 length, codegen octet_length), ``n_zlib``
+    (DEFLATE payload length), and ``out_col`` = n_zlib / n_bytes rounded
+    to 6 (NULL for empty or NULL text). zlib is genuinely inexpressible
+    in Spark SQL, so this is the text family's one Python kernel — an
+    Arrow-batched pandas_udf (vectorized transfer, per-batch Python cost)
+    computing ONLY the compressed length; the byte length and the ratio
+    stay codegen. No shuffle: the whole operator is one map pass, so it
+    scales linearly in bytes scanned like every other scan-speed gate.
+    DEFLATE output for a fixed (input, level) is deterministic for a
+    given zlib build — the oracle replays the same library off-Spark.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _lens(s):
+        import zlib
+
+        return s.map(
+            lambda t: None
+            if t is None
+            else len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    # explicit returnType (no type hints): this module uses
+    # `from __future__ import annotations`, which stringifies hints and
+    # breaks pyspark's hint-based eval-type resolution
+    _zlib_len = pandas_udf(_lens, "long")
+
+    out = df.withColumn("n_bytes", F.octet_length(F.col(text_col)))
+    out = out.withColumn("n_zlib", _zlib_len(F.col(text_col)))
+    return out.withColumn(
+        out_col,
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(F.col("n_zlib") / F.col("n_bytes").cast("double"), 6),
+        ),
+    )

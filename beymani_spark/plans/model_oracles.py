@@ -806,3 +806,41 @@ SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
        round(f0_raw, 6) AS f0, round(f7_raw, 6) AS f7
 FROM m
 """
+
+
+def compression_ratio_oracle(sf_dir: str) -> str:
+    """zlib-compressibility oracle: DEFLATE cannot run in SQL, so the
+    compressed lengths are replayed off-Spark with the SAME zlib build
+    and level the pandas_udf uses and baked as VALUES; the accounting
+    half (UTF-8 byte length, ratio, keep band) is verified in DuckDB.
+    A drift in the Spark-side kernel (level, encoding, NULL handling)
+    breaks the hash because the driver's Spark run compresses for real."""
+    import zlib
+
+    pdf = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = [
+        f"({int(d)}, {len(zlib.compress(t.encode('utf-8'), 6))})"
+        for d, t in zip(pdf["doc_id"], pdf["text"])
+        if t is not None
+    ]
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, "
+            "CAST(NULL AS INTEGER) AS n_bytes, "
+            "CAST(NULL AS BIGINT) AS n_zlib, "
+            "CAST(NULL AS DOUBLE) AS zlib_ratio, "
+            "CAST(NULL AS BOOLEAN) AS keep WHERE FALSE"
+        )
+    values = ", ".join(rows)
+    return f"""
+WITH z(doc_id, n_zlib) AS (VALUES {values})
+SELECT d.doc_id, CAST(strlen(d.text) AS INTEGER) AS n_bytes,
+       CAST(z.n_zlib AS BIGINT) AS n_zlib,
+       CASE WHEN strlen(d.text) > 0
+            THEN round(z.n_zlib * 1.0 / strlen(d.text), 6) END AS zlib_ratio,
+       coalesce(
+         CASE WHEN strlen(d.text) > 0
+              THEN round(z.n_zlib * 1.0 / strlen(d.text), 6) END
+         BETWEEN 0.3 AND 0.95, false) AS keep
+FROM documents d LEFT JOIN z ON z.doc_id = d.doc_id
+"""

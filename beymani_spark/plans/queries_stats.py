@@ -694,3 +694,98 @@ def q_numeric_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         *caching.pinned(out),
     )
+
+
+# Non-finite injection shared by the finite_audit / finite_gate queries:
+# the driver fixtures are finite by construction (SCALE.md round-7 note),
+# so the queries MANUFACTURE IEEE NaN/±Inf deterministically — the same
+# CASE on event_id in Spark and DuckDB (both cast 'NaN'/'Infinity'/
+# '-Infinity' strings to the IEEE doubles) — making the non-finite path
+# itself cross-engine-verified, not just the all-finite shape.
+_NONFINITE_VALUE_SQL = """CASE
+  WHEN event_id % 97 = 0 THEN CAST('NaN' AS DOUBLE)
+  WHEN event_id % 97 = 1 THEN CAST('Infinity' AS DOUBLE)
+  WHEN event_id % 97 = 2 THEN CAST('-Infinity' AS DOUBLE)
+  WHEN event_id % 97 = 3 THEN NULL
+  ELSE value END"""
+
+
+def _nonfinite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.expr(_NONFINITE_VALUE_SQL).alias("value_adj"),
+        F.get_json_object("props", "$.k").cast("double").alias("k_val"),
+    )
+
+
+_FINITE_AUDIT_ORACLE = f"""
+WITH adj AS (
+  SELECT event_id, {_NONFINITE_VALUE_SQL} AS value_adj,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+  FROM events
+)
+SELECT 'value_adj' AS "column", count(*) AS n_rows,
+       count(*) - count(value_adj) AS n_null,
+       CAST(sum(CASE WHEN isnan(value_adj) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       CAST(sum(CASE WHEN value_adj = 'Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_inf,
+       CAST(sum(CASE WHEN value_adj = '-Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_inf,
+       count(value_adj)
+         - CAST(sum(CASE WHEN isnan(value_adj) THEN 1 ELSE 0 END) AS BIGINT)
+         - CAST(sum(CASE WHEN value_adj = 'Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
+         - CAST(sum(CASE WHEN value_adj = '-Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_finite
+FROM adj
+UNION ALL
+SELECT 'k_val', count(*), count(*) - count(k_val),
+       CAST(sum(CASE WHEN isnan(k_val) THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN k_val = 'Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN k_val = '-Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT),
+       count(k_val)
+         - CAST(sum(CASE WHEN isnan(k_val) THEN 1 ELSE 0 END) AS BIGINT)
+         - CAST(sum(CASE WHEN k_val = 'Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
+         - CAST(sum(CASE WHEN k_val = '-Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
+FROM adj
+"""
+
+
+@register("finite_audit", _FINITE_AUDIT_ORACLE)
+def q_finite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-finite-value audit (profile.finite_audit) over an events frame
+    with deterministically injected NaN/±Inf/NULL — the report every
+    stats operator needs before it runs (SCALE.md: stats semantics
+    diverge cross-engine on non-finite input, so the contract is
+    audit + gate FIRST). One aggregation pass; counts are pure longs, so
+    the result hashes identically however the engines represent the
+    non-finite payloads that produced it."""
+    return profile.finite_audit(
+        _nonfinite_events(spark, sf_dir), ["value_adj", "k_val"]
+    )
+
+
+_FINITE_GATE_ORACLE = f"""
+WITH adj AS (
+  SELECT event_id, event_type, {_NONFINITE_VALUE_SQL} AS value_adj
+  FROM events
+)
+SELECT event_id, event_type, round(value_adj, 6) AS value_adj
+FROM adj
+WHERE NOT coalesce(
+  isnan(value_adj)
+  OR value_adj = 'Infinity'::DOUBLE
+  OR value_adj = '-Infinity'::DOUBLE, false)
+"""
+
+
+@register("finite_gate", _FINITE_GATE_ORACLE)
+def q_finite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-input contract enforcement (profile.finite_gate,
+    mode='drop') on the injected-non-finite events frame: NaN/±Inf rows
+    are removed, NULLs pass (they are the *missing* signal every
+    aggregate already handles). Pure codegen predicate, pushes into the
+    scan; the surviving values are finite so the value hash is stable."""
+    adj = _nonfinite_events(spark, sf_dir).select(
+        "event_id", "event_type", "value_adj"
+    )
+    return _round(profile.finite_gate(adj, ["value_adj"]), ["value_adj"])

@@ -3019,3 +3019,28 @@ def q_dedup_corpus_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # carry the minhash shingle pin so release() on the result unpersists it
     return caching.pin(out, *caching.pinned(pairs))
+
+
+from .model_oracles import compression_ratio_oracle as _compression_ratio_oracle  # noqa: E402
+
+
+@register("compression_ratio", _compression_ratio_oracle)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility quality gate (text.compression_ratio): per-doc
+    UTF-8 bytes, DEFLATE payload bytes, their ratio, and the keep band
+    [0.3, 0.95] — low ratio = templated/repetitive boilerplate, ~1 =
+    binary junk/hash spam, prose sits between. One Arrow-batched map
+    pass, no shuffle; the oracle replays the same zlib build off-Spark
+    (model_oracles.compression_ratio_oracle) and re-derives the
+    accounting in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.compression_ratio(docs, "text", level=6)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_zlib",
+        "zlib_ratio",
+        F.coalesce(
+            F.col("zlib_ratio").between(0.3, 0.95), F.lit(False)
+        ).alias("keep"),
+    )

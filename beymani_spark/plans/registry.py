@@ -107,6 +107,9 @@ _PRIORITY = [
     "source_gram_topk",
     "dedup_corpus_best",
     "numeric_profile_drift",
+    "finite_audit",
+    "finite_gate",
+    "compression_ratio",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---

@@ -89,3 +89,28 @@ def test_adversarial_text_parity(spark, adv_dir, name):
     q = QUERIES[name]
     errs = compare(q.builder(spark, adv_dir), duck_run(adv_dir, q.oracle_sql(adv_dir)))
     assert not errs, f"{name}[adversarial]: " + "; ".join(repr(e) for e in errs)
+
+
+def test_compression_ratio_edges(spark):
+    """compression_ratio: empty text -> NULL ratio, NULL text -> all
+    NULL, repetitive text compresses below prose, random-ish text above."""
+    import zlib
+
+    from beymani_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, ""),
+        (2, None),
+        (3, "spam " * 200),
+        (4, "The quick brown fox jumps over the lazy dog near the bank."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert out[1]["n_bytes"] == 0 and out[1]["zlib_ratio"] is None
+    assert out[2]["n_zlib"] is None and out[2]["zlib_ratio"] is None
+    # exact agreement with a local zlib replay (the oracle contract)
+    for i in (3, 4):
+        t = rows[i - 1][1].encode("utf-8")
+        assert out[i]["n_zlib"] == len(zlib.compress(t, 6))
+        assert out[i]["n_bytes"] == len(t)
+    assert out[3]["zlib_ratio"] < 0.1 < out[4]["zlib_ratio"]

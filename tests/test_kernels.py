@@ -748,3 +748,64 @@ def test_numeric_card_queries_carry_release_pins(spark):
         assert all(not p.storageLevel.useMemory for p in pins), (
             f"{name}: release() left the pinned cache resident"
         )
+
+
+def test_finite_audit_hand_computed(spark):
+    """finite_audit on a frame with every non-finite class present:
+    counts are exact and NULL is distinguished from NaN."""
+    from beymani_spark.operators.profile import finite_audit
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, 1.0, 2.0),
+        (2, nan, 3.0),
+        (3, inf, nan),
+        (4, -inf, None),
+        (5, None, -inf),
+        (6, 7.5, inf),
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    out = {r["column"]: r for r in finite_audit(df, ["a", "b"]).collect()}
+    a = out["a"]
+    assert (a["n_rows"], a["n_null"], a["n_nan"]) == (6, 1, 1)
+    assert (a["n_pos_inf"], a["n_neg_inf"], a["n_finite"]) == (1, 1, 2)
+    b = out["b"]
+    assert (b["n_rows"], b["n_null"], b["n_nan"]) == (6, 1, 1)
+    assert (b["n_pos_inf"], b["n_neg_inf"], b["n_finite"]) == (1, 1, 2)
+
+
+def test_finite_gate_modes(spark):
+    """finite_gate drop mode removes NaN/Inf rows but passes NULLs;
+    null mode preserves row count and NULLs only the offending cells;
+    invalid mode raises."""
+    import pytest
+
+    from beymani_spark.operators.profile import finite_audit, finite_gate
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, 1.0, 2.0),
+        (2, nan, 3.0),
+        (3, inf, 4.0),
+        (4, None, 5.0),
+        (5, 6.0, -inf),
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+
+    kept = sorted(r["id"] for r in finite_gate(df, ["a", "b"]).collect())
+    assert kept == [1, 4]  # NULL row passes, NaN/Inf rows drop
+
+    nulled = finite_gate(df, ["a", "b"], mode="null")
+    assert nulled.count() == 5
+    got = {r["id"]: (r["a"], r["b"]) for r in nulled.collect()}
+    assert got[2] == (None, 3.0) and got[3] == (None, 4.0)
+    assert got[5] == (6.0, None) and got[1] == (1.0, 2.0)
+    # the gated frame audits clean
+    audit = finite_audit(nulled, ["a", "b"]).collect()
+    assert all(
+        r["n_nan"] == 0 and r["n_pos_inf"] == 0 and r["n_neg_inf"] == 0
+        for r in audit
+    )
+
+    with pytest.raises(ValueError, match="mode"):
+        finite_gate(df, ["a"], mode="bogus")

@@ -916,3 +916,28 @@ def test_dedup_corpus_best_partial_maxby_no_rank_window(spark):
     assert "partial_max_by" in plan, "survivor argmax must combine map-side"
     assert "Window" not in plan, "no rank window over the labeled corpus"
     assert "CartesianProduct" not in plan
+
+
+def test_finite_gate_and_audit_plan_shapes(spark):
+    """finite_gate is a pure codegen scan filter (no exchange, no
+    Python); finite_audit is one partial-aggregated pass (exactly one
+    shuffle carrying counter state)."""
+    ev = load_table(spark, SF, "events")
+    gplan = _plan(profile.finite_gate(ev, ["value"]))
+    assert "Exchange" not in gplan and "Python" not in gplan
+    assert gplan.lstrip().startswith("*("), "gate must stay in codegen"
+    aplan = _plan(profile.finite_audit(ev, ["value"]))
+    assert aplan.count("Exchange") == 1, "audit is one aggregation shuffle"
+    assert "partial" in aplan.lower(), "audit must partial-aggregate"
+    assert "Python" not in aplan
+
+
+def test_compression_ratio_single_map_pass_no_shuffle(spark):
+    """compression_ratio is one Arrow-batched map pass: a (Arrow)EvalPython
+    stage for the zlib length, zero exchanges — scan-speed shape."""
+    from beymani_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(text_ops.compression_ratio(docs))
+    assert "Exchange" not in plan, "compression_ratio must not shuffle"
+    assert "EvalPython" in plan, "zlib kernel should be a Python stage"
