@@ -1402,3 +1402,65 @@ def dedup_rate_by_source(
             "dup_frac", F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    min_containment: float = 0.8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Subset/quote near-dup: banded minhash candidates verified with
+    *containment* |A∩B| / min(|A|,|B|) instead of Jaccard. Catches the
+    pair Jaccard structurally under-scores — a short document wholly
+    quoted inside a much longer one has containment 1.0 but Jaccard
+    |A|/|B| → 0 — which is exactly the "B extends A, keep B" policy
+    production dedup wants for quote inclusion and article expansion.
+
+    Candidate recall rides the SAME minhash banding as
+    :func:`minhash_lsh_pairs` (minhash estimates Jaccard, so a
+    high-containment/low-Jaccard pair surfaces only when a band
+    collides); for subset-heavy corpora with extreme size skew, widen
+    recall with more/narrower bands or run the chunk-level operators
+    (:func:`chunk_dedup` / :func:`cdc_chunk_dedup`), which detect shared
+    spans independent of document size. Verification is exact and
+    candidate-bounded: the shingle explode is persisted once and feeds
+    signatures, sizes, and the intersection join (pin carried to the
+    result; caller releases). Output (src, dst, containment, jaccard) —
+    jaccard comes free from the same counts and lets callers separate
+    "same doc" (both high) from "contained doc" (containment high,
+    jaccard low).
+    """
+    sh = exploded_shingles(df, id_col, text_col, n).persist()
+    sigs = _signatures_from_shingles(sh, num_hashes, hash_fn)
+    exploded = _banded_signatures(sigs, num_hashes, bands, hash_fn)
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band", "sig"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("src"), F.col("b._id").alias("dst"))
+        .distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    inter = (
+        cand.join(sh.select(F.col("_id").alias("src"), "sh"), "src")
+        .join(sh.select(F.col("_id").alias("dst"), "sh"), ["dst", "sh"])
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("_inter"))
+    )
+    i = F.coalesce(F.col("_inter"), F.lit(0))
+    verified = (
+        cand.join(inter, ["src", "dst"], "left")
+        .join(sizes.select(F.col("_id").alias("src"), F.col("_n").alias("_na")), "src")
+        .join(sizes.select(F.col("_id").alias("dst"), F.col("_n").alias("_nb")), "dst")
+        .withColumn("containment", i / F.least(F.col("_na"), F.col("_nb")))
+        .withColumn("jaccard", i / (F.col("_na") + F.col("_nb") - i))
+        .filter(F.col("containment") >= min_containment)
+    )
+    return caching.pin(
+        verified.select("src", "dst", "containment", "jaccard"), sh
+    )

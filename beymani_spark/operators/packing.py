@@ -266,3 +266,56 @@ def context_length_plan(
             ).alias("waste_share"),
         )
     )
+
+
+def compaction_plan(
+    df: DataFrame,
+    partition_cols,
+    bytes_col=None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Write/compaction planner: per output partition, the row count,
+    estimated bytes, the file count that hits ``target_file_bytes``, and
+    the rows-per-file split — the table a partitioned writer reads to
+    call ``repartitionByRange(files, ...)`` per partition instead of
+    emitting one file per task. The small-files problem is the quiet
+    killer of 100 TB table maintenance (a 1000-task stage writing 200
+    partitions each = 200k tiny files; every later scan pays the
+    open/footer cost), and the fix is exactly this plan: files =
+    ceil(bytes / target), never less than 1.
+
+    ``bytes_col`` is a column expression for the estimated serialized
+    bytes of one row (default: octet_length of every string column in
+    the frame — a proxy; callers with real encoders pass their own).
+    One partial-aggregated groupBy over the partition keys; the plan
+    output is dimension-sized and broadcasts into the writer.
+    """
+    if bytes_col is None:
+        strings = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() == "string"
+        ]
+        if not strings:
+            raise ValueError(
+                "no string columns to estimate bytes from; pass bytes_col"
+            )
+        bytes_col = sum(
+            (F.coalesce(F.octet_length(F.col(c)), F.lit(0)) for c in strings[1:]),
+            start=F.coalesce(F.octet_length(F.col(strings[0])), F.lit(0)),
+        )
+    agg = df.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bytes_col).alias("est_bytes"),
+    )
+    files = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("est_bytes") / F.lit(int(target_file_bytes))),
+    )
+    return agg.select(
+        *partition_cols,
+        "n_rows",
+        "est_bytes",
+        files.alias("n_files"),
+        F.ceil(F.col("n_rows") / files).alias("rows_per_file"),
+    )

@@ -879,3 +879,101 @@ def compression_ratio(
             F.round(F.col("n_zlib") / F.col("n_bytes").cast("double"), 6),
         ),
     )
+
+
+def quality_fuse(
+    df: DataFrame,
+    signal_cols: Sequence[str],
+    weights: Sequence[float] | None = None,
+    out_col: str = "fused_score",
+) -> DataFrame:
+    """Multi-signal quality fusion: standardize each signal against its
+    corpus mean/std and combine with weights — the ensemble step of a
+    curation pipeline where rule gates (gopher), composite heuristics
+    (quality_score), and compressibility (zlib_ratio) each see failure
+    modes the others miss. Z-standardizing before the weighted sum puts
+    signals on one scale regardless of their native ranges.
+
+    Deliberately NOT rank fusion (RRF): global per-signal ranks cost a
+    full sort per signal — three global sorts at 100 TB. Standardization
+    needs only one tiny aggregate (means/stds for all signals in ONE
+    pass) broadcast back onto the fact table, so the whole ensemble is a
+    scan + one |signals|-row broadcast join. Constant signals (std 0) and
+    NULL signals contribute 0, weights renormalize over the non-NULL
+    signals per row, and every z is round-6 before weighting so the fused
+    score replays identically in SQL.
+    """
+    if weights is None:
+        weights = [1.0] * len(signal_cols)
+    if len(weights) != len(signal_cols):
+        raise ValueError(
+            f"{len(signal_cols)} signals but {len(weights)} weights"
+        )
+    aggs = []
+    for c in signal_cols:
+        # round-6 the fitted stats (the registry model convention): the
+        # aggregate's summation order varies with partitioning, so the
+        # broadcast model must be quantized before any row math replays it
+        aggs.append(F.round(F.avg(F.col(c)), 6).alias(f"_mu_{c}"))
+        aggs.append(F.round(F.stddev_samp(F.col(c)), 6).alias(f"_sd_{c}"))
+    stats = df.agg(*aggs)
+    out = df.join(F.broadcast(stats))
+    zs, ws = [], []
+    for c, w in zip(signal_cols, weights):
+        z = F.when(
+            F.col(c).isNotNull() & (F.col(f"_sd_{c}") > 0),
+            F.round((F.col(c) - F.col(f"_mu_{c}")) / F.col(f"_sd_{c}"), 6),
+        )
+        zs.append(F.coalesce(z, F.lit(0.0)) * F.lit(float(w)))
+        ws.append(
+            F.when(z.isNotNull(), F.lit(float(w))).otherwise(F.lit(0.0))
+        )
+    total_w = sum(ws[1:], start=ws[0])
+    fused = F.when(
+        total_w > 0,
+        F.round(sum(zs[1:], start=zs[0]) / total_w, 6),
+    ).otherwise(F.lit(0.0))
+    out = out.withColumn(out_col, fused)
+    return out.drop(
+        *[f"_mu_{c}" for c in signal_cols], *[f"_sd_{c}" for c in signal_cols]
+    )
+
+
+def lang_fertility(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language tokenizer-fertility card: docs, UTF-8 bytes,
+    whitespace tokens, bytes-per-token, and tokens-per-100-bytes for each
+    language — the budgeting table behind multilingual mix planning
+    (token targets priced in bytes differ per script: CJK carries ~3
+    bytes/char and few whitespace tokens, so byte budgets and token
+    budgets diverge exactly where this card says they do). One
+    partial-aggregated groupBy(lang); tokenization is the portable
+    whitespace class, byte length is codegen octet_length."""
+    toks = tokens(F.col(text_col))
+    per = df.select(
+        F.col(lang_col).alias("lang"),
+        F.octet_length(F.col(text_col)).alias("_bytes"),
+        F.size(toks).alias("_toks"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_bytes").alias("total_bytes"),
+        F.sum("_toks").alias("total_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_bytes",
+        "total_tokens",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.round(F.col("total_bytes") / F.col("total_tokens"), 6),
+        ).alias("bytes_per_token"),
+        F.when(
+            F.col("total_bytes") > 0,
+            F.round(F.col("total_tokens") * 100.0 / F.col("total_bytes"), 6),
+        ).alias("tokens_per_100_bytes"),
+    )

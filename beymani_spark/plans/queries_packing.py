@@ -335,3 +335,38 @@ def q_quality_rank_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "pred_lang", "quality", _KEEP_FRAC, tiebreak_col="doc_id"
     )
     return out.select("doc_id", "pred_lang", "quality")
+
+
+_COMPACTION_ORACLE = """
+WITH est AS (
+  SELECT source, lang,
+         strlen(text) + strlen(lang) + strlen(source) AS row_bytes
+  FROM documents
+), agg AS (
+  SELECT source, lang, count(*) AS n_rows,
+         CAST(sum(row_bytes) AS BIGINT) AS est_bytes
+  FROM est GROUP BY source, lang
+)
+SELECT source, lang, n_rows, est_bytes,
+       greatest(1, CAST(ceil(est_bytes / 8192.0) AS BIGINT)) AS n_files,
+       CAST(ceil(n_rows * 1.0 / greatest(1, CAST(ceil(est_bytes / 8192.0) AS BIGINT)))
+            AS BIGINT) AS rows_per_file
+FROM agg
+"""
+
+
+@register("compaction_plan", _COMPACTION_ORACLE)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write/compaction planner (packing.compaction_plan) over the
+    (source, lang) output partitioning of the documents table: rows,
+    estimated bytes, target-sized file count, and rows-per-file — the
+    broadcast table a partitioned writer uses to avoid the small-files
+    problem (the 8 KiB target here is fixture-scaled so multiple-file
+    partitions exercise the ceil math; production targets ~128 MiB).
+    One partial-aggregated groupBy over the partition keys."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    return packing.compaction_plan(
+        docs, ["source", "lang"], target_file_bytes=8192
+    )

@@ -1116,3 +1116,129 @@ def q_u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return u_shaped_attribution(ev)
+
+
+_LOCAL_SUPPLIER_ORACLE = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register("local_supplier_volume", _LOCAL_SUPPLIER_ORACLE)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue per nation (TPC-H Q5 shape): the six-way
+    join where customer and supplier must share a nation inside one
+    region for one order year. The 100 TB plan: region/nation (and the
+    region-pruned supplier side) BROADCAST, the date filter pushes into
+    the orders scan, and the only shuffles are fact-fact equi-joins on
+    their natural keys + one tiny aggregation — never a shuffle of a
+    dimension, never a cartesian (plan-asserted)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    # supplier is dimension-sized: broadcast it (pre-pruned to the region
+    # via the nation broadcast) so the lineitem fact never shuffles on
+    # l_suppkey
+    supp_in_region = F.broadcast(
+        supp.join(dims, supp.s_nationkey == F.col("n_nationkey")).select(
+            "s_suppkey", "s_nationkey", "n_name"
+        )
+    )
+    out = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(supp_in_region, li.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    return _round(out, ["revenue"])
+
+
+_RETURNED_ITEM_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       round(any_value(c.c_acctbal), 6) AS c_acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("returned_item_revenue", _RETURNED_ITEM_ORACLE)
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue report (TPC-H Q10 shape): top-20 customers
+    by lost revenue from 'R'-flagged lineitems in one quarter. The
+    returnflag + date filters push into the two fact scans, nation
+    broadcasts, and the final top-20 is TakeOrderedAndProject
+    (per-partition heaps) on the PRE-ROUND revenue with a c_custkey
+    tie-break — deterministic on both engines, never a global sort."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    out = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.any_value(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+    return _round(out, ["revenue", "c_acctbal"])

@@ -3044,3 +3044,144 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("zlib_ratio").between(0.3, 0.95), F.lit(False)
         ).alias("keep"),
     )
+
+
+# Containment verification over the identical candidate CTEs: only the
+# verify formula differs from _MINHASH_PAIR_CTES (|A∩B| / min sizes, with
+# jaccard kept from the same counts).
+_CONTAINMENT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), shl AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s FROM t
+), ex AS (
+  SELECT doc_id, unnest(s) AS sh FROM shl
+), hv AS (
+  SELECT doc_id, {_hex32_sql("md5(sh)")} AS h FROM ex
+), mh AS (
+  SELECT doc_id, {_MH_EXPRS} FROM hv GROUP BY doc_id
+), sig AS (
+{_MH_BAND_SIGS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT c.src, c.dst,
+       round(len(list_intersect(sa.s, sb.s)) * 1.0
+             / least(len(list_distinct(sa.s)), len(list_distinct(sb.s))), 6)
+         AS containment,
+       round(len(list_intersect(sa.s, sb.s)) * 1.0
+             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+FROM cand c JOIN shl sa ON sa.doc_id = c.src JOIN shl sb ON sb.doc_id = c.dst
+WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+      / least(len(list_distinct(sa.s)), len(list_distinct(sb.s))) >= 0.8
+"""
+
+
+@register("dedup_containment", _CONTAINMENT_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset/quote containment near-dup (dedup.containment_pairs):
+    minhash-LSH candidates verified with |A∩B| / min(|A|,|B|) — the
+    "short doc wholly quoted in a long one" pair Jaccard under-scores.
+    Same banded candidate machinery as dedup_minhash_lsh; zero pairs on
+    the fixed draw is a legitimate result (the altseed draw's planted
+    duplicate texts exercise the nonzero path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.containment_pairs(
+        docs, "doc_id", num_hashes=16, bands=4, n=3, min_containment=0.8
+    )
+    return _round(out, ["containment", "jaccard"])
+
+
+# Multi-signal fusion oracle: per-row signals at full precision (bit-
+# identical expressions on both engines), fitted mean/std ROUND-6 (the
+# model-quantization convention — aggregate summation order varies with
+# partitioning), z round-6, weights renormalized over non-NULL signals.
+_QUALITY_FUSE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+), f AS (
+  SELECT doc_id,
+         0.25 * least(1.0, len(toks) / 50.0)
+           + 0.25 * (1.0 - least(1.0,
+               length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0
+               / length(text) * 4.0))
+           + 0.25 * least(1.0,
+               len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0
+               / len(toks) * 5.0)
+           + 0.25 * (len(list_distinct(toks)) * 1.0 / len(toks)) AS quality,
+         length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0
+           / length(text) AS punct_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+  FROM t
+), s AS (
+  SELECT round(avg(quality), 6) AS mu_q, round(stddev_samp(quality), 6) AS sd_q,
+         round(avg(punct_ratio), 6) AS mu_p, round(stddev_samp(punct_ratio), 6) AS sd_p,
+         round(avg(type_token_ratio), 6) AS mu_t, round(stddev_samp(type_token_ratio), 6) AS sd_t
+  FROM f
+), z AS (
+  SELECT doc_id,
+         CASE WHEN quality IS NOT NULL AND sd_q > 0
+              THEN round((quality - mu_q) / sd_q, 6) END AS z_q,
+         CASE WHEN punct_ratio IS NOT NULL AND sd_p > 0
+              THEN round((punct_ratio - mu_p) / sd_p, 6) END AS z_p,
+         CASE WHEN type_token_ratio IS NOT NULL AND sd_t > 0
+              THEN round((type_token_ratio - mu_t) / sd_t, 6) END AS z_t
+  FROM f, s
+)
+SELECT doc_id,
+       CASE WHEN (CASE WHEN z_q IS NOT NULL THEN 2.0 ELSE 0.0 END
+                + CASE WHEN z_p IS NOT NULL THEN 1.0 ELSE 0.0 END
+                + CASE WHEN z_t IS NOT NULL THEN 1.0 ELSE 0.0 END) > 0
+            THEN round((coalesce(z_q, 0.0) * 2.0 + coalesce(z_p, 0.0) * 1.0
+                        + coalesce(z_t, 0.0) * 1.0)
+                       / (CASE WHEN z_q IS NOT NULL THEN 2.0 ELSE 0.0 END
+                        + CASE WHEN z_p IS NOT NULL THEN 1.0 ELSE 0.0 END
+                        + CASE WHEN z_t IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+            ELSE 0.0 END AS fused_score
+FROM z
+"""
+
+
+@register("quality_fuse", _QUALITY_FUSE_ORACLE)
+def q_quality_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality ensemble (text.quality_fuse): composite
+    quality (weight 2) fused with punctuation ratio and type-token ratio
+    (weight 1 each) after corpus z-standardization. One tiny aggregate
+    broadcast back onto the scan — never the per-signal global sorts rank
+    fusion would cost; NULL signals renormalize the weights per row
+    (altseed's empty docs exercise that path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs)
+    out = text.quality_fuse(
+        scored,
+        ["quality", "punct_ratio", "type_token_ratio"],
+        weights=[2.0, 1.0, 1.0],
+    )
+    return out.select("doc_id", "fused_score")
+
+
+_LANG_FERTILITY_ORACLE = f"""
+WITH t AS (
+  SELECT lang, strlen(text) AS b, len({_TOKS_SQL}) AS tk FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(b) AS BIGINT) AS total_bytes,
+       CAST(sum(tk) AS BIGINT) AS total_tokens,
+       CASE WHEN sum(tk) > 0
+            THEN round(sum(b) * 1.0 / sum(tk), 6) END AS bytes_per_token,
+       CASE WHEN sum(b) > 0
+            THEN round(sum(tk) * 100.0 / sum(b), 6) END AS tokens_per_100_bytes
+FROM t GROUP BY lang
+"""
+
+
+@register("lang_fertility", _LANG_FERTILITY_ORACLE)
+def q_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility card (text.lang_fertility):
+    docs / UTF-8 bytes / whitespace tokens / bytes-per-token per lang —
+    the budgeting table behind multilingual mix planning, where byte
+    budgets and token budgets diverge (CJK: ~3 bytes/char, few
+    whitespace tokens). One partial-aggregated groupBy(lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_fertility(docs)

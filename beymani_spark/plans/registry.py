@@ -110,6 +110,12 @@ _PRIORITY = [
     "finite_audit",
     "finite_gate",
     "compression_ratio",
+    "dedup_containment",
+    "local_supplier_volume",
+    "returned_item_revenue",
+    "quality_fuse",
+    "lang_fertility",
+    "compaction_plan",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---
     "dedup_minhash_lsh",
     # --- r3-certified set (newest driver row r3) ---

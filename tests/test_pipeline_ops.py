@@ -923,3 +923,119 @@ def test_simhash_auto_width_and_wide_sketch_semantics(spark):
         for i in sk for j in sk if i < j and ham(sk[i], sk[j]) <= 8
     }
     assert got == brute, "pigeonhole banding must have full recall"
+
+
+def test_containment_pairs_quote_inclusion(spark):
+    """containment_pairs scores a short doc wholly quoted inside a long
+    one at containment 1.0 while Jaccard under-scores it — the policy
+    split the operator exists for. Verified against a brute-force shingle
+    replay."""
+    from beymani_spark.operators import dedup
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    rows = [
+        (1, base),  # full document
+        (2, " ".join(base.split()[:19])),  # strict 95% prefix (quoted subset)
+        (3, base),  # exact copy of 1
+        (4, "unrelated words entirely different from every other document here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["src"], r["dst"]): r
+        for r in dedup.containment_pairs(
+            df, "doc_id", min_containment=0.8
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)]["containment"] == 1.0
+    # brute-force jaccard of the prefix pair: 17 shared / 18 union
+    assert abs(out[(1, 2)]["jaccard"] - 17 / 18) < 1e-9
+    assert (1, 3) in out and out[(1, 3)]["containment"] == 1.0
+    assert out[(1, 3)]["jaccard"] == 1.0  # exact copy: both metrics max
+    assert not any(4 in pair for pair in out)
+
+
+def test_quality_fuse_hand_computed(spark):
+    """quality_fuse: z-standardized weighted combine; NULL signals
+    renormalize weights; constant signals (std 0) drop out; weight-count
+    mismatch raises."""
+    import pytest
+
+    from beymani_spark.operators.text import quality_fuse
+
+    rows = [
+        (1, 1.0, 10.0, 5.0),
+        (2, 2.0, 20.0, 5.0),
+        (3, 3.0, None, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b double, c double")
+    out = {
+        r["id"]: r["fused_score"]
+        for r in quality_fuse(df, ["a", "b", "c"], weights=[2.0, 1.0, 1.0]).collect()
+    }
+    # a: mu=2, sd=1 -> z = -1, 0, 1 ; b: mu=15, sd~7.071068 -> z ~ -0.707107, 0.707107
+    # c is constant (sd=0): excluded everywhere
+    assert abs(out[1] - (2 * -1.0 + 1 * -0.707107) / 3.0) < 1e-6
+    assert abs(out[2] - (2 * 0.0 + 1 * 0.707107) / 3.0) < 1e-6
+    assert abs(out[3] - (2 * 1.0) / 2.0) < 1e-6  # b NULL: weight renormalizes
+
+    with pytest.raises(ValueError, match="weights"):
+        quality_fuse(df, ["a", "b"], weights=[1.0])
+
+
+def test_lang_fertility_hand_computed(spark):
+    """lang_fertility: byte/token fertility split per language — CJK text
+    carries more bytes per whitespace token than English."""
+    from beymani_spark.operators.text import lang_fertility
+
+    rows = [
+        (1, "en", "the cat sat"),          # 11 bytes, 3 tokens
+        (2, "en", "a dog"),                # 5 bytes, 2 tokens
+        (3, "zh", "的是在"),  # 9 bytes, 1 token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["lang"]: r for r in lang_fertility(df).collect()}
+    en, zh = out["en"], out["zh"]
+    assert (en["n_docs"], en["total_bytes"], en["total_tokens"]) == (2, 16, 5)
+    assert abs(en["bytes_per_token"] - 3.2) < 1e-9
+    assert (zh["total_bytes"], zh["total_tokens"]) == (9, 1)
+    assert zh["bytes_per_token"] == 9.0
+    assert zh["bytes_per_token"] > en["bytes_per_token"]
+
+
+def test_compaction_plan_hand_computed(spark):
+    """compaction_plan: files = ceil(bytes/target) floored at 1;
+    rows_per_file = ceil(rows/files); custom bytes_col honored; no string
+    columns without bytes_col raises."""
+    import pytest
+
+    from beymani_spark.operators.packing import compaction_plan
+    from pyspark.sql import functions as F
+
+    rows = [(i, "p1", "x" * 100) for i in range(10)] + [(99, "p2", "y")]
+    df = spark.createDataFrame(rows, "id long, part string, payload string")
+    out = {
+        r["part"]: r
+        for r in compaction_plan(
+            df, ["part"], target_file_bytes=300
+        ).collect()
+    }
+    p1 = out["p1"]  # 10 rows * (100 + 2) bytes = 1020 -> 4 files of 3 rows
+    assert (p1["n_rows"], p1["est_bytes"], p1["n_files"]) == (10, 1020, 4)
+    assert p1["rows_per_file"] == 3
+    p2 = out["p2"]  # 3 bytes -> still 1 file
+    assert (p2["n_files"], p2["rows_per_file"]) == (1, 1)
+
+    custom = {
+        r["part"]: r
+        for r in compaction_plan(
+            df, ["part"], bytes_col=F.lit(200), target_file_bytes=300
+        ).collect()
+    }
+    assert custom["p1"]["est_bytes"] == 2000 and custom["p1"]["n_files"] == 7
+
+    numeric_only = spark.createDataFrame([(1, 2), (3, 2)], "id long, grp long")
+    with pytest.raises(ValueError, match="bytes_col"):
+        compaction_plan(numeric_only, ["grp"])

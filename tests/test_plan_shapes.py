@@ -941,3 +941,56 @@ def test_compression_ratio_single_map_pass_no_shuffle(spark):
     plan = _plan(text_ops.compression_ratio(docs))
     assert "Exchange" not in plan, "compression_ratio must not shuffle"
     assert "EvalPython" in plan, "zlib kernel should be a Python stage"
+
+
+def test_q5_q10_shapes_broadcast_dims_pushed_filters(spark):
+    """Q5 shape: every dimension (region-pruned nation, supplier)
+    broadcasts — the fact tables never shuffle on a dimension key — and
+    the plan has no cartesian. Q10 shape: the top-20 is
+    TakeOrderedAndProject and the returnflag filter reaches the lineitem
+    scan as a pushed filter."""
+    from beymani_spark.plans.registry import QUERIES
+
+    q5 = _plan(QUERIES["local_supplier_volume"].builder(spark, SF))
+    assert q5.count("BroadcastHashJoin") >= 2, "dims must broadcast"
+    assert "CartesianProduct" not in q5
+    assert "PushedFilters: [" in q5
+
+    q10 = _plan(QUERIES["returned_item_revenue"].builder(spark, SF))
+    assert "TakeOrderedAndProject" in q10, "top-20 must be a heap, not a sort"
+    assert "EqualTo(l_returnflag,R)" in q10, "returnflag must push to the scan"
+    assert "BroadcastHashJoin" in q10 and "CartesianProduct" not in q10
+
+
+def test_quality_fuse_broadcast_stats_no_sort(spark):
+    """quality_fuse is stats-broadcast, never rank fusion: one tiny
+    aggregate broadcast onto the scan (nested-loop join against the
+    1-row stats frame), zero sorts, no cartesian blow-up risk beyond the
+    single-row side."""
+    from beymani_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF, "documents")
+    scored = text_ops.quality_score(docs)
+    plan = _plan(
+        text_ops.quality_fuse(
+            scored, ["quality", "punct_ratio"], weights=[2.0, 1.0]
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan, "stats frame must broadcast"
+    assert "Sort" not in plan, "fusion must not rank-sort the corpus"
+
+
+def test_fertility_and_compaction_partial_aggs(spark):
+    """lang_fertility and compaction_plan are single partial-aggregated
+    groupBys: one exchange each, map-side combine."""
+    from beymani_spark.operators import text as text_ops
+    from beymani_spark.operators.packing import compaction_plan
+
+    docs = load_table(spark, SF, "documents")
+    for df in (
+        text_ops.lang_fertility(docs),
+        compaction_plan(docs, ["source", "lang"]),
+    ):
+        plan = _plan(df)
+        assert plan.count("Exchange") == 1
+        assert "partial" in plan.lower()
