@@ -113,6 +113,12 @@ HEAVY = [
     "numeric_profile",
     "source_gram_topk",
     "dedup_corpus_best",
+    # round-7 session-2 additions
+    "dedup_containment",
+    "compression_ratio",
+    "quality_fuse",
+    "local_supplier_volume",
+    "returned_item_revenue",
 ]
 
 

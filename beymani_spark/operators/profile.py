@@ -1064,6 +1064,8 @@ def finite_gate(
     """
     if mode not in ("drop", "null"):
         raise ValueError(f"finite_gate mode must be 'drop' or 'null', got {mode!r}")
+    if not cols:
+        raise ValueError("finite_gate needs at least one column")
 
     def bad(c: str) -> F.Column:
         col = F.col(c).cast("double")

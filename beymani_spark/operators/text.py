@@ -903,6 +903,8 @@ def quality_fuse(
     signals per row, and every z is round-6 before weighting so the fused
     score replays identically in SQL.
     """
+    if not signal_cols:
+        raise ValueError("quality_fuse needs at least one signal column")
     if weights is None:
         weights = [1.0] * len(signal_cols)
     if len(weights) != len(signal_cols):

@@ -340,7 +340,8 @@ def q_quality_rank_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPACTION_ORACLE = """
 WITH est AS (
   SELECT source, lang,
-         strlen(text) + strlen(lang) + strlen(source) AS row_bytes
+         coalesce(strlen(text), 0) + coalesce(strlen(lang), 0)
+           + coalesce(strlen(source), 0) AS row_bytes
   FROM documents
 ), agg AS (
   SELECT source, lang, count(*) AS n_rows,

@@ -809,3 +809,5 @@ def test_finite_gate_modes(spark):
 
     with pytest.raises(ValueError, match="mode"):
         finite_gate(df, ["a"], mode="bogus")
+    with pytest.raises(ValueError, match="column"):
+        finite_gate(df, [])

@@ -983,6 +983,8 @@ def test_quality_fuse_hand_computed(spark):
 
     with pytest.raises(ValueError, match="weights"):
         quality_fuse(df, ["a", "b"], weights=[1.0])
+    with pytest.raises(ValueError, match="signal"):
+        quality_fuse(df, [])
 
 
 def test_lang_fertility_hand_computed(spark):
@@ -1039,3 +1041,10 @@ def test_compaction_plan_hand_computed(spark):
     numeric_only = spark.createDataFrame([(1, 2), (3, 2)], "id long, grp long")
     with pytest.raises(ValueError, match="bytes_col"):
         compaction_plan(numeric_only, ["grp"])
+
+    # NULL strings estimate as 0 bytes, never NULL-poison the partition sum
+    with_null = spark.createDataFrame(
+        [(1, "p", None), (2, "p", "abcd")], "id long, part string, payload string"
+    )
+    row = compaction_plan(with_null, ["part"], target_file_bytes=300).first()
+    assert row["est_bytes"] == 1 + 1 + 4 and row["n_files"] == 1
