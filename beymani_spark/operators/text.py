@@ -881,28 +881,51 @@ def compression_ratio(
     )
 
 
-def quality_fuse(
+def fuse_stats(
     df: DataFrame,
     signal_cols: Sequence[str],
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Fit the fusion model: ROUND-6 mean/std per signal — corpus-wide,
+    or per stratum with ``by`` (per-language standardization: what counts
+    as high-punctuation prose differs per script, so cross-language
+    z-scores mix calibrations). The round-6 quantization is the registry
+    model convention: aggregate summation order varies with partitioning,
+    so the broadcast model must be quantized before any row math replays
+    it. One partial-aggregated pass; output is 1 row (or |strata| rows)
+    and broadcasts. ``_fitted`` marks rows produced by a real fit so
+    :func:`fuse_apply` can distinguish an unlearned stratum from a
+    learned-but-degenerate one."""
+    if not signal_cols:
+        raise ValueError("quality_fuse needs at least one signal column")
+    aggs = []
+    for c in signal_cols:
+        aggs.append(F.round(F.avg(F.col(c)), 6).alias(f"_mu_{c}"))
+        aggs.append(F.round(F.stddev_samp(F.col(c)), 6).alias(f"_sd_{c}"))
+    aggs.append(F.lit(True).alias("_fitted"))
+    if by:
+        return df.groupBy(*by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def fuse_apply(
+    df: DataFrame,
+    stats: DataFrame,
+    signal_cols: Sequence[str],
     weights: Sequence[float] | None = None,
+    by: Sequence[str] | None = None,
     out_col: str = "fused_score",
 ) -> DataFrame:
-    """Multi-signal quality fusion: standardize each signal against its
-    corpus mean/std and combine with weights — the ensemble step of a
-    curation pipeline where rule gates (gopher), composite heuristics
-    (quality_score), and compressibility (zlib_ratio) each see failure
-    modes the others miss. Z-standardizing before the weighted sum puts
-    signals on one scale regardless of their native ranges.
+    """Score rows against a fitted fusion model (:func:`fuse_stats`):
+    z = round-6((x - mu) / sd) per signal, weighted sum renormalized over
+    the non-NULL z's per row. Constant signals (sd 0) and NULL signals
+    drop out of the weight mass; a row whose stratum has NO fitted stats
+    scores NULL (an unlearned stratum must never silently read as
+    'exactly average' — the 'I'-label convention of the serving jobs).
 
-    Deliberately NOT rank fusion (RRF): global per-signal ranks cost a
-    full sort per signal — three global sorts at 100 TB. Standardization
-    needs only one tiny aggregate (means/stds for all signals in ONE
-    pass) broadcast back onto the fact table, so the whole ensemble is a
-    scan + one |signals|-row broadcast join. Constant signals (std 0) and
-    NULL signals contribute 0, weights renormalize over the non-NULL
-    signals per row, and every z is round-6 before weighting so the fused
-    score replays identically in SQL.
-    """
+    Stateless and broadcast-only, so it runs unchanged on a stream
+    (streaming.jobs.stream_quality_fuse) — the model is a tiny broadcast
+    frame, not stream state."""
     if not signal_cols:
         raise ValueError("quality_fuse needs at least one signal column")
     if weights is None:
@@ -911,15 +934,10 @@ def quality_fuse(
         raise ValueError(
             f"{len(signal_cols)} signals but {len(weights)} weights"
         )
-    aggs = []
-    for c in signal_cols:
-        # round-6 the fitted stats (the registry model convention): the
-        # aggregate's summation order varies with partitioning, so the
-        # broadcast model must be quantized before any row math replays it
-        aggs.append(F.round(F.avg(F.col(c)), 6).alias(f"_mu_{c}"))
-        aggs.append(F.round(F.stddev_samp(F.col(c)), 6).alias(f"_sd_{c}"))
-    stats = df.agg(*aggs)
-    out = df.join(F.broadcast(stats))
+    if by:
+        out = df.join(F.broadcast(stats), list(by), "left")
+    else:
+        out = df.join(F.broadcast(stats))
     zs, ws = [], []
     for c, w in zip(signal_cols, weights):
         z = F.when(
@@ -931,13 +949,44 @@ def quality_fuse(
             F.when(z.isNotNull(), F.lit(float(w))).otherwise(F.lit(0.0))
         )
     total_w = sum(ws[1:], start=ws[0])
-    fused = F.when(
-        total_w > 0,
-        F.round(sum(zs[1:], start=zs[0]) / total_w, 6),
-    ).otherwise(F.lit(0.0))
+    fused = F.when(F.col("_fitted").isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(
+            total_w > 0,
+            F.round(sum(zs[1:], start=zs[0]) / total_w, 6),
+        ).otherwise(F.lit(0.0))
+    )
     out = out.withColumn(out_col, fused)
     return out.drop(
-        *[f"_mu_{c}" for c in signal_cols], *[f"_sd_{c}" for c in signal_cols]
+        "_fitted",
+        *[f"_mu_{c}" for c in signal_cols],
+        *[f"_sd_{c}" for c in signal_cols],
+    )
+
+
+def quality_fuse(
+    df: DataFrame,
+    signal_cols: Sequence[str],
+    weights: Sequence[float] | None = None,
+    out_col: str = "fused_score",
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Multi-signal quality fusion: standardize each signal against its
+    corpus (or per-``by``-stratum) mean/std and combine with weights —
+    the ensemble step of a curation pipeline where rule gates (gopher),
+    composite heuristics (quality_score), and compressibility
+    (zlib_ratio) each see failure modes the others miss. Z-standardizing
+    before the weighted sum puts signals on one scale regardless of
+    their native ranges; ``by=['lang']`` calibrates per language.
+
+    Deliberately NOT rank fusion (RRF): global per-signal ranks cost a
+    full sort per signal — three global sorts at 100 TB. Standardization
+    needs only one tiny aggregate (means/stds for all signals in ONE
+    pass) broadcast back onto the fact table, so the whole ensemble is a
+    scan + one dimension-sized broadcast join. Fit/apply are exposed
+    separately (:func:`fuse_stats` / :func:`fuse_apply`) so a stream can
+    score against a batch-fitted model."""
+    return fuse_apply(
+        df, fuse_stats(df, signal_cols, by), signal_cols, weights, by, out_col
     )
 
 

@@ -3185,3 +3185,68 @@ def q_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace tokens). One partial-aggregated groupBy(lang)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.lang_fertility(docs)
+
+
+# Per-language fusion: same per-row signals, stats fitted PER LANG (what
+# counts as high punctuation differs per script) and left-joined back.
+_QUALITY_FUSE_BY_LANG_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents
+), f AS (
+  SELECT doc_id, lang,
+         0.25 * least(1.0, len(toks) / 50.0)
+           + 0.25 * (1.0 - least(1.0,
+               length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) * 1.0
+               / length(text) * 4.0))
+           + 0.25 * least(1.0,
+               len(list_filter(toks, x -> list_contains({text.STOPWORDS!r}, x))) * 1.0
+               / len(toks) * 5.0)
+           + 0.25 * (len(list_distinct(toks)) * 1.0 / len(toks)) AS quality,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+  FROM t
+), s AS (
+  SELECT lang,
+         round(avg(quality), 6) AS mu_q, round(stddev_samp(quality), 6) AS sd_q,
+         round(avg(type_token_ratio), 6) AS mu_t, round(stddev_samp(type_token_ratio), 6) AS sd_t,
+         true AS fitted
+  FROM f GROUP BY lang
+), z AS (
+  -- plain-equality LEFT join (Spark's join(..., ["lang"], "left")): a
+  -- NULL-lang row matches nothing and scores NULL, per fuse_apply's
+  -- unlearned-stratum contract
+  SELECT f.doc_id, f.lang, s.fitted,
+         CASE WHEN quality IS NOT NULL AND sd_q > 0
+              THEN round((quality - mu_q) / sd_q, 6) END AS z_q,
+         CASE WHEN type_token_ratio IS NOT NULL AND sd_t > 0
+              THEN round((type_token_ratio - mu_t) / sd_t, 6) END AS z_t
+  FROM f LEFT JOIN s ON f.lang = s.lang
+)
+SELECT doc_id, lang,
+       CASE WHEN fitted IS NULL THEN NULL
+            WHEN (CASE WHEN z_q IS NOT NULL THEN 2.0 ELSE 0.0 END
+                + CASE WHEN z_t IS NOT NULL THEN 1.0 ELSE 0.0 END) > 0
+            THEN round((coalesce(z_q, 0.0) * 2.0 + coalesce(z_t, 0.0) * 1.0)
+                       / (CASE WHEN z_q IS NOT NULL THEN 2.0 ELSE 0.0 END
+                        + CASE WHEN z_t IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+            ELSE 0.0 END AS fused_score
+FROM z
+"""
+
+
+@register("quality_fuse_by_lang", _QUALITY_FUSE_BY_LANG_ORACLE)
+def q_quality_fuse_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality fusion (text.quality_fuse with by=['lang']):
+    each signal standardizes against ITS language's round-6 stats before
+    the weighted combine — cross-language z-scores mix calibrations
+    (scripts differ in punctuation and type-token norms). The fitted
+    model is |langs| rows and broadcasts; the fact table never
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs)
+    out = text.quality_fuse(
+        scored,
+        ["quality", "type_token_ratio"],
+        weights=[2.0, 1.0],
+        by=["lang"],
+    )
+    return out.select("doc_id", "lang", "fused_score")

@@ -114,6 +114,7 @@ _PRIORITY = [
     "local_supplier_volume",
     "returned_item_revenue",
     "quality_fuse",
+    "quality_fuse_by_lang",
     "lang_fertility",
     "compaction_plan",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---

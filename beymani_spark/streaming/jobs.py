@@ -977,3 +977,26 @@ def stream_constraint_gate(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_quality_fuse(
+    stream_df: DataFrame,
+    stats: DataFrame,
+    signal_cols: Sequence[str],
+    weights: Sequence[float] | None = None,
+    by: Sequence[str] | None = None,
+    out_col: str = "fused_score",
+) -> DataFrame:
+    """Score a live signal stream against a BATCH-fitted fusion model
+    (text.fuse_stats output): the same batch-learn -> stream-serve loop
+    as stream_tag_learned_threshold, for the multi-signal quality
+    ensemble. The model is a tiny broadcast frame (1 row, or |strata|
+    rows with ``by``), the scoring is stateless codegen, so stream output
+    per row is IDENTICAL to a batch fuse_apply over the same rows
+    (parity-tested); rows from a stratum the model never saw score NULL
+    (an unlearned stratum must never silently read as 'exactly
+    average'). Refit cadence is the caller's policy — restart the query
+    with fresh stats; there is no stream state to migrate."""
+    from ..operators.text import fuse_apply
+
+    return fuse_apply(stream_df, stats, signal_cols, weights, by, out_col)

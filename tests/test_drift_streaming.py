@@ -999,3 +999,53 @@ def test_stream_entropy_increase_matches_batch_and_accumulates(spark, stream_dir
         ["event_type", "bucket"]
     )["score"].nunique()
     assert (per_bucket > 1).any()
+
+
+def test_stream_quality_fuse_matches_batch_and_nulls_unlearned(spark, stream_dirs):
+    """Batch-fitted fusion stats serve a live stream: per-row fused
+    scores equal batch fuse_apply exactly, and a stratum absent from the
+    fitted model scores NULL (never 'exactly average')."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators import text as text_ops
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_quality_fuse
+
+    src, chk = stream_dirs
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    scored = text_ops.quality_score(docs).select(
+        "doc_id", "lang", "quality", "type_token_ratio"
+    )
+    # fit on every lang EXCEPT 'fr' so the stream carries an unlearned stratum
+    stats = text_ops.fuse_stats(
+        scored.filter(F.col("lang") != "fr"),
+        ["quality", "type_token_ratio"],
+        by=["lang"],
+    )
+    batch = stream_quality_fuse(
+        scored, stats, ["quality", "type_token_ratio"], [2.0, 1.0], by=["lang"]
+    )
+    exp = {r["doc_id"]: r["fused_score"] for r in batch.collect()}
+
+    scored.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(scored.schema).parquet(src)
+    q = (
+        stream_quality_fuse(
+            stream, stats, ["quality", "type_token_ratio"], [2.0, 1.0], by=["lang"]
+        )
+        .writeStream.format("memory")
+        .queryName("qfuse_t")
+        .option("checkpointLocation", chk + "/qfuse")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["fused_score"]
+        for r in spark.sql("select doc_id, fused_score from qfuse_t").collect()
+    }
+    assert got == exp, "stream fuse must equal batch fuse row-for-row"
+    fr_docs = [r["doc_id"] for r in scored.filter(F.col("lang") == "fr").collect()]
+    assert fr_docs and all(got[d] is None for d in fr_docs), (
+        "unlearned stratum must score NULL"
+    )

@@ -1048,3 +1048,34 @@ def test_compaction_plan_hand_computed(spark):
     )
     row = compaction_plan(with_null, ["part"], target_file_bytes=300).first()
     assert row["est_bytes"] == 1 + 1 + 4 and row["n_files"] == 1
+
+
+def test_quality_fuse_by_strata(spark):
+    """by-strata fusion standardizes within each stratum: identical raw
+    values score differently when their strata differ; a row whose
+    stratum was never fitted scores NULL."""
+    from beymani_spark.operators.text import fuse_apply, fuse_stats, quality_fuse
+
+    rows = [
+        (1, "en", 1.0),
+        (2, "en", 3.0),
+        (3, "de", 1.0),
+        (4, "de", 101.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, a double")
+    out = {
+        r["id"]: r["fused_score"]
+        for r in quality_fuse(df, ["a"], by=["lang"]).collect()
+    }
+    # en: mu=2 sd~1.414214 -> z(1.0) ~ -0.707107; de: mu=51 sd~70.710678
+    assert abs(out[1] + 0.707107) < 1e-6
+    assert abs(out[3] + 0.707107) < 1e-6  # same z despite 100x the spread
+    assert out[1] != out[2] and abs(out[2] - 0.707107) < 1e-6
+
+    stats = fuse_stats(df.filter("lang = 'en'"), ["a"], by=["lang"])
+    served = {
+        r["id"]: r["fused_score"]
+        for r in fuse_apply(df, stats, ["a"], by=["lang"]).collect()
+    }
+    assert served[3] is None and served[4] is None  # unlearned stratum
+    assert abs(served[1] + 0.707107) < 1e-6
