@@ -73,3 +73,46 @@ def observed_label_counts(df: DataFrame, label_col: str = "label", name: str = "
         F.sum(F.when(lbl == "I", 1).otherwise(0)).alias("invalid"),
     )
     return out, obs
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join for the case AQE cannot fix: a hot key on
+    the LEFT whose matching right rows must reach every left partition.
+    The left side salts each row into one of ``salt_buckets`` pseudo-keys;
+    the right side REPLICATES each row across all buckets (explode of a
+    bucket array), so the join keys become (keys..., _salt) and the hot
+    key's rows spread over ``salt_buckets`` tasks instead of one straggler.
+
+    Results are row-identical to ``left.join(right, keys, how)`` for
+    'inner' and 'left' joins (each left row still meets every matching
+    right row exactly once — it carries ONE salt, and the right copy with
+    that salt is unique). Cost: right side shuffles ``salt_buckets``×
+    — use when the right side is too big to broadcast but far smaller
+    than the hot key's row count, the regime between broadcast joins and
+    AQE skew splitting (AQE only splits SORT-merge partitions that
+    exceed the skew threshold AFTER a shuffle both sides already paid).
+
+    Only 'inner' and 'left' are supported: a right/full join would count
+    unmatched right rows once per replica."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_l = left.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        ).cast("int"),
+    )
+    replicated_r = right.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")
+        ),
+    )
+    out = salted_l.join(replicated_r, [*keys, "_salt"], how)
+    return out.drop("_salt")

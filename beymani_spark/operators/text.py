@@ -939,10 +939,15 @@ def fuse_apply(
     else:
         out = df.join(F.broadcast(stats))
     zs, ws = [], []
+    # z stays FULL precision: the inputs and the round-6 model are
+    # bit-identical cross-engine, so (x - mu) / sd is too — rounding z
+    # here would manufacture exact .5 decimal boundaries in the weighted
+    # mean (average of quantized values), where engine round()
+    # implementations legitimately disagree; only the FINAL score rounds
     for c, w in zip(signal_cols, weights):
         z = F.when(
             F.col(c).isNotNull() & (F.col(f"_sd_{c}") > 0),
-            F.round((F.col(c) - F.col(f"_mu_{c}")) / F.col(f"_sd_{c}"), 6),
+            (F.col(c) - F.col(f"_mu_{c}")) / F.col(f"_sd_{c}"),
         )
         zs.append(F.coalesce(z, F.lit(0.0)) * F.lit(float(w)))
         ws.append(

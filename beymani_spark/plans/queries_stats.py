@@ -789,3 +789,85 @@ def q_finite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value_adj"
     )
     return _round(profile.finite_gate(adj, ["value_adj"]), ["value_adj"])
+
+
+# Detector-score ensemble: both kernels' round-6 scores are standardized
+# per event_type (round-6 fitted stats) and averaged — fuse machinery
+# from the curation surface applied to the reference's outlier scores.
+_ANOMALY_FUSE_ORACLE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std
+  FROM events GROUP BY event_type
+), q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3,
+         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT e.event_id, e.event_type,
+         round(CASE WHEN s.std > 0 THEN abs(e.value - s.mean) / s.std END, 6) AS z_score,
+         round(CASE WHEN q.iqr IS NULL OR q.iqr <= 0 THEN NULL
+                    WHEN e.value < q.q1 THEN (q.q1 - e.value) / q.iqr
+                    WHEN e.value > q.q3 THEN (e.value - q.q3) / q.iqr
+                    ELSE 0.0 END, 6) AS iqr_s
+  FROM events e LEFT JOIN stats s USING (event_type) LEFT JOIN q USING (event_type)
+), fm AS (
+  SELECT event_type,
+         round(avg(z_score), 6) AS mu_z, round(stddev_samp(z_score), 6) AS sd_z,
+         round(avg(iqr_s), 6) AS mu_i, round(stddev_samp(iqr_s), 6) AS sd_i,
+         true AS fitted
+  FROM scored GROUP BY event_type
+), z AS (
+  SELECT sc.event_id, sc.event_type, sc.z_score, sc.iqr_s, fm.fitted,
+         CASE WHEN sc.z_score IS NOT NULL AND fm.sd_z > 0
+              THEN (sc.z_score - fm.mu_z) / fm.sd_z END AS zz,
+         CASE WHEN sc.iqr_s IS NOT NULL AND fm.sd_i > 0
+              THEN (sc.iqr_s - fm.mu_i) / fm.sd_i END AS zi
+  FROM scored sc LEFT JOIN fm ON sc.event_type = fm.event_type
+)
+SELECT event_id, event_type, z_score, iqr_s,
+       CASE WHEN fitted IS NULL THEN NULL
+            WHEN (CASE WHEN zz IS NOT NULL THEN 1.0 ELSE 0.0 END
+                + CASE WHEN zi IS NOT NULL THEN 1.0 ELSE 0.0 END) > 0
+            THEN round((coalesce(zz, 0.0) + coalesce(zi, 0.0))
+                       / (CASE WHEN zz IS NOT NULL THEN 1.0 ELSE 0.0 END
+                        + CASE WHEN zi IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+            ELSE 0.0 END AS fused_score
+FROM z
+"""
+
+
+@register("anomaly_score_fuse", _ANOMALY_FUSE_ORACLE)
+def q_anomaly_score_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector ensemble (text.quality_fuse applied to outlier scores):
+    K1 z-score and K8 IQR score, each round-6, standardized against their
+    per-event_type round-6 stats and averaged — rank-free score fusion
+    (global rank aggregation would sort the fact table once per
+    detector). One fact scan with two broadcast model joins feeds BOTH
+    kernels (never a fact-fact self-join to pair the scores), then the
+    |keys|-row fuse model broadcasts back."""
+    from ..operators import text as text_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    model = zscore.quartiles(ev, ["event_type"], ["value"])
+    z = (
+        zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
+        .withColumnRenamed("score", "z_raw")
+        .drop("label")
+    )
+    both = (
+        zscore.iqr_score(z, model, ["event_type"], ["value"], threshold=1.5)
+        .withColumnRenamed("score", "iqr_raw")
+        .drop("label")
+    )
+    scored = both.select(
+        "event_id",
+        "event_type",
+        F.round("z_raw", 6).alias("z_score"),
+        F.round("iqr_raw", 6).alias("iqr_s"),
+    )
+    out = text_ops.quality_fuse(
+        scored, ["z_score", "iqr_s"], by=["event_type"]
+    )
+    return out.select("event_id", "event_type", "z_score", "iqr_s", "fused_score")

@@ -3122,11 +3122,11 @@ WITH t AS (
 ), z AS (
   SELECT doc_id,
          CASE WHEN quality IS NOT NULL AND sd_q > 0
-              THEN round((quality - mu_q) / sd_q, 6) END AS z_q,
+              THEN (quality - mu_q) / sd_q END AS z_q,
          CASE WHEN punct_ratio IS NOT NULL AND sd_p > 0
-              THEN round((punct_ratio - mu_p) / sd_p, 6) END AS z_p,
+              THEN (punct_ratio - mu_p) / sd_p END AS z_p,
          CASE WHEN type_token_ratio IS NOT NULL AND sd_t > 0
-              THEN round((type_token_ratio - mu_t) / sd_t, 6) END AS z_t
+              THEN (type_token_ratio - mu_t) / sd_t END AS z_t
   FROM f, s
 )
 SELECT doc_id,
@@ -3216,9 +3216,9 @@ WITH t AS (
   -- unlearned-stratum contract
   SELECT f.doc_id, f.lang, s.fitted,
          CASE WHEN quality IS NOT NULL AND sd_q > 0
-              THEN round((quality - mu_q) / sd_q, 6) END AS z_q,
+              THEN (quality - mu_q) / sd_q END AS z_q,
          CASE WHEN type_token_ratio IS NOT NULL AND sd_t > 0
-              THEN round((type_token_ratio - mu_t) / sd_t, 6) END AS z_t
+              THEN (type_token_ratio - mu_t) / sd_t END AS z_t
   FROM f LEFT JOIN s ON f.lang = s.lang
 )
 SELECT doc_id, lang,

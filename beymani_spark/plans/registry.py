@@ -115,6 +115,7 @@ _PRIORITY = [
     "returned_item_revenue",
     "quality_fuse",
     "quality_fuse_by_lang",
+    "anomaly_score_fuse",
     "lang_fertility",
     "compaction_plan",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---

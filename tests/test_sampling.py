@@ -541,3 +541,39 @@ def test_simhash_auto_rejects_underwide_sketch(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="bands"):
         simhash_dup_pairs_auto(df, "doc_id", max_hamming=7, bits=4)
+
+
+def test_salted_join_equivalence_and_spread(spark):
+    """salted_join: row-identical to the plain equi-join (inner AND left,
+    including unmatched left rows), spreads a hot key across salt
+    buckets, rejects right/full joins."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from beymani_spark.functions.skew import salted_join
+
+    # hot key 'h' dominates; 'c' has no match on the right
+    left = spark.createDataFrame(
+        [(("h" if i % 10 else "b"), i) for i in range(1000)] + [("c", -1)],
+        "k string, v long",
+    )
+    right = spark.createDataFrame(
+        [("h", "hot"), ("b", "cold")], "k string, tag string"
+    )
+    for how in ("inner", "left"):
+        plain = left.join(right, ["k"], how).groupBy("k", "tag").count()
+        salted = salted_join(left, right, ["k"], salt_buckets=8, how=how)
+        got = salted.groupBy("k", "tag").count()
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
+    # the hot key's left rows actually fan across several salt buckets
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8))
+    )
+    n_buckets = (
+        salted_l.filter("k = 'h'").select("_salt").distinct().count()
+    )
+    assert n_buckets >= 6, "hot key must spread over most buckets"
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, ["k"], how="right")
