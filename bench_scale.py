@@ -119,6 +119,9 @@ HEAVY = [
     "quality_fuse",
     "local_supplier_volume",
     "returned_item_revenue",
+    "anomaly_score_fuse",
+    "quality_fuse_by_lang",
+    "media_phash_dup_pairs",
 ]
 
 

@@ -1144,3 +1144,124 @@ def _jpg_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
         xs = np.linspace(0, w0 - 1, width).astype(int)
         gray = gray[ys][:, xs]
     return gray
+
+
+# ---------------------------------------------------------------- perceptual hash
+
+def _phash_dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis (the _jpg_dct_matrix construction at
+    size n): row k = sqrt(2/n)*cos(pi*(2m+1)k/(2n)), row 0 scaled by
+    1/sqrt(2)."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    m = np.arange(n)[None, :].astype(np.float64)
+    mat = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    mat[0] /= np.sqrt(2.0)
+    return mat
+
+
+def phash_hex(px: np.ndarray) -> list[str]:
+    """64-bit DCT perceptual hashes for a (batch, 32, 32) pixel block,
+    as 16-hex-char strings (hex, not int64: band extraction then needs no
+    signed-shift gymnastics in either engine, and the oracle replays the
+    same kernel byte-for-byte).
+
+    Classic pHash: 2D orthonormal DCT of the 32x32 grayscale raster, keep
+    the top-left 8x8 low-frequency block, threshold every coefficient
+    against the MEDIAN OF THE 63 AC COEFFICIENTS (DC excluded — it is
+    raw mean brightness and would drag the median), bit i (row-major,
+    MSB first) = coefficient > median. Equal-to-median compares 0. All
+    float64 numpy — deterministic for a given library, replayed verbatim
+    by the oracle."""
+    mat = _phash_dct_matrix(32)
+    co = np.einsum("ij,bjk,lk->bil", mat, px.astype(np.float64), mat)
+    block = co[:, :8, :8].reshape(len(px), 64)
+    med = np.median(block[:, 1:], axis=1, keepdims=True)
+    bits = block > med
+    out = []
+    for row in bits:
+        v = 0
+        for b in row:
+            v = (v << 1) | int(b)
+        out.append(f"{v:016x}")
+    return out
+
+
+def phash64(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    decode: str = "fake",
+) -> DataFrame:
+    """(media_id, phash string) — DCT perceptual hash per media item: the
+    image-side analogue of SimHash (near-identical images differ in a few
+    bits; crops/re-encodes move low-frequency structure little). One
+    mapInPandas pass, no shuffle; dedup rides :func:`phash_dup_pairs`."""
+    if decode not in ("fake", "real", "ppm", "png", "jpg"):
+        raise ValueError(f"unknown decode mode: {decode}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            if not payloads:
+                yield pd.DataFrame(columns=[id_col, "phash"])
+                continue
+            px = _decode_batch(payloads, 32, 32, decode)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "phash": phash_hex(px)}
+            )
+
+    return _spread(df).mapInPandas(gen, schema=f"{id_col} long, phash string")
+
+
+def phash_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup media pairs by banded perceptual hash: the 64-bit hash
+    splits into four 16-bit hex bands; candidates share at least one band
+    (equi-join on (band index, band value) — pigeonhole guarantees every
+    pair within hamming <= 3 collides somewhere, the SimHash-banding
+    argument); verification is the exact hamming distance, computed
+    band-wise as bit_count(xor) over NON-NEGATIVE 16-bit ints (hex
+    parsing per band — no signed-64 shift semantics to match across
+    engines). Output (src, dst, hamming) with hamming <= max_hamming.
+
+    Bucket sizes: uniform 16-bit bands put N/2^16 items per bucket per
+    band — the same documented collision floor as 16-bit SimHash, fine
+    to ~10^6 items per partition-population; beyond that, widen bands
+    the dedup_simhash_auto way."""
+    if not (0 <= max_hamming <= 3):
+        raise ValueError(
+            "banded 4x16 phash guarantees recall only for max_hamming <= 3"
+        )
+    bands = F.array(
+        *[F.substring(F.col(hash_col), 1 + 4 * b, 4) for b in range(4)]
+    )
+    exploded = hashed.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+        F.posexplode(bands).alias("band", "sig"),
+    )
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band", "sig"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("src"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._id").alias("dst"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    ham = None
+    for b in range(4):
+        ba = F.conv(F.substring("_ha", 1 + 4 * b, 4), 16, 10).cast("long")
+        bb = F.conv(F.substring("_hb", 1 + 4 * b, 4), 16, 10).cast("long")
+        t = F.bit_count(ba.bitwiseXOR(bb))
+        ham = t if ham is None else (ham + t)
+    verified = cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    )
+    return verified.select("src", "dst", "hamming")

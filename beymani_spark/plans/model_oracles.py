@@ -844,3 +844,63 @@ SELECT d.doc_id, CAST(strlen(d.text) AS INTEGER) AS n_bytes,
          BETWEEN 0.3 AND 0.95, false) AS keep
 FROM documents d LEFT JOIN z ON z.doc_id = d.doc_id
 """
+
+
+def _hex16_sql(expr: str) -> str:
+    """BIGINT value of a 4-hex-char band expression (the _hex32_sql
+    construction at width 4 — 16-bit, always non-negative)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1)::BIGINT"
+        f" * {16 ** (3 - p)}"
+        for p in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def media_phash_dup_oracle(sf_dir: str) -> str:
+    """Perceptual-hash media dedup oracle: the DCT pHash cannot run in
+    SQL, so the 64-bit hashes are replayed off-Spark with the SAME
+    deterministic kernel (multimodal.phash_hex over the sha-counter
+    raster each doc derives from its text, planted % 7 == 0 copies
+    included) and baked as VALUES; the banding, candidate join, and
+    exact band-wise bit_count(xor) hamming verify run in DuckDB. A
+    kernel or banding bug on the Spark side breaks the hash because the
+    driver's Spark run decodes and hashes for real."""
+    from ..operators.multimodal import _fake_pixels, phash_hex
+
+    pdf = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = []
+    for d, t in zip(pdf["doc_id"], pdf["text"]):
+        if t is None:
+            continue
+        px = _fake_pixels(t.encode("utf-8"), 32, 32)[None, ...]
+        h = phash_hex(px)[0]
+        rows.append(f"({int(d)}, '{h}')")
+        if int(d) % 7 == 0:
+            rows.append(f"({int(d) + 10_000_000}, '{h}')")
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst,"
+            " CAST(NULL AS BIGINT) AS hamming WHERE FALSE"
+        )
+    values = ", ".join(rows)
+    ham = " + ".join(
+        f"bit_count(xor({_hex16_sql(f'substr(a.phash, {1 + 4 * b}, 4)')},"
+        f" {_hex16_sql(f'substr(b.phash, {1 + 4 * b}, 4)')}))"
+        for b in range(4)
+    )
+    return f"""
+WITH m(media_id, phash) AS (VALUES {values}),
+e AS (
+  SELECT media_id, phash, b.b AS band, substr(phash, 1 + 4 * b.b, 4) AS sig
+  FROM m, (SELECT unnest([0, 1, 2, 3]) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS src, b.media_id AS dst
+  FROM e a JOIN e b ON a.band = b.band AND a.sig = b.sig
+                   AND a.media_id < b.media_id
+)
+SELECT c.src, c.dst, CAST({ham} AS BIGINT) AS hamming
+FROM cand c JOIN m a ON a.media_id = c.src JOIN m b ON b.media_id = c.dst
+WHERE {ham} <= 3
+"""

@@ -762,3 +762,29 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "n_bytes", F.round("rms", 6).alias("rms"), "peak", "zero_cross"
     )
+
+
+from .model_oracles import media_phash_dup_oracle as _media_phash_dup_oracle  # noqa: E402
+
+
+@register("media_phash_dup_pairs", _media_phash_dup_oracle)
+def q_media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup (multimodal.phash64 + phash_dup_pairs):
+    64-bit DCT pHash per item, banded 4x16-bit candidates, exact
+    band-wise bit_count(xor) hamming verify at <= 3 — the image-side
+    SimHash. Planted duplicates (every doc_id % 7 == 0 payload repeated
+    under a shifted id) make the nonzero detection path part of the
+    certified result on every draw; the fake-decode rasters are
+    pseudo-random, so organic sub-3-bit collisions are vanishingly rare
+    and the planted pairs ARE the expected output. The oracle replays
+    the DCT kernel off-Spark and re-runs banding + hamming in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    planted = media.filter(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"), "payload"
+    )
+    hashed = multimodal.phash64(media.union(planted), decode="fake")
+    return multimodal.phash_dup_pairs(hashed, max_hamming=3)

@@ -116,6 +116,7 @@ _PRIORITY = [
     "quality_fuse",
     "quality_fuse_by_lang",
     "anomaly_score_fuse",
+    "media_phash_dup_pairs",
     "lang_fertility",
     "compaction_plan",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---

@@ -67,6 +67,9 @@ TEXT_QUERIES = [
     "repetition_score", "ngram_novelty", "zipf_spectrum", "vocab_topk",
     "source_gram_topk", "corpus_stats", "gopher_quality", "dedup_exact",
     "dedup_rate_by_source", "dedup_jaccard", "dedup_simhash", "tfidf_topk",
+    # round-7 session-2 additions (documents-only)
+    "compression_ratio", "quality_fuse", "quality_fuse_by_lang",
+    "lang_fertility", "dedup_containment", "compaction_plan",
 ]
 
 

@@ -994,3 +994,19 @@ def test_fertility_and_compaction_partial_aggs(spark):
         plan = _plan(df)
         assert plan.count("Exchange") == 1
         assert "partial" in plan.lower()
+
+
+def test_phash_dup_pairs_band_join_no_cartesian(spark):
+    """media pHash dedup: candidates come from the (band, sig) equi-join —
+    never a cartesian or a sort of all pairs; the hash pass is one
+    Python map stage with no shuffle before the band explode."""
+    from beymani_spark.operators.multimodal import phash64, phash_dup_pairs
+
+    docs = load_table(spark, SF, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    plan = _plan(phash_dup_pairs(phash64(media, decode="fake")))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "sig" in plan, "candidates must equi-join on bands"

@@ -621,3 +621,56 @@ def test_jpg_truncated_fill_run_raises_valueerror():
 
     with _pytest.raises(ValueError, match="truncated"):
         multimodal._jpg_pixels(b"\xff\xd8\xff\xff", 8, 8)
+
+
+def test_phash_properties(spark):
+    """pHash: exact copies hash identically (recall 1.0 on true dups);
+    a pure brightness shift moves ONLY the DC coefficient, so hamming
+    <= 1; unrelated rasters land far apart; banding finds every
+    hamming<=3 pair (pigeonhole); max_hamming > 3 rejected."""
+    import numpy as np
+    import pytest
+
+    from beymani_spark.operators.multimodal import (
+        _fake_pixels,
+        phash_dup_pairs,
+        phash_hex,
+        phash64,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 200, size=(32, 32))
+    bright = np.clip(base + 20, 0, 255)
+    other = rng.randint(0, 256, size=(32, 32))
+    h_base, h_bright, h_other = phash_hex(
+        np.stack([base, bright, other]).astype(np.uint8)
+    )
+
+    def hamming(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert hamming(h_base, h_bright) <= 1, "brightness shift flips at most DC"
+    assert hamming(h_base, h_other) > 10, "unrelated rasters must differ widely"
+
+    # Spark pipeline: planted exact copy must surface at hamming 0
+    rows = [(1, b"alpha payload"), (2, b"alpha payload"), (3, b"something else")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = phash64(df, decode="fake")
+    got = {(r["src"], r["dst"]): r["hamming"] for r in phash_dup_pairs(hashed).collect()}
+    assert got == {(1, 2): 0}
+    # determinism vs the local kernel replay
+    hx = {r["media_id"]: r["phash"] for r in hashed.collect()}
+    local = phash_hex(_fake_pixels(b"alpha payload", 32, 32)[None, ...])[0]
+    assert hx[1] == local
+
+    # pigeonhole: 3 flipped bits spread over 3 bands still collide on band 4
+    h1 = "0000" * 4
+    h2 = "0001" + "0002" + "0004" + "0000"
+    df2 = spark.createDataFrame(
+        [(1, h1), (2, h2)], "media_id long, phash string"
+    )
+    pairs = phash_dup_pairs(df2, max_hamming=3).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 3
+
+    with pytest.raises(ValueError, match="hamming"):
+        phash_dup_pairs(df2, max_hamming=4)
