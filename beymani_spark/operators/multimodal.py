@@ -352,6 +352,10 @@ def _spread(df: DataFrame) -> DataFrame:
     """Few-split sources (one parquet file) would decode every batch in a
     single python worker; round-robin them across the cluster first. Real
     multi-split media tables skip this branch and stay shuffle-free."""
+    if df.isStreaming:
+        # micro-batches are already split by the source; .rdd (and a
+        # blanket repartition) are illegal on a streaming frame
+        return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism // 2:
         df = df.repartition(parallelism)

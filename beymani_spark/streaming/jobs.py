@@ -1000,3 +1000,66 @@ def stream_quality_fuse(
     from ..operators.text import fuse_apply
 
     return fuse_apply(stream_df, stats, signal_cols, weights, by, out_col)
+
+
+def stream_media_phash_dedup(
+    stream_df: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    corpus_id_col: str = "corpus_media_id",
+    decode: str = "fake",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming media near-dup against a standing corpus: each arriving
+    item is pHashed in-stream (multimodal.phash64 — mapInPandas is
+    stream-compatible and stateless), banded into the same 4x16-bit hex
+    bands the batch pair engine uses, and stream-static equi-joined to
+    the corpus band table; matches verify with the exact band-wise
+    bit_count(xor) hamming IN the stream, so the emitted rows are
+    verified duplicates, not candidates. Output (media_id,
+    corpus_media_id, hamming <= max_hamming).
+
+    The corpus side is a batch phash64 output (media_id, phash) — tiny
+    relative to the media bytes, usually broadcastable; no watermark and
+    no state (the stateless-join class). Batch==stream parity holds
+    per-row because both sides run the identical kernel and band math
+    (parity-tested)."""
+    from ..operators.multimodal import phash64
+
+    if not (0 <= max_hamming <= 3):
+        raise ValueError(
+            "banded 4x16 phash guarantees recall only for max_hamming <= 3"
+        )
+    hashed = phash64(stream_df, id_col, payload_col, decode)
+    s_bands = hashed.select(
+        F.col(id_col),
+        F.col("phash").alias("_hs"),
+        F.posexplode(
+            F.array(*[F.substring("phash", 1 + 4 * b, 4) for b in range(4)])
+        ).alias("band", "sig"),
+    )
+    c_bands = corpus_hashes.select(
+        F.col(corpus_id_col),
+        F.col("phash").alias("_hc"),
+        F.posexplode(
+            F.array(*[F.substring("phash", 1 + 4 * b, 4) for b in range(4)])
+        ).alias("band", "sig"),
+    )
+    cand = (
+        s_bands.join(c_bands, ["band", "sig"])
+        .filter(F.col(id_col) != F.col(corpus_id_col))
+        .select(id_col, corpus_id_col, "_hs", "_hc")
+        .dropDuplicates([id_col, corpus_id_col])
+    )
+    ham = None
+    for b in range(4):
+        ba = F.conv(F.substring("_hs", 1 + 4 * b, 4), 16, 10).cast("long")
+        bb = F.conv(F.substring("_hc", 1 + 4 * b, 4), 16, 10).cast("long")
+        t = F.bit_count(ba.bitwiseXOR(bb))
+        ham = t if ham is None else (ham + t)
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(id_col, corpus_id_col, "hamming")
+    )

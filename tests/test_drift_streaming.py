@@ -1049,3 +1049,60 @@ def test_stream_quality_fuse_matches_batch_and_nulls_unlearned(spark, stream_dir
     assert fr_docs and all(got[d] is None for d in fr_docs), (
         "unlearned stratum must score NULL"
     )
+
+
+def test_stream_media_phash_dedup_matches_batch(spark, stream_dirs):
+    """Streaming media pHash dedup vs a standing corpus: the verified
+    (stream item, corpus item, hamming) set equals a batch run of the
+    same kernel+band math; a planted corpus copy surfaces at hamming 0,
+    unrelated payloads do not."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.multimodal import phash64
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_media_phash_dedup
+
+    src, chk = stream_dirs
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    corpus = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    corpus_hashes = phash64(corpus, decode="fake").withColumnRenamed(
+        "media_id", "corpus_media_id"
+    )
+    # stream: copies of corpus items 0/7/14... under shifted ids + fresh items
+    arriving = corpus.filter(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 500_000).alias("media_id"), "payload"
+    )
+    arriving.write.mode("overwrite").parquet(src + "/media")
+
+    batch_out = stream_media_phash_dedup(
+        spark.read.schema(arriving.schema).parquet(src + "/media"),
+        corpus_hashes,
+    )
+    exp = {
+        (r["media_id"], r["corpus_media_id"]): r["hamming"]
+        for r in batch_out.collect()
+    }
+
+    stream = spark.readStream.schema(arriving.schema).parquet(src + "/media")
+    q = (
+        stream_media_phash_dedup(stream, corpus_hashes)
+        .writeStream.format("memory")
+        .queryName("phash_t")
+        .option("checkpointLocation", chk + "/phash")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["media_id"], r["corpus_media_id"]): r["hamming"]
+        for r in spark.sql(
+            "select media_id, corpus_media_id, hamming from phash_t"
+        ).collect()
+    }
+    assert got == exp
+    # every planted copy found against its original at hamming 0
+    planted = {(m + 500_000, m) for m in range(0, 60, 7)}
+    assert planted <= set(got) and all(got[p] == 0 for p in planted)
