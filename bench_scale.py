@@ -122,6 +122,7 @@ HEAVY = [
     "anomaly_score_fuse",
     "quality_fuse_by_lang",
     "media_phash_dup_pairs",
+    "media_phash_dup_pairs_c2",
 ]
 
 

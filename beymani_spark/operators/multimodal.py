@@ -1222,6 +1222,7 @@ def phash_dup_pairs(
     id_col: str = "media_id",
     hash_col: str = "phash",
     max_hamming: int = 3,
+    composite_bands: bool = False,
 ) -> DataFrame:
     """Near-dup media pairs by banded perceptual hash: the 64-bit hash
     splits into four 16-bit hex bands; candidates share at least one band
@@ -1233,16 +1234,36 @@ def phash_dup_pairs(
     engines). Output (src, dst, hamming) with hamming <= max_hamming.
 
     Bucket sizes: uniform 16-bit bands put N/2^16 items per bucket per
-    band — the same documented collision floor as 16-bit SimHash, fine
-    to ~10^6 items per partition-population; beyond that, widen bands
-    the dedup_simhash_auto way."""
-    if not (0 <= max_hamming <= 3):
-        raise ValueError(
-            "banded 4x16 phash guarantees recall only for max_hamming <= 3"
-        )
-    bands = F.array(
-        *[F.substring(F.col(hash_col), 1 + 4 * b, 4) for b in range(4)]
-    )
+    band — the same documented collision floor as 16-bit SimHash, fine to
+    ~10^6 items (measured: linear time to 5M items at 100x, BASELINE.md
+    §8.6, but candidate volume grows N^2/2^16 and dominates the next
+    decade). The off-ramp is ``composite_bands=True``: candidates must
+    share a PAIR of bands (C(4,2)=6 composite 32-bit signatures), putting
+    buckets at N/2^32 — pigeonhole then covers max_hamming <= 2 (two bit
+    flips disturb at most two bands, leaving an intact pair), the
+    practical near-dup radius for 64-bit pHash at corpus scale."""
+    if composite_bands:
+        if not (0 <= max_hamming <= 2):
+            raise ValueError(
+                "composite 2-of-4 banding guarantees recall only for"
+                " max_hamming <= 2"
+            )
+        import itertools
+
+        sigs = [
+            F.concat(
+                F.substring(F.col(hash_col), 1 + 4 * i, 4),
+                F.substring(F.col(hash_col), 1 + 4 * j, 4),
+            )
+            for i, j in itertools.combinations(range(4), 2)
+        ]
+    else:
+        if not (0 <= max_hamming <= 3):
+            raise ValueError(
+                "banded 4x16 phash guarantees recall only for max_hamming <= 3"
+            )
+        sigs = [F.substring(F.col(hash_col), 1 + 4 * b, 4) for b in range(4)]
+    bands = F.array(*sigs)
     exploded = hashed.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
         F.posexplode(bands).alias("band", "sig"),

@@ -857,7 +857,7 @@ def _hex16_sql(expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def media_phash_dup_oracle(sf_dir: str) -> str:
+def media_phash_dup_oracle(sf_dir: str, composite: bool = False) -> str:
     """Perceptual-hash media dedup oracle: the DCT pHash cannot run in
     SQL, so the 64-bit hashes are replayed off-Spark with the SAME
     deterministic kernel (multimodal.phash_hex over the sha-counter
@@ -889,18 +889,37 @@ def media_phash_dup_oracle(sf_dir: str) -> str:
         f" {_hex16_sql(f'substr(b.phash, {1 + 4 * b}, 4)')}))"
         for b in range(4)
     )
+    if composite:
+        # 2-of-4 composite banding (the corpus-scale form): candidates
+        # share a concatenated band PAIR; recall covers hamming <= 2
+        import itertools
+
+        pair_sigs = " , ".join(
+            f"substr(phash, {1 + 4 * i}, 4) || substr(phash, {1 + 4 * j}, 4)"
+            for i, j in itertools.combinations(range(4), 2)
+        )
+        explode = f"unnest([{pair_sigs}]) AS sig"
+        band_src = f"SELECT media_id, phash, {explode} FROM m"
+        max_h = 2
+    else:
+        band_src = (
+            "SELECT media_id, phash, b.b AS band,"
+            " substr(phash, 1 + 4 * b.b, 4) AS sig"
+            " FROM m, (SELECT unnest([0, 1, 2, 3]) AS b) b"
+        )
+        max_h = 3
+    join_keys = "a.sig = b.sig" if composite else "a.band = b.band AND a.sig = b.sig"
     return f"""
 WITH m(media_id, phash) AS (VALUES {values}),
 e AS (
-  SELECT media_id, phash, b.b AS band, substr(phash, 1 + 4 * b.b, 4) AS sig
-  FROM m, (SELECT unnest([0, 1, 2, 3]) AS b) b
+  {band_src}
 ),
 cand AS (
   SELECT DISTINCT a.media_id AS src, b.media_id AS dst
-  FROM e a JOIN e b ON a.band = b.band AND a.sig = b.sig
+  FROM e a JOIN e b ON {join_keys}
                    AND a.media_id < b.media_id
 )
 SELECT c.src, c.dst, CAST({ham} AS BIGINT) AS hamming
 FROM cand c JOIN m a ON a.media_id = c.src JOIN m b ON b.media_id = c.dst
-WHERE {ham} <= 3
+WHERE {ham} <= {max_h}
 """

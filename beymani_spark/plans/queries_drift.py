@@ -788,3 +788,31 @@ def q_media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = multimodal.phash64(media.union(planted), decode="fake")
     return multimodal.phash_dup_pairs(hashed, max_hamming=3)
+
+
+@register(
+    "media_phash_dup_pairs_c2",
+    lambda sf_dir: _media_phash_dup_oracle(sf_dir, composite=True),
+)
+def q_media_phash_dup_pairs_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale form of the pHash media dedup: candidates must share
+    a composite band PAIR (C(4,2)=6 concatenated 32-bit signatures), so
+    buckets hold N/2^32 items instead of the single-band N/2^16 floor —
+    the 100x capture showed the single-band candidate volume growing
+    N^2/2^16 (BASELINE.md §8.6). Pigeonhole covers hamming <= 2 (two
+    flips disturb at most two bands, leaving an intact pair) — the
+    practical near-dup radius for 64-bit pHash at corpus scale. Same
+    planted %7 duplicates; same baked-kernel oracle with composite
+    candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    planted = media.filter(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"), "payload"
+    )
+    hashed = multimodal.phash64(media.union(planted), decode="fake")
+    return multimodal.phash_dup_pairs(
+        hashed, max_hamming=2, composite_bands=True
+    )

@@ -117,6 +117,7 @@ _PRIORITY = [
     "quality_fuse_by_lang",
     "anomaly_score_fuse",
     "media_phash_dup_pairs",
+    "media_phash_dup_pairs_c2",
     "lang_fertility",
     "compaction_plan",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---

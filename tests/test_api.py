@@ -82,3 +82,37 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan, plan[:500]
     assert back.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_cli_run_and_list(spark, sf_dir, tmp_path):
+    """python -m beymani_spark: list enumerates the registry, run writes a
+    query result (parquet round-trip checked) and prints without --out."""
+    import io
+    from contextlib import redirect_stdout
+
+    from beymani_spark.cli import main
+    from beymani_spark.plans import QUERIES
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["list"]) == 0
+    lines = buf.getvalue().strip().splitlines()
+    assert len(lines) == len(QUERIES)
+    assert any(line.startswith("pricing_summary\toracle") for line in lines)
+
+    out = str(tmp_path / "ps_out")
+    assert main(
+        ["run", "pricing_summary", "--sf-dir", sf_dir, "--out", out]
+    ) == 0
+    written = spark.read.parquet(out)
+    assert written.count() == QUERIES["pricing_summary"].builder(spark, sf_dir).count()
+    assert set(written.columns) == set(
+        QUERIES["pricing_summary"].builder(spark, sf_dir).columns
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["run", "quartiles", "--sf-dir", sf_dir, "--show", "3"]) == 0
+    assert "q1" in buf.getvalue()
+
+    assert main(["run", "not_a_query"]) == 2

@@ -674,3 +674,39 @@ def test_phash_properties(spark):
 
     with pytest.raises(ValueError, match="hamming"):
         phash_dup_pairs(df2, max_hamming=4)
+
+
+def test_phash_composite_banding_subset_and_pigeonhole(spark):
+    """Composite 2-of-4 banding: results equal the single-band form
+    restricted to hamming <= 2 (candidate edges are a subset, recall
+    guaranteed by the intact band pair); a 2-bit flip across two
+    different bands still collides; max_hamming=3 rejected in composite
+    mode."""
+    import pytest
+
+    from beymani_spark.operators.multimodal import phash64, phash_dup_pairs
+
+    rows = [(i, f"payload number {i % 5}".encode()) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = phash64(df, decode="fake")
+    base = {
+        (r["src"], r["dst"]): r["hamming"]
+        for r in phash_dup_pairs(hashed, max_hamming=2).collect()
+    }
+    comp = {
+        (r["src"], r["dst"]): r["hamming"]
+        for r in phash_dup_pairs(
+            hashed, max_hamming=2, composite_bands=True
+        ).collect()
+    }
+    assert comp == base, "composite banding must not lose hamming<=2 pairs"
+    assert base, "fixture must produce at least one duplicate pair"
+
+    # 2 flips in 2 DIFFERENT bands: bands 3+4 remain an intact pair
+    h1, h2 = "0000" * 4, "0001" + "0002" + "0000" + "0000"
+    df2 = spark.createDataFrame([(1, h1), (2, h2)], "media_id long, phash string")
+    pairs = phash_dup_pairs(df2, max_hamming=2, composite_bands=True).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 2
+
+    with pytest.raises(ValueError, match="hamming"):
+        phash_dup_pairs(df2, max_hamming=3, composite_bands=True)
