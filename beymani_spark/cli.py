@@ -27,9 +27,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     runp = sub.add_parser("run", help="execute one registered query")
     runp.add_argument("query", help="registry query name (see: list)")
+    from .plans.registry import DRIVER_SF_DIR
+
     runp.add_argument(
         "--sf-dir",
-        default="/root/testdata/sf0.01",
+        default=DRIVER_SF_DIR,
         help="fixture directory with the parquet tables",
     )
     runp.add_argument(

@@ -1152,10 +1152,15 @@ def _jpg_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
 
 # ---------------------------------------------------------------- perceptual hash
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=2)
 def _phash_dct_matrix(n: int = 32) -> np.ndarray:
     """Orthonormal DCT-II basis (the _jpg_dct_matrix construction at
     size n): row k = sqrt(2/n)*cos(pi*(2m+1)k/(2n)), row 0 scaled by
-    1/sqrt(2)."""
+    1/sqrt(2). Cached — the basis is a pure constant and this runs
+    inside the per-batch hot kernel."""
     k = np.arange(n)[:, None].astype(np.float64)
     m = np.arange(n)[None, :].astype(np.float64)
     mat = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
@@ -1181,13 +1186,11 @@ def phash_hex(px: np.ndarray) -> list[str]:
     block = co[:, :8, :8].reshape(len(px), 64)
     med = np.median(block[:, 1:], axis=1, keepdims=True)
     bits = block > med
-    out = []
-    for row in bits:
-        v = 0
-        for b in row:
-            v = (v << 1) | int(b)
-        out.append(f"{v:016x}")
-    return out
+    # vectorized pack: 64 bools -> 8 bytes -> 16 hex chars per row (a
+    # per-row Python shift loop measured as pure interpreter overhead on
+    # the 5M-item 100x capture)
+    packed = np.packbits(bits, axis=1)
+    return [row.tobytes().hex() for row in packed]
 
 
 def phash64(
@@ -1215,6 +1218,37 @@ def phash64(
             )
 
     return _spread(df).mapInPandas(gen, schema=f"{id_col} long, phash string")
+
+
+def phash_band_sigs(hash_col: str, composite: bool = False) -> list:
+    """Band signature expressions for a 16-hex-char pHash column: the four
+    16-bit hex bands, or (composite) the C(4,2)=6 concatenated band
+    pairs. ONE source of truth for batch (phash_dup_pairs) and streaming
+    (stream_media_phash_dedup) so band math can never diverge."""
+    if composite:
+        import itertools
+
+        return [
+            F.concat(
+                F.substring(F.col(hash_col), 1 + 4 * i, 4),
+                F.substring(F.col(hash_col), 1 + 4 * j, 4),
+            )
+            for i, j in itertools.combinations(range(4), 2)
+        ]
+    return [F.substring(F.col(hash_col), 1 + 4 * b, 4) for b in range(4)]
+
+
+def phash_hamming(a: str, b: str) -> F.Column:
+    """Exact hamming distance between two pHash hex columns: band-wise
+    bit_count(xor) over NON-NEGATIVE 16-bit ints (hex parsing per band —
+    no signed-64 shift semantics to match across engines)."""
+    ham = None
+    for k in range(4):
+        ba = F.conv(F.substring(a, 1 + 4 * k, 4), 16, 10).cast("long")
+        bb = F.conv(F.substring(b, 1 + 4 * k, 4), 16, 10).cast("long")
+        t = F.bit_count(ba.bitwiseXOR(bb))
+        ham = t if ham is None else (ham + t)
+    return ham
 
 
 def phash_dup_pairs(
@@ -1248,22 +1282,11 @@ def phash_dup_pairs(
                 "composite 2-of-4 banding guarantees recall only for"
                 " max_hamming <= 2"
             )
-        import itertools
-
-        sigs = [
-            F.concat(
-                F.substring(F.col(hash_col), 1 + 4 * i, 4),
-                F.substring(F.col(hash_col), 1 + 4 * j, 4),
-            )
-            for i, j in itertools.combinations(range(4), 2)
-        ]
-    else:
-        if not (0 <= max_hamming <= 3):
-            raise ValueError(
-                "banded 4x16 phash guarantees recall only for max_hamming <= 3"
-            )
-        sigs = [F.substring(F.col(hash_col), 1 + 4 * b, 4) for b in range(4)]
-    bands = F.array(*sigs)
+    elif not (0 <= max_hamming <= 3):
+        raise ValueError(
+            "banded 4x16 phash guarantees recall only for max_hamming <= 3"
+        )
+    bands = F.array(*phash_band_sigs(hash_col, composite_bands))
     exploded = hashed.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
         F.posexplode(bands).alias("band", "sig"),
@@ -1280,13 +1303,7 @@ def phash_dup_pairs(
         )
         .distinct()
     )
-    ham = None
-    for b in range(4):
-        ba = F.conv(F.substring("_ha", 1 + 4 * b, 4), 16, 10).cast("long")
-        bb = F.conv(F.substring("_hb", 1 + 4 * b, 4), 16, 10).cast("long")
-        t = F.bit_count(ba.bitwiseXOR(bb))
-        ham = t if ham is None else (ham + t)
-    verified = cand.withColumn("hamming", ham).filter(
+    verified = cand.withColumn("hamming", phash_hamming("_ha", "_hb")).filter(
         F.col("hamming") <= max_hamming
     )
     return verified.select("src", "dst", "hamming")

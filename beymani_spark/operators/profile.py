@@ -1003,6 +1003,8 @@ def finite_audit(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     satisfy. Counts are pure longs, so the result hashes identically on
     any engine regardless of the non-finite payloads that produced it.
     """
+    if not cols:
+        raise ValueError("finite_audit needs at least one column")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         col = F.col(c).cast("double")

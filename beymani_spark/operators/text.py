@@ -917,8 +917,11 @@ def fuse_apply(
     out_col: str = "fused_score",
 ) -> DataFrame:
     """Score rows against a fitted fusion model (:func:`fuse_stats`):
-    z = round-6((x - mu) / sd) per signal, weighted sum renormalized over
-    the non-NULL z's per row. Constant signals (sd 0) and NULL signals
+    z = (x - mu) / sd per signal at FULL precision (mu/sd are the round-6
+    model; rounding z itself would manufacture exact .5 decimal
+    boundaries in the weighted mean where engine round() implementations
+    diverge), weighted sum renormalized over the non-NULL z's per row,
+    ONLY the final score round-6. Constant signals (sd 0) and NULL signals
     drop out of the weight mass; a row whose stratum has NO fitted stats
     scores NULL (an unlearned stratum must never silently read as
     'exactly average' — the 'I'-label convention of the serving jobs).

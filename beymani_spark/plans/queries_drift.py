@@ -767,6 +767,23 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .model_oracles import media_phash_dup_oracle as _media_phash_dup_oracle  # noqa: E402
 
 
+def _planted_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-as-media frame with planted duplicates: every
+    doc_id % 7 == 0 payload repeated under id + 10_000_000. ONE source of
+    truth for both pHash queries — the plant modulus/offset must stay
+    byte-identical to the baked oracle's replay
+    (model_oracles.media_phash_dup_oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    planted = media.filter(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"), "payload"
+    )
+    return media.union(planted)
+
+
 @register("media_phash_dup_pairs", _media_phash_dup_oracle)
 def q_media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash media dedup (multimodal.phash64 + phash_dup_pairs):
@@ -778,15 +795,7 @@ def q_media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo-random, so organic sub-3-bit collisions are vanishingly rare
     and the planted pairs ARE the expected output. The oracle replays
     the DCT kernel off-Spark and re-runs banding + hamming in DuckDB."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.filter(F.col("text").isNotNull()).select(
-        F.col("doc_id").alias("media_id"),
-        F.col("text").cast("binary").alias("payload"),
-    )
-    planted = media.filter(F.col("media_id") % 7 == 0).select(
-        (F.col("media_id") + 10_000_000).alias("media_id"), "payload"
-    )
-    hashed = multimodal.phash64(media.union(planted), decode="fake")
+    hashed = multimodal.phash64(_planted_media(spark, sf_dir), decode="fake")
     return multimodal.phash_dup_pairs(hashed, max_hamming=3)
 
 
@@ -804,15 +813,7 @@ def q_media_phash_dup_pairs_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
     practical near-dup radius for 64-bit pHash at corpus scale. Same
     planted %7 duplicates; same baked-kernel oracle with composite
     candidates."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.filter(F.col("text").isNotNull()).select(
-        F.col("doc_id").alias("media_id"),
-        F.col("text").cast("binary").alias("payload"),
-    )
-    planted = media.filter(F.col("media_id") % 7 == 0).select(
-        (F.col("media_id") + 10_000_000).alias("media_id"), "payload"
-    )
-    hashed = multimodal.phash64(media.union(planted), decode="fake")
+    hashed = multimodal.phash64(_planted_media(spark, sf_dir), decode="fake")
     return multimodal.phash_dup_pairs(
         hashed, max_hamming=2, composite_bands=True
     )

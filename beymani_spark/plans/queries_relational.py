@@ -1190,18 +1190,21 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RETURNED_ITEM_ORACLE = """
-SELECT c.c_custkey, c.c_name, n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
-       round(any_value(c.c_acctbal), 6) AS c_acctbal
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE l.l_returnflag = 'R'
-  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o.o_orderdate < TIMESTAMP '1996-04-01'
-GROUP BY c.c_custkey, c.c_name, n.n_name
-ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey ASC
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+         round(any_value(c.c_acctbal), 6) AS c_acctbal
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT * FROM rev
+ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
 
@@ -1212,8 +1215,10 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     by lost revenue from 'R'-flagged lineitems in one quarter. The
     returnflag + date filters push into the two fact scans, nation
     broadcasts, and the final top-20 is TakeOrderedAndProject
-    (per-partition heaps) on the PRE-ROUND revenue with a c_custkey
-    tie-break — deterministic on both engines, never a global sort."""
+    (per-partition heaps) on the ROUND-6 revenue with a c_custkey
+    tie-break (the shipping_priority convention: ordering on the unrounded
+    float sum lets a summation-order ulp swap the rank-20 boundary
+    between engines) — never a global sort."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
     )
@@ -1233,12 +1238,12 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust.c_nationkey == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
-            F.any_value(F.col("c_acctbal")).alias("c_acctbal"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.round(F.any_value(F.col("c_acctbal")), 6).alias("c_acctbal"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
-    return _round(out, ["revenue", "c_acctbal"])
+    return out

@@ -3096,7 +3096,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multi-signal fusion oracle: per-row signals at full precision (bit-
 # identical expressions on both engines), fitted mean/std ROUND-6 (the
 # model-quantization convention — aggregate summation order varies with
-# partitioning), z round-6, weights renormalized over non-NULL signals.
+# partitioning), z at FULL precision (rounding z would manufacture exact
+# .5 decimal boundaries in the weighted mean — see fuse_apply), only the
+# final score round-6; weights renormalized over non-NULL signals.
 _QUALITY_FUSE_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents

@@ -1031,35 +1031,43 @@ def stream_media_phash_dedup(
         raise ValueError(
             "banded 4x16 phash guarantees recall only for max_hamming <= 3"
         )
+    from ..operators.multimodal import phash_band_sigs, phash_hamming
+
     hashed = phash64(stream_df, id_col, payload_col, decode)
     s_bands = hashed.select(
         F.col(id_col),
         F.col("phash").alias("_hs"),
-        F.posexplode(
-            F.array(*[F.substring("phash", 1 + 4 * b, 4) for b in range(4)])
-        ).alias("band", "sig"),
+        F.posexplode(F.array(*phash_band_sigs("phash"))).alias("band", "sig"),
     )
     c_bands = corpus_hashes.select(
         F.col(corpus_id_col),
         F.col("phash").alias("_hc"),
-        F.posexplode(
-            F.array(*[F.substring("phash", 1 + 4 * b, 4) for b in range(4)])
-        ).alias("band", "sig"),
+        F.posexplode(F.array(*phash_band_sigs("phash"))).alias("band", "sig"),
     )
+    # STATELESS pair dedup: a pair colliding in several bands emits several
+    # join rows, but all duplicates live inside the SAME micro-batch (they
+    # derive from one arriving row), so global dropDuplicates state —
+    # unbounded, one entry per pair ever seen, and wrongly suppressing a
+    # legitimately re-sent item — is pure liability. Keep only the row
+    # whose band is the FIRST matching band, a row-local predicate on the
+    # two hashes both sides already carry.
+    first_match = None
+    for b in range(3, -1, -1):
+        eq = F.substring("_hs", 1 + 4 * b, 4) == F.substring("_hc", 1 + 4 * b, 4)
+        first_match = (
+            F.when(eq, F.lit(b))
+            if first_match is None
+            else F.when(eq, F.lit(b)).otherwise(first_match)
+        )
+    # reversed build order makes band 0 the outermost WHEN: lowest index wins
     cand = (
         s_bands.join(c_bands, ["band", "sig"])
         .filter(F.col(id_col) != F.col(corpus_id_col))
+        .filter(F.col("band") == first_match)
         .select(id_col, corpus_id_col, "_hs", "_hc")
-        .dropDuplicates([id_col, corpus_id_col])
     )
-    ham = None
-    for b in range(4):
-        ba = F.conv(F.substring("_hs", 1 + 4 * b, 4), 16, 10).cast("long")
-        bb = F.conv(F.substring("_hc", 1 + 4 * b, 4), 16, 10).cast("long")
-        t = F.bit_count(ba.bitwiseXOR(bb))
-        ham = t if ham is None else (ham + t)
     return (
-        cand.withColumn("hamming", ham)
+        cand.withColumn("hamming", phash_hamming("_hs", "_hc"))
         .filter(F.col("hamming") <= max_hamming)
         .select(id_col, corpus_id_col, "hamming")
     )

@@ -811,3 +811,5 @@ def test_finite_gate_modes(spark):
         finite_gate(df, ["a"], mode="bogus")
     with pytest.raises(ValueError, match="column"):
         finite_gate(df, [])
+    with pytest.raises(ValueError, match="column"):
+        finite_audit(df, [])
