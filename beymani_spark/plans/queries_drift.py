@@ -817,3 +817,37 @@ def q_media_phash_dup_pairs_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_dup_pairs(
         hashed, max_hamming=2, composite_bands=True
     )
+
+
+@register("media_phash_png", _media_phash_dup_oracle)
+def q_media_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash media dedup THROUGH the real PNG codec: each raster is
+    encoded as a genuine PNG (png_encode — level-0 zlib, cycling scanline
+    filters) and the pHash kernel consumes the payload via the stdlib
+    PNG DECODER (phash64(decode='png')). PNG is lossless, so the decoded
+    raster — and therefore every hash, band, and pair — must equal the
+    direct-raster form bit-for-bit: the oracle is REUSED VERBATIM from
+    media_phash_dup_pairs, and any encode/decode bug on either codec
+    half breaks the value hash. Same planted %7 duplicates."""
+    media = _planted_media(spark, sf_dir)
+    png_filters = [y % 5 for y in range(32)]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                multimodal.png_encode(
+                    multimodal._fake_pixels(bytes(p), 32, 32).astype("int64"),
+                    color=0,
+                    filters=png_filters,
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "payload": payloads}
+            )
+
+    pngs = media.mapInPandas(encode, schema="media_id long, payload binary")
+    hashed = multimodal.phash64(pngs, decode="png")
+    return multimodal.phash_dup_pairs(hashed, max_hamming=3)

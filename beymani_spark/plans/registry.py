@@ -118,6 +118,7 @@ _PRIORITY = [
     "anomaly_score_fuse",
     "media_phash_dup_pairs",
     "media_phash_dup_pairs_c2",
+    "media_phash_png",
     "lang_fertility",
     "compaction_plan",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---

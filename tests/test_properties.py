@@ -186,3 +186,108 @@ def test_context_length_plan_accounting_identity(spark, ns, length):
     assert r.n_chunks * length == r.n_tokens + r.padded_tokens
     assert r.n_chunks == sum((n + length - 1) // length for n in ns)
     assert r.n_tokens == sum(ns) and r.n_docs == len(ns)
+
+
+# ---- round-7 session-2 operators ------------------------------------------
+
+_signal_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_signal_rows)
+def test_quality_fuse_weight_scale_invariance(spark, rows):
+    """Scaling every weight by the same power of two leaves every fused
+    score unchanged (the weighted mean is scale-free; powers of two keep
+    the float arithmetic exact)."""
+    from beymani_spark.operators.text import quality_fuse
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "id long, a double, b double",
+    )
+    one = {
+        r["id"]: r["fused_score"]
+        for r in quality_fuse(df, ["a", "b"], weights=[1.0, 3.0]).collect()
+    }
+    scaled = {
+        r["id"]: r["fused_score"]
+        for r in quality_fuse(df, ["a", "b"], weights=[4.0, 12.0]).collect()
+    }
+    assert one == scaled
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=12,
+    ),
+    target=st.integers(1, 5_000),
+)
+def test_compaction_plan_covers_every_row(spark, rows, target):
+    """files >= 1 always; rows_per_file * n_files >= n_rows (the plan
+    never loses a row); est_bytes matches the per-partition sum."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.packing import compaction_plan
+
+    df = spark.createDataFrame(
+        [(f"p{g}", "x" * n) for g, n in rows], "part string, payload string"
+    )
+    out = compaction_plan(
+        df, ["part"], bytes_col=F.octet_length("payload"), target_file_bytes=target
+    ).collect()
+    per = {}
+    for g, n in rows:
+        c, b = per.get(f"p{g}", (0, 0))
+        per[f"p{g}"] = (c + 1, b + n)
+    assert {r["part"] for r in out} == set(per)
+    for r in out:
+        c, b = per[r["part"]]
+        assert (r["n_rows"], r["est_bytes"]) == (c, b)
+        assert r["n_files"] >= 1
+        assert r["rows_per_file"] * r["n_files"] >= r["n_rows"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_finite_gate_partitions_and_audit_agrees(spark, vals):
+    """drop mode + its complement partition the frame exactly; the gated
+    frame always audits clean; audit counts sum to n_rows."""
+    import math
+
+    from beymani_spark.operators.profile import finite_audit, finite_gate
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, a double"
+    )
+    kept = finite_gate(df, ["a"])
+    n_kept = kept.count()
+    expected_kept = sum(
+        1 for v in vals if v is None or (not math.isnan(v) and not math.isinf(v))
+    )
+    assert n_kept == expected_kept
+    audit = finite_audit(df, ["a"]).first()
+    assert (
+        audit["n_null"] + audit["n_nan"] + audit["n_pos_inf"]
+        + audit["n_neg_inf"] + audit["n_finite"]
+    ) == len(vals)
+    clean = finite_audit(kept, ["a"]).first()
+    assert clean["n_nan"] == 0 and clean["n_pos_inf"] == 0 and clean["n_neg_inf"] == 0
