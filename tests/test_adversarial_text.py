@@ -70,6 +70,7 @@ TEXT_QUERIES = [
     # round-7 session-2 additions (documents-only)
     "compression_ratio", "quality_fuse", "quality_fuse_by_lang",
     "lang_fertility", "dedup_containment", "compaction_plan",
+    "media_phash_dup_pairs", "media_phash_dup_pairs_c2", "media_phash_png",
 ]
 
 
