@@ -123,6 +123,7 @@ HEAVY = [
     "quality_fuse_by_lang",
     "media_phash_dup_pairs",
     "media_phash_dup_pairs_c2",
+    "audio_dup_pairs",
 ]
 
 

@@ -878,6 +878,13 @@ def media_phash_dup_oracle(sf_dir: str, composite: bool = False) -> str:
         rows.append(f"({int(d)}, '{h}')")
         if int(d) % 7 == 0:
             rows.append(f"({int(d) + 10_000_000}, '{h}')")
+    return _hex_hash_pair_sql(rows, composite)
+
+
+def _hex_hash_pair_sql(rows: list[str], composite: bool = False) -> str:
+    """Shared SQL tail for every 64-bit-hex perceptual-hash dedup oracle
+    (image pHash, audio fingerprint): banding, candidate join, band-wise
+    bit_count(xor) hamming verify over baked (id, hash) VALUES."""
     if not rows:
         return (
             "SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst,"
@@ -923,3 +930,27 @@ SELECT c.src, c.dst, CAST({ham} AS BIGINT) AS hamming
 FROM cand c JOIN m a ON a.media_id = c.src JOIN m b ON b.media_id = c.dst
 WHERE {ham} <= {max_h}
 """
+
+
+def audio_fp_dup_oracle(sf_dir: str) -> str:
+    """Audio-fingerprint dedup oracle: the FFT fingerprint cannot run in
+    SQL, so the 64-bit fingerprints are replayed off-Spark with the SAME
+    deterministic kernel (multimodal.audio_fingerprint_hex over the fake
+    1024-sample PCM each doc derives from its text, planted % 7 == 0
+    copies included) and baked as VALUES; banding + exact hamming verify
+    reuse the shared perceptual-hash SQL tail."""
+    import numpy as np
+
+    from ..operators.multimodal import _decode_batch, audio_fingerprint_hex
+
+    pdf = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = []
+    for d, t in zip(pdf["doc_id"], pdf["text"]):
+        if t is None:
+            continue
+        px = _decode_batch([t.encode("utf-8")], 1024, 1, "fake").reshape(1, 1024)
+        h = audio_fingerprint_hex(list(px.astype(np.float64) - 128.0))[0]
+        rows.append(f"({int(d)}, '{h}')")
+        if int(d) % 7 == 0:
+            rows.append(f"({int(d) + 10_000_000}, '{h}')")
+    return _hex_hash_pair_sql(rows)

@@ -851,3 +851,21 @@ def q_media_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     pngs = media.mapInPandas(encode, schema="media_id long, payload binary")
     hashed = multimodal.phash64(pngs, decode="png")
     return multimodal.phash_dup_pairs(hashed, max_hamming=3)
+
+
+from .model_oracles import audio_fp_dup_oracle as _audio_fp_dup_oracle  # noqa: E402
+
+
+@register("audio_dup_pairs", _audio_fp_dup_oracle)
+def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup (multimodal.audio_fingerprint +
+    phash_dup_pairs over the 'afp' column): 64-bit sign-of-band-energy-
+    delta fingerprints (gain-invariant by construction), banded
+    candidates, exact hamming verify <= 3 — completing the perceptual-
+    dedup family across modalities (image pHash / audio fingerprint on
+    ONE hex band engine). Same planted %7 duplicates; the oracle replays
+    the FFT kernel off-Spark."""
+    hashed = multimodal.audio_fingerprint(
+        _planted_media(spark, sf_dir), decode="fake", n_samples=1024
+    )
+    return multimodal.phash_dup_pairs(hashed, hash_col="afp", max_hamming=3)

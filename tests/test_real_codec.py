@@ -710,3 +710,53 @@ def test_phash_composite_banding_subset_and_pigeonhole(spark):
 
     with pytest.raises(ValueError, match="hamming"):
         phash_dup_pairs(df2, max_hamming=3, composite_bands=True)
+
+
+def test_audio_fingerprint_properties(spark):
+    """Audio fingerprint: gain-invariant (scaling every sample leaves
+    every energy comparison unchanged), exact copies pair at hamming 0
+    through the shared band engine, unrelated clips land far apart, and
+    the WAV decode path fingerprints real RIFF bytes."""
+    import numpy as np
+
+    from beymani_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_hex,
+        phash_dup_pairs,
+    )
+
+    t = np.linspace(0, 80, 2048)
+    tone = (np.sin(t * 3) + 0.4 * np.sin(t * 11)) * 4000
+    noise = np.random.RandomState(9).randn(2048) * 900
+    h_tone, h_gain, h_noise = audio_fingerprint_hex([tone, tone * 3.5, noise])
+    assert h_tone == h_gain, "gain scaling must not flip any bit"
+    assert bin(int(h_tone, 16) ^ int(h_noise, 16)).count("1") > 10
+
+    rows = [(1, b"same clip text"), (2, b"same clip text"), (3, b"another clip")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = audio_fingerprint(df, decode="fake")
+    got = {
+        (r["src"], r["dst"]): r["hamming"]
+        for r in phash_dup_pairs(hashed, hash_col="afp").collect()
+    }
+    assert got == {(1, 2): 0}
+
+    # real RIFF/WAVE path: identical PCM -> identical fingerprint
+    from beymani_spark.operators.multimodal import _wav_samples
+
+    import struct
+
+    pcm = (np.sin(np.linspace(0, 50, 600)) * 12000).astype(np.int16)
+    data = pcm.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert (_wav_samples(wav) == pcm).all()
+    wdf = spark.createDataFrame(
+        [(1, wav), (2, wav)], "media_id long, payload binary"
+    )
+    whashed = audio_fingerprint(wdf, decode="wav")
+    wpairs = phash_dup_pairs(whashed, hash_col="afp").collect()
+    assert len(wpairs) == 1 and wpairs[0]["hamming"] == 0
