@@ -124,6 +124,7 @@ HEAVY = [
     "media_phash_dup_pairs",
     "media_phash_dup_pairs_c2",
     "audio_dup_pairs",
+    "video_phash_dup_pairs",
 ]
 
 

@@ -1382,3 +1382,122 @@ def audio_fingerprint(
             )
 
     return _spread(df).mapInPandas(gen, schema=f"{id_col} long, afp string")
+
+
+def video_phash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    decode: str = "fake",
+) -> DataFrame:
+    """(media_id, vhash string) — per-video perceptual signature: pHash of
+    ``n_frames`` sampled frames concatenated as one 16*n_frames-hex-char
+    string. Frame sampling follows the repo's video conventions:
+    ``decode='fake'`` derives frame k's raster from the payload plus the
+    ASCII offset suffix sample_frames uses (payload + b":" + str(k*1000)
+    — externally replayable); ``decode='avi'`` reads REAL uncompressed
+    RIFF-AVI frames (evenly spaced over the container's true frame count,
+    nearest-resized to the 32x32 pHash grid). One mapInPandas pass;
+    pairing rides :func:`video_phash_dup_pairs`."""
+    if decode == "real":
+        raise NotImplementedError(
+            "decode='real' video requires an ffmpeg binding (PyAV), not "
+            "present in this environment; use decode='fake' or decode='avi'"
+        )
+    if decode not in ("fake", "avi"):
+        raise ValueError(f"unknown decode mode: {decode}")
+    nf = int(n_frames)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            if not payloads:
+                yield pd.DataFrame(columns=[id_col, "vhash"])
+                continue
+            per_frame_hex: list[list[str]] = []
+            for k in range(nf):
+                if decode == "avi":
+                    rasters = []
+                    for p in payloads:
+                        frames, _usec = _avi_frames(p)
+                        idx = int(
+                            np.linspace(0, len(frames) - 1, nf).astype(int)[k]
+                        )
+                        fr = frames[idx]
+                        ys = np.linspace(0, fr.shape[0] - 1, 32).astype(int)
+                        xs = np.linspace(0, fr.shape[1] - 1, 32).astype(int)
+                        rasters.append(fr[ys][:, xs])
+                    px = np.stack(rasters)
+                else:
+                    px = np.stack(
+                        [
+                            _fake_pixels(
+                                p + b":" + str(k * 1000).encode(), 32, 32
+                            )
+                            for p in payloads
+                        ]
+                    )
+                per_frame_hex.append(phash_hex(px))
+            vhash = ["".join(hs) for hs in zip(*per_frame_hex)]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "vhash": vhash}
+            )
+
+    return _spread(df).mapInPandas(gen, schema=f"{id_col} long, vhash string")
+
+
+def video_phash_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "vhash",
+    n_frames: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup video pairs: candidates share any (frame, band) 16-bit
+    bucket (4*n_frames keys per video); verification is the exact
+    PER-FRAME hamming, and a pair survives only if EVERY aligned frame is
+    within ``max_hamming`` — the "same video" criterion (one shared scene
+    is not a duplicate). Pigeonhole holds per frame: all-frames-within-3
+    implies frame 0 is within 3, so one of its bands collides. Output
+    (src, dst, max_frame_hamming)."""
+    if not (0 <= max_hamming <= 3):
+        raise ValueError(
+            "banded 4x16 per-frame phash guarantees recall only for"
+            " max_hamming <= 3"
+        )
+    nf = int(n_frames)
+    sigs = [
+        F.substring(F.col(hash_col), 1 + 16 * f + 4 * b, 4)
+        for f in range(nf)
+        for b in range(4)
+    ]
+    exploded = hashed.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(F.array(*sigs)).alias("band", "sig"),
+    )
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band", "sig"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("src"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._id").alias("dst"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    frame_hams = [
+        phash_hamming(
+            F.substring("_ha", 1 + 16 * f, 16), F.substring("_hb", 1 + 16 * f, 16)
+        )
+        for f in range(nf)
+    ]
+    worst = F.greatest(*frame_hams) if nf > 1 else frame_hams[0]
+    return (
+        cand.withColumn("max_frame_hamming", worst)
+        .filter(F.col("max_frame_hamming") <= max_hamming)
+        .select("src", "dst", "max_frame_hamming")
+    )

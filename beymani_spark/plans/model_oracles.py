@@ -954,3 +954,64 @@ def audio_fp_dup_oracle(sf_dir: str) -> str:
         if int(d) % 7 == 0:
             rows.append(f"({int(d) + 10_000_000}, '{h}')")
     return _hex_hash_pair_sql(rows)
+
+
+def video_phash_dup_oracle(sf_dir: str, n_frames: int = 4) -> str:
+    """Video perceptual-dedup oracle: per-frame pHashes replayed off-Spark
+    (the sample_frames fake-frame convention — payload + b":" + offset_ms)
+    and baked as concatenated 16*n_frames-hex VALUES; (frame, band)
+    bucket candidates and the per-frame hamming verify (ALL aligned
+    frames within the radius) run in DuckDB."""
+    from ..operators.multimodal import _fake_pixels, phash_hex
+
+    pdf = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = []
+    for d, t in zip(pdf["doc_id"], pdf["text"]):
+        if t is None:
+            continue
+        p = t.encode("utf-8")
+        hs = []
+        for k in range(n_frames):
+            px = _fake_pixels(p + b":" + str(k * 1000).encode(), 32, 32)[None, ...]
+            hs.append(phash_hex(px)[0])
+        v = "".join(hs)
+        rows.append(f"({int(d)}, '{v}')")
+        if int(d) % 7 == 0:
+            rows.append(f"({int(d) + 10_000_000}, '{v}')")
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst,"
+            " CAST(NULL AS BIGINT) AS max_frame_hamming WHERE FALSE"
+        )
+    values = ", ".join(rows)
+    sig_exprs = ", ".join(
+        f"substr(vhash, {1 + 16 * f + 4 * b}, 4)"
+        for f in range(n_frames)
+        for b in range(4)
+    )
+    frame_hams = []
+    for f in range(n_frames):
+        terms = " + ".join(
+            f"bit_count(xor("
+            f"{_hex16_sql(f'substr(a.vhash, {1 + 16 * f + 4 * b}, 4)')},"
+            f" {_hex16_sql(f'substr(b.vhash, {1 + 16 * f + 4 * b}, 4)')}))"
+            for b in range(4)
+        )
+        frame_hams.append(f"({terms})")
+    worst = "greatest(" + ", ".join(frame_hams) + ")"
+    return f"""
+WITH m(media_id, vhash) AS (VALUES {values}),
+e AS (
+  SELECT media_id, vhash, unnest([{sig_exprs}]) AS sig,
+         unnest(range({4 * n_frames})) AS band
+  FROM m
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS src, b.media_id AS dst
+  FROM e a JOIN e b ON a.band = b.band AND a.sig = b.sig
+                   AND a.media_id < b.media_id
+)
+SELECT c.src, c.dst, CAST({worst} AS BIGINT) AS max_frame_hamming
+FROM cand c JOIN m a ON a.media_id = c.src JOIN m b ON b.media_id = c.dst
+WHERE {worst} <= 3
+"""

@@ -869,3 +869,21 @@ def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _planted_media(spark, sf_dir), decode="fake", n_samples=1024
     )
     return multimodal.phash_dup_pairs(hashed, hash_col="afp", max_hamming=3)
+
+
+from .model_oracles import video_phash_dup_oracle as _video_phash_dup_oracle  # noqa: E402
+
+
+@register("video_phash_dup_pairs", _video_phash_dup_oracle)
+def q_video_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video dedup (multimodal.video_phash +
+    video_phash_dup_pairs), completing the modality triple on the one hex
+    band engine: 4 sampled frames pHashed and concatenated, (frame, band)
+    bucket candidates, and a pair survives only if EVERY aligned frame is
+    within hamming 3 — one shared scene is not a duplicate. Same planted
+    %7 copies; the oracle replays the frame-sampling convention and both
+    kernels off-Spark."""
+    hashed = multimodal.video_phash(
+        _planted_media(spark, sf_dir), n_frames=4, decode="fake"
+    )
+    return multimodal.video_phash_dup_pairs(hashed, n_frames=4, max_hamming=3)

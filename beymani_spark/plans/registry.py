@@ -120,6 +120,7 @@ _PRIORITY = [
     "media_phash_dup_pairs_c2",
     "media_phash_png",
     "audio_dup_pairs",
+    "video_phash_dup_pairs",
     "lang_fertility",
     "compaction_plan",
     # --- r2-certified (newest driver row r2; judge-verified r4) ---

@@ -71,7 +71,7 @@ TEXT_QUERIES = [
     "compression_ratio", "quality_fuse", "quality_fuse_by_lang",
     "lang_fertility", "dedup_containment", "compaction_plan",
     "media_phash_dup_pairs", "media_phash_dup_pairs_c2", "media_phash_png",
-    "audio_dup_pairs",
+    "audio_dup_pairs", "video_phash_dup_pairs",
 ]
 
 

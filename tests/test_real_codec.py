@@ -760,3 +760,67 @@ def test_audio_fingerprint_properties(spark):
     whashed = audio_fingerprint(wdf, decode="wav")
     wpairs = phash_dup_pairs(whashed, hash_col="afp").collect()
     assert len(wpairs) == 1 and wpairs[0]["hamming"] == 0
+
+
+def test_video_phash_semantics(spark):
+    """Video pHash: exact copies pair at max_frame_hamming 0; ONE shared
+    scene does not make a duplicate (candidates collide, the all-frames
+    verify rejects); equal band values at DIFFERENT (frame, band)
+    positions never become candidates; the real-AVI path hashes identical
+    containers identically."""
+    import numpy as np
+
+    from beymani_spark.operators.multimodal import (
+        video_phash,
+        video_phash_dup_pairs,
+    )
+
+    rows = [(1, b"clip alpha"), (2, b"clip alpha"), (3, b"clip beta")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = video_phash(df, n_frames=4, decode="fake")
+    got = {
+        (r["src"], r["dst"]): r["max_frame_hamming"]
+        for r in video_phash_dup_pairs(hashed).collect()
+    }
+    assert got == {(1, 2): 0}
+
+    # crafted signatures: share frame 0 entirely, differ wildly elsewhere
+    shared = "00ff11aa22bb33cc"
+    v1 = shared + "0000000000000000" * 3
+    v2 = shared + "ffffffffffffffff" * 3
+    crafted = spark.createDataFrame(
+        [(1, v1), (2, v2)], "media_id long, vhash string"
+    )
+    assert video_phash_dup_pairs(crafted).count() == 0, (
+        "one shared scene must not be a duplicate"
+    )
+    # same 4-char sig at a DIFFERENT position: no candidate, no pair
+    v3 = "abcd" + "0" * 60
+    v4 = "0" * 4 + "abcd" + "0" * 56
+    shifted = spark.createDataFrame(
+        [(1, v3), (2, v4)], "media_id long, vhash string"
+    )
+    # brute-force check: they are within hamming 3 per frame? frame 0 of
+    # v3 is abcd0000..., of v4 is 0000abcd... -> large hamming; the point
+    # here is the CANDIDATE stage (positional banding), count stays 0
+    assert video_phash_dup_pairs(shifted).count() == 0
+
+    # real RIFF-AVI: identical containers hash identically through the
+    # genuine frame walk (reuse the suite's RGB24 AVI fixture builder)
+    w, h, nf = 16, 8, 5
+    frames = [
+        np.repeat(
+            ((np.arange(w * h, dtype=np.uint16).reshape(h, w) + 17 * k) % 256)
+            .astype(np.uint8)[:, :, None],
+            3,
+            axis=2,
+        )
+        for k in range(nf)
+    ]
+    payload = _avi_rgb24(frames, w, h, usec_per_frame=40000)
+    adf = spark.createDataFrame(
+        [(1, payload), (2, payload)], "media_id long, payload binary"
+    )
+    ah = video_phash(adf, n_frames=3, decode="avi")
+    pairs = video_phash_dup_pairs(ah, n_frames=3).collect()
+    assert len(pairs) == 1 and pairs[0]["max_frame_hamming"] == 0
