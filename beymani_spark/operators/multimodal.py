@@ -1251,6 +1251,30 @@ def phash_hamming(a: str, b: str) -> F.Column:
     return ham
 
 
+def _banded_candidates(hashed, sigs, id_col, hash_col):
+    """Shared candidate stage for every banded perceptual-hash pair
+    engine: posexplode the band signatures, equi-join on (band, sig),
+    keep src < dst, distinct — ONE copy of the join/distinct invariants
+    for the image, composite, and video forms. Output columns:
+    (src, _ha, dst, _hb)."""
+    exploded = hashed.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+        F.posexplode(F.array(*sigs)).alias("band", "sig"),
+    )
+    return (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band", "sig"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("src"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._id").alias("dst"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+
+
 def phash_dup_pairs(
     hashed: DataFrame,
     id_col: str = "media_id",
@@ -1286,23 +1310,8 @@ def phash_dup_pairs(
         raise ValueError(
             "banded 4x16 phash guarantees recall only for max_hamming <= 3"
         )
-    bands = F.array(*phash_band_sigs(hash_col, composite_bands))
-    exploded = hashed.select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
-        F.posexplode(bands).alias("band", "sig"),
-    )
-    cand = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), ["band", "sig"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("src"),
-            F.col("a._h").alias("_ha"),
-            F.col("b._id").alias("dst"),
-            F.col("b._h").alias("_hb"),
-        )
-        .distinct()
-    )
+    sigs = phash_band_sigs(hash_col, composite_bands)
+    cand = _banded_candidates(hashed, sigs, id_col, hash_col)
     verified = cand.withColumn("hamming", phash_hamming("_ha", "_hb")).filter(
         F.col("hamming") <= max_hamming
     )
@@ -1321,11 +1330,20 @@ def audio_fingerprint_hex(clips: Sequence[np.ndarray]) -> list[str]:
     than 17 samples zero-pad; zero-energy ties compare False (strict >).
     All float64 numpy, replayed verbatim by the oracle."""
     n_frames, n_bands = 17, 4
+    # band-resolution floor: with frame length >= 6 the rfft has >= 4
+    # bins, so every band owns at least one bin. Shorter clips would pin
+    # up to 48 of the 64 bits to a constant (empty-band energies tie at
+    # zero), collapsing unrelated clips into the dedup radius — measured
+    # ~1.3% false-dup rate at 20 samples. Zero-padding to the floor keeps
+    # degenerate clips from aborting a corpus scan (the repo convention)
+    # while removing the constant-bit pathology; genuinely tiny clips
+    # still carry fewer informative bits, which is inherent.
+    min_len = 6 * n_frames
     out = []
     for x in clips:
         x = np.asarray(x, dtype=np.float64)
-        if len(x) < n_frames:
-            x = np.pad(x, (0, n_frames - len(x)))
+        if len(x) < min_len:
+            x = np.pad(x, (0, min_len - len(x)))
         flen = len(x) // n_frames
         frames = x[: flen * n_frames].reshape(n_frames, flen)
         spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
@@ -1416,20 +1434,21 @@ def video_phash(
                 yield pd.DataFrame(columns=[id_col, "vhash"])
                 continue
             per_frame_hex: list[list[str]] = []
-            for k in range(nf):
-                if decode == "avi":
-                    rasters = []
-                    for p in payloads:
-                        frames, _usec = _avi_frames(p)
-                        idx = int(
-                            np.linspace(0, len(frames) - 1, nf).astype(int)[k]
-                        )
-                        fr = frames[idx]
-                        ys = np.linspace(0, fr.shape[0] - 1, 32).astype(int)
-                        xs = np.linspace(0, fr.shape[1] - 1, 32).astype(int)
-                        rasters.append(fr[ys][:, xs])
-                    px = np.stack(rasters)
-                else:
+            if decode == "avi":
+                # decode each container ONCE (the RIFF walk dominates),
+                # then slice all sampled frames from the decoded stack
+                sampled = []
+                for p in payloads:
+                    frames, _usec = _avi_frames(p)
+                    idxs = np.linspace(0, len(frames) - 1, nf).astype(int)
+                    ys = np.linspace(0, frames.shape[1] - 1, 32).astype(int)
+                    xs = np.linspace(0, frames.shape[2] - 1, 32).astype(int)
+                    sampled.append([frames[i][ys][:, xs] for i in idxs])
+                for k in range(nf):
+                    px = np.stack([s[k] for s in sampled])
+                    per_frame_hex.append(phash_hex(px))
+            else:
+                for k in range(nf):
                     px = np.stack(
                         [
                             _fake_pixels(
@@ -1438,7 +1457,7 @@ def video_phash(
                             for p in payloads
                         ]
                     )
-                per_frame_hex.append(phash_hex(px))
+                    per_frame_hex.append(phash_hex(px))
             vhash = ["".join(hs) for hs in zip(*per_frame_hex)]
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "vhash": vhash}
@@ -1467,28 +1486,21 @@ def video_phash_dup_pairs(
             " max_hamming <= 3"
         )
     nf = int(n_frames)
+    # length contract enforced row-locally: a signature whose length
+    # disagrees with n_frames is a caller mismatch (hashed with a
+    # different frame count). Short hashes would silently verify only a
+    # prefix; LONG-hash mismatches are worse — substring past the end
+    # returns '' so EVERY video would share ('', band) buckets, an
+    # all-pairs candidate explosion. Mismatched rows are excluded, and
+    # excluded loudly in the plan (the filter is visible), not hashed
+    # wrongly.
+    hashed = hashed.filter(F.length(F.col(hash_col)) == 16 * nf)
     sigs = [
         F.substring(F.col(hash_col), 1 + 16 * f + 4 * b, 4)
         for f in range(nf)
         for b in range(4)
     ]
-    exploded = hashed.select(
-        F.col(id_col).alias("_id"),
-        F.col(hash_col).alias("_h"),
-        F.posexplode(F.array(*sigs)).alias("band", "sig"),
-    )
-    cand = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), ["band", "sig"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("src"),
-            F.col("a._h").alias("_ha"),
-            F.col("b._id").alias("dst"),
-            F.col("b._h").alias("_hb"),
-        )
-        .distinct()
-    )
+    cand = _banded_candidates(hashed, sigs, id_col, hash_col)
     frame_hams = [
         phash_hamming(
             F.substring("_ha", 1 + 16 * f, 16), F.substring("_hb", 1 + 16 * f, 16)

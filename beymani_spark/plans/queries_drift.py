@@ -344,29 +344,15 @@ def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     raster arithmetic — any codec bug on either side of the round trip
     breaks the value hash. Payload size is the spec-determined constant
     _PNG_MEDIA_BYTES, asserted exactly."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"), "text"
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        # text cast to binary IS the UTF-8 byte payload the raster
+        # derives from — identical input to the former text-column form
+        F.col("text").cast("binary").alias("payload"),
     )
-    png_filters = [y % 5 for y in range(32)]
-
-    def encode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            payloads = [
-                multimodal.png_encode(
-                    multimodal._fake_pixels(t.encode("utf-8"), 32, 32).astype("int64"),
-                    color=0,
-                    filters=png_filters,
-                )
-                for t in pdf["text"]
-            ]
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"].to_numpy(), "payload": payloads}
-            )
-
-    media = docs.mapInPandas(encode, schema="media_id long, payload binary")
-    out = multimodal.decode_features(media, decode="png", n_features=16)
+    out = multimodal.decode_features(
+        _png_encode_media(media), decode="png", n_features=16
+    )
     return out.select(
         "media_id",
         "n_bytes",
@@ -819,17 +805,13 @@ def q_media_phash_dup_pairs_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_phash_png", _media_phash_dup_oracle)
-def q_media_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pHash media dedup THROUGH the real PNG codec: each raster is
-    encoded as a genuine PNG (png_encode — level-0 zlib, cycling scanline
-    filters) and the pHash kernel consumes the payload via the stdlib
-    PNG DECODER (phash64(decode='png')). PNG is lossless, so the decoded
-    raster — and therefore every hash, band, and pair — must equal the
-    direct-raster form bit-for-bit: the oracle is REUSED VERBATIM from
-    media_phash_dup_pairs, and any encode/decode bug on either codec
-    half breaks the value hash. Same planted %7 duplicates."""
-    media = _planted_media(spark, sf_dir)
+def _png_encode_media(media: DataFrame) -> DataFrame:
+    """Encode (media_id, payload) rows as genuine PNGs via the shared
+    fixture convention (level-0 zlib, scanline filters cycling y % 5 —
+    ONE copy for media_features_png and media_phash_png, so the encoding
+    convention cannot drift between their oracles). The input is spread
+    FIRST: the per-row Python encode dominates, and a one-file source
+    would otherwise run the whole encode stage in a single task."""
     png_filters = [y % 5 for y in range(32)]
 
     def encode(batches):
@@ -848,7 +830,22 @@ def q_media_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["media_id"].to_numpy(), "payload": payloads}
             )
 
-    pngs = media.mapInPandas(encode, schema="media_id long, payload binary")
+    return multimodal._spread(media).mapInPandas(
+        encode, schema="media_id long, payload binary"
+    )
+
+
+@register("media_phash_png", _media_phash_dup_oracle)
+def q_media_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash media dedup THROUGH the real PNG codec: each raster is
+    encoded as a genuine PNG (png_encode — level-0 zlib, cycling scanline
+    filters) and the pHash kernel consumes the payload via the stdlib
+    PNG DECODER (phash64(decode='png')). PNG is lossless, so the decoded
+    raster — and therefore every hash, band, and pair — must equal the
+    direct-raster form bit-for-bit: the oracle is REUSED VERBATIM from
+    media_phash_dup_pairs, and any encode/decode bug on either codec
+    half breaks the value hash. Same planted %7 duplicates."""
+    pngs = _png_encode_media(_planted_media(spark, sf_dir))
     hashed = multimodal.phash64(pngs, decode="png")
     return multimodal.phash_dup_pairs(hashed, max_hamming=3)
 

@@ -794,16 +794,25 @@ def test_video_phash_semantics(spark):
     assert video_phash_dup_pairs(crafted).count() == 0, (
         "one shared scene must not be a duplicate"
     )
-    # same 4-char sig at a DIFFERENT position: no candidate, no pair
-    v3 = "abcd" + "0" * 60
-    v4 = "0" * 4 + "abcd" + "0" * 56
+    # same 4-char sig at a DIFFERENT position, every OTHER position
+    # pairwise distinct: positional banding must produce NO candidate at
+    # all (sig-only joining would collide on 'abcd'), so the zero count
+    # exercises the candidate stage, not the verify
+    v3 = "abcd" + "".join(f"{0x1000 + i:04x}" for i in range(15))
+    v4 = "9999abcd" + "".join(f"{0x2000 + i:04x}" for i in range(14))
     shifted = spark.createDataFrame(
         [(1, v3), (2, v4)], "media_id long, vhash string"
     )
-    # brute-force check: they are within hamming 3 per frame? frame 0 of
-    # v3 is abcd0000..., of v4 is 0000abcd... -> large hamming; the point
-    # here is the CANDIDATE stage (positional banding), count stays 0
     assert video_phash_dup_pairs(shifted).count() == 0
+
+    # length contract: a signature hashed with a different frame count is
+    # excluded, never banded wrongly
+    mixed = spark.createDataFrame(
+        [(1, "0" * 64), (2, "0" * 64), (3, "0" * 32)],
+        "media_id long, vhash string",
+    )
+    pairs = video_phash_dup_pairs(mixed).collect()
+    assert {(r["src"], r["dst"]) for r in pairs} == {(1, 2)}
 
     # real RIFF-AVI: identical containers hash identically through the
     # genuine frame walk (reuse the suite's RGB24 AVI fixture builder)
