@@ -66,77 +66,16 @@ from . import queries_packing  # noqa: E402,F401
 # (CORRECTNESS_r02..r05). tests/test_rotation_audit.py enforces this
 # machinery: it fails if any registered query goes too long without a
 # driver-green row given the committed CORRECTNESS files + this window.
-#
-# Round-7 window (the r6 verdict's directive #1 — executed here): head =
-# the 13 never-driver-checked queries (linear_attribution,
-# funnel_time_bounded, the 11 round-6 additions — all judge-verified
-# hash-exact at sf0.01 during the r6 review), any new round-7 queries,
-# then stalest-first: dedup_minhash_lsh (newest row r2), the r3-certified
-# set (21), and the oldest r4-certified queries filling the window. The
-# round-6 window (the 50 round-5 additions, now CORRECTNESS_r06-green)
-# rotated to the tail as the freshest set.
-#
-# Round-8 plan: the same mechanical edit — move the then-head-50 to the
-# tail so the remaining r4-certified queries and the r5-certified set
-# (stalest after this round) lead, with any never-checked r8 additions
-# first. tests/test_rotation_audit.py fails until that edit is made.
+# Round-8 window (the r7 verdict's directive #1 — executed here): a full
+# stable stalest-first sort. Head = any never-driver-checked round-8
+# additions (registered above the r3 block as they land), then the 10
+# r3-certified queries (stalest on record), then the r4-certified set
+# filling the window; the r7-certified block (last round's window)
+# rotates to the tail as the freshest set. tests/test_rotation_audit.py
+# enforces this ordering against the committed CORRECTNESS records.
 _PRIORITY = [
-    # --- round-7 window head: never-driver-checked (judge sf0.01-verified
-    # --- during the r6 review) ---
-    "linear_attribution",
-    "funnel_time_bounded",
-    # --- round-6 additions (never-driver-checked; judge sf0.01-verified) ---
-    "media_features_png",
-    "media_features_jpg",
-    "gopher_quality",
-    "domain_cap",
-    "pii_pseudonymize",
-    "u_shaped_attribution",
-    "text_normalize",
-    "sentence_stats",
-    "column_profile",
-    "column_profile_drift",
-    "dedup_rate_by_source",
-    # --- new in round 7 (never-checked) ---
-    "media_dup_pairs_lsh",
-    "isolation_forest_merge",
-    "dedup_simhash_auto",
-    "lof_lsh",
-    "embedding_dup_clusters_lsh",
-    "numeric_profile",
-    "source_gram_topk",
-    "dedup_corpus_best",
-    "numeric_profile_drift",
-    "finite_audit",
-    "finite_gate",
-    "compression_ratio",
-    "dedup_containment",
-    "local_supplier_volume",
-    "returned_item_revenue",
-    "quality_fuse",
-    "quality_fuse_by_lang",
-    "anomaly_score_fuse",
-    "media_phash_dup_pairs",
-    "media_phash_dup_pairs_c2",
-    "media_phash_png",
-    "audio_dup_pairs",
-    "video_phash_dup_pairs",
-    "lang_fertility",
-    "compaction_plan",
-    # --- r2-certified (newest driver row r2; judge-verified r4) ---
-    "dedup_minhash_lsh",
+    # --- round-8 additions (never-driver-checked) lead the window ---
     # --- r3-certified set (newest driver row r3) ---
-    "embedding_quantize",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "bpe_token_count",
-    "text_features",
-    "doc_fingerprint",
-    "repetition_score",
-    "contamination_check",
-    "bigram_logprob",
-    "vocab_topk",
     "corpus_stats",
     "stratified_sample",
     "train_split",
@@ -147,7 +86,7 @@ _PRIORITY = [
     "sessionize_events",
     "rollup_timebuckets",
     "pricing_summary",
-    # --- r4-certified set (CORRECTNESS_r04 green rows) ---
+    # --- r4-certified set (newest driver row r4) ---
     "pii_scan",
     "chunk_dedup",
     "domain_mix",
@@ -198,42 +137,42 @@ _PRIORITY = [
     "cosine_dup_pairs",
     "cosine_topk",
     "ann_lsh_topk",
-    # --- r5-certified set (CORRECTNESS_r05 green rows — freshest) ---
+    # --- r5-certified set (newest driver row r5) ---
     "corpus_to_manifest",
-    "zscore",                    # 1 StatsBasedOutlierPredictor
-    "multivariate_histogram",    # 2 MultiVariateDistribution
-    "markov_cond_prob",          # 3 MarkovChainPredictor
-    "ngram_frequency",           # 4 NgramFrequencyPredictor
-    "spectral_residual",         # 5 SpectralResiduePredictor
-    "one_step_ahead",            # 6 OneStepAheadPredictor
-    "subsequence_distance",      # 7 SubSequenceDistanceDetector
-    "local_neighborhood",        # 8 LocalNeighborhoodDetector
-    "change_point",              # 9 ChangePointDetector
-    "in_range",                  # 10 InRangeBasedPredictor
-    "out_range",                 # 11 OutRangeBasedPredictor
-    "lof",                       # 15 LocalDensityBasedPredictor
-    "level_shift_segments",      # 18 OutlierLevelShift
-    "score_level_shift",         # 19 OutlierScoreLevelShift
-    "outlier_cluster",           # 20 OutlierCluster
-    "hierarchical_aggregate",    # 21 OutlierAggregator
-    "outlier_counts",            # 22 OutlierCounter
-    "threshold_learner",         # 23 ThresholdLearner
-    "pseudo_relevance_threshold",  # 24 PseudoRelevanceThresholdFinder
-    "clean_output_anti_join",    # 25 OutlierUtility
-    "robust_zscore",             # K2
-    "extreme_value",             # K3
-    "est_prob",                  # K4
-    "est_attr_prob",             # K5
-    "est_meta_prob",             # K6
-    "est_cum_prob",              # K7
-    "iqr_score",                 # K8
-    "mahalanobis",               # K9
-    "entropy_increase",          # K11
-    "distribution_sorter",       # M2
-    "entropy_sorter",            # M3
-    "average_distance",          # M4
-    "neighbor_density",          # M5
-    "relative_density",          # M6
+    "zscore",
+    "multivariate_histogram",
+    "markov_cond_prob",
+    "ngram_frequency",
+    "spectral_residual",
+    "one_step_ahead",
+    "subsequence_distance",
+    "local_neighborhood",
+    "change_point",
+    "in_range",
+    "out_range",
+    "lof",
+    "level_shift_segments",
+    "score_level_shift",
+    "outlier_cluster",
+    "hierarchical_aggregate",
+    "outlier_counts",
+    "threshold_learner",
+    "pseudo_relevance_threshold",
+    "clean_output_anti_join",
+    "robust_zscore",
+    "extreme_value",
+    "est_prob",
+    "est_attr_prob",
+    "est_meta_prob",
+    "est_cum_prob",
+    "iqr_score",
+    "mahalanobis",
+    "entropy_increase",
+    "distribution_sorter",
+    "entropy_sorter",
+    "average_distance",
+    "neighbor_density",
+    "relative_density",
     "numerical_stats",
     "median_mad",
     "temporal_aggregate",
@@ -249,8 +188,7 @@ _PRIORITY = [
     "local_drift",
     "score_stats",
     "media_features",
-    # --- r6-certified set (CORRECTNESS_r06 green rows — freshest): the
-    # --- round-6 window, rotated to the tail in round 7 ---
+    # --- r6-certified set (newest driver row r6) ---
     "corpus_length_drift",
     "media_dup_pairs",
     "corpus_quality_drift_by_lang",
@@ -271,7 +209,7 @@ _PRIORITY = [
     "ngram_novelty",
     "quality_sample",
     "lang_confusion",
-    "semantic_dedup",           # re-registered n_topics='auto' this round
+    "semantic_dedup",
     "topic_drift",
     "prototype_prune",
     "tfidf_topk",
@@ -301,6 +239,57 @@ _PRIORITY = [
     "small_quantity_revenue",
     "promo_revenue_share",
     "context_length_plan",
+    # --- r7-certified set (newest driver row r7) ---
+    "linear_attribution",
+    "funnel_time_bounded",
+    "media_features_png",
+    "media_features_jpg",
+    "gopher_quality",
+    "domain_cap",
+    "pii_pseudonymize",
+    "u_shaped_attribution",
+    "text_normalize",
+    "sentence_stats",
+    "column_profile",
+    "column_profile_drift",
+    "dedup_rate_by_source",
+    "media_dup_pairs_lsh",
+    "isolation_forest_merge",
+    "dedup_simhash_auto",
+    "lof_lsh",
+    "embedding_dup_clusters_lsh",
+    "numeric_profile",
+    "source_gram_topk",
+    "dedup_corpus_best",
+    "numeric_profile_drift",
+    "finite_audit",
+    "finite_gate",
+    "compression_ratio",
+    "dedup_containment",
+    "local_supplier_volume",
+    "returned_item_revenue",
+    "quality_fuse",
+    "quality_fuse_by_lang",
+    "anomaly_score_fuse",
+    "media_phash_dup_pairs",
+    "media_phash_dup_pairs_c2",
+    "media_phash_png",
+    "audio_dup_pairs",
+    "video_phash_dup_pairs",
+    "lang_fertility",
+    "compaction_plan",
+    "dedup_minhash_lsh",
+    "embedding_quantize",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "bpe_token_count",
+    "text_features",
+    "doc_fingerprint",
+    "repetition_score",
+    "contamination_check",
+    "bigram_logprob",
+    "vocab_topk",
 ]
 _rank = {n: i for i, n in enumerate(_PRIORITY)}
 _ordered = sorted(
