@@ -1310,6 +1310,13 @@ def phash_dup_pairs(
         raise ValueError(
             "banded 4x16 phash guarantees recall only for max_hamming <= 3"
         )
+    # length contract enforced row-locally (the video form's guard, same
+    # hazard): a short/malformed hash — '' or a 64-char vhash passed by
+    # mistake — yields '' band substrings that share ('', band) buckets
+    # with every other malformed row (all-pairs candidate blowup) and its
+    # NULL hammings would then be silently dropped. Mismatched rows are
+    # excluded, and excluded loudly in the plan, not hashed wrongly.
+    hashed = hashed.filter(F.length(F.col(hash_col)) == 16)
     sigs = phash_band_sigs(hash_col, composite_bands)
     cand = _banded_candidates(hashed, sigs, id_col, hash_col)
     verified = cand.withColumn("hamming", phash_hamming("_ha", "_hb")).filter(
@@ -1472,6 +1479,7 @@ def video_phash_dup_pairs(
     hash_col: str = "vhash",
     n_frames: int = 4,
     max_hamming: int = 3,
+    composite_bands: bool = False,
 ) -> DataFrame:
     """Near-dup video pairs: candidates share any (frame, band) 16-bit
     bucket (4*n_frames keys per video); verification is the exact
@@ -1479,8 +1487,24 @@ def video_phash_dup_pairs(
     within ``max_hamming`` — the "same video" criterion (one shared scene
     is not a duplicate). Pigeonhole holds per frame: all-frames-within-3
     implies frame 0 is within 3, so one of its bands collides. Output
-    (src, dst, max_frame_hamming)."""
-    if not (0 <= max_hamming <= 3):
+    (src, dst, max_frame_hamming).
+
+    The single-band collision floor is PER BAND, not per video: (frame,
+    band) keys give 4*n_frames buckets per item but each 16-bit bucket
+    still holds N/2^16 items, so candidate volume grows N^2/2^16 exactly
+    as the image form's 100x capture measured (BASELINE.md §8.6). The
+    off-ramp is the same ``composite_bands=True`` trade: candidates must
+    share a concatenated band PAIR within one frame (C(4,2)=6 32-bit
+    signatures per frame), buckets at N/2^32, pigeonhole covering
+    per-frame hamming <= 2 (two flips within a frame disturb at most two
+    of ITS bands, leaving an intact pair among that frame's six)."""
+    if composite_bands:
+        if not (0 <= max_hamming <= 2):
+            raise ValueError(
+                "composite 2-of-4 banding guarantees recall only for"
+                " max_hamming <= 2"
+            )
+    elif not (0 <= max_hamming <= 3):
         raise ValueError(
             "banded 4x16 per-frame phash guarantees recall only for"
             " max_hamming <= 3"
@@ -1495,11 +1519,23 @@ def video_phash_dup_pairs(
     # excluded loudly in the plan (the filter is visible), not hashed
     # wrongly.
     hashed = hashed.filter(F.length(F.col(hash_col)) == 16 * nf)
-    sigs = [
-        F.substring(F.col(hash_col), 1 + 16 * f + 4 * b, 4)
-        for f in range(nf)
-        for b in range(4)
-    ]
+    if composite_bands:
+        import itertools
+
+        sigs = [
+            F.concat(
+                F.substring(F.col(hash_col), 1 + 16 * f + 4 * i, 4),
+                F.substring(F.col(hash_col), 1 + 16 * f + 4 * j, 4),
+            )
+            for f in range(nf)
+            for i, j in itertools.combinations(range(4), 2)
+        ]
+    else:
+        sigs = [
+            F.substring(F.col(hash_col), 1 + 16 * f + 4 * b, 4)
+            for f in range(nf)
+            for b in range(4)
+        ]
     cand = _banded_candidates(hashed, sigs, id_col, hash_col)
     frame_hams = [
         phash_hamming(

@@ -902,7 +902,12 @@ def fuse_stats(
     for c in signal_cols:
         aggs.append(F.round(F.avg(F.col(c)), 6).alias(f"_mu_{c}"))
         aggs.append(F.round(F.stddev_samp(F.col(c)), 6).alias(f"_sd_{c}"))
-    aggs.append(F.lit(True).alias("_fitted"))
+    # _fitted must reflect a REAL fit: a global agg on an empty frame
+    # still emits one row (NULL mu/sd), and lit(True) would make
+    # fuse_apply score every row 0.0 ('exactly average') against an
+    # unlearned model instead of NULL — the contract violation. count>0
+    # makes the empty-corpus model row carry _fitted=false.
+    aggs.append((F.count(F.lit(1)) > 0).alias("_fitted"))
     if by:
         return df.groupBy(*by).agg(*aggs)
     return df.agg(*aggs)
@@ -957,7 +962,10 @@ def fuse_apply(
             F.when(z.isNotNull(), F.lit(float(w))).otherwise(F.lit(0.0))
         )
     total_w = sum(ws[1:], start=ws[0])
-    fused = F.when(F.col("_fitted").isNull(), F.lit(None).cast("double")).otherwise(
+    # unlearned = no stats row joined (NULL) OR an empty-fit row (False)
+    fused = F.when(
+        ~F.coalesce(F.col("_fitted"), F.lit(False)), F.lit(None).cast("double")
+    ).otherwise(
         F.when(
             total_w > 0,
             F.round(sum(zs[1:], start=zs[0]) / total_w, 6),

@@ -932,13 +932,14 @@ WHERE {ham} <= {max_h}
 """
 
 
-def audio_fp_dup_oracle(sf_dir: str) -> str:
+def audio_fp_dup_oracle(sf_dir: str, composite: bool = False) -> str:
     """Audio-fingerprint dedup oracle: the FFT fingerprint cannot run in
     SQL, so the 64-bit fingerprints are replayed off-Spark with the SAME
     deterministic kernel (multimodal.audio_fingerprint_hex over the fake
     1024-sample PCM each doc derives from its text, planted % 7 == 0
     copies included) and baked as VALUES; banding + exact hamming verify
-    reuse the shared perceptual-hash SQL tail."""
+    reuse the shared perceptual-hash SQL tail (``composite`` selects the
+    2-of-4 corpus-scale banding, hamming <= 2)."""
     import numpy as np
 
     from ..operators.multimodal import _decode_batch, audio_fingerprint_hex
@@ -953,15 +954,20 @@ def audio_fp_dup_oracle(sf_dir: str) -> str:
         rows.append(f"({int(d)}, '{h}')")
         if int(d) % 7 == 0:
             rows.append(f"({int(d) + 10_000_000}, '{h}')")
-    return _hex_hash_pair_sql(rows)
+    return _hex_hash_pair_sql(rows, composite)
 
 
-def video_phash_dup_oracle(sf_dir: str, n_frames: int = 4) -> str:
+def video_phash_dup_oracle(
+    sf_dir: str, n_frames: int = 4, composite: bool = False
+) -> str:
     """Video perceptual-dedup oracle: per-frame pHashes replayed off-Spark
     (the sample_frames fake-frame convention — payload + b":" + offset_ms)
     and baked as concatenated 16*n_frames-hex VALUES; (frame, band)
     bucket candidates and the per-frame hamming verify (ALL aligned
-    frames within the radius) run in DuckDB."""
+    frames within the radius) run in DuckDB. ``composite`` switches the
+    candidates to within-frame band PAIRS (6 per frame) at radius 2 —
+    the corpus-scale form mirroring the Spark operator's
+    composite_bands=True."""
     from ..operators.multimodal import _fake_pixels, phash_hex
 
     pdf = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -984,11 +990,23 @@ def video_phash_dup_oracle(sf_dir: str, n_frames: int = 4) -> str:
             " CAST(NULL AS BIGINT) AS max_frame_hamming WHERE FALSE"
         )
     values = ", ".join(rows)
-    sig_exprs = ", ".join(
-        f"substr(vhash, {1 + 16 * f + 4 * b}, 4)"
-        for f in range(n_frames)
-        for b in range(4)
-    )
+    if composite:
+        import itertools
+
+        sig_exprs = ", ".join(
+            f"substr(vhash, {1 + 16 * f + 4 * i}, 4)"
+            f" || substr(vhash, {1 + 16 * f + 4 * j}, 4)"
+            for f in range(n_frames)
+            for i, j in itertools.combinations(range(4), 2)
+        )
+        n_sigs, max_h = 6 * n_frames, 2
+    else:
+        sig_exprs = ", ".join(
+            f"substr(vhash, {1 + 16 * f + 4 * b}, 4)"
+            for f in range(n_frames)
+            for b in range(4)
+        )
+        n_sigs, max_h = 4 * n_frames, 3
     frame_hams = []
     for f in range(n_frames):
         terms = " + ".join(
@@ -1003,7 +1021,7 @@ def video_phash_dup_oracle(sf_dir: str, n_frames: int = 4) -> str:
 WITH m(media_id, vhash) AS (VALUES {values}),
 e AS (
   SELECT media_id, vhash, unnest([{sig_exprs}]) AS sig,
-         unnest(range({4 * n_frames})) AS band
+         unnest(range({n_sigs})) AS band
   FROM m
 ),
 cand AS (
@@ -1013,5 +1031,5 @@ cand AS (
 )
 SELECT c.src, c.dst, CAST({worst} AS BIGINT) AS max_frame_hamming
 FROM cand c JOIN m a ON a.media_id = c.src JOIN m b ON b.media_id = c.dst
-WHERE {worst} <= 3
+WHERE {worst} <= {max_h}
 """

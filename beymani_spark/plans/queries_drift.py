@@ -811,7 +811,11 @@ def _png_encode_media(media: DataFrame) -> DataFrame:
     ONE copy for media_features_png and media_phash_png, so the encoding
     convention cannot drift between their oracles). The input is spread
     FIRST: the per-row Python encode dominates, and a one-file source
-    would otherwise run the whole encode stage in a single task."""
+    would otherwise run the whole encode stage in a single task. NULL
+    payloads are filtered (the _planted_media convention) so the encode
+    kernel's bytes(p) never sees None — matching how compression_ratio
+    maps NULL through instead of crashing."""
+    media = media.filter(F.col("payload").isNotNull())
     png_filters = [y % 5 for y in range(32)]
 
     def encode(batches):
@@ -868,6 +872,26 @@ def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_dup_pairs(hashed, hash_col="afp", max_hamming=3)
 
 
+@register(
+    "audio_dup_pairs_c2",
+    lambda sf_dir: _audio_fp_dup_oracle(sf_dir, composite=True),
+)
+def q_audio_dup_pairs_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale form of the audio-fingerprint dedup: the fingerprint
+    rides the SAME hex band engine as image pHash, so it inherits the
+    same single-band N^2/2^16 candidate floor the 100x capture measured
+    (BASELINE.md §8.6) — and the same composite 2-of-4 off-ramp:
+    candidates share a concatenated band PAIR (buckets at N/2^32),
+    pigeonhole covering hamming <= 2. Same planted %7 duplicates; same
+    baked FFT-kernel oracle with composite candidates."""
+    hashed = multimodal.audio_fingerprint(
+        _planted_media(spark, sf_dir), decode="fake", n_samples=1024
+    )
+    return multimodal.phash_dup_pairs(
+        hashed, hash_col="afp", max_hamming=2, composite_bands=True
+    )
+
+
 from .model_oracles import video_phash_dup_oracle as _video_phash_dup_oracle  # noqa: E402
 
 
@@ -884,3 +908,25 @@ def q_video_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _planted_media(spark, sf_dir), n_frames=4, decode="fake"
     )
     return multimodal.video_phash_dup_pairs(hashed, n_frames=4, max_hamming=3)
+
+
+@register(
+    "video_phash_dup_pairs_c2",
+    lambda sf_dir: _video_phash_dup_oracle(sf_dir, composite=True),
+)
+def q_video_phash_dup_pairs_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale form of the video perceptual dedup: (frame, band)
+    keys give 4*n_frames buckets per item but each 16-bit bucket still
+    holds N/2^16 items — the image family's measured single-band floor
+    (BASELINE.md §8.6) applies per band. Composite mode requires
+    candidates to share a band PAIR within one frame (6 32-bit
+    signatures per frame, buckets at N/2^32); pigeonhole covers
+    per-frame hamming <= 2 and the all-frames-within-radius criterion is
+    unchanged. Same planted %7 copies; same baked-kernel oracle with
+    composite candidates."""
+    hashed = multimodal.video_phash(
+        _planted_media(spark, sf_dir), n_frames=4, decode="fake"
+    )
+    return multimodal.video_phash_dup_pairs(
+        hashed, n_frames=4, max_hamming=2, composite_bands=True
+    )

@@ -75,6 +75,8 @@ from . import queries_packing  # noqa: E402,F401
 # enforces this ordering against the committed CORRECTNESS records.
 _PRIORITY = [
     # --- round-8 additions (never-driver-checked) lead the window ---
+    "audio_dup_pairs_c2",
+    "video_phash_dup_pairs_c2",
     # --- r3-certified set (newest driver row r3) ---
     "corpus_stats",
     "stratified_sample",

@@ -1079,3 +1079,25 @@ def test_quality_fuse_by_strata(spark):
     }
     assert served[3] is None and served[4] is None  # unlearned stratum
     assert abs(served[1] + 0.707107) < 1e-6
+
+
+def test_quality_fuse_empty_corpus_scores_null(spark):
+    """A model fitted on an EMPTY corpus is unlearned: the global agg
+    still emits one stats row (NULL mu/sd), but _fitted must be False so
+    every scored row is NULL — never 0.0 ('exactly average'), the
+    unlearned-model contract the by-strata path already honors."""
+    from beymani_spark.operators.text import fuse_apply, fuse_stats
+
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id long, a double")
+    empty_stats = fuse_stats(df.filter("a > 100"), ["a"])
+    assert empty_stats.count() == 1  # global agg always emits a row...
+    assert empty_stats.first()["_fitted"] is False  # ...marked unlearned
+    scored = fuse_apply(df, empty_stats, ["a"]).collect()
+    assert all(r["fused_score"] is None for r in scored)
+
+    # a real fit still scores (the change must not break the learned path)
+    scored = {
+        r["id"]: r["fused_score"]
+        for r in fuse_apply(df, fuse_stats(df, ["a"]), ["a"]).collect()
+    }
+    assert abs(scored[1] + 0.707107) < 1e-6

@@ -1010,3 +1010,47 @@ def test_phash_dup_pairs_band_join_no_cartesian(spark):
     plan = _plan(phash_dup_pairs(phash64(media, decode="fake")))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan and "sig" in plan, "candidates must equi-join on bands"
+
+
+def test_perceptual_composite_forms_band_join_no_cartesian(spark):
+    """The corpus-scale composite (2-of-4) forms across all three
+    modalities keep the same plan shape: (band, sig) equi-join
+    candidates, never a cartesian / nested-loop, and the length-contract
+    filter visible in the plan (malformed hashes excluded loudly, not
+    bucketed into a shared '' key)."""
+    from beymani_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash64,
+        phash_dup_pairs,
+        video_phash,
+        video_phash_dup_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    forms = [
+        phash_dup_pairs(
+            phash64(media, decode="fake"), max_hamming=2, composite_bands=True
+        ),
+        phash_dup_pairs(
+            audio_fingerprint(media, decode="fake"),
+            hash_col="afp",
+            max_hamming=2,
+            composite_bands=True,
+        ),
+        video_phash_dup_pairs(
+            video_phash(media, n_frames=4, decode="fake"),
+            n_frames=4,
+            max_hamming=2,
+            composite_bands=True,
+        ),
+    ]
+    for df in forms:
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "band" in plan and "sig" in plan
+        assert "length" in plan, "length-contract filter must be in the plan"

@@ -833,3 +833,130 @@ def test_video_phash_semantics(spark):
     ah = video_phash(adf, n_frames=3, decode="avi")
     pairs = video_phash_dup_pairs(ah, n_frames=3).collect()
     assert len(pairs) == 1 and pairs[0]["max_frame_hamming"] == 0
+
+
+def test_phash_dup_pairs_length_contract(spark):
+    """The image/audio pair engine enforces the 16-hex length contract
+    row-locally (the video form's guard): malformed hashes — '' or a
+    64-char vhash passed by mistake — are excluded BEFORE banding, so
+    they can neither share ('', band) buckets with every other malformed
+    row nor be silently dropped post-join as NULL hammings."""
+    from beymani_spark.operators.multimodal import phash_dup_pairs
+
+    rows = [
+        (1, "00ff11aa22bb33cc"),
+        (2, "00ff11aa22bb33cc"),
+        (3, ""),                      # empty: every substring is ''
+        (4, ""),                      # second empty — would all-pairs with 3
+        (5, "0" * 64),                # vhash-length mistake
+        (6, "0" * 64),
+        (7, "abcd"),                  # truncated
+    ]
+    df = spark.createDataFrame(rows, "media_id long, phash string")
+    pairs = phash_dup_pairs(df, max_hamming=3).collect()
+    assert {(r["src"], r["dst"]) for r in pairs} == {(1, 2)}
+    # composite mode rides the same guard
+    pairs = phash_dup_pairs(df, max_hamming=2, composite_bands=True).collect()
+    assert {(r["src"], r["dst"]) for r in pairs} == {(1, 2)}
+
+
+def test_audio_composite_banding_subset_and_pigeonhole(spark):
+    """Audio fingerprints ride the shared band engine, so composite
+    2-of-4 banding must behave identically: results equal the single-band
+    form restricted to hamming <= 2; a 2-bit flip across two DIFFERENT
+    bands still collides on the intact pair; max_hamming=3 rejected."""
+    import pytest
+
+    from beymani_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_dup_pairs,
+    )
+
+    rows = [(i, f"clip number {i % 5}".encode()) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = audio_fingerprint(df, decode="fake", n_samples=1024)
+    base = {
+        (r["src"], r["dst"]): r["hamming"]
+        for r in phash_dup_pairs(hashed, hash_col="afp", max_hamming=2).collect()
+    }
+    comp = {
+        (r["src"], r["dst"]): r["hamming"]
+        for r in phash_dup_pairs(
+            hashed, hash_col="afp", max_hamming=2, composite_bands=True
+        ).collect()
+    }
+    assert comp == base, "composite banding must not lose hamming<=2 pairs"
+    assert base, "fixture must produce at least one duplicate pair"
+
+    h1, h2 = "0000" * 4, "0001" + "0002" + "0000" + "0000"
+    df2 = spark.createDataFrame([(1, h1), (2, h2)], "media_id long, afp string")
+    pairs = phash_dup_pairs(
+        df2, hash_col="afp", max_hamming=2, composite_bands=True
+    ).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 2
+
+    with pytest.raises(ValueError, match="hamming"):
+        phash_dup_pairs(df2, hash_col="afp", max_hamming=3, composite_bands=True)
+
+
+def test_video_composite_banding_subset_and_pigeonhole(spark):
+    """Video composite banding: results equal the single-band form
+    restricted to max_frame_hamming <= 2 on hashed fixtures; per-frame
+    pigeonhole — 2 flips in 2 DIFFERENT bands of EVERY frame still
+    collides on each frame's intact pair; composite signatures are
+    positional, so an equal band PAIR at a different frame is no
+    candidate; max_hamming=3 rejected in composite mode."""
+    import pytest
+
+    from beymani_spark.operators.multimodal import (
+        video_phash,
+        video_phash_dup_pairs,
+    )
+
+    rows = [(i, f"clip number {i % 5}".encode()) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = video_phash(df, n_frames=4, decode="fake")
+    base = {
+        (r["src"], r["dst"]): r["max_frame_hamming"]
+        for r in video_phash_dup_pairs(hashed, n_frames=4, max_hamming=2).collect()
+    }
+    comp = {
+        (r["src"], r["dst"]): r["max_frame_hamming"]
+        for r in video_phash_dup_pairs(
+            hashed, n_frames=4, max_hamming=2, composite_bands=True
+        ).collect()
+    }
+    assert comp == base, "composite banding must not lose hamming<=2 pairs"
+    assert base, "fixture must produce at least one duplicate pair"
+
+    # 2 flips spread over bands 0+1 of EVERY frame: bands 2+3 remain an
+    # intact pair within each frame
+    v1 = "0000" * 16
+    v2 = ("0001" + "0002" + "0000" + "0000") * 4
+    crafted = spark.createDataFrame(
+        [(1, v1), (2, v2)], "media_id long, vhash string"
+    )
+    pairs = video_phash_dup_pairs(
+        crafted, n_frames=4, max_hamming=2, composite_bands=True
+    ).collect()
+    assert len(pairs) == 1 and pairs[0]["max_frame_hamming"] == 2
+
+    # same band PAIR value at a DIFFERENT frame, all else pairwise
+    # distinct: positional composite banding must produce NO candidate
+    f_pair = "abcd1234"
+    v3 = f_pair + "".join(f"{0x1000 + i:04x}" for i in range(14))
+    v4 = "".join(f"{0x2000 + i:04x}" for i in range(4)) + f_pair + "".join(
+        f"{0x3000 + i:04x}" for i in range(10)
+    )
+    shifted = spark.createDataFrame(
+        [(1, v3), (2, v4)], "media_id long, vhash string"
+    )
+    assert (
+        video_phash_dup_pairs(
+            shifted, n_frames=4, max_hamming=2, composite_bands=True
+        ).count()
+        == 0
+    )
+
+    with pytest.raises(ValueError, match="hamming"):
+        video_phash_dup_pairs(crafted, max_hamming=3, composite_bands=True)
