@@ -1305,6 +1305,7 @@ def source_similarity(
     group_col: str = "source",
     text_col: str = "text",
     n: int = 3,
+    mode: str = "sets",
 ) -> DataFrame:
     """Pairwise n-gram Jaccard between corpus GROUPS (sources, snapshots,
     shards): each group's shingle set is the union over its documents; one
@@ -1315,12 +1316,20 @@ def source_similarity(
     Scale shape: shingles collapse to a TWO-SEED xxhash64 composite (16
     bytes, exact for practical purposes — the chunk_dedup hashed-key
     convention) BEFORE the distinct, so the data-sized shuffle carries
-    longs, never raw shingle strings; pairs then come from a per-shingle
-    groupBy whose collected group array is bounded by |groups| (a corpus
-    has tens of sources, not millions) — join volume is at most
-    |distinct shingles| x |groups|^2, never a doc-level self-join. Groups
-    sharing no shingle don't appear (their Jaccard is 0 by construction).
+    longs, never raw shingle strings. ``mode='sets'`` (default) then
+    builds pairs from a per-shingle groupBy whose collected group array
+    is bounded by |groups| (a corpus has tens of sources, not millions) —
+    join volume is at most |distinct shingles| x |groups|^2, never a
+    doc-level self-join. ``mode='pairs'`` is the high-|groups| off-ramp:
+    a streamed self-equi-join on the shingle hash + count aggregate —
+    the same pair volume but NO per-key in-memory array, so a shingle
+    shared by thousands of groups sort-merge-streams instead of
+    materializing a |groups|-sized collect_set on one task. Both modes
+    return identical results (equivalence-tested). Groups sharing no
+    shingle don't appear (their Jaccard is 0 by construction).
     """
+    if mode not in ("sets", "pairs"):
+        raise ValueError(f"unknown mode: {mode}")
     sh = (
         df.select(
             F.col(group_col).alias("_g"),
@@ -1334,18 +1343,30 @@ def source_similarity(
         .distinct()
     )
     sizes = sh.groupBy("_g").agg(F.count("*").alias("_n"))
-    per_gram = (
-        sh.groupBy("_h1", "_h2")
-        .agg(F.sort_array(F.collect_set("_g")).alias("_gs"))
-        .filter(F.size("_gs") >= 2)
-    )
-    pairs = (
-        per_gram.select(F.explode("_gs").alias("source_a"), "_gs")
-        .select("source_a", F.explode("_gs").alias("source_b"))
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("intersection"))
-    )
+    if mode == "pairs":
+        pairs = (
+            sh.select("_h1", "_h2", F.col("_g").alias("source_a"))
+            .join(
+                sh.select("_h1", "_h2", F.col("_g").alias("source_b")),
+                ["_h1", "_h2"],
+            )
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("intersection"))
+        )
+    else:
+        per_gram = (
+            sh.groupBy("_h1", "_h2")
+            .agg(F.sort_array(F.collect_set("_g")).alias("_gs"))
+            .filter(F.size("_gs") >= 2)
+        )
+        pairs = (
+            per_gram.select(F.explode("_gs").alias("source_a"), "_gs")
+            .select("source_a", F.explode("_gs").alias("source_b"))
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("intersection"))
+        )
     return (
         pairs.join(
             F.broadcast(sizes.select(F.col("_g").alias("source_a"), F.col("_n").alias("_na"))),

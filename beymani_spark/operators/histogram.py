@@ -98,6 +98,58 @@ def multivariate_histogram(
     return cnt.withColumn("rel_freq", F.col("cnt") / F.sum("cnt").over(wk))
 
 
+def multigram_multivariate(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    spec: Sequence[tuple[str, float | None]],
+    seq_len: int = 3,
+    keys: Sequence[str] = (),
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """N-gram distribution over MULTIVARIATE bucket symbols per id sequence
+    ≙ MR MultigramMultiVariateDistribution (/root/reference/src/main/java/
+    org/beymani/dist/MultigramMultiVariateDistribution.java:129-199): each
+    row bucketizes to one composite symbol (the multivariate_histogram
+    spec convention — raw categorical, floor(value/width) numeric; the
+    reference's Java int division differs only for negative values), a
+    sliding window of ``seq_len`` consecutive symbols per ``id_col``
+    sequence emits one gram, and grams are counted per optional partition
+    ``keys`` (the reference's partition field, :158-161/:188-191) with
+    relative frequency added per the repo's distribution convention.
+
+    The reference relies on mapper file order within an id (:144-178);
+    here the sequence is explicit — ordered by ``order_col`` (+
+    ``order_cols`` tiebreakers, which must make the order total or the
+    gram composition is nondeterministic).
+
+    Scale: ONE shuffle to co-locate each id's sequence (the lag chain's
+    window), then the gram count aggregates with map-side partials;
+    output is |distinct grams| rows — bounded by the bucket-symbol
+    alphabet ** seq_len, not by N. Dead code in the reference (no
+    tutorial or properties file invokes it) — implemented for inventory
+    completeness."""
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    sym = F.concat_ws(":", *[bucket_col(c, w).cast("string") for c, w in spec])
+    w = Window.partitionBy(*keys, id_col).orderBy(order_col, *order_cols)
+    lagged = df.withColumn("_sym", sym).select(
+        *keys,
+        *[
+            F.lag("_sym", seq_len - 1 - k).over(w).alias(f"_s{k}")
+            for k in range(seq_len - 1)
+        ],
+        F.col("_sym").alias(f"_s{seq_len - 1}"),
+    )
+    grams = lagged.filter(F.col("_s0").isNotNull()).select(
+        *keys,
+        F.concat_ws("|", *[f"_s{k}" for k in range(seq_len)]).alias("gram"),
+    )
+    cnt = grams.groupBy(*keys, "gram").agg(F.count("*").alias("cnt"))
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    return cnt.withColumn("rel_freq", F.col("cnt") / F.sum("cnt").over(wk))
+
+
 def est_prob_score(
     df: DataFrame,
     hist: DataFrame,

@@ -271,3 +271,47 @@ def q_in_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = ranges.range_model_from_quantiles(ev, ["event_type"], ["value"], 0.05, 0.95)
     out = ranges.in_range_score(ev, model, ["event_type"], ["value"], exp_const=0.1, threshold=0.9)
     return _round(out.select("event_id", "event_type", "value", "score", "label"), ["score"])
+
+
+# multigram multivariate distribution: trigrams of composite bucket
+# symbols over each user's event sequence
+_MULTIGRAM_ORACLE = """
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         concat_ws(':', event_type,
+                   CAST(CAST(floor(value / 5.0) AS BIGINT) AS VARCHAR)) AS sym
+  FROM events
+), s AS (
+  SELECT user_id,
+         lag(sym, 2) OVER w AS s0,
+         lag(sym, 1) OVER w AS s1,
+         sym AS s2
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT concat_ws('|', s0, s1, s2) AS gram FROM s WHERE s0 IS NOT NULL
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS rel_freq
+FROM g GROUP BY gram
+"""
+
+
+@register("multigram_multivariate", _MULTIGRAM_ORACLE)
+def q_multigram_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR MultigramMultiVariateDistribution analogue: per-user event
+    sequences (ordered by ts with event_id as the total-order tiebreak)
+    bucketize each row to a composite (event_type, floor(value/5))
+    symbol; every 3 consecutive symbols form one gram; output is the
+    corpus-wide gram distribution (cnt + rel_freq). The last reference
+    operator without an analogue — dead code there (nothing invokes
+    it), registered here for inventory completeness."""
+    ev = load_table(spark, sf_dir, "events")
+    out = histogram.multigram_multivariate(
+        ev,
+        id_col="user_id",
+        order_col="ts",
+        spec=[("event_type", None), ("value", 5.0)],
+        seq_len=3,
+        order_cols=["event_id"],
+    )
+    return _round(out, ["rel_freq"])

@@ -77,6 +77,7 @@ _PRIORITY = [
     # --- round-8 additions (never-driver-checked) lead the window ---
     "audio_dup_pairs_c2",
     "video_phash_dup_pairs_c2",
+    "multigram_multivariate",
     # --- r3-certified set (newest driver row r3) ---
     "corpus_stats",
     "stratified_sample",

@@ -813,3 +813,56 @@ def test_finite_gate_modes(spark):
         finite_gate(df, [])
     with pytest.raises(ValueError, match="column"):
         finite_audit(df, [])
+
+
+def test_multigram_multivariate_hand_checked(spark):
+    """MR MultigramMultiVariateDistribution semantics: composite bucket
+    symbols (categorical raw : floor(value/width)) slide in windows of
+    seq_len per id sequence; ids with fewer than seq_len rows emit no
+    gram; the optional partition keys split the distribution; rel_freq
+    sums to 1 per partition."""
+    from beymani_spark.operators.histogram import multigram_multivariate
+
+    rows = [
+        # id 1: symbols a:0, a:0, b:1, a:0 -> trigrams (a:0,a:0,b:1), (a:0,b:1,a:0)
+        (1, 1, "a", 2.0),
+        (1, 2, "a", 4.0),
+        (1, 3, "b", 7.0),
+        (1, 4, "a", 1.0),
+        # id 2: only two rows -> no trigram
+        (2, 1, "a", 2.0),
+        (2, 2, "b", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, seq long, cat string, value double")
+    out = {
+        r["gram"]: (r["cnt"], r["rel_freq"])
+        for r in multigram_multivariate(
+            df, "id", "seq", [("cat", None), ("value", 5.0)], seq_len=3
+        ).collect()
+    }
+    assert out == {
+        "a:0|a:0|b:1": (1, 0.5),
+        "a:0|b:1|a:0": (1, 0.5),
+    }
+
+    # seq_len=1 degenerates to the plain multivariate distribution
+    uni = {
+        r["gram"]: r["cnt"]
+        for r in multigram_multivariate(
+            df, "id", "seq", [("cat", None), ("value", 5.0)], seq_len=1
+        ).collect()
+    }
+    assert uni == {"a:0": 4, "b:1": 2}
+
+    # partition keys split both the grams and the rel_freq denominator
+    keyed = spark.createDataFrame(
+        [(g, 1, i, "a", 2.0) for g in ("x", "y") for i in range(3)],
+        "grp string, id long, seq long, cat string, value double",
+    )
+    res = multigram_multivariate(
+        keyed, "id", "seq", [("cat", None)], seq_len=3, keys=["grp"]
+    ).collect()
+    assert {(r["grp"], r["gram"], r["cnt"], r["rel_freq"]) for r in res} == {
+        ("x", "a|a|a", 1, 1.0),
+        ("y", "a|a|a", 1, 1.0),
+    }

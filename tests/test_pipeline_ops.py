@@ -1101,3 +1101,42 @@ def test_quality_fuse_empty_corpus_scores_null(spark):
         for r in fuse_apply(df, fuse_stats(df, ["a"]), ["a"]).collect()
     }
     assert abs(scored[1] + 0.707107) < 1e-6
+
+
+def test_source_similarity_pairs_mode_equivalent(spark):
+    """mode='pairs' (the high-|groups| off-ramp: streamed self-equi-join
+    on the shingle hash, no per-key collect_set array) must return
+    exactly the sets-mode result — on the parquet fixture and on a
+    hand-built frame where one shingle is shared by MANY groups (the
+    hot-key case the off-ramp exists for)."""
+    from beymani_spark.operators.dedup import source_similarity
+    from beymani_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = lambda r: (r["source_a"], r["source_b"])
+    sets_res = {
+        key(r): (r["intersection"], r["jaccard"])
+        for r in source_similarity(docs, "source", "text", n=3).collect()
+    }
+    pairs_res = {
+        key(r): (r["intersection"], r["jaccard"])
+        for r in source_similarity(
+            docs, "source", "text", n=3, mode="pairs"
+        ).collect()
+    }
+    assert pairs_res == sets_res and sets_res
+
+    # hot shingle shared by 30 groups + one private shingle per group
+    rows = [(f"g{i:02d}", "common trigram shared by every group") for i in range(30)]
+    rows += [(f"g{i:02d}", f"private words only group {i} has") for i in range(30)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    a = source_similarity(df, "source", "text", n=3).collect()
+    b = source_similarity(df, "source", "text", n=3, mode="pairs").collect()
+    ka = {key(r): (r["intersection"], r["jaccard"]) for r in a}
+    kb = {key(r): (r["intersection"], r["jaccard"]) for r in b}
+    assert ka == kb and len(ka) == 30 * 29 // 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        source_similarity(df, mode="bogus")

@@ -1054,3 +1054,26 @@ def test_perceptual_composite_forms_band_join_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan
         assert "band" in plan and "sig" in plan
         assert "length" in plan, "length-contract filter must be in the plan"
+
+
+def test_multigram_multivariate_plan_one_sequence_shuffle(spark):
+    """multigram_multivariate: one exchange co-locates each id's sequence
+    for the lag chain, the gram count aggregates with map-side partials,
+    and nothing in the plan is a cartesian or a global sort."""
+    from beymani_spark.operators.histogram import multigram_multivariate
+
+    ev = load_table(spark, SF, "events")
+    plan = _plan(
+        multigram_multivariate(
+            ev,
+            id_col="user_id",
+            order_col="ts",
+            spec=[("event_type", None), ("value", 5.0)],
+            seq_len=3,
+            order_cols=["event_id"],
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower(), "gram count must map-side combine"
+    # window sort is per id partition, never a global Sort+Exchange(range)
+    assert "rangepartitioning" not in plan.lower()
