@@ -125,6 +125,9 @@ HEAVY = [
     "media_phash_dup_pairs_c2",
     "audio_dup_pairs",
     "video_phash_dup_pairs",
+    # round-8 additions (composite-band forms for the remaining modalities)
+    "audio_dup_pairs_c2",
+    "video_phash_dup_pairs_c2",
 ]
 
 

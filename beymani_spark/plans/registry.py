@@ -78,6 +78,10 @@ _PRIORITY = [
     "audio_dup_pairs_c2",
     "video_phash_dup_pairs_c2",
     "multigram_multivariate",
+    "volume_shipping",
+    "market_share",
+    "customer_order_distribution",
+    "large_volume_customers",
     # --- r3-certified set (newest driver row r3) ---
     "corpus_stats",
     "stratified_sample",

@@ -1077,3 +1077,32 @@ def test_multigram_multivariate_plan_one_sequence_shuffle(spark):
     assert "partial" in plan.lower(), "gram count must map-side combine"
     # window sort is per id partition, never a global Sort+Exchange(range)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_new_tpch_shapes_broadcast_dims_no_cartesian(spark):
+    """Q7/Q8/Q13/Q18 shapes: every dimension side broadcast-joins, no
+    cartesian / nested-loop anywhere, date filters reach the fact scans,
+    and Q18's top-100 is TakeOrderedAndProject (per-partition heaps),
+    never a global sort."""
+    from beymani_spark.plans import QUERIES
+
+    for name in ("volume_shipping", "market_share"):
+        df = QUERIES[name].builder(spark, SF)
+        df.count()
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: a dimension shuffled"
+
+    q13 = QUERIES["customer_order_distribution"].builder(spark, SF)
+    q13.count()
+    p13 = _plan(q13)
+    assert "CartesianProduct" not in p13
+    assert "partial" in p13.lower(), "Q13 counts must map-side combine"
+
+    q18 = QUERIES["large_volume_customers"].builder(spark, SF)
+    q18.count()
+    p18 = _plan(q18)
+    assert "TakeOrderedAndProject" in p18, "top-100 must be heap-based"
+    assert "CartesianProduct" not in p18
+    assert "BroadcastHashJoin" in p18, "the HAVING-filtered order set must broadcast"
