@@ -1010,15 +1010,17 @@ def stream_media_phash_dedup(
     corpus_id_col: str = "corpus_media_id",
     decode: str = "fake",
     max_hamming: int = 3,
+    composite_bands: bool = False,
 ) -> DataFrame:
     """Streaming media near-dup against a standing corpus: each arriving
     item is pHashed in-stream (multimodal.phash64 — mapInPandas is
     stream-compatible and stateless), banded into the same 4x16-bit hex
-    bands the batch pair engine uses, and stream-static equi-joined to
-    the corpus band table; matches verify with the exact band-wise
-    bit_count(xor) hamming IN the stream, so the emitted rows are
-    verified duplicates, not candidates. Output (media_id,
-    corpus_media_id, hamming <= max_hamming).
+    bands the batch pair engine uses (or, ``composite_bands=True``, the
+    same composite 2-of-4 pairs — the corpus-scale trade, hamming <= 2),
+    and stream-static equi-joined to the corpus band table; matches
+    verify with the exact band-wise bit_count(xor) hamming IN the
+    stream, so the emitted rows are verified duplicates, not candidates.
+    Output (media_id, corpus_media_id, hamming <= max_hamming).
 
     The corpus side is a batch phash64 output (media_id, phash) — tiny
     relative to the media bytes, usually broadcastable; no watermark and
@@ -1027,22 +1029,33 @@ def stream_media_phash_dedup(
     (parity-tested)."""
     from ..operators.multimodal import phash64
 
-    if not (0 <= max_hamming <= 3):
+    if composite_bands:
+        if not (0 <= max_hamming <= 2):
+            raise ValueError(
+                "composite 2-of-4 banding guarantees recall only for"
+                " max_hamming <= 2"
+            )
+    elif not (0 <= max_hamming <= 3):
         raise ValueError(
             "banded 4x16 phash guarantees recall only for max_hamming <= 3"
         )
     from ..operators.multimodal import phash_band_sigs, phash_hamming
 
     hashed = phash64(stream_df, id_col, payload_col, decode)
+    sigs = phash_band_sigs("phash", composite_bands)
     s_bands = hashed.select(
         F.col(id_col),
         F.col("phash").alias("_hs"),
-        F.posexplode(F.array(*phash_band_sigs("phash"))).alias("band", "sig"),
+        F.posexplode(F.array(*sigs)).alias("band", "sig"),
     )
-    c_bands = corpus_hashes.select(
+    # the batch pair engine's 16-hex length contract, mirrored on the
+    # caller-provided corpus side (stream hashes come from phash64 and
+    # are 16 hex by construction): a malformed corpus hash must not
+    # bucket under shared '' keys or silently drop as a NULL hamming
+    c_bands = corpus_hashes.filter(F.length(F.col("phash")) == 16).select(
         F.col(corpus_id_col),
         F.col("phash").alias("_hc"),
-        F.posexplode(F.array(*phash_band_sigs("phash"))).alias("band", "sig"),
+        F.posexplode(F.array(*sigs)).alias("band", "sig"),
     )
     # STATELESS pair dedup: a pair colliding in several bands emits several
     # join rows, but all duplicates live inside the SAME micro-batch (they
@@ -1051,13 +1064,25 @@ def stream_media_phash_dedup(
     # legitimately re-sent item — is pure liability. Keep only the row
     # whose band is the FIRST matching band, a row-local predicate on the
     # two hashes both sides already carry.
+    if composite_bands:
+        import itertools
+
+        band_eqs = [
+            (F.substring("_hs", 1 + 4 * i, 4) == F.substring("_hc", 1 + 4 * i, 4))
+            & (F.substring("_hs", 1 + 4 * j, 4) == F.substring("_hc", 1 + 4 * j, 4))
+            for i, j in itertools.combinations(range(4), 2)
+        ]
+    else:
+        band_eqs = [
+            F.substring("_hs", 1 + 4 * b, 4) == F.substring("_hc", 1 + 4 * b, 4)
+            for b in range(4)
+        ]
     first_match = None
-    for b in range(3, -1, -1):
-        eq = F.substring("_hs", 1 + 4 * b, 4) == F.substring("_hc", 1 + 4 * b, 4)
+    for b in range(len(band_eqs) - 1, -1, -1):
         first_match = (
-            F.when(eq, F.lit(b))
+            F.when(band_eqs[b], F.lit(b))
             if first_match is None
-            else F.when(eq, F.lit(b)).otherwise(first_match)
+            else F.when(band_eqs[b], F.lit(b)).otherwise(first_match)
         )
     # reversed build order makes band 0 the outermost WHEN: lowest index wins
     cand = (

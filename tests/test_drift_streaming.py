@@ -1106,3 +1106,83 @@ def test_stream_media_phash_dedup_matches_batch(spark, stream_dirs):
     # every planted copy found against its original at hamming 0
     planted = {(m + 500_000, m) for m in range(0, 60, 7)}
     assert planted <= set(got) and all(got[p] == 0 for p in planted)
+
+
+def test_stream_media_phash_dedup_composite_matches_batch(spark, stream_dirs):
+    """Composite-band streaming pHash dedup: the corpus-scale form's
+    verified pair set equals the single-band form restricted to
+    hamming <= 2 (exact copies always share every band pair); a
+    malformed corpus hash is excluded by the length contract instead of
+    bucketing under '' keys; max_hamming=3 rejected in composite mode."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.multimodal import phash64
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_media_phash_dedup
+
+    src, chk = stream_dirs
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    corpus = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    corpus_hashes = phash64(corpus, decode="fake").withColumnRenamed(
+        "media_id", "corpus_media_id"
+    )
+    # poison the corpus with malformed hashes: must be excluded, not
+    # all-pairs-bucketed under ''
+    poisoned = corpus_hashes.unionByName(
+        spark.createDataFrame(
+            [(900_001, ""), (900_002, "abcd")],
+            "corpus_media_id long, phash string",
+        )
+    )
+    arriving = corpus.filter(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 500_000).alias("media_id"), "payload"
+    )
+    arriving.write.mode("overwrite").parquet(src + "/media_c2")
+    batch_df = spark.read.schema(arriving.schema).parquet(src + "/media_c2")
+
+    base2 = {
+        (r["media_id"], r["corpus_media_id"]): r["hamming"]
+        for r in stream_media_phash_dedup(batch_df, poisoned).collect()
+        if r["hamming"] <= 2
+    }
+    comp_batch = {
+        (r["media_id"], r["corpus_media_id"]): r["hamming"]
+        for r in stream_media_phash_dedup(
+            batch_df, poisoned, max_hamming=2, composite_bands=True
+        ).collect()
+    }
+    assert comp_batch == base2 and comp_batch, (
+        "composite must equal single-band at hamming<=2"
+    )
+    assert not any(c >= 900_000 for _, c in comp_batch), (
+        "malformed corpus hashes must be excluded"
+    )
+
+    stream = spark.readStream.schema(arriving.schema).parquet(src + "/media_c2")
+    q = (
+        stream_media_phash_dedup(
+            stream, poisoned, max_hamming=2, composite_bands=True
+        )
+        .writeStream.format("memory")
+        .queryName("phash_c2_t")
+        .option("checkpointLocation", chk + "/phash_c2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["media_id"], r["corpus_media_id"]): r["hamming"]
+        for r in spark.sql(
+            "select media_id, corpus_media_id, hamming from phash_c2_t"
+        ).collect()
+    }
+    assert got == comp_batch, "stream composite must equal batch composite"
+
+    with pytest.raises(ValueError, match="hamming"):
+        stream_media_phash_dedup(
+            batch_df, poisoned, max_hamming=3, composite_bands=True
+        )
