@@ -1062,8 +1062,11 @@ def isolation_forest_score(
     # few-split sources (one parquet file) would run every chunk in a single
     # python worker; round-robin them across the cluster first. On a real
     # multi-split table this branch never fires and the fact table stays
-    # shuffle-free.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism // 2:
-        df = df.repartition(parallelism)
+    # shuffle-free. Streaming frames skip the probe (.rdd is illegal on a
+    # stream — the multimodal._spread guard convention); micro-batch
+    # parallelism is the source's concern there.
+    if not df.isStreaming:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism // 2:
+            df = df.repartition(parallelism)
     return df.mapInPandas(gen, out_schema)

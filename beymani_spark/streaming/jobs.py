@@ -1096,3 +1096,61 @@ def stream_media_phash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .select(id_col, corpus_id_col, "hamming")
     )
+
+
+def stream_kmeans_score(
+    stream_df: DataFrame,
+    model: DataFrame,
+    keys,
+    values,
+    min_cluster_fraction: float = 0.05,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming cluster-distance scoring against a batch-fitted k-means
+    model (multivariate.kmeans_model over the standing corpus): the tiny
+    centroid table broadcasts into the SAME stateless codegen scoring
+    expression the batch operator uses — the per-key centroid fold and
+    the large-cluster gate are aggregations over the MODEL (static side),
+    never the stream, so the plan is a stream-static broadcast join plus
+    column expressions: no watermark, no state, per-row output identical
+    to a batch run (parity-tested). Refit cadence is the caller's policy
+    — restart the query with a fresh model (the stream_topic_assign
+    convention). max_clusters resolves from the model at plan time (a
+    driver-side max over the bounded model frame — legal for a stream
+    because the model side is batch)."""
+    from ..operators.multivariate import kmeans_score
+
+    max_clusters = int(model.agg(F.max("cluster_id")).first()[0]) + 1
+    return kmeans_score(
+        stream_df,
+        model,
+        keys,
+        values,
+        min_cluster_fraction=min_cluster_fraction,
+        threshold=threshold,
+        max_clusters=max_clusters,
+    )
+
+
+def stream_isolation_forest_score(
+    stream_df: DataFrame,
+    model: DataFrame,
+    keys,
+    values,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Streaming isolation-forest scoring against a batch-fitted forest
+    (multivariate.isolation_forest_fit): the bounded model (|keys| x
+    num_trees JSON paths) collects and broadcasts exactly as in batch,
+    and each micro-batch scores via the same stateless vectorized
+    mapInPandas traversal — stream-compatible, no watermark, no state;
+    keys absent from the model tag 'I' (the serving jobs' unlearned
+    convention). The batch operator's few-split repartition probe is
+    skipped on streams (.rdd is illegal there); micro-batch parallelism
+    belongs to the source. Per-row output equals a batch run over the
+    same rows (parity-tested)."""
+    from ..operators.multivariate import isolation_forest_score
+
+    return isolation_forest_score(
+        stream_df, model, keys, values, threshold=threshold
+    )

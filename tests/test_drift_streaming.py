@@ -1186,3 +1186,106 @@ def test_stream_media_phash_dedup_composite_matches_batch(spark, stream_dirs):
         stream_media_phash_dedup(
             batch_df, poisoned, max_hamming=3, composite_bands=True
         )
+
+
+def test_stream_kmeans_score_matches_batch(spark, stream_dirs):
+    """Streaming k-means serve: scores from the batch-fitted broadcast
+    centroid model equal a batch kmeans_score run row-for-row — the
+    model-side aggregations are static, so the stream plan is a
+    stream-static broadcast join plus codegen expressions."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.multivariate import kmeans_model, kmeans_score
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_kmeans_score
+
+    src, chk = stream_dirs
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    keys, vals = ["l_returnflag"], ["l_quantity", "l_extendedprice"]
+    model = kmeans_model(li, keys, vals, n_clusters=3, presample=64)
+
+    arriving = li.limit(300).select(
+        "l_orderkey", "l_linenumber", *keys, *vals
+    )
+    arriving.write.mode("overwrite").parquet(src + "/km")
+    batch_in = spark.read.schema(arriving.schema).parquet(src + "/km")
+    exp = {
+        (r["l_orderkey"], r["l_linenumber"]): (round(r["score"], 9), r["label"])
+        for r in kmeans_score(batch_in, model, keys, vals).collect()
+    }
+
+    stream = spark.readStream.schema(arriving.schema).parquet(src + "/km")
+    q = (
+        stream_kmeans_score(stream, model, keys, vals)
+        .writeStream.format("memory")
+        .queryName("km_t")
+        .option("checkpointLocation", chk + "/km")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): (round(r["score"], 9), r["label"])
+        for r in spark.sql(
+            "select l_orderkey, l_linenumber, score, label from km_t"
+        ).collect()
+    }
+    assert got == exp and got, "stream kmeans serve must equal batch"
+
+
+def test_stream_isolation_forest_matches_batch(spark, stream_dirs):
+    """Streaming isolation-forest serve: the broadcast-forest mapInPandas
+    traversal runs stream-side (the .rdd few-split probe is skipped on
+    streams); scores equal batch; a key absent from the model tags 'I'."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.multivariate import (
+        isolation_forest_fit,
+        isolation_forest_score,
+    )
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_isolation_forest_score
+
+    src, chk = stream_dirs
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    keys, vals = ["l_returnflag"], ["l_quantity", "l_extendedprice"]
+    # fit on ONE key only so other keys exercise the 'I' path in-stream
+    model = isolation_forest_fit(
+        li.filter(F.col("l_returnflag") == "A"), keys, vals,
+        num_trees=10, subsample=64,
+    )
+
+    arriving = li.limit(300).select("l_orderkey", "l_linenumber", *keys, *vals)
+    arriving.write.mode("overwrite").parquet(src + "/isf")
+    batch_in = spark.read.schema(arriving.schema).parquet(src + "/isf")
+    exp = {
+        (r["l_orderkey"], r["l_linenumber"]): (
+            None if r["score"] is None else round(r["score"], 9),
+            r["label"],
+        )
+        for r in isolation_forest_score(batch_in, model, keys, vals).collect()
+    }
+
+    stream = spark.readStream.schema(arriving.schema).parquet(src + "/isf")
+    q = (
+        stream_isolation_forest_score(stream, model, keys, vals)
+        .writeStream.format("memory")
+        .queryName("isf_t")
+        .option("checkpointLocation", chk + "/isf")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): (
+            None if r["score"] is None else round(r["score"], 9),
+            r["label"],
+        )
+        for r in spark.sql(
+            "select l_orderkey, l_linenumber, score, label from isf_t"
+        ).collect()
+    }
+    assert got == exp and got
+    labels = {lab for _, lab in got.values()}
+    assert "I" in labels, "absent-model keys must tag 'I' in the stream"
+    assert {"N", "O"} & labels, "fitted key must score normally"
