@@ -1154,3 +1154,84 @@ def stream_isolation_forest_score(
     return isolation_forest_score(
         stream_df, model, keys, values, threshold=threshold
     )
+
+
+def apply_stream_multigram(
+    stream_df: DataFrame,
+    id_col: str,
+    ts: str,
+    spec,
+    seq_len: int = 3,
+    keys: Sequence[str] = (),
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming form of histogram.multigram_multivariate: per-id state
+    carries the last ``seq_len - 1`` composite bucket symbols, so every
+    arriving row extends its id's sequence and emits one gram row once
+    the window is full — ACROSS micro-batch boundaries (the state is the
+    window tail, exactly what the batch lag chain reads from the
+    shuffled sequence). Emits (keys..., id, gram) per occurrence; the
+    caller aggregates downstream (a running distribution is
+    ``groupBy(gram).count`` in update mode, or a batch count over the
+    sink — emitted gram multiset == the batch operator's gram multiset
+    when per-id arrival order matches ts order, the parity contract).
+
+    Bucketing replays the batch spec pandas-side: categorical (width
+    None) = str(value), numeric = str(floor(value / width)) — the same
+    rendering Spark's cast(long as string) produces, so gram strings are
+    byte-identical to batch. Rows inside a trigger sort by (ts,
+    order_cols) per id (the stateful family's mergesort convention);
+    same-ts rows split across micro-batches keep arrival order — the
+    documented streaming tie caveat. State per id: the tail symbol array
+    (bounded at seq_len - 1 strings)."""
+    import math
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    spec = list(spec)
+    out_fields = [
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in stream_df.schema
+        if f.name in (*keys, id_col)
+    ]
+    out_schema = ", ".join(out_fields + ["gram string"])
+    state_schema = "syms array<string>"
+
+    def _sym(row) -> str:
+        parts = []
+        for c, w in spec:
+            v = row[c]
+            if v is None or (isinstance(v, float) and v != v):
+                continue  # concat_ws skips nulls — the batch semantics
+            parts.append(
+                str(v) if w is None else str(int(math.floor(v / float(w))))
+            )
+        return ":".join(parts)
+
+    def fn(key, pdfs, state: GroupState):
+        tail = list(state.get[0]) if state.exists else []
+        frames = [p for p in pdfs if len(p)]
+        whole = (
+            pd.concat(frames).sort_values(
+                [ts, *order_cols], kind="mergesort"
+            )
+            if frames
+            else pd.DataFrame()
+        )
+        rows = []
+        key_vals = dict(zip((*keys, id_col), key))
+        for _, row in whole.iterrows():
+            tail.append(_sym(row))
+            if len(tail) >= seq_len:
+                rows.append({**key_vals, "gram": "|".join(tail[-seq_len:])})
+                tail = tail[-(seq_len - 1):] if seq_len > 1 else []
+        state.update((tail,))
+        yield pd.DataFrame(rows, columns=[*keys, id_col, "gram"])
+
+    return stream_df.groupBy(*keys, id_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

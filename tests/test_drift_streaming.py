@@ -1289,3 +1289,75 @@ def test_stream_isolation_forest_matches_batch(spark, stream_dirs):
     labels = {lab for _, lab in got.values()}
     assert "I" in labels, "absent-model keys must tag 'I' in the stream"
     assert {"N", "O"} & labels, "fitted key must score normally"
+
+
+def test_stream_multigram_matches_batch_across_batches(spark, stream_dirs):
+    """Streaming multigram: the emitted gram multiset equals the batch
+    operator's distribution, INCLUDING grams that span micro-batch
+    boundaries (the state carries each id's window tail); an id with
+    fewer than seq_len rows emits nothing."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.histogram import multigram_multivariate
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import apply_stream_multigram
+
+    src, chk = stream_dirs
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).limit(400)
+    spec = [("event_type", None), ("value", 5.0)]
+
+    exp = {
+        r["gram"]: r["cnt"]
+        for r in multigram_multivariate(
+            ev, "user_id", "ts", spec, seq_len=3, order_cols=["event_id"]
+        ).collect()
+    }
+
+    # split by event_id (monotone with ts) into two files so every user's
+    # sequence — and therefore grams — SPAN the micro-batch break
+    cut = ev.selectExpr("percentile(cast(event_id as double), 0.5)").first()[0]
+    ev.filter(F.col("event_id") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/mg/f1")
+    ev.filter(F.col("event_id") > cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/mg/f2")
+    import glob as _glob
+    import shutil
+
+    dest = src + "/mg_in"
+    import os
+
+    os.makedirs(dest, exist_ok=True)
+    for i, part in enumerate(
+        sorted(_glob.glob(src + "/mg/f1/part-*.parquet"))
+        + sorted(_glob.glob(src + "/mg/f2/part-*.parquet"))
+    ):
+        shutil.copyfile(part, f"{dest}/{i:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = (
+        apply_stream_multigram(
+            stream, "user_id", "ts", spec, seq_len=3, order_cols=["event_id"]
+        )
+        .writeStream.format("memory")
+        .queryName("mg_t")
+        .option("checkpointLocation", chk + "/mg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = Counter(
+        r["gram"] for r in spark.sql("select gram from mg_t").collect()
+    )
+    assert dict(got) == exp and exp, (
+        "stream gram multiset must equal the batch distribution"
+    )
