@@ -131,3 +131,49 @@ def test_vocab_model_roundtrip_serves_keyword_tag(spark, tmp_path):
     a = stream_keyword_tag(docs, vocab, n, k=3).collect()
     b = stream_keyword_tag(docs, v2, n2, k=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
+
+
+def test_detector_model_roundtrip_serves_stream_scoring(spark, tmp_path):
+    """k-means and isolation-forest model frames persist through
+    save_model/load_model and the reloaded frames serve the streaming
+    scorers with output identical to the in-memory models — the two-job
+    (fit job -> serve job) deployment shape for the detector family."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators.multivariate import (
+        isolation_forest_fit,
+        isolation_forest_score,
+        kmeans_model,
+        kmeans_score,
+    )
+    from beymani_spark.sources import load_table
+    from beymani_spark.sources.models import load_model, save_model
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").limit(400)
+    keys, vals = ["l_returnflag"], ["l_quantity", "l_extendedprice"]
+
+    km = kmeans_model(li, keys, vals, n_clusters=3, presample=64)
+    save_model(km, str(tmp_path / "km"), "kmeans")
+    km2 = load_model(spark, str(tmp_path / "km"), expect_name="kmeans")
+    a = {
+        (r["l_orderkey"], r["l_linenumber"]): (round(r["score"], 9), r["label"])
+        for r in kmeans_score(li, km, keys, vals).collect()
+    }
+    b = {
+        (r["l_orderkey"], r["l_linenumber"]): (round(r["score"], 9), r["label"])
+        for r in kmeans_score(li, km2, keys, vals).collect()
+    }
+    assert a == b and a
+
+    isf = isolation_forest_fit(li, keys, vals, num_trees=10, subsample=64)
+    save_model(isf, str(tmp_path / "isf"), "iforest")
+    isf2 = load_model(spark, str(tmp_path / "isf"), expect_name="iforest")
+    a = {
+        (r["l_orderkey"], r["l_linenumber"]): (round(r["score"], 9), r["label"])
+        for r in isolation_forest_score(li, isf, keys, vals).collect()
+    }
+    b = {
+        (r["l_orderkey"], r["l_linenumber"]): (round(r["score"], 9), r["label"])
+        for r in isolation_forest_score(li, isf2, keys, vals).collect()
+    }
+    assert a == b and a
