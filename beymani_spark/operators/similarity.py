@@ -1010,3 +1010,65 @@ def quantize_int8(
             lambda acc, c: acc + F.abs(c).cast("long"),
         ).alias("q_l1"),
     )
+
+
+def embedding_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    by: Sequence[str] = ("label",),
+) -> DataFrame:
+    """Per-stratum embedding QA card — the vector-table gate a pipeline
+    runs BEFORE any ANN index, topic fit, or semantic dedup build (a
+    single NaN vector poisons a centroid mean; zero-norm vectors make
+    cosine undefined; ragged dims crash a matmul; duplicate vectors
+    inflate every neighborhood): per ``by`` stratum — vector count,
+    min/max dimensionality (ragged detection), non-finite vector count,
+    zero-norm count, round-6 mean L2 norm over the finite vectors, and
+    exact-duplicate mass (vectors whose exact float image occurs more
+    than once in the stratum — grouping on the vector itself, so the
+    check is float-exact with no hashing to collide).
+
+    Scale: ONE scan computing row-local expressions (the sum-of-squares
+    is the engine-exact sequential fold, matching the cosine family) +
+    two partial-aggregated groupBys — the card is |strata| rows and the
+    dup check shuffles (stratum, vector) keys once. NULL vectors are
+    excluded up front (a NULL row is an ingestion bug the finite/profile
+    audits own; size(NULL) = -1 would corrupt the dim range)."""
+    by = list(by)
+    if not by:
+        raise ValueError("embedding_audit needs at least one stratum column")
+    vecs = df.filter(F.col(vec_col).isNotNull())
+    v = _as_double(F.col(vec_col))
+    bad = F.exists(
+        F.col(vec_col),
+        lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+    per = vecs.select(
+        *by,
+        F.col(vec_col).alias("_vec"),
+        F.size(vec_col).alias("_dim"),
+        bad.alias("_bad"),
+        _dot(v, v).alias("_ss"),
+    )
+    base = per.groupBy(*by).agg(
+        F.count("*").alias("n_vecs"),
+        F.min("_dim").cast("long").alias("min_dim"),
+        F.max("_dim").cast("long").alias("max_dim"),
+        F.sum(F.when(F.col("_bad"), 1).otherwise(0)).alias("n_nonfinite"),
+        F.sum(
+            F.when(~F.col("_bad") & (F.col("_ss") == 0), 1).otherwise(0)
+        ).alias("n_zero_norm"),
+        F.round(F.avg(F.when(~F.col("_bad"), F.sqrt("_ss"))), 6).alias(
+            "mean_norm"
+        ),
+    )
+    dup = (
+        per.groupBy(*by, "_vec")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .groupBy(*by)
+        .agg(F.sum("_c").alias("n_dup_vecs"))
+    )
+    return base.join(dup, by, "left").withColumn(
+        "n_dup_vecs", F.coalesce(F.col("n_dup_vecs"), F.lit(0).cast("long"))
+    )

@@ -3252,3 +3252,46 @@ def q_quality_fuse_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         by=["lang"],
     )
     return out.select("doc_id", "lang", "fused_score")
+
+
+_EMBEDDING_AUDIT_ORACLE = """
+WITH v AS (
+  SELECT label, embedding::DOUBLE[] AS vec FROM embeddings
+  WHERE embedding IS NOT NULL
+), per AS (
+  SELECT label, vec, len(vec) AS dim,
+         len(list_filter(vec, x -> isnan(x) OR isinf(x))) > 0 AS bad,
+         list_sum(list_transform(vec, x -> x * x)) AS ss
+  FROM v
+), base AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(min(dim) AS BIGINT) AS min_dim,
+         CAST(max(dim) AS BIGINT) AS max_dim,
+         CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+         CAST(sum(CASE WHEN NOT bad AND ss = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_norm,
+         round(avg(CASE WHEN NOT bad THEN sqrt(ss) END), 6) AS mean_norm
+  FROM per GROUP BY label
+), dup AS (
+  SELECT label, CAST(sum(c) AS BIGINT) AS n_dup_vecs
+  FROM (SELECT label, vec, count(*) AS c FROM per GROUP BY label, vec)
+  WHERE c >= 2 GROUP BY label
+)
+SELECT b.*, coalesce(d.n_dup_vecs, 0) AS n_dup_vecs
+FROM base b LEFT JOIN dup d USING (label)
+"""
+
+
+@register("embedding_audit", _EMBEDDING_AUDIT_ORACLE)
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA card (similarity.embedding_audit): per-label vector
+    count, dim range, non-finite/zero-norm counts, round-6 mean L2 norm,
+    and exact-duplicate mass (grouping on the float vector itself) — the
+    gate a pipeline runs before ANN/topic/semantic-dedup builds. The
+    sum-of-squares is the engine-exact sequential fold the cosine family
+    uses, so the norm column hash-verifies."""
+    from ..operators.similarity import embedding_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_audit(emb, "embedding", by=["label"])

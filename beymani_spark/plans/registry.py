@@ -82,6 +82,7 @@ _PRIORITY = [
     "market_share",
     "customer_order_distribution",
     "large_volume_customers",
+    "embedding_audit",
     # --- r3-certified set (newest driver row r3) ---
     "corpus_stats",
     "stratified_sample",

@@ -460,3 +460,46 @@ def test_embedding_dup_clusters_lsh_refines_exact(spark, alt_sf_dir):
         assert len({lsh[v] for v in grp}) == 1, (
             "exact-duplicate vectors split across LSH clusters"
         )
+
+
+def test_embedding_audit_hand_built(spark):
+    """Embedding QA card on a crafted frame: NaN and inf vectors count as
+    non-finite (and stay out of the mean norm), a zero vector counts as
+    zero-norm, ragged dims surface in the min/max range, exact float
+    duplicates count their full mass, NULL vectors are excluded, and a
+    clean stratum reports zeros."""
+    import math
+
+    from beymani_spark.operators.similarity import embedding_audit
+
+    rows = [
+        ("a", [3.0, 4.0]),            # norm 5
+        ("a", [3.0, 4.0]),            # exact duplicate -> dup mass 2
+        ("a", [0.0, 0.0]),            # zero-norm
+        ("a", [float("nan"), 1.0]),   # non-finite
+        ("a", [float("inf"), 1.0]),   # non-finite
+        ("a", [1.0, 2.0, 2.0]),       # ragged: dim 3, norm 3
+        ("a", None),                  # excluded
+        ("b", [6.0, 8.0]),            # clean stratum, norm 10
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    out = {r["label"]: r for r in embedding_audit(df, by=["label"]).collect()}
+
+    a = out["a"]
+    assert a["n_vecs"] == 6                      # NULL excluded
+    assert (a["min_dim"], a["max_dim"]) == (2, 3)
+    assert a["n_nonfinite"] == 2
+    assert a["n_zero_norm"] == 1
+    assert a["n_dup_vecs"] == 2                  # both copies count
+    # mean over the finite vectors: (5 + 5 + 0 + 3) / 4
+    assert math.isclose(a["mean_norm"], 3.25, abs_tol=1e-9)
+
+    b = out["b"]
+    assert b["n_vecs"] == 1 and b["n_nonfinite"] == 0
+    assert b["n_zero_norm"] == 0 and b["n_dup_vecs"] == 0
+    assert math.isclose(b["mean_norm"], 10.0, abs_tol=1e-9)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="stratum"):
+        embedding_audit(df, by=[])
