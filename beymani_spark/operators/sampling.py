@@ -499,3 +499,72 @@ def domain_cap(
         .filter(F.col("_rk") <= int(cap))
         .drop("_rk")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+    u_col: str | None = None,
+    rate_col: str | None = None,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Temperature-flattened mixture: resample so kept shares follow
+    n_s^alpha instead of n_s — the standard multilingual/multi-domain
+    data recipe (alpha in (0, 1) up-weights small strata and flattens
+    head domains; alpha=1 keeps everything, alpha=0 equalizes strata).
+    This is :func:`mix_to_targets` with the recipe DERIVED from the data:
+    unnormalized target weights w_s = n_s^alpha (the mix machinery is
+    scale-invariant in w — T = min(n/w) and r = w*T/n both cancel a
+    common factor — so no cross-stratum normalizing sum exists to
+    introduce summation-order noise). The smallest stratum is always the
+    binding one for alpha < 1 (n/n^alpha = n^(1-alpha) is increasing),
+    so it keeps everything and larger strata thin toward the recipe.
+
+    Engine-exactness: alpha=0.5 computes w via sqrt (IEEE
+    correctly-rounded on every engine — the keep decision u < w*T/n is
+    bit-reproducible, same guarantee as the other samplers). Other
+    alphas go through pow(), where libm implementations may differ in
+    the last ulp — the emitted round-6 ``rate_col`` stays comparable but
+    a keep decision within an ulp of the boundary could differ across
+    engines; pin alpha=0.5 where cross-engine replay matters.
+
+    ``weight`` switches n_s from doc counts to mass sums (token budgets)
+    exactly as in mix_to_targets. Scale shape: identical — one
+    partial-agg stratum count, a |strata|-row window, broadcast rates
+    back; the fact table never shuffles. NULL strata are dropped (no
+    recipe can be derived for them)."""
+    if not (0.0 <= float(alpha) <= 1.0):
+        raise ValueError("alpha must be in [0, 1]")
+    mass = F.count("*") if weight is None else F.sum(weight)
+    counts = (
+        df.filter(F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("_stratum"))
+        .agg(mass.cast("double").alias("_n"))
+    )
+    w_of = (
+        F.sqrt(F.col("_n"))
+        if float(alpha) == 0.5
+        else F.pow(F.col("_n"), F.lit(float(alpha)))
+    )
+    rates = counts.select(
+        "_stratum",
+        (
+            w_of
+            * F.min(F.col("_n") / w_of).over(Window.partitionBy())
+            / F.col("_n")
+        ).alias("_rate"),
+    )
+    u = hash_uniform(F.col(id_col), seed)
+    out = (
+        df.join(F.broadcast(rates), F.col(stratum_col) == F.col("_stratum"))
+        .filter(u < F.col("_rate"))
+        .drop("_stratum")
+    )
+    if u_col:
+        out = out.withColumn(u_col, u)
+    if rate_col:
+        out = out.withColumn(rate_col, F.col("_rate"))
+    return out.drop("_rate") if rate_col != "_rate" else out

@@ -3295,3 +3295,42 @@ def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_audit(emb, "embedding", by=["label"])
+
+
+# Temperature-flattened mix: w_s = sqrt(n_s) (alpha = 0.5 — sqrt is IEEE
+# correctly-rounded on both engines, so the u < w*T/n keep decision is
+# bit-identical; the mix machinery is scale-invariant in w, so no
+# cross-stratum normalizing sum exists to introduce summation noise)
+_TEMPERATURE_MIX_ORACLE = f"""
+WITH c AS (
+  SELECT lang AS _stratum, CAST(count(*) AS DOUBLE) AS _n,
+         sqrt(CAST(count(*) AS DOUBLE)) AS _w
+  FROM documents WHERE lang IS NOT NULL
+  GROUP BY lang
+), b AS (
+  SELECT min(_n / _w) AS _T FROM c
+), r AS (
+  SELECT _stratum, (_w * _T / _n) AS _rate FROM c, b
+)
+SELECT d.doc_id, d.lang, {_U_SQL} AS u, round(_rate, 6) AS rate
+FROM documents d JOIN r ON d.lang = r._stratum
+WHERE {_U_SQL} < _rate
+"""
+
+
+@register("temperature_mix", _TEMPERATURE_MIX_ORACLE)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mix (sampling.temperature_mix,
+    alpha=0.5): kept shares follow sqrt(n_s) instead of n_s — the
+    standard multilingual recipe that up-weights small languages without
+    hand-writing a target map. The smallest language keeps everything
+    (binding stratum); head languages thin toward the flattened recipe."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.temperature_mix(
+        docs, "doc_id", "lang", alpha=0.5, seed=42, u_col="u", rate_col="rate"
+    )
+    return out.select(
+        "doc_id", "lang", "u", F.round("rate", 6).alias("rate")
+    )

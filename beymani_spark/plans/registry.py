@@ -83,6 +83,7 @@ _PRIORITY = [
     "customer_order_distribution",
     "large_volume_customers",
     "embedding_audit",
+    "temperature_mix",
     # --- r3-certified set (newest driver row r3) ---
     "corpus_stats",
     "stratified_sample",

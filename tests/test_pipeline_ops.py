@@ -1140,3 +1140,41 @@ def test_source_similarity_pairs_mode_equivalent(spark):
 
     with pytest.raises(ValueError, match="mode"):
         source_similarity(df, mode="bogus")
+
+
+def test_temperature_mix_flattens_and_binds_smallest(spark, docs):
+    """Temperature mix at alpha=0.5: the smallest language keeps every row
+    (n/sqrt(n) = sqrt(n) is increasing, so it binds), kept shares track
+    sqrt(n_s) in ratio within binomial noise, the mix is partition-
+    invariant, and alpha=1 keeps everything / alpha outside [0,1] raises."""
+    from beymani_spark.operators.sampling import temperature_mix
+
+    tot = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+        if r["lang"] is not None
+    }
+    out = temperature_mix(docs, "doc_id", "lang", alpha=0.5, seed=42)
+    got = {
+        r["lang"]: r["cnt"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    smallest = min(tot, key=tot.get)
+    assert got[smallest] == tot[smallest], "binding stratum keeps all"
+    # expected kept count per stratum: sqrt(n_s) * T with T = min(n/sqrt(n))
+    t_bound = min(n / (n**0.5) for n in tot.values())
+    for s, n in tot.items():
+        exp = (n**0.5) * t_bound
+        assert abs(got.get(s, 0) - exp) <= 4 * (exp**0.5) + 1, (s, got.get(s), exp)
+
+    a = temperature_mix(docs, "doc_id", "lang", alpha=0.5, seed=7)
+    b = temperature_mix(docs.repartition(13), "doc_id", "lang", alpha=0.5, seed=7)
+    assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+    assert a.count() == b.count()
+
+    # alpha=1 degenerates to keep-everything (rates all 1)
+    full = temperature_mix(docs, "doc_id", "lang", alpha=1.0)
+    assert full.count() == docs.filter(F.col("lang").isNotNull()).count()
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(docs, "doc_id", "lang", alpha=1.5)
