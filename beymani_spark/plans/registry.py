@@ -66,67 +66,16 @@ from . import queries_packing  # noqa: E402,F401
 # (CORRECTNESS_r02..r05). tests/test_rotation_audit.py enforces this
 # machinery: it fails if any registered query goes too long without a
 # driver-green row given the committed CORRECTNESS files + this window.
-# Round-8 window (the r7 verdict's directive #1 — executed here): a full
-# stable stalest-first sort. Head = any never-driver-checked round-8
-# additions (registered above the r3 block as they land), then the 10
-# r3-certified queries (stalest on record), then the r4-certified set
-# filling the window; the r7-certified block (last round's window)
-# rotates to the tail as the freshest set. tests/test_rotation_audit.py
-# enforces this ordering against the committed CORRECTNESS records.
+# Round-9 window (the r8 verdict's directive #1 — executed here): a full
+# stable stalest-first sort over CORRECTNESS_r01..r08. Head = any
+# never-driver-checked round-9 additions (inserted above the r4 block as
+# they land), then the 19 r4-certified queries (stalest on record), then
+# the r5-certified set filling the window; the r8-certified block (last
+# round's window) rotates to the tail as the freshest set.
+# tests/test_rotation_audit.py enforces this ordering against the
+# committed CORRECTNESS records.
 _PRIORITY = [
-    # --- round-8 additions (never-driver-checked) lead the window ---
-    "audio_dup_pairs_c2",
-    "video_phash_dup_pairs_c2",
-    "multigram_multivariate",
-    "volume_shipping",
-    "market_share",
-    "customer_order_distribution",
-    "large_volume_customers",
-    "embedding_audit",
-    "temperature_mix",
-    # --- r3-certified set (newest driver row r3) ---
-    "corpus_stats",
-    "stratified_sample",
-    "train_split",
-    "decayed_sample",
-    "media_resize",
-    "media_frames",
-    "asof_join_snapshots",
-    "sessionize_events",
-    "rollup_timebuckets",
-    "pricing_summary",
-    # --- r4-certified set (newest driver row r4) ---
-    "pii_scan",
-    "chunk_dedup",
-    "domain_mix",
-    "dedup_incremental",
-    "corpus_build",
-    "corpus_audit",
-    "audio_features",
-    "resample_ffill",
-    "top_customers_by_nation",
-    "autoencoder_tanh",
-    "corpus_build_mixed",
-    "training_chunks",
-    "pack_manifest",
-    "quality_rank_gate",
-    "ann_lsh_multitable",
-    "dedup_stats",
-    "group_split",
-    "corpus_build_incremental",
-    "corpus_audit_incremental",
-    "corpus_build_stats",
-    "corpus_quality_drift",
-    "isolation_forest",
-    "kmeans_cluster_score",
-    "kmeans_mixed",
-    "pca_reconstruction",
-    "autoencoder",
-    "ann_ivf_topk",
-    "zscore_seasonal",
-    "zscore_polarity_high",
-    "keyed_threshold_tagging",
-    "quartiles",
+    # --- newest driver row r4 ---
     "attr_histogram",
     "multivariate_histogram_members",
     "markov_cond_prob_spread",
@@ -146,7 +95,7 @@ _PRIORITY = [
     "cosine_dup_pairs",
     "cosine_topk",
     "ann_lsh_topk",
-    # --- r5-certified set (newest driver row r5) ---
+    # --- newest driver row r5 ---
     "corpus_to_manifest",
     "zscore",
     "multivariate_histogram",
@@ -197,7 +146,7 @@ _PRIORITY = [
     "local_drift",
     "score_stats",
     "media_features",
-    # --- r6-certified set (newest driver row r6) ---
+    # --- newest driver row r6 ---
     "corpus_length_drift",
     "media_dup_pairs",
     "corpus_quality_drift_by_lang",
@@ -248,7 +197,7 @@ _PRIORITY = [
     "small_quantity_revenue",
     "promo_revenue_share",
     "context_length_plan",
-    # --- r7-certified set (newest driver row r7) ---
+    # --- newest driver row r7 ---
     "linear_attribution",
     "funnel_time_bounded",
     "media_features_png",
@@ -299,6 +248,57 @@ _PRIORITY = [
     "contamination_check",
     "bigram_logprob",
     "vocab_topk",
+    # --- newest driver row r8 ---
+    "audio_dup_pairs_c2",
+    "video_phash_dup_pairs_c2",
+    "multigram_multivariate",
+    "volume_shipping",
+    "market_share",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "embedding_audit",
+    "temperature_mix",
+    "corpus_stats",
+    "stratified_sample",
+    "train_split",
+    "decayed_sample",
+    "media_resize",
+    "media_frames",
+    "asof_join_snapshots",
+    "sessionize_events",
+    "rollup_timebuckets",
+    "pricing_summary",
+    "pii_scan",
+    "chunk_dedup",
+    "domain_mix",
+    "dedup_incremental",
+    "corpus_build",
+    "corpus_audit",
+    "audio_features",
+    "resample_ffill",
+    "top_customers_by_nation",
+    "autoencoder_tanh",
+    "corpus_build_mixed",
+    "training_chunks",
+    "pack_manifest",
+    "quality_rank_gate",
+    "ann_lsh_multitable",
+    "dedup_stats",
+    "group_split",
+    "corpus_build_incremental",
+    "corpus_audit_incremental",
+    "corpus_build_stats",
+    "corpus_quality_drift",
+    "isolation_forest",
+    "kmeans_cluster_score",
+    "kmeans_mixed",
+    "pca_reconstruction",
+    "autoencoder",
+    "ann_ivf_topk",
+    "zscore_seasonal",
+    "zscore_polarity_high",
+    "keyed_threshold_tagging",
+    "quartiles",
 ]
 _rank = {n: i for i, n in enumerate(_PRIORITY)}
 _ordered = sorted(
