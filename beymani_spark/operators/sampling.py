@@ -535,7 +535,10 @@ def temperature_mix(
     exactly as in mix_to_targets. Scale shape: identical — one
     partial-agg stratum count, a |strata|-row window, broadcast rates
     back; the fact table never shuffles. NULL strata are dropped (no
-    recipe can be derived for them)."""
+    recipe can be derived for them), and so is any stratum with
+    non-positive total mass (a ``weight`` summing to <= 0 gives the
+    recipe a 0/0 rate — those strata are filtered out of the recipe
+    explicitly rather than silently failing the keep predicate)."""
     if not (0.0 <= float(alpha) <= 1.0):
         raise ValueError("alpha must be in [0, 1]")
     mass = F.count("*") if weight is None else F.sum(weight)
@@ -543,6 +546,7 @@ def temperature_mix(
         df.filter(F.col(stratum_col).isNotNull())
         .groupBy(F.col(stratum_col).alias("_stratum"))
         .agg(mass.cast("double").alias("_n"))
+        .filter(F.col("_n") > 0)
     )
     w_of = (
         F.sqrt(F.col("_n"))

@@ -1026,7 +1026,11 @@ def embedding_audit(
     zero-norm count, round-6 mean L2 norm over the finite vectors, and
     exact-duplicate mass (vectors whose exact float image occurs more
     than once in the stratum — grouping on the vector itself, so the
-    check is float-exact with no hashing to collide).
+    check is float-exact with no hashing to collide). A ZERO-LENGTH
+    vector is a zero-norm vector: the sum-of-squares fold over an empty
+    array is its 0.0 seed, so it lands in n_zero_norm and contributes
+    0.0 to mean_norm (and min_dim = 0 flags the stratum); the DuckDB
+    oracle coalesces list_sum's empty-list NULL to 0.0 to match.
 
     Scale: ONE scan computing row-local expressions (the sum-of-squares
     is the engine-exact sequential fold, matching the cosine family) +

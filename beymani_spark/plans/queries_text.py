@@ -3261,7 +3261,7 @@ WITH v AS (
 ), per AS (
   SELECT label, vec, len(vec) AS dim,
          len(list_filter(vec, x -> isnan(x) OR isinf(x))) > 0 AS bad,
-         list_sum(list_transform(vec, x -> x * x)) AS ss
+         coalesce(list_sum(list_transform(vec, x -> x * x)), 0.0) AS ss
   FROM v
 ), base AS (
   SELECT label,

@@ -1120,7 +1120,14 @@ def stream_kmeans_score(
     because the model side is batch)."""
     from ..operators.multivariate import kmeans_score
 
-    max_clusters = int(model.agg(F.max("cluster_id")).first()[0]) + 1
+    top = model.agg(F.max("cluster_id")).first()[0]
+    if top is None:
+        raise ValueError(
+            "empty kmeans model: the model frame has no centroid rows — "
+            "fit kmeans_model over the standing corpus before starting "
+            "the stream"
+        )
+    max_clusters = int(top) + 1
     return kmeans_score(
         stream_df,
         model,
@@ -1177,9 +1184,15 @@ def apply_stream_multigram(
     when per-id arrival order matches ts order, the parity contract).
 
     Bucketing replays the batch spec pandas-side: categorical (width
-    None) = str(value), numeric = str(floor(value / width)) — the same
-    rendering Spark's cast(long as string) produces, so gram strings are
-    byte-identical to batch. Rows inside a trigger sort by (ts,
+    None) columns are cast to string SPARK-side before the stateful
+    stage, so the pandas kernel sees exactly the rendering Spark's
+    cast-to-string produces (booleans, doubles, decimals included);
+    numeric = str(floor(value / width)) — the same rendering Spark's
+    cast(long as string) produces, so gram strings are byte-identical
+    to batch. NaN in a numeric bucketed column is OUT of the parity
+    contract (batch renders floor(NaN/width) through a long cast, the
+    stream skips it like a null) — filter or impute NaNs upstream, as
+    the batch operator's callers do. Rows inside a trigger sort by (ts,
     order_cols) per id (the stateful family's mergesort convention);
     same-ts rows split across micro-batches keep arrival order — the
     documented streaming tie caveat. State per id: the tail symbol array
@@ -1189,6 +1202,9 @@ def apply_stream_multigram(
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
     spec = list(spec)
+    for c, w in spec:
+        if w is None:
+            stream_df = stream_df.withColumn(c, F.col(c).cast("string"))
     out_fields = [
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in stream_df.schema

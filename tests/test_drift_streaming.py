@@ -1361,3 +1361,65 @@ def test_stream_multigram_matches_batch_across_batches(spark, stream_dirs):
     assert dict(got) == exp and exp, (
         "stream gram multiset must equal the batch distribution"
     )
+
+
+def test_stream_kmeans_score_empty_model_raises(spark):
+    """An empty centroid frame (a fit that produced nothing, or a wrong
+    path) must fail loudly at plan time, not TypeError on int(None)."""
+    from beymani_spark.operators.multivariate import kmeans_model
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_kmeans_score
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    keys, vals = ["l_returnflag"], ["l_quantity"]
+    model = kmeans_model(li, keys, vals, n_clusters=2, presample=64).limit(0)
+    with pytest.raises(ValueError, match="empty kmeans model"):
+        stream_kmeans_score(li, model, keys, vals)
+
+
+def test_stream_multigram_boolean_categorical_matches_batch(
+    spark, stream_dirs
+):
+    """Non-string categoricals (booleans) render through Spark's
+    cast-to-string on BOTH sides — the stream casts categorical spec
+    columns before the stateful stage (Python str(True) would emit
+    'True' where batch emits 'true'), keeping grams byte-identical."""
+    from collections import Counter
+
+    from beymani_spark.operators.histogram import multigram_multivariate
+    from beymani_spark.streaming.jobs import apply_stream_multigram
+
+    src, chk = stream_dirs
+    rows = [
+        (i, i % 7, (i * 3) % 2 == 0, float(i % 11)) for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, uid long, flag boolean, value double"
+    )
+    spec = [("flag", None), ("value", 4.0)]
+    exp = {
+        r["gram"]: r["cnt"]
+        for r in multigram_multivariate(
+            df, "uid", "event_id", spec, seq_len=2
+        ).collect()
+    }
+    assert any("true" in g or "false" in g for g in exp), (
+        "booleans must render lowercase in batch grams"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/mgb")
+    stream = spark.readStream.schema(df.schema).parquet(src + "/mgb")
+    q = (
+        apply_stream_multigram(stream, "uid", "event_id", spec, seq_len=2)
+        .writeStream.format("memory")
+        .queryName("mgb_t")
+        .option("checkpointLocation", chk + "/mgb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = Counter(
+        r["gram"] for r in spark.sql("select gram from mgb_t").collect()
+    )
+    assert dict(got) == exp and exp, (
+        "boolean-categorical grams must equal batch byte-for-byte"
+    )

@@ -1178,3 +1178,31 @@ def test_temperature_mix_flattens_and_binds_smallest(spark, docs):
 
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix(docs, "doc_id", "lang", alpha=1.5)
+
+
+def test_temperature_mix_zero_mass_stratum_dropped(spark):
+    """A stratum whose weighted mass sums to zero has no derivable recipe:
+    it is filtered out of the rate table explicitly (no 0/0 NULL rate
+    silently failing the keep predicate), and the surviving strata are
+    unaffected — here the sole positive stratum binds itself and keeps
+    every row."""
+    from beymani_spark.operators.sampling import temperature_mix
+
+    rows = [
+        (i, "a" if i < 50 else "b", 1.0 if i < 50 else 0.0)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, wt double")
+    out = temperature_mix(
+        df,
+        "doc_id",
+        "lang",
+        alpha=0.5,
+        seed=1,
+        weight=F.col("wt"),
+        rate_col="rate",
+    )
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert "b" not in langs, "zero-mass stratum must be dropped"
+    assert out.filter(F.col("rate").isNull()).count() == 0
+    assert out.filter(F.col("lang") == "a").count() == 50
