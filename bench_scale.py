@@ -128,6 +128,16 @@ HEAVY = [
     # round-8 additions (composite-band forms for the remaining modalities)
     "audio_dup_pairs_c2",
     "video_phash_dup_pairs_c2",
+    # round-9 rows for the previously unmeasured round-8 additions
+    # (r8 verdict directive #6) + the round-9 markov_global
+    "multigram_multivariate",
+    "volume_shipping",
+    "market_share",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "temperature_mix",
+    "embedding_audit",
+    "markov_global",
 ]
 
 

@@ -71,7 +71,7 @@ def markov_score(
     ts: str,
     state: str,
     metric: str = "conditionalProbability",
-    window: int = 5,
+    window: int | None = 5,
     threshold: float = 2.0,
     order_cols: Sequence[str] = (),
     spread_label: bool = False,
@@ -80,9 +80,20 @@ def markov_score(
 
     Rows without a previous state (first per key) are dropped, matching the
     reference's window scan which emits from the second element on.
-    """
+
+    ``window=None`` selects the reference's GLOBAL accumulation mode
+    (MarkovModelPredictor.java:286-346, getGlobalMetric :379-395 — the
+    non-local branch of the real-time predictor): the score is the
+    EXPANDING mean of the per-transition metric since the key's first
+    transition (globParams left/right accumulate num/den forever), not a
+    trailing window. The reference defines it for the missProbability /
+    missRate / entropyReduction metrics; conditionalProbability is
+    accepted here as the natural extension (expanding mean of -ln p).
+    ``spread_label`` is a windowed notion and is rejected with None."""
     if metric not in METRICS:
         raise ValueError(f"unknown metric: {metric}")
+    if window is None and spread_label:
+        raise ValueError("spread_label needs a finite window")
     wseq = Window.partitionBy(*keys).orderBy(ts, *order_cols)
     seq = (
         df.withColumn("prev_state", F.lag(state).over(wseq))
@@ -118,7 +129,9 @@ def markov_score(
             .when(F.col("prob").isNotNull(), F.lit(0.0))
             .otherwise(F.lit(1.0))
         )
-    wtrail = Window.partitionBy(*keys).orderBy(ts, *order_cols).rowsBetween(-(window - 1), 0)
+    wtrail = Window.partitionBy(*keys).orderBy(ts, *order_cols).rowsBetween(
+        Window.unboundedPreceding if window is None else -(window - 1), 0
+    )
     out = joined.withColumn("_t", t).withColumn("score", F.avg("_t").over(wtrail))
     out = out.withColumn("label", tag_label(F.col("score"), threshold))
     if spread_label:

@@ -1279,8 +1279,8 @@ def phash_dup_pairs(
     hashed: DataFrame,
     id_col: str = "media_id",
     hash_col: str = "phash",
-    max_hamming: int = 3,
-    composite_bands: bool = False,
+    max_hamming: int = 2,
+    composite_bands: bool | str = "auto",
 ) -> DataFrame:
     """Near-dup media pairs by banded perceptual hash: the 64-bit hash
     splits into four 16-bit hex bands; candidates share at least one band
@@ -1291,15 +1291,23 @@ def phash_dup_pairs(
     parsing per band — no signed-64 shift semantics to match across
     engines). Output (src, dst, hamming) with hamming <= max_hamming.
 
-    Bucket sizes: uniform 16-bit bands put N/2^16 items per bucket per
-    band — the same documented collision floor as 16-bit SimHash, fine to
-    ~10^6 items (measured: linear time to 5M items at 100x, BASELINE.md
-    §8.6, but candidate volume grows N^2/2^16 and dominates the next
-    decade). The off-ramp is ``composite_bands=True``: candidates must
-    share a PAIR of bands (C(4,2)=6 composite 32-bit signatures), putting
-    buckets at N/2^32 — pigeonhole then covers max_hamming <= 2 (two bit
-    flips disturb at most two bands, leaving an intact pair), the
-    practical near-dup radius for 64-bit pHash at corpus scale."""
+    Banding mode — the DEFAULT is the scale-safe form: with
+    ``composite_bands="auto"`` (default) the engine picks composite
+    2-of-4 banding whenever the radius permits it (max_hamming <= 2, the
+    default and the practical near-dup radius for 64-bit pHash at corpus
+    scale) and falls back to single bands only when the caller asks for
+    radius 3, the one radius only single bands can guarantee. Composite
+    candidates must share a PAIR of bands (C(4,2)=6 composite 32-bit
+    signatures), putting buckets at N/2^32 — pigeonhole covers
+    max_hamming <= 2 because two bit flips disturb at most two bands,
+    leaving an intact pair. Single 16-bit bands put N/2^16 items per
+    bucket per band — fine to ~10^6 items (measured: linear time to 5M
+    items at 100x, BASELINE.md §8.6) but candidate volume grows N^2/2^16
+    and dominates the next decade, so radius-3 callers own that trade
+    explicitly (``composite_bands=False`` pins single bands at any
+    radius <= 3)."""
+    if composite_bands == "auto":
+        composite_bands = max_hamming <= 2
     if composite_bands:
         if not (0 <= max_hamming <= 2):
             raise ValueError(
@@ -1478,8 +1486,8 @@ def video_phash_dup_pairs(
     id_col: str = "media_id",
     hash_col: str = "vhash",
     n_frames: int = 4,
-    max_hamming: int = 3,
-    composite_bands: bool = False,
+    max_hamming: int = 2,
+    composite_bands: bool | str = "auto",
 ) -> DataFrame:
     """Near-dup video pairs: candidates share any (frame, band) 16-bit
     bucket (4*n_frames keys per video); verification is the exact
@@ -1489,15 +1497,21 @@ def video_phash_dup_pairs(
     implies frame 0 is within 3, so one of its bands collides. Output
     (src, dst, max_frame_hamming).
 
-    The single-band collision floor is PER BAND, not per video: (frame,
-    band) keys give 4*n_frames buckets per item but each 16-bit bucket
-    still holds N/2^16 items, so candidate volume grows N^2/2^16 exactly
-    as the image form's 100x capture measured (BASELINE.md §8.6). The
-    off-ramp is the same ``composite_bands=True`` trade: candidates must
-    share a concatenated band PAIR within one frame (C(4,2)=6 32-bit
-    signatures per frame), buckets at N/2^32, pigeonhole covering
-    per-frame hamming <= 2 (two flips within a frame disturb at most two
-    of ITS bands, leaving an intact pair among that frame's six)."""
+    Banding mode — the DEFAULT is the scale-safe form (the image form's
+    rule): ``composite_bands="auto"`` picks composite banding whenever
+    the radius permits (max_hamming <= 2, the default), single bands only
+    for an explicit radius-3 call. Composite candidates share a
+    concatenated band PAIR within one frame (C(4,2)=6 32-bit signatures
+    per frame), buckets at N/2^32, pigeonhole covering per-frame
+    hamming <= 2 (two flips within a frame disturb at most two of ITS
+    bands, leaving an intact pair among that frame's six). The
+    single-band collision floor is PER BAND, not per video: (frame, band)
+    keys give 4*n_frames buckets per item but each 16-bit bucket still
+    holds N/2^16 items, so candidate volume grows N^2/2^16 exactly as the
+    image form's 100x capture measured (BASELINE.md §8.6-8.7) — radius-3
+    callers own that trade explicitly (``composite_bands=False``)."""
+    if composite_bands == "auto":
+        composite_bands = max_hamming <= 2
     if composite_bands:
         if not (0 <= max_hamming <= 2):
             raise ValueError(

@@ -459,6 +459,71 @@ def autoencoder_score(
 
 # ---------------------------------------------------------------- KMeans cluster
 
+def _finalize_model(
+    centroids_df: DataFrame,
+    assign_fn,
+    keys: Sequence[str],
+    max_model_rows: int | None,
+) -> DataFrame:
+    """Materialize a fitted per-key centroid frame and attach full-data
+    nearest-centroid ``size`` counts — the shared tail of kmeans_model /
+    kmeans_mixed_model.
+
+    The fit chain localCheckpoints FIRST (eager): it runs exactly once,
+    lineage truncates, and no downstream action — the size count, the
+    scorer's broadcast, a model save — can re-run the presample+fit (the
+    lazy-persist refit race this stage exists to prevent). Then the
+    materialization strategy splits on the MEASURED model size:
+
+    - |keys|·k <= max_model_rows (the common case — moderate key
+      cardinality): collect and rebuild as a LOCAL in-memory relation,
+      merging sizes driver-side. Downstream broadcast-subtree jobs read
+      local rows and no cache entry lingers in long sessions.
+    - above the cap (a keyed fit over millions of entities, where the
+      model itself is cluster data): the model STAYS distributed — sizes
+      attach via a shuffle join on (keys, cluster_id) and nothing
+      model-sized ever touches the driver (the tfidf_vocab(max_vocab)
+      bounding pattern, applied to the detector family).
+
+    ``max_model_rows=None`` forces the distributed path (never collect)."""
+    spark = centroids_df.sparkSession
+    cents = centroids_df.localCheckpoint(eager=True)
+    n_model = cents.count()
+    if max_model_rows is not None and n_model <= int(max_model_rows):
+        centroid_rows = cents.collect()
+        centroids = spark.createDataFrame(centroid_rows, cents.schema)
+        size_rows = (
+            assign_fn(centroids, True)
+            .groupBy(*keys, "cluster_id")
+            .agg(F.count("*").alias("size"))
+            .collect()
+        )
+        size_map = {
+            tuple(r[k] for k in (*keys, "cluster_id")): r["size"]
+            for r in size_rows
+        }
+        model_rows = [
+            {
+                **r.asDict(),
+                "size": size_map.get(
+                    tuple(r[k] for k in (*keys, "cluster_id")), 0
+                ),
+            }
+            for r in centroid_rows
+        ]
+        return spark.createDataFrame(
+            model_rows, cents.schema.add("size", "long")
+        )
+    sizes = (
+        assign_fn(cents, False)
+        .groupBy(*keys, "cluster_id")
+        .agg(F.count("*").alias("size"))
+    )
+    return cents.join(sizes, [*keys, "cluster_id"], "left").withColumn(
+        "size", F.coalesce(F.col("size"), F.lit(0).cast("long"))
+    )
+
+
 def kmeans_model(
     df: DataFrame,
     keys: Sequence[str],
@@ -467,6 +532,7 @@ def kmeans_model(
     iterations: int = 20,
     seed: int = 42,
     presample: int | None = 8192,
+    max_model_rows: int | None = 100_000,
 ) -> DataFrame:
     """Seeded per-key Lloyd k-means; returns (keys..., cluster_id, size,
     centroid components).
@@ -476,7 +542,10 @@ def kmeans_model(
     pandas frame grows with the key group; cluster ``size`` is then a
     whole-data codegen count of nearest-centroid assignments, keeping the
     small-cluster rule (kmeans_score's min_cluster_fraction) exact on the
-    full distribution rather than the sample."""
+    full distribution rather than the sample. Model materialization is
+    bounded by ``max_model_rows`` (see :func:`_finalize_model`): at or
+    under the cap the |keys|·k model collects to a local relation, above
+    it the model stays distributed end-to-end."""
     d = len(values)
     full = df
     if presample:
@@ -507,26 +576,16 @@ def kmeans_model(
     centroids_df = df.groupBy(*keys).applyInPandas(
         fit, schema=f"{key_schema}, cluster_id int, {cent}"
     )
-    centroid_schema = centroids_df.schema
-    centroid_rows = centroids_df.collect()
-    centroids = df.sparkSession.createDataFrame(centroid_rows, centroid_schema)
     # cluster sizes = full-data nearest-centroid counts (codegen pass over
     # the unsampled table): the small-cluster rule stays exact on the true
-    # distribution even when the fit was presampled. Sizes are |keys|*k
-    # counts — merge them locally into the model rows.
-    assigned = _assign_nearest(full, centroids, keys, values, int(n_clusters))
-    size_rows = (
-        assigned.groupBy(*keys, "cluster_id").agg(F.count("*").alias("size")).collect()
-    )
-    size_map = {
-        tuple(r[k] for k in (*keys, "cluster_id")): r["size"] for r in size_rows
-    }
-    model_rows = [
-        {**r.asDict(), "size": size_map.get(tuple(r[k] for k in (*keys, "cluster_id")), 0)}
-        for r in centroid_rows
-    ]
-    return df.sparkSession.createDataFrame(
-        model_rows, centroid_schema.add("size", "long")
+    # distribution even when the fit was presampled.
+    return _finalize_model(
+        centroids_df,
+        lambda cents, bc: _assign_nearest(
+            full, cents, keys, values, int(n_clusters), broadcast_model=bc
+        ),
+        keys,
+        max_model_rows,
     )
 
 
@@ -583,17 +642,23 @@ def _assign_nearest(
     keys: Sequence[str],
     values: Sequence[str],
     max_k: int,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Adds cluster_id = nearest centroid per row: broadcast the per-key
     centroid array (sorted by cluster_id) and unrolled codegen argmin —
-    1:1 join, no row explosion (cf. kmeans_score)."""
+    1:1 join, no row explosion (cf. kmeans_score).
+    ``broadcast_model=False`` drops the hint for over-cap models whose
+    per-key arrays would not fit a broadcast (the join shuffles, or AQE
+    re-chooses broadcast at runtime if the model turns out small)."""
     cent = F.struct(
         F.col("cluster_id"), *[F.col(f"centroid_{v}").alias(v) for v in values]
     )
     per_key = centroids.groupBy(*keys).agg(
         F.sort_array(F.collect_list(cent)).alias("_cents")
     )
-    joined = df.join(F.broadcast(per_key), list(keys))
+    joined = df.join(
+        F.broadcast(per_key) if broadcast_model else per_key, list(keys)
+    )
     d2s, _ = _unrolled_nearest(values, max_k)
     joined, d2_cols, m = _materialize_d2(joined, d2s)
     # first-match when() chain over ascending cluster_id: ties resolve to the
@@ -699,11 +764,13 @@ def kmeans_mixed_model(
     gamma: float = 1.0,
     seed: int = 42,
     presample: int | None = 8192,
+    max_model_rows: int | None = 100_000,
 ) -> DataFrame:
     """Mixed-type cluster model: (keys..., cluster_id, centroid_<v>,
     range_<v>, centroid_<c>, size). Same scale posture as kmeans_model —
-    hash-presampled bounded fit, eager |keys|·k-row model, full-data
-    codegen size counts."""
+    hash-presampled bounded fit, ``max_model_rows``-bounded model
+    materialization (:func:`_finalize_model`), full-data codegen size
+    counts."""
     full = df
     all_vals = [*num_values, *cat_values]
     if presample:
@@ -737,24 +804,20 @@ def kmeans_mixed_model(
     centroids_df = df.groupBy(*keys).applyInPandas(
         fit, schema=f"{key_schema}, cluster_id int, {cent}"
     )
-    centroid_schema = centroids_df.schema
-    centroid_rows = centroids_df.collect()
-    centroids = df.sparkSession.createDataFrame(centroid_rows, centroid_schema)
-    assigned = _assign_nearest_mixed(
-        full, centroids, keys, num_values, cat_values, gamma, int(n_clusters)
-    )
-    size_rows = (
-        assigned.groupBy(*keys, "cluster_id").agg(F.count("*").alias("size")).collect()
-    )
-    size_map = {
-        tuple(r[k] for k in (*keys, "cluster_id")): r["size"] for r in size_rows
-    }
-    model_rows = [
-        {**r.asDict(), "size": size_map.get(tuple(r[k] for k in (*keys, "cluster_id")), 0)}
-        for r in centroid_rows
-    ]
-    return df.sparkSession.createDataFrame(
-        model_rows, centroid_schema.add("size", "long")
+    return _finalize_model(
+        centroids_df,
+        lambda cents, bc: _assign_nearest_mixed(
+            full,
+            cents,
+            keys,
+            num_values,
+            cat_values,
+            gamma,
+            int(n_clusters),
+            broadcast_model=bc,
+        ),
+        keys,
+        max_model_rows,
     )
 
 
@@ -805,13 +868,16 @@ def _assign_nearest_mixed(
     cat_values: Sequence[str],
     gamma: float,
     max_k: int,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     per_key = centroids.groupBy(*keys).agg(
         F.sort_array(F.collect_list(_mixed_cent_struct(num_values, cat_values))).alias(
             "_cents"
         )
     )
-    joined = df.join(F.broadcast(per_key), list(keys))
+    joined = df.join(
+        F.broadcast(per_key) if broadcast_model else per_key, list(keys)
+    )
     d2s, _ = _unrolled_nearest_mixed(num_values, cat_values, gamma, max_k)
     joined, d2_cols, m = _materialize_d2(joined, d2s)
     best = None

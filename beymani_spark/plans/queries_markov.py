@@ -215,3 +215,40 @@ def q_markov_entropy_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("user_id", "event_id", "prev_state", "cur_state", "score", "label"),
         ["score"],
     )
+
+
+_GLOBAL_ORACLE = _SEQ_CTE + """
+, scored AS (
+  SELECT s.user_id, s.event_id, s.ts, s.prev_state, s.cur_state,
+         1.0 - coalesce(m.prob, 0.0) AS t
+  FROM seq s LEFT JOIN model m ON s.prev_state = m.prev_state AND s.cur_state = m.cur_state
+  WHERE s.prev_state IS NOT NULL
+), win AS (
+  SELECT user_id, event_id, prev_state, cur_state,
+         avg(t) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS score
+  FROM scored
+)
+SELECT user_id, event_id, prev_state, cur_state, round(score, 6) AS score,
+       CASE WHEN score IS NULL THEN 'I' WHEN score > 0.85 THEN 'O' ELSE 'N' END AS label
+FROM win
+"""
+
+
+@register("markov_global", _GLOBAL_ORACLE)
+def q_markov_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference global accumulation mode (MarkovModelPredictor.java
+    :379-395, the non-local branch): the score is the EXPANDING mean of
+    the per-transition missProbability since the key's first transition —
+    markov.markov_score(window=None). Same plan shape as the windowed
+    family: broadcast model join + one keyed window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    model = markov.transition_model(ev, ["user_id"], "ts", "event_type", order_cols=["event_id"])
+    out = markov.markov_score(
+        ev, model, ["user_id"], "ts", "event_type",
+        metric="missProbability", window=None, threshold=0.85, order_cols=["event_id"],
+    )
+    return _round(
+        out.select("user_id", "event_id", "prev_state", "cur_state", "score", "label"),
+        ["score"],
+    )

@@ -75,6 +75,8 @@ from . import queries_packing  # noqa: E402,F401
 # tests/test_rotation_audit.py enforces this ordering against the
 # committed CORRECTNESS records.
 _PRIORITY = [
+    # --- round-9 additions (never driver-checked) lead the window ---
+    "markov_global",
     # --- newest driver row r4 ---
     "attr_histogram",
     "multivariate_histogram_members",

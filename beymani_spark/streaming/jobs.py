@@ -239,7 +239,17 @@ def apply_stream_markov(
     shipped in the closure — the streaming equivalent of the broadcast model.
 
     Emits one row per event with the windowed conditional-probability score.
-    """
+
+    The within-batch computation is VECTORIZED (no per-row Python loop):
+    the previous-state column is a shift of the state column seeded from
+    the carried symbol, the transition lookup is a C-speed dict map over
+    the (prev, cur) pairs, and the windowed mean is a rolling mean over
+    the carried-scores + new-transitions sequence — only the cross-batch
+    carry (last symbol, score-window tail) stays in Python state. ~10x
+    less per-event overhead for hot entities than the row-at-a-time form
+    (BASELINE.md §8.8 micro-bench)."""
+    import numpy as np
+
     probs = {(r["prev_state"], r["cur_state"]): r["prob"] for r in model_rows}
     out_schema = ", ".join(
         [
@@ -250,41 +260,178 @@ def apply_stream_markov(
         + ["score double", "label string"]
     )
     state_schema = "last_state string, scores array<double>"
+    out_cols = [*keys, ts, state_col, "score", "label"]
 
     def fn(key, pdfs, state: GroupState):
-        import math
-
         if state.exists:
-            last_state, scores = state.get
-            scores = list(scores)
+            last_state, carry = state.get
+            carry = list(carry)
         else:
-            last_state, scores = None, []
-        rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
-            for _, row in pdf.iterrows():
-                cur = row[state_col]
-                if last_state is not None:
-                    p = probs.get((last_state, cur))
-                    t = -math.log(p) if p and p > 0 else UNSEEN_NEG_LOG_PROB
-                    scores.append(t)
-                    if len(scores) > window:
-                        scores.pop(0)
-                score = sum(scores) / len(scores) if scores else None
-                rows.append(
-                    {
-                        **{k: row[k] for k in keys},
-                        ts: row[ts],
-                        state_col: cur,
-                        "score": score,
-                        "label": "I"
-                        if score is None
-                        else ("O" if score > threshold else "N"),
-                    }
-                )
-                last_state = cur
-        state.update((last_state, scores))
-        yield pd.DataFrame(rows)
+            last_state, carry = None, []
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((last_state, carry))
+            yield pd.DataFrame(columns=out_cols)
+            return
+        whole = pd.concat(frames).sort_values(ts, kind="mergesort")
+        cur = whole[state_col].to_numpy(dtype=object)
+        prev = np.empty(len(cur), dtype=object)
+        prev[1:] = cur[:-1]
+        prev[0] = last_state
+        p = np.fromiter(
+            # `or nan`: a missing, None, or zero prob all score UNSEEN
+            (probs.get((a, b)) or np.nan for a, b in zip(prev, cur)),
+            dtype=float,
+            count=len(cur),
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = np.where(p > 0, -np.log(p), UNSEEN_NEG_LOG_PROB)
+        has_t = np.ones(len(cur), dtype=bool)
+        if last_state is None:
+            has_t[0] = False  # the entity's first-ever event: no transition
+        seq = np.concatenate([np.asarray(carry, dtype=float), t[has_t]])
+        roll = (
+            pd.Series(seq).rolling(window, min_periods=1).mean().to_numpy()
+        )
+        score = np.full(len(cur), np.nan)
+        score[has_t] = roll[len(carry):]
+        label = np.where(
+            np.isnan(score), "I", np.where(score > threshold, "O", "N")
+        )
+        out = whole[[*keys, ts, state_col]].copy()
+        out["score"] = score
+        out["label"] = label
+        state.update(
+            (cur[-1], seq[-window:].tolist() if len(seq) else [])
+        )
+        yield out
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def apply_stream_markov_global(
+    stream_df: DataFrame,
+    model_rows: list[dict],
+    keys: Sequence[str],
+    ts: str,
+    state_col: str,
+    metric: str = "missProbability",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """The reference real-time predictor's GLOBAL accumulation mode —
+    the other branch of MarkovModelPredictor.java:286-346 (getGlobalMetric
+    :379-395): instead of a trailing score window, each entity carries
+    (num, den) accumulators forever, each transition adds the metric's
+    (params[0], params[1]) pair, and the emitted score is the EXPANDING
+    mean num/den since the entity's first transition. Batch equivalent:
+    ``markov.markov_score(..., window=None)`` (parity-tested).
+
+    The reference defines the global branch for missProbability /
+    missRate / entropyReduction; conditionalProbability is accepted as
+    the same natural extension the batch operator takes (expanding mean
+    of -ln p, unseen capped at UNSEEN_NEG_LOG_PROB).
+
+    Vectorized like apply_stream_markov: shifted-pair metric lookup at
+    C speed, cumulative sums + the carried accumulators; only the
+    cross-batch carry (last symbol, num, den) is Python state. First-ever
+    events emit score null / label 'I' (no transition yet)."""
+    import math
+
+    import numpy as np
+
+    from ..operators.markov import METRICS
+
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric: {metric}")
+    probs = {(r["prev_state"], r["cur_state"]): r["prob"] for r in model_rows}
+    # per-prev argmax (prob desc, cur_state asc — the batch enrich_model
+    # tiebreak) and row entropy, derived driver-side from the tiny model
+    best: dict = {}
+    ent: dict = {}
+    for r in model_rows:
+        pv, cv, p = r["prev_state"], r["cur_state"], float(r["prob"])
+        cand = best.get(pv)
+        if cand is None or p > cand[0] or (p == cand[0] and cv < cand[1]):
+            best[pv] = (p, cv)
+        if p > 0:
+            ent[pv] = ent.get(pv, 0.0) - p * math.log(p)
+
+    if metric == "conditionalProbability":
+        def t_of(a, b):
+            p = probs.get((a, b))
+            return -math.log(p) if p and p > 0 else UNSEEN_NEG_LOG_PROB
+    elif metric == "missProbability":
+        def t_of(a, b):
+            return 1.0 - (probs.get((a, b)) or 0.0)
+    elif metric == "missRate":
+        def t_of(a, b):
+            c = best.get(a)
+            return 0.0 if c is not None and c[1] == b else 1.0
+    else:  # entropyReduction
+        def t_of(a, b):
+            p = probs.get((a, b))
+            if p is None:
+                return 1.0
+            h = ent.get(a, 0.0)
+            return (h + p * math.log(p)) / h if h > 0 and p > 0 else (
+                1.0 if h > 0 else 0.0
+            )
+
+    out_schema = ", ".join(
+        [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in stream_df.schema
+            if f.name in (*keys, ts, state_col)
+        ]
+        + ["score double", "label string"]
+    )
+    state_schema = "last_state string, num double, den double"
+    out_cols = [*keys, ts, state_col, "score", "label"]
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            last_state, num, den = state.get
+        else:
+            last_state, num, den = None, 0.0, 0.0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((last_state, num, den))
+            yield pd.DataFrame(columns=out_cols)
+            return
+        whole = pd.concat(frames).sort_values(ts, kind="mergesort")
+        cur = whole[state_col].to_numpy(dtype=object)
+        prev = np.empty(len(cur), dtype=object)
+        prev[1:] = cur[:-1]
+        prev[0] = last_state
+        t = np.fromiter(
+            (t_of(a, b) for a, b in zip(prev, cur)),
+            dtype=float,
+            count=len(cur),
+        )
+        has_t = np.ones(len(cur), dtype=bool)
+        if last_state is None:
+            has_t[0] = False
+        k = int(has_t.sum())
+        score = np.full(len(cur), np.nan)
+        if k:
+            nums = num + np.cumsum(t[has_t])
+            dens = den + np.arange(1, k + 1, dtype=float)
+            score[has_t] = nums / dens
+            num, den = float(nums[-1]), float(dens[-1])
+        label = np.where(
+            np.isnan(score), "I", np.where(score > threshold, "O", "N")
+        )
+        out = whole[[*keys, ts, state_col]].copy()
+        out["score"] = score
+        out["label"] = label
+        state.update((cur[-1], num, den))
+        yield out
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
         fn,
@@ -563,6 +710,8 @@ def apply_stream_one_step_ahead(
     )
     state_schema = "work array<double>, r_n long, r_s1 double, r_s2 double"
 
+    out_cols = [*keys, ts, value, "predicted", "osa_score", "label"]
+
     def fn(key, pdfs, state: GroupState):
         import numpy as np
 
@@ -571,48 +720,55 @@ def apply_stream_one_step_ahead(
             work = list(work)
         else:
             work, r_n, r_s1, r_s2 = [], 0, 0.0, 0.0
-        rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
-            for row in pdf.itertuples():
-                x = float(getattr(row, value))
-                if len(work) < window:
-                    pred, s = None, 0.0
-                    work.append(x)
-                else:
-                    w = np.asarray(work[-window:])
-                    if method == "average":
-                        p = w.mean()
-                    else:
-                        p = float((w * ew).sum() / ew.sum())
-                    r = x - p
-                    if r_n >= 3:
-                        var = r_s2 / r_n - (r_s1 / r_n) ** 2
-                        sd = var**0.5 if var > 0 else 0.0
-                    else:
-                        sd = 0.0
-                    s = abs(r) / sd if sd > 0 else 0.0
-                    pred = float(p)
-                    if s > threshold:
-                        work.append(float(p))  # feedback: replace outlier
-                    else:
-                        work.append(x)
-                        r_n += 1
-                        r_s1 += r
-                        r_s2 += r * r
-                    work = work[-window:]
-                rows.append(
-                    {
-                        **{k: getattr(row, k) for k in keys},
-                        ts: getattr(row, ts),
-                        value: x,
-                        "predicted": pred,
-                        "osa_score": s,
-                        "label": "O" if s > threshold else "N",
-                    }
-                )
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((work[-window:], r_n, r_s1, r_s2))
+            yield pd.DataFrame(columns=out_cols)
+            return
+        whole = pd.concat(frames).sort_values(ts, kind="mergesort")
+        xs = whole[value].to_numpy(dtype=float)
+        n = len(xs)
+        preds = np.full(n, np.nan)
+        scores = np.zeros(n)
+        # the window FEEDBACK (an outlier is replaced by its prediction
+        # before it can pollute the next window) makes each step depend on
+        # the previous OUTPUT — inherently sequential per entity. The loop
+        # runs over a bare float array (no pandas row access, columnar
+        # output assembly); arithmetic is op-for-op the batch kernel's.
+        for i in range(n):
+            x = float(xs[i])
+            if len(work) < window:
+                work.append(x)
+                continue
+            w = np.asarray(work[-window:])
+            if method == "average":
+                p = w.mean()
+            else:
+                p = float((w * ew).sum() / ew.sum())
+            r = x - p
+            if r_n >= 3:
+                var = r_s2 / r_n - (r_s1 / r_n) ** 2
+                sd = var**0.5 if var > 0 else 0.0
+            else:
+                sd = 0.0
+            s = abs(r) / sd if sd > 0 else 0.0
+            preds[i] = float(p)
+            scores[i] = s
+            if s > threshold:
+                work.append(float(p))  # feedback: replace outlier
+            else:
+                work.append(x)
+                r_n += 1
+                r_s1 += r
+                r_s2 += r * r
+            work = work[-window:]
+        out = whole[[*keys, ts]].copy()
+        out[value] = xs
+        out["predicted"] = preds
+        out["osa_score"] = scores
+        out["label"] = np.where(scores > threshold, "O", "N")
         state.update((work[-window:], r_n, r_s1, r_s2))
-        yield pd.DataFrame(rows)
+        yield out
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
         fn,
@@ -1009,14 +1165,16 @@ def stream_media_phash_dedup(
     payload_col: str = "payload",
     corpus_id_col: str = "corpus_media_id",
     decode: str = "fake",
-    max_hamming: int = 3,
-    composite_bands: bool = False,
+    max_hamming: int = 2,
+    composite_bands: bool | str = "auto",
 ) -> DataFrame:
     """Streaming media near-dup against a standing corpus: each arriving
     item is pHashed in-stream (multimodal.phash64 — mapInPandas is
-    stream-compatible and stateless), banded into the same 4x16-bit hex
-    bands the batch pair engine uses (or, ``composite_bands=True``, the
-    same composite 2-of-4 pairs — the corpus-scale trade, hamming <= 2),
+    stream-compatible and stateless), banded the way the batch pair
+    engine bands (``composite_bands="auto"``, the default, resolves to
+    the scale-safe composite 2-of-4 pairs for max_hamming <= 2 — the
+    default radius — and to single 4x16-bit hex bands only for an
+    explicit radius-3 call, the batch engine's rule),
     and stream-static equi-joined to the corpus band table; matches
     verify with the exact band-wise bit_count(xor) hamming IN the
     stream, so the emitted rows are verified duplicates, not candidates.
@@ -1029,6 +1187,8 @@ def stream_media_phash_dedup(
     (parity-tested)."""
     from ..operators.multimodal import phash64
 
+    if composite_bands == "auto":
+        composite_bands = max_hamming <= 2
     if composite_bands:
         if not (0 <= max_hamming <= 2):
             raise ValueError(
@@ -1196,9 +1356,9 @@ def apply_stream_multigram(
     order_cols) per id (the stateful family's mergesort convention);
     same-ts rows split across micro-batches keep arrival order — the
     documented streaming tie caveat. State per id: the tail symbol array
-    (bounded at seq_len - 1 strings)."""
-    import math
-
+    (bounded at seq_len - 1 strings). The within-batch work is fully
+    vectorized — symbol rendering, the rolling gram join, and the state
+    tail are numpy/pandas column ops; no per-row Python loop."""
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
     spec = list(spec)
@@ -1213,36 +1373,68 @@ def apply_stream_multigram(
     out_schema = ", ".join(out_fields + ["gram string"])
     state_schema = "syms array<string>"
 
-    def _sym(row) -> str:
-        parts = []
+    def _syms(whole: pd.DataFrame) -> "np.ndarray":
+        """Vectorized bucket-symbol column: per spec column a valid mask +
+        string image (categoricals arrive pre-cast to string Spark-side;
+        numerics render str(floor(v/width)) on the valid subset), folded
+        with concat_ws semantics — null columns are skipped, ':' joins
+        only between present parts."""
+        import numpy as np
+
+        n = len(whole)
+        sym = np.full(n, "", dtype=object)
+        started = np.zeros(n, dtype=bool)
         for c, w in spec:
-            v = row[c]
-            if v is None or (isinstance(v, float) and v != v):
-                continue  # concat_ws skips nulls — the batch semantics
-            parts.append(
-                str(v) if w is None else str(int(math.floor(v / float(w))))
-            )
-        return ":".join(parts)
+            col = whole[c]
+            valid = col.notna().to_numpy()
+            if w is None:
+                sv = np.where(valid, col.to_numpy(dtype=object), "")
+            else:
+                fv = pd.to_numeric(col, errors="coerce").to_numpy(dtype=float)
+                sv = np.full(n, "", dtype=object)
+                sv[valid] = (
+                    np.floor(fv[valid] / float(w))
+                    .astype("int64")
+                    .astype(str)
+                    .astype(object)
+                )
+            sep = np.where(started & valid, ":", "")
+            sym = np.where(valid, sym + sep + sv, sym)
+            started |= valid
+        return sym
 
     def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
         tail = list(state.get[0]) if state.exists else []
         frames = [p for p in pdfs if len(p)]
-        whole = (
-            pd.concat(frames).sort_values(
-                [ts, *order_cols], kind="mergesort"
-            )
-            if frames
-            else pd.DataFrame()
-        )
-        rows = []
         key_vals = dict(zip((*keys, id_col), key))
-        for _, row in whole.iterrows():
-            tail.append(_sym(row))
-            if len(tail) >= seq_len:
-                rows.append({**key_vals, "gram": "|".join(tail[-seq_len:])})
-                tail = tail[-(seq_len - 1):] if seq_len > 1 else []
-        state.update((tail,))
-        yield pd.DataFrame(rows, columns=[*keys, id_col, "gram"])
+        if not frames:
+            state.update((tail,))
+            yield pd.DataFrame(columns=[*keys, id_col, "gram"])
+            return
+        whole = pd.concat(frames).sort_values(
+            [ts, *order_cols], kind="mergesort"
+        )
+        all_syms = np.concatenate(
+            [np.asarray(tail, dtype=object), _syms(whole)]
+        )
+        m = len(all_syms) - seq_len + 1
+        if m > 0:
+            grams = all_syms[0:m].copy()
+            for off in range(1, seq_len):
+                grams = grams + "|" + all_syms[off : off + m]
+        else:
+            grams = np.empty(0, dtype=object)
+        new_tail = (
+            all_syms[-(seq_len - 1):].tolist() if seq_len > 1 else []
+        )
+        state.update((new_tail,))
+        yield pd.DataFrame(
+            {**{c: [v] * len(grams) for c, v in key_vals.items()},
+             "gram": grams},
+            columns=[*keys, id_col, "gram"],
+        )
 
     return stream_df.groupBy(*keys, id_col).applyInPandasWithState(
         fn,

@@ -1146,7 +1146,9 @@ def test_stream_media_phash_dedup_composite_matches_batch(spark, stream_dirs):
 
     base2 = {
         (r["media_id"], r["corpus_media_id"]): r["hamming"]
-        for r in stream_media_phash_dedup(batch_df, poisoned).collect()
+        for r in stream_media_phash_dedup(
+            batch_df, poisoned, max_hamming=3, composite_bands=False
+        ).collect()
         if r["hamming"] <= 2
     }
     comp_batch = {
@@ -1423,3 +1425,84 @@ def test_stream_multigram_boolean_categorical_matches_batch(
     assert dict(got) == exp and exp, (
         "boolean-categorical grams must equal batch byte-for-byte"
     )
+
+
+def test_stream_markov_global_matches_batch(spark, stream_dirs):
+    """The reference's GLOBAL accumulation mode: the streaming expanding
+    mean (per-entity num/den accumulators in state) equals the batch
+    markov_score(window=None) row-for-row on the scored rows, across a
+    micro-batch split (the accumulators carry); first-per-user rows tag
+    'I' in the stream and are dropped by batch."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators import markov
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import apply_stream_markov_global
+
+    src, chk = stream_dirs
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    model = markov.transition_model(
+        ev, ["user_id"], "ts", "event_type", order_cols=["event_id"]
+    )
+    model_rows = [r.asDict() for r in model.collect()]
+
+    batch = markov.markov_score(
+        ev, model, ["user_id"], "ts", "event_type",
+        metric="missProbability", window=None, threshold=0.85,
+        order_cols=["event_id"],
+    ).toPandas()
+
+    # two files split on the event_id median (monotone with ts): every
+    # user's accumulators span the micro-batch boundary
+    cut = ev.selectExpr("percentile(cast(event_id as double), 0.5)").first()[0]
+    ev.filter(F.col("event_id") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/mg_f1")
+    ev.filter(F.col("event_id") > cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/mg_f2")
+    import glob as _glob
+    import os
+    import shutil
+
+    dest = src + "/mkvg_in"
+    os.makedirs(dest, exist_ok=True)
+    for i, part in enumerate(
+        sorted(_glob.glob(src + "/mg_f1/part-*.parquet"))
+        + sorted(_glob.glob(src + "/mg_f2/part-*.parquet"))
+    ):
+        shutil.copyfile(part, f"{dest}/{i:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = (
+        apply_stream_markov_global(
+            stream, model_rows, ["user_id"], "ts", "event_type",
+            metric="missProbability", threshold=0.85,
+        )
+        .writeStream.format("memory")
+        .queryName("mkvg_t")
+        .option("checkpointLocation", chk + "/mkvg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from mkvg_t").toPandas()
+    assert len(got) == ev.count(), "stream emits every event"
+    scored = got[got.label != "I"].sort_values(["user_id", "ts"])
+    exp = batch.sort_values(["user_id", "ts"])
+    assert len(scored) == len(exp)
+    assert (
+        scored.score.round(9).to_numpy() == exp.score.round(9).to_numpy()
+    ).all(), "global expanding mean must equal batch window=None"
+    assert (
+        scored.label.to_numpy() == exp.label.to_numpy()
+    ).all(), "labels must agree"
+    with pytest.raises(ValueError, match="metric"):
+        apply_stream_markov_global(
+            stream, model_rows, ["user_id"], "ts", "event_type",
+            metric="bogus",
+        )

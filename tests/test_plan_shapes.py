@@ -1106,3 +1106,58 @@ def test_new_tpch_shapes_broadcast_dims_no_cartesian(spark):
     assert "TakeOrderedAndProject" in p18, "top-100 must be heap-based"
     assert "CartesianProduct" not in p18
     assert "BroadcastHashJoin" in p18, "the HAVING-filtered order set must broadcast"
+
+
+def test_kmeans_model_over_cap_stays_distributed(spark, monkeypatch):
+    """A keyed fit whose |keys|*k model exceeds max_model_rows must never
+    land on the driver: the centroid frame localCheckpoints and sizes
+    attach via a distributed join. collect/toPandas are patched to raise
+    while the over-cap model builds AND fully executes; its rows must
+    equal the small-path (driver-collected) model exactly — same fit,
+    same sizes, different materialization only."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    from beymani_spark.operators.multivariate import (
+        kmeans_mixed_model,
+        kmeans_model,
+    )
+    from beymani_spark.sources import load_table
+
+    li = load_table(spark, SF, "lineitem").limit(4000)
+    keys = ["l_returnflag", "l_linestatus"]
+    vals = ["l_quantity", "l_extendedprice"]
+    expected = sorted(
+        tuple(r)
+        for r in kmeans_model(
+            li, keys, vals, n_clusters=3, presample=64
+        ).collect()
+    )
+
+    real_to_pandas = cdf.DataFrame.toPandas
+    real_collect = cdf.DataFrame.collect
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver materialization in over-cap model")
+
+    monkeypatch.setattr(cdf.DataFrame, "toPandas", boom)
+    monkeypatch.setattr(cdf.DataFrame, "collect", boom)
+    try:
+        model = kmeans_model(
+            li, keys, vals, n_clusters=3, presample=64, max_model_rows=0
+        )
+        assert model.count() == len(expected)
+        mixed = kmeans_mixed_model(
+            li,
+            ["l_returnflag"],
+            ["l_quantity"],
+            ["l_linestatus"],
+            n_clusters=2,
+            presample=64,
+            max_model_rows=0,
+        )
+        assert mixed.count() > 0
+    finally:
+        monkeypatch.setattr(cdf.DataFrame, "toPandas", real_to_pandas)
+        monkeypatch.setattr(cdf.DataFrame, "collect", real_collect)
+    got = sorted(tuple(r) for r in model.collect())
+    assert got == expected, "over-cap model must equal the collected model"

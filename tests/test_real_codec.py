@@ -691,7 +691,9 @@ def test_phash_composite_banding_subset_and_pigeonhole(spark):
     hashed = phash64(df, decode="fake")
     base = {
         (r["src"], r["dst"]): r["hamming"]
-        for r in phash_dup_pairs(hashed, max_hamming=2).collect()
+        for r in phash_dup_pairs(
+            hashed, max_hamming=2, composite_bands=False
+        ).collect()
     }
     comp = {
         (r["src"], r["dst"]): r["hamming"]
@@ -877,7 +879,9 @@ def test_audio_composite_banding_subset_and_pigeonhole(spark):
     hashed = audio_fingerprint(df, decode="fake", n_samples=1024)
     base = {
         (r["src"], r["dst"]): r["hamming"]
-        for r in phash_dup_pairs(hashed, hash_col="afp", max_hamming=2).collect()
+        for r in phash_dup_pairs(
+            hashed, hash_col="afp", max_hamming=2, composite_bands=False
+        ).collect()
     }
     comp = {
         (r["src"], r["dst"]): r["hamming"]
@@ -918,7 +922,9 @@ def test_video_composite_banding_subset_and_pigeonhole(spark):
     hashed = video_phash(df, n_frames=4, decode="fake")
     base = {
         (r["src"], r["dst"]): r["max_frame_hamming"]
-        for r in video_phash_dup_pairs(hashed, n_frames=4, max_hamming=2).collect()
+        for r in video_phash_dup_pairs(
+            hashed, n_frames=4, max_hamming=2, composite_bands=False
+        ).collect()
     }
     comp = {
         (r["src"], r["dst"]): r["max_frame_hamming"]
@@ -960,3 +966,57 @@ def test_video_composite_banding_subset_and_pigeonhole(spark):
 
     with pytest.raises(ValueError, match="hamming"):
         video_phash_dup_pairs(crafted, max_hamming=3, composite_bands=True)
+
+
+def test_phash_auto_banding_default_is_composite(spark):
+    """The bare call is the scale-safe form: composite_bands='auto'
+    resolves to composite 2-of-4 at the default radius (2), matching an
+    explicit composite call pair-for-pair, and falls back to single
+    bands only for an explicit radius-3 call — which must still find a
+    3-bit-flip pair composite banding cannot guarantee."""
+    from beymani_spark.operators.multimodal import (
+        phash64,
+        phash_dup_pairs,
+        video_phash,
+        video_phash_dup_pairs,
+    )
+
+    rows = [(i, f"payload number {i % 5}".encode()) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = phash64(df, decode="fake")
+    bare = {
+        (r["src"], r["dst"]): r["hamming"]
+        for r in phash_dup_pairs(hashed).collect()
+    }
+    comp = {
+        (r["src"], r["dst"]): r["hamming"]
+        for r in phash_dup_pairs(
+            hashed, max_hamming=2, composite_bands=True
+        ).collect()
+    }
+    assert bare == comp and bare, "bare call must BE the composite form"
+
+    # 3 flips inside one band: only single-band recall covers radius 3,
+    # and the explicit radius-3 call must auto-select it
+    h1, h2 = "0000" * 4, "0007" + "0000" * 3
+    df2 = spark.createDataFrame(
+        [(1, h1), (2, h2)], "media_id long, phash string"
+    )
+    wide = phash_dup_pairs(df2, max_hamming=3).collect()
+    assert len(wide) == 1 and wide[0]["hamming"] == 3
+    assert not phash_dup_pairs(df2).collect(), (
+        "default radius is 2 — the 3-bit pair is outside it"
+    )
+
+    vhashed = video_phash(df, n_frames=4, decode="fake")
+    vbare = {
+        (r["src"], r["dst"]): r["max_frame_hamming"]
+        for r in video_phash_dup_pairs(vhashed, n_frames=4).collect()
+    }
+    vcomp = {
+        (r["src"], r["dst"]): r["max_frame_hamming"]
+        for r in video_phash_dup_pairs(
+            vhashed, n_frames=4, max_hamming=2, composite_bands=True
+        ).collect()
+    }
+    assert vbare == vcomp and vbare, "video bare call must BE composite"
