@@ -1504,3 +1504,100 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
     )
     return out
+
+
+_TOP_SUPPLIER_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("top_supplier_revenue", _TOP_SUPPLIER_ORACLE)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape: aggregate
+    view + scalar-max subquery). The 100 TB plan: ONE partial-aggregated
+    groupBy(l_suppkey) over the shipdate-pruned lineitem scan builds the
+    revenue view (|suppliers| rows); the scalar max is a 1-row aggregate
+    of THAT view cross-joined back broadcast (never a second fact scan,
+    never a global sort); the supplier name attaches by broadcast join.
+    The max-equality compares round-6 revenues on both engines — the
+    family's float convention — so the winner set is stable across
+    summation orders."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(
+            F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey")
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_IDLE_CUSTOMER_ORACLE = """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c.c_acctbal), 6) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+"""
+
+
+@register("idle_customer_balance", _IDLE_CUSTOMER_ORACLE)
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle high-balance customers per nation (TPC-H Q22 shape: scalar
+    average subquery + NOT EXISTS anti-join; the fixture has no phone
+    column, so the reference query's prefix grouping becomes the nation
+    key). The 100 TB plan: the positive-balance average is a 1-row
+    broadcast; the NOT EXISTS is a left_anti equi-join against the
+    o_custkey projection (no distinct needed — anti-join semantics
+    ignore duplicates); one partial-aggregated groupBy(c_nationkey)
+    ends it. Customer never shuffles except for the anti-join's own
+    key exchange."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    out = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+    return _round(out, ["totacctbal"])

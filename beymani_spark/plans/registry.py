@@ -77,6 +77,8 @@ from . import queries_packing  # noqa: E402,F401
 _PRIORITY = [
     # --- round-9 additions (never driver-checked) lead the window ---
     "markov_global",
+    "top_supplier_revenue",
+    "idle_customer_balance",
     # --- newest driver row r4 ---
     "attr_histogram",
     "multivariate_histogram_members",

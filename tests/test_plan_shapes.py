@@ -1161,3 +1161,18 @@ def test_kmeans_model_over_cap_stays_distributed(spark, monkeypatch):
         monkeypatch.setattr(cdf.DataFrame, "collect", real_collect)
     got = sorted(tuple(r) for r in model.collect())
     assert got == expected, "over-cap model must equal the collected model"
+
+
+def test_round9_warehouse_shapes_broadcast_no_cartesian(spark):
+    """Q15/Q22 shapes: the scalar subqueries (max revenue, avg balance)
+    are 1-row broadcasts, the supplier name side broadcasts, the NOT
+    EXISTS is an anti-join — no CartesianProduct, no
+    SortMergeJoin of a dimension."""
+    from beymani_spark.plans import QUERIES
+
+    p15 = _plan(QUERIES["top_supplier_revenue"].builder(spark, SF))
+    assert "CartesianProduct" not in p15
+    assert "BroadcastNestedLoopJoin" in p15 or "BroadcastHashJoin" in p15
+    p22 = _plan(QUERIES["idle_customer_balance"].builder(spark, SF))
+    assert "CartesianProduct" not in p22
+    assert "LeftAnti" in p22, "NOT EXISTS must plan as an anti-join"
