@@ -184,40 +184,48 @@ def stream_ewma_score(
     )
     state_schema = "mean double, var double, n long"
 
+    out_cols = [*keys, ts, value, "score", "label"]
+
     def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
         if state.exists:
             mean, var, n = state.get
         else:
             mean, var, n = 0.0, 0.0, 0
-        rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
-            for _, row in pdf.iterrows():
-                x = float(row[value])
-                if n > 0:
-                    sd = var**0.5
-                    score = abs(x - mean) / sd if sd > 0 else 0.0
-                else:
-                    score = 0.0
-                rows.append(
-                    {
-                        **{k: row[k] for k in keys},
-                        ts: row[ts],
-                        value: x,
-                        "score": score,
-                        "label": "O" if score > threshold else "N",
-                    }
-                )
-                if n == 0:
-                    mean, var, n = x, 0.0, 1
-                else:
-                    mean = (1 - alpha) * mean + alpha * x
-                    var = (1 - alpha) * var + alpha * (x - mean) ** 2
-                    n += 1
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((mean, var, n))
+            if state_timeout_ms > 0:
+                state.setTimeoutDuration(state_timeout_ms)
+            yield pd.DataFrame(columns=out_cols)
+            return
+        whole = pd.concat(frames).sort_values(ts, kind="mergesort")
+        xs = whole[value].to_numpy(dtype=float)
+        scores = np.zeros(len(xs))
+        # the EWMA mean/variance recursion is sequential by definition
+        # (each score reads the state the previous event wrote); the loop
+        # runs over a bare float array with columnar output assembly —
+        # the one_step_ahead convention
+        for i in range(len(xs)):
+            x = float(xs[i])
+            if n > 0:
+                sd = var**0.5
+                scores[i] = abs(x - mean) / sd if sd > 0 else 0.0
+            if n == 0:
+                mean, var, n = x, 0.0, 1
+            else:
+                mean = (1 - alpha) * mean + alpha * x
+                var = (1 - alpha) * var + alpha * (x - mean) ** 2
+                n += 1
+        out = whole[[*keys, ts]].copy()
+        out[value] = xs
+        out["score"] = scores
+        out["label"] = np.where(scores > threshold, "O", "N")
         state.update((mean, var, n))
         if state_timeout_ms > 0:
             state.setTimeoutDuration(state_timeout_ms)
-        yield pd.DataFrame(rows)
+        yield out
 
     return fn, out_schema, state_schema
 
@@ -512,6 +520,61 @@ def apply_stream_entropy_increase(
             if frames
             else pd.DataFrame()
         )
+        if len(whole) and not update:
+            # FROZEN-model serve path (update=False): the histogram never
+            # changes, so n/S/H are batch constants and the score is a
+            # pure per-row function of the bucket count — fully
+            # vectorized (the prequential update=True fold below is
+            # inherently sequential: each event mutates the histogram
+            # the next one scores against)
+            import numpy as np
+
+            vals = whole[value]
+            bk = np.full(len(whole), None, dtype=object)
+            if width is None:
+                ok = vals.notna().to_numpy()
+                bk[ok] = vals[ok].astype(str).to_numpy(dtype=object)
+            else:
+                fv = pd.to_numeric(vals, errors="coerce").to_numpy(
+                    dtype=float
+                )
+                ok = ~np.isnan(fv)
+                bk[ok] = (
+                    np.floor(fv[ok] / float(width))
+                    .astype("int64")
+                    .astype(str)
+                    .astype(object)
+                )
+            n = sum(hist.values())
+            score = np.full(len(whole), np.nan)
+            if n > 0:
+                s = sum(c * math.log(c) for c in hist.values())
+                h = math.log(n) - s / n
+                if h > 0:
+                    cb = np.fromiter(
+                        (hist.get(b, 0) for b in bk),
+                        dtype=float,
+                        count=len(bk),
+                    )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        s_new = (
+                            s
+                            - np.where(cb > 0, cb * np.log(cb), 0.0)
+                            + (cb + 1) * np.log(cb + 1)
+                        )
+                    h_new = math.log(n + 1) - s_new / (n + 1)
+                    score = (h_new - h) / h
+            out = whole[[*keys, ts, value]].copy()
+            out["bucket"] = bk
+            out["score"] = score
+            out["label"] = np.where(
+                np.isnan(score), "I", np.where(score > threshold, "O", "N")
+            )
+            state.update(
+                (list(hist.keys()), [hist[k_] for k_ in hist])
+            )
+            yield out
+            return
         if len(whole):
             for _, row in whole.iterrows():
                 v = row[value]
