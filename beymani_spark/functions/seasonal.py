@@ -13,6 +13,14 @@ Index conventions (ours, documented for oracle parity):
   weekDayOrWeekendOfWeek 0=weekday, 1=weekend (Sat/Sun)
   hourOfWeek             dayOfWeek*24 + hourOfDay (0..167)
   halfDayOfDay           0=[0,12), 1=[12,24)
+  nightDayHourOfDay      0=night hour ([22,24) or [0,6)), 1=day ([6,22))
+                         — the cycle type salean.conf:18/37/76 names
+                         (the chombo analyzer's source is an external
+                         dependency, so the band edges are OUR documented
+                         convention, parallel to weekDayOrWeekendOfWeek's
+                         binary split of the week)
+  monthOfYear            0=January .. 11=December
+  dayOfMonth             0..30 (dayofmonth - 1)
 """
 from __future__ import annotations
 
@@ -36,6 +44,14 @@ def cycle_index(ts: str | Column, cycle_type: str) -> Column:
         return (F.dayofweek(c) - F.lit(1)) * F.lit(24) + F.hour(c)
     if cycle_type == "halfDayOfDay":
         return F.when(F.hour(c) < 12, F.lit(0)).otherwise(F.lit(1))
+    if cycle_type == "nightDayHourOfDay":
+        return F.when(
+            (F.hour(c) >= 6) & (F.hour(c) < 22), F.lit(1)
+        ).otherwise(F.lit(0))
+    if cycle_type == "monthOfYear":
+        return F.month(c) - F.lit(1)
+    if cycle_type == "dayOfMonth":
+        return F.dayofmonth(c) - F.lit(1)
     raise ValueError(f"unknown cycle type: {cycle_type}")
 
 
@@ -56,6 +72,11 @@ def register_sql_udfs(spark) -> None:
         "weekDayOrWeekendOfWeek": lambda s: _dow(s).isin([0, 6]).astype("int32"),
         "hourOfWeek": lambda s: _dow(s) * 24 + s.dt.hour,
         "halfDayOfDay": lambda s: (s.dt.hour >= 12).astype("int32"),
+        "nightDayHourOfDay": lambda s: (
+            (s.dt.hour >= 6) & (s.dt.hour < 22)
+        ).astype("int32"),
+        "monthOfYear": lambda s: s.dt.month - 1,
+        "dayOfMonth": lambda s: s.dt.day - 1,
     }
     for ct, fn in impls.items():
         def make(fn=fn):
@@ -75,4 +96,9 @@ CYCLE_TYPES = {
     "weekDayOrWeekendOfWeek": "(CASE WHEN dayofweek({ts}) IN (0, 6) THEN 1 ELSE 0 END)",
     "hourOfWeek": "(dayofweek({ts}) * 24 + hour({ts}))",
     "halfDayOfDay": "(CASE WHEN hour({ts}) < 12 THEN 0 ELSE 1 END)",
+    "nightDayHourOfDay": (
+        "(CASE WHEN hour({ts}) >= 6 AND hour({ts}) < 22 THEN 1 ELSE 0 END)"
+    ),
+    "monthOfYear": "(month({ts}) - 1)",
+    "dayOfMonth": "(dayofmonth({ts}) - 1)",
 }

@@ -137,6 +137,43 @@ def q_zscore_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZSCORE_SEASONAL_NIGHTDAY_ORACLE = """
+WITH keyed AS (
+  SELECT *, (CASE WHEN hour(ts) >= 6 AND hour(ts) < 22 THEN 1 ELSE 0 END) AS cycle_index
+  FROM events
+), stats AS (
+  SELECT event_type, cycle_index, avg(value) AS mean, stddev_samp(value) AS std
+  FROM keyed GROUP BY event_type, cycle_index
+)
+SELECT e.event_id, e.event_type, e.cycle_index, e.value,
+       round(CASE WHEN s.std > 0 THEN abs(e.value - s.mean) / s.std END, 6) AS score,
+       CASE WHEN s.std IS NULL OR s.std <= 0 THEN 'I'
+            WHEN abs(e.value - s.mean) / s.std > 3.0 THEN 'O' ELSE 'N' END AS label
+FROM keyed e LEFT JOIN stats s USING (event_type, cycle_index)
+"""
+
+
+@register("zscore_seasonal_nightday", _ZSCORE_SEASONAL_NIGHTDAY_ORACLE)
+def q_zscore_seasonal_nightday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal z-score keyed by the nightDayHourOfDay cycle — the cycle
+    type the reference's salean.conf pipelines name (functions/seasonal
+    documents the band convention: 0=night [22,6), 1=day [6,22)). Same
+    plan as zscore_seasonal: the cycle index is one more codegen grouping
+    column; stats broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = profile.numerical_stats(
+        ev, ["event_type"], ["value"], cycle="nightDayHourOfDay", ts="ts"
+    )
+    out = zscore.zscore(
+        ev, stats, ["event_type"], ["value"], threshold=3.0,
+        cycle="nightDayHourOfDay", ts="ts",
+    )
+    return _round(
+        out.select("event_id", "event_type", "cycle_index", "value", "score", "label"),
+        ["score"],
+    )
+
+
 _ROBUST_ORACLE = """
 WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS median

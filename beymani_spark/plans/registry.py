@@ -79,6 +79,7 @@ _PRIORITY = [
     "markov_global",
     "top_supplier_revenue",
     "idle_customer_balance",
+    "zscore_seasonal_nightday",
     # --- newest driver row r4 ---
     "attr_histogram",
     "multivariate_histogram_members",

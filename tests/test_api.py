@@ -61,17 +61,38 @@ def test_sql_udf_cycle_parity(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     ev.createOrReplaceTempView("ev_udf_t")
     got = spark.sql(
-        "select event_id, cycle_hourOfDay(ts) h, cycle_weekDayOrWeekendOfWeek(ts) w "
-        "from ev_udf_t"
+        "select event_id, cycle_hourOfDay(ts) h, cycle_weekDayOrWeekendOfWeek(ts) w, "
+        "cycle_nightDayHourOfDay(ts) nd, cycle_monthOfYear(ts) m, "
+        "cycle_dayOfMonth(ts) d from ev_udf_t"
     ).toPandas()
     exp = ev.select(
         "event_id",
         cycle_index("ts", "hourOfDay").alias("h"),
         cycle_index("ts", "weekDayOrWeekendOfWeek").alias("w"),
+        cycle_index("ts", "nightDayHourOfDay").alias("nd"),
+        cycle_index("ts", "monthOfYear").alias("m"),
+        cycle_index("ts", "dayOfMonth").alias("d"),
     ).toPandas()
     got = got.sort_values("event_id", ignore_index=True)
     exp = exp.sort_values("event_id", ignore_index=True)
-    assert (got.h == exp.h).all() and (got.w == exp.w).all()
+    for c in ("h", "w", "nd", "m", "d"):
+        assert (got[c] == exp[c]).all(), f"cycle {c} diverges udf vs column"
+    # band sanity for the salean.conf cycle: hour 5 = night, hour 6 = day,
+    # hour 21 = day, hour 22 = night
+    nd_of = dict(
+        zip(
+            exp.sort_values("event_id").event_id,
+            exp.sort_values("event_id").nd,
+        )
+    )
+    hours = {
+        r["event_id"]: r["hr"]
+        for r in ev.select(
+            "event_id", F.hour("ts").alias("hr")
+        ).collect()
+    }
+    for eid, hr in hours.items():
+        assert nd_of[eid] == (1 if 6 <= hr < 22 else 0)
 
 
 def test_partitioned_write_prunes(spark, tmp_path):
