@@ -66,6 +66,61 @@ def stratified_sample(
     return out
 
 
+def repeat_mix(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    epochs: Mapping[str, float],
+    seed: int = 42,
+    epoch_col: str = "epoch",
+    default_epochs: float = 0.0,
+) -> DataFrame:
+    """Fractional-epoch domain repetition — the multi-epoch training
+    recipe ("code 2.0 epochs, books 1.5, web 0.25"): every row of
+    stratum s emits floor(e_s) full copies plus one extra with
+    probability frac(e_s), decided by the same deterministic
+    hash-uniform every sampler here uses. The realized multiplicity of
+    each row is a pure function of (id, seed) — bit-reproducible across
+    cluster sizes, appends, and engines — and each stratum's expected
+    multiplicity is exactly e_s. Output = input columns + ``epoch_col``
+    (0-based copy index): downstream packing/shuffling treats each
+    (row, epoch) as an independent training instance. Dyadic fractional
+    parts (x/2^k) make the keep decision engine-exact like
+    stratified_sample's rates.
+
+    Scale shape: pure scan + explode(sequence(0, n-1)) — ZERO shuffles,
+    zero joins (the recipe is a literal map); output rows = Σ_s e_s·n_s,
+    the size the recipe itself demands. Strata absent from ``epochs``
+    use ``default_epochs`` (0.0 = dropped); NULL strata take the default
+    too (element_at on NULL key is NULL, coalesced)."""
+    e = F.lit(float(default_epochs))
+    if epochs:
+        pairs = [
+            x
+            for k, v in epochs.items()
+            for x in (F.lit(k), F.lit(float(v)))
+        ]
+        e = F.coalesce(
+            F.element_at(
+                F.create_map(*pairs), F.col(stratum_col).cast("string")
+            ),
+            e,
+        )
+    u = hash_uniform(F.col(id_col), seed)
+    n = F.floor(e).cast("long") + F.when(u < (e - F.floor(e)), 1).otherwise(0)
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_n") - F.lit(1))
+            ),
+        )
+        .drop("_n")
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str,

@@ -1010,6 +1010,45 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "u")
 
 
+_REPEAT_MIX_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 1.5 WHEN 'de' THEN 2.0
+                   WHEN 'fr' THEN 3.25 WHEN 'zh' THEN 0.0625 ELSE 0.0 END AS ep,
+         {_U_SQL} AS u
+  FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         CAST(floor(ep) AS BIGINT)
+           + CASE WHEN u < ep - floor(ep) THEN 1 ELSE 0 END AS n
+  FROM e
+)
+SELECT doc_id, lang,
+       CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch
+FROM c WHERE n > 0
+"""
+
+
+@register("repeat_mix", _REPEAT_MIX_ORACLE)
+def q_repeat_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch domain repetition (sampling.repeat_mix): the
+    multi-epoch data recipe — rare languages repeat up to 3.25 epochs,
+    the dominant one keeps a quarter epoch. Dyadic fractional parts make
+    the extra-copy decision hash-exact across engines; the epoch index
+    explodes from a sequence, zero shuffles."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.repeat_mix(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.25, "es": 1.5, "de": 2.0, "fr": 3.25, "zh": 0.0625},
+        seed=42,
+    )
+    return out.select("doc_id", "lang", "epoch")
+
+
 _TRAIN_SPLIT_ORACLE = f"""
 SELECT doc_id,
        CASE WHEN {_U_SQL} < 0.75 THEN 'train'

@@ -80,6 +80,7 @@ _PRIORITY = [
     "top_supplier_revenue",
     "idle_customer_balance",
     "zscore_seasonal_nightday",
+    "repeat_mix",
     # --- newest driver row r4 ---
     "attr_histogram",
     "multivariate_histogram_members",

@@ -1206,3 +1206,50 @@ def test_temperature_mix_zero_mass_stratum_dropped(spark):
     assert "b" not in langs, "zero-mass stratum must be dropped"
     assert out.filter(F.col("rate").isNull()).count() == 0
     assert out.filter(F.col("lang") == "a").count() == 50
+
+
+def test_repeat_mix_multiplicity_and_invariance(spark, docs):
+    """Fractional-epoch repetition: every row of a stratum with e_s = 2.x
+    appears at least twice with epochs 0..n-1; realized multiplicity is
+    floor(e) + Bernoulli(frac(e)) as a pure function of (id, seed) —
+    identical under repartition; e_s = 0 strata are dropped; expected
+    counts track e_s * n_s within binomial noise."""
+    from beymani_spark.operators.sampling import hash_uniform, repeat_mix
+
+    epochs = {"en": 0.25, "es": 1.5, "de": 2.0, "fr": 3.25, "zh": 0.0625}
+    out = repeat_mix(docs, "doc_id", "lang", epochs, seed=42)
+    pdf = out.select("doc_id", "lang", "epoch").toPandas()
+
+    per = pdf.groupby("doc_id").epoch.agg(["count", "min", "max"])
+    assert (per["min"] == 0).all(), "epochs must start at 0"
+    assert (per["max"] == per["count"] - 1).all(), "epochs must be dense"
+
+    tot = {
+        r["lang"]: r["cnt"]
+        for r in docs.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    got = pdf.groupby("lang").size().to_dict()
+    import math
+
+    for s, e in epochs.items():
+        n_s = tot.get(s, 0)
+        exp = e * n_s
+        frac = e - math.floor(e)
+        sd = (n_s * frac * (1 - frac)) ** 0.5
+        assert abs(got.get(s, 0) - exp) <= 4 * sd + 1, (s, got.get(s), exp)
+
+    # de is exactly 2.0 epochs: every row exactly twice
+    assert (per.loc[pdf[pdf.lang == "de"].doc_id.unique(), "count"] == 2).all()
+
+    a = repeat_mix(docs, "doc_id", "lang", epochs, seed=7)
+    b = repeat_mix(docs.repartition(13), "doc_id", "lang", epochs, seed=7)
+    assert a.count() == b.count()
+    assert (
+        a.select("doc_id", "epoch")
+        .exceptAll(b.select("doc_id", "epoch"))
+        .count()
+        == 0
+    )
