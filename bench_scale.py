@@ -138,6 +138,10 @@ HEAVY = [
     "temperature_mix",
     "embedding_audit",
     "markov_global",
+    "top_supplier_revenue",
+    "idle_customer_balance",
+    "zscore_seasonal_nightday",
+    "repeat_mix",
 ]
 
 
