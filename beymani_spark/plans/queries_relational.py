@@ -1601,3 +1601,94 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _round(out, ["totacctbal"])
+
+
+_FORECAST_REVENUE_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue_change", _FORECAST_REVENUE_ORACLE)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change (TPC-H Q6 shape): the pure
+    filter-scan-aggregate. Plan value: EVERY predicate (shipdate range,
+    discount band, quantity cap) pushes into the parquet scan and the
+    whole query is one codegen pass + a 1-row partial/final aggregate —
+    zero joins, zero wide shuffles. The canary for pushdown regressions
+    (plan-asserted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue_delta"
+        )
+    )
+    return _round(out, ["revenue_delta"])
+
+
+_DISCOUNTED_REVENUE_ORACLE = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+@register("discounted_revenue", _DISCOUNTED_REVENUE_ORACLE)
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-band revenue (TPC-H Q19 shape, adapted to the
+    fixture's part columns — the reference query's container/shipmode
+    attributes don't exist here, brand+size+quantity bands do). Plan
+    value: an OR-of-ANDs predicate spanning BOTH join sides — Catalyst
+    can push only the per-side disjunction residues (brand IN (...) to
+    the part scan, quantity range union to lineitem); the join is a
+    broadcast of the brand-pruned part side and the disjunction
+    evaluates post-join in codegen. No cartesian, one 1-row agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    out = j.filter(band).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    return _round(out, ["revenue"])

@@ -81,6 +81,8 @@ _PRIORITY = [
     "idle_customer_balance",
     "zscore_seasonal_nightday",
     "repeat_mix",
+    "forecast_revenue_change",
+    "discounted_revenue",
     # --- newest driver row r4 ---
     "attr_histogram",
     "multivariate_histogram_members",

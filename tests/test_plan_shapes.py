@@ -1176,3 +1176,24 @@ def test_round9_warehouse_shapes_broadcast_no_cartesian(spark):
     p22 = _plan(QUERIES["idle_customer_balance"].builder(spark, SF))
     assert "CartesianProduct" not in p22
     assert "LeftAnti" in p22, "NOT EXISTS must plan as an anti-join"
+
+
+def test_q6_q19_pushdown_and_broadcast(spark):
+    """Q6: every predicate reaches the parquet scan (PushedFilters shows
+    shipdate/discount/quantity) and the plan has no Exchange besides the
+    1-row aggregate's. Q19: the part side broadcasts and there is no
+    cartesian — the disjunction spans both sides so it evaluates
+    post-join."""
+    from beymani_spark.plans import QUERIES
+
+    q6 = QUERIES["forecast_revenue_change"].builder(spark, SF)
+    full = q6._jdf.queryExecution().toString()
+    pushed = full.split("PushedFilters:")[1][:400]
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, f"{c} must push into the scan"
+    phys = _plan(q6)
+    assert "Join" not in phys and "CartesianProduct" not in phys
+
+    q19 = _plan(QUERIES["discounted_revenue"].builder(spark, SF))
+    assert "BroadcastHashJoin" in q19
+    assert "CartesianProduct" not in q19 and "SortMergeJoin" not in q19
