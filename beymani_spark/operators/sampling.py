@@ -38,6 +38,30 @@ def hash_uniform(col: Column, seed: int = 42) -> Column:
     return h / F.lit(HASH_DENOM)
 
 
+def _stratum_lookup(
+    stratum_col: str,
+    mapping: Mapping[str, float],
+    default: float | None = None,
+) -> Column:
+    """Literal-map stratum lookup shared by the samplers (stratified_
+    sample rates, repeat_mix epochs, mix_to_targets weights): element_at
+    on a create_map of the recipe, the stratum cast to string so numeric
+    strata hit string keys. ``default=None`` returns NULL for absent
+    strata (the exclusion form); a float default coalesces. ONE home for
+    these semantics so null-key/ANSI behavior can never drift apart
+    between the samplers."""
+    if not mapping:
+        base = F.lit(None).cast("double")
+        return base if default is None else F.lit(float(default))
+    pairs = [
+        x for k, v in mapping.items() for x in (F.lit(k), F.lit(float(v)))
+    ]
+    got = F.element_at(
+        F.create_map(*pairs), F.col(stratum_col).cast("string")
+    )
+    return got if default is None else F.coalesce(got, F.lit(float(default)))
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,
@@ -53,13 +77,7 @@ def stratified_sample(
     shuffle or a random draw. Strata absent from ``rates`` use
     ``default_rate``. ``u_col`` optionally exposes the uniform for audit."""
     u = hash_uniform(F.col(id_col), seed)
-    rate = F.lit(float(default_rate))
-    if rates:
-        pairs = [x for k, v in rates.items() for x in (F.lit(k), F.lit(float(v)))]
-        rate = F.coalesce(
-            F.element_at(F.create_map(*pairs), F.col(stratum_col).cast("string")),
-            rate,
-        )
+    rate = _stratum_lookup(stratum_col, rates, default=float(default_rate))
     out = df.filter(u < rate)
     if u_col:
         out = out.withColumn(u_col, u)
@@ -93,19 +111,7 @@ def repeat_mix(
     the size the recipe itself demands. Strata absent from ``epochs``
     use ``default_epochs`` (0.0 = dropped); NULL strata take the default
     too (element_at on NULL key is NULL, coalesced)."""
-    e = F.lit(float(default_epochs))
-    if epochs:
-        pairs = [
-            x
-            for k, v in epochs.items()
-            for x in (F.lit(k), F.lit(float(v)))
-        ]
-        e = F.coalesce(
-            F.element_at(
-                F.create_map(*pairs), F.col(stratum_col).cast("string")
-            ),
-            e,
-        )
+    e = _stratum_lookup(stratum_col, epochs, default=float(default_epochs))
     u = hash_uniform(F.col(id_col), seed)
     n = F.floor(e).cast("long") + F.when(u < (e - F.floor(e)), 1).otherwise(0)
     return (
@@ -257,8 +263,7 @@ def mix_to_targets(
     All rate arithmetic is double ops in one fixed order (w*T/n), so the
     DuckDB oracle reproduces the keep decision bit-for-bit.
     """
-    w_pairs = [x for k, v in targets.items() for x in (F.lit(k), F.lit(float(v)))]
-    w = F.element_at(F.create_map(*w_pairs), F.col(stratum_col).cast("string"))
+    w = _stratum_lookup(stratum_col, targets)
     mass = F.count("*") if weight is None else F.sum(weight)
     counts = (
         df.filter(w.isNotNull() & (w > 0))
@@ -275,9 +280,7 @@ def mix_to_targets(
                 "mix_to_targets(strict=True): target strata with positive "
                 f"weight but zero observed rows: {missing}"
             )
-    w_of_stratum = F.element_at(
-        F.create_map(*w_pairs), F.col("_stratum").cast("string")
-    )
+    w_of_stratum = _stratum_lookup("_stratum", targets)
     # T = min(n/w) as an unpartitioned window over the |strata|-row counts
     # frame (not a separate global aggregate + crossJoin): the aggregate
     # form re-derived `counts` in a second plan branch, costing one extra

@@ -294,9 +294,15 @@ def apply_stream_markov(
         )
         with np.errstate(invalid="ignore", divide="ignore"):
             t = np.where(p > 0, -np.log(p), UNSEEN_NEG_LOG_PROB)
-        has_t = np.ones(len(cur), dtype=bool)
-        if last_state is None:
-            has_t[0] = False  # the entity's first-ever event: no transition
+        # no transition where the PREVIOUS symbol is null: the entity's
+        # first-ever event, and any row following a null state — the rows
+        # batch markov_score drops via its prev_state IS NOT NULL filter
+        # (here they emit score null / label 'I'). A null CURRENT symbol
+        # with a valid prev scores as an unseen transition, exactly the
+        # batch left-join's null-prob arithmetic. Chunk-independent:
+        # prev[0] is the carried symbol, so the mask is the same wherever
+        # the micro-batch boundary falls.
+        has_t = pd.notna(prev)
         seq = np.concatenate([np.asarray(carry, dtype=float), t[has_t]])
         roll = (
             pd.Series(seq).rolling(window, min_periods=1).mean().to_numpy()
@@ -422,9 +428,12 @@ def apply_stream_markov_global(
             dtype=float,
             count=len(cur),
         )
-        has_t = np.ones(len(cur), dtype=bool)
-        if last_state is None:
-            has_t[0] = False
+        # null-prev rows (first-ever event, or any row following a null
+        # state) contribute NOTHING to the permanent num/den accumulators
+        # — the rows batch markov_score(window=None) drops via prev_state
+        # IS NOT NULL; they emit score null / 'I'. Chunk-independent:
+        # prev[0] is the carried symbol.
+        has_t = pd.notna(prev)
         k = int(has_t.sum())
         score = np.full(len(cur), np.nan)
         if k:
@@ -489,6 +498,15 @@ def apply_stream_entropy_increase(
             continue
         k = tuple(r[kk] for kk in keys)
         seed.setdefault(k, {})[str(r["bucket"])] = int(r["cnt"])
+
+    # categorical bucketing (width=None): cast the value column to string
+    # SPARK-side so the pandas kernel sees exactly the rendering batch
+    # bucket_col's cast('string') produced in the seed model's buckets —
+    # Python str(True)='True' would never match Spark's 'true' (the same
+    # rendering-parity rule apply_stream_multigram applies). The emitted
+    # value column is therefore string in categorical mode.
+    if width is None:
+        stream_df = stream_df.withColumn(value, F.col(value).cast("string"))
 
     out_schema = ", ".join(
         [
@@ -1449,11 +1467,18 @@ def apply_stream_multigram(
         started = np.zeros(n, dtype=bool)
         for c, w in spec:
             col = whole[c]
-            valid = col.notna().to_numpy()
             if w is None:
+                valid = col.notna().to_numpy()
                 sv = np.where(valid, col.to_numpy(dtype=object), "")
             else:
-                fv = pd.to_numeric(col, errors="coerce").to_numpy(dtype=float)
+                # coerce-failures (a non-numeric value in a bucketed
+                # column) render as null and are skipped like batch's
+                # failed cast — NOT floored as NaN, whose int64 image is
+                # garbage (INT64_MIN)
+                fv = pd.to_numeric(col, errors="coerce").to_numpy(
+                    dtype=float
+                )
+                valid = ~np.isnan(fv)
                 sv = np.full(n, "", dtype=object)
                 sv[valid] = (
                     np.floor(fv[valid] / float(w))

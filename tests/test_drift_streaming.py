@@ -1506,3 +1506,152 @@ def test_stream_markov_global_matches_batch(spark, stream_dirs):
             stream, model_rows, ["user_id"], "ts", "event_type",
             metric="bogus",
         )
+
+
+def test_stream_markov_null_state_chunk_independent(spark, stream_dirs):
+    """Null state symbols: the null row scores as an unseen transition
+    (batch's left-join null-prob arithmetic); the row AFTER a null has no
+    transition and tags 'I' (the row batch drops via prev_state IS NOT
+    NULL) — and the output is IDENTICAL whether the null falls mid-batch
+    or at a micro-batch boundary (the carried symbol and the in-batch
+    shift produce the same mask)."""
+    from beymani_spark.streaming.jobs import (
+        apply_stream_markov,
+        apply_stream_markov_global,
+    )
+
+    src, chk = stream_dirs
+    rows = [
+        (1, 1, "a"), (2, 1, "b"), (3, 1, None), (4, 1, "b"), (5, 1, "a"),
+        (6, 1, "b"), (7, 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "ts long, user_id long, state string")
+    model_rows = [
+        {"prev_state": "a", "cur_state": "b", "prob": 0.75},
+        {"prev_state": "a", "cur_state": "a", "prob": 0.25},
+        {"prev_state": "b", "cur_state": "a", "prob": 1.0},
+    ]
+
+    def run(splits, name, fn, **kw):
+        import glob as g
+        import os
+        import shutil
+
+        d = f"{src}/{name}"
+        os.makedirs(d, exist_ok=True)
+        for f_ in g.glob(d + "/*.parquet"):
+            os.remove(f_)
+        for i, (lo, hi) in enumerate(splits):
+            part = df.filter(f"ts >= {lo} and ts <= {hi}").coalesce(1)
+            tmp = f"{src}/{name}_tmp{i}"
+            part.write.mode("overwrite").parquet(tmp)
+            for j, p in enumerate(sorted(g.glob(tmp + "/part-*.parquet"))):
+                shutil.copyfile(p, f"{d}/{i:02d}_{j}.parquet")
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            fn(stream, model_rows, ["user_id"], "ts", "state", **kw)
+            .writeStream.format("memory")
+            .queryName(f"q_{name}")
+            .option("checkpointLocation", f"{chk}/{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return (
+            spark.sql(f"select ts, score, label from q_{name}")
+            .toPandas()
+            .sort_values("ts", ignore_index=True)
+        )
+
+    for fn, kw, tag in (
+        (apply_stream_markov, {"window": 5, "threshold": 2.0}, "mkv"),
+        (
+            apply_stream_markov_global,
+            {"metric": "missProbability", "threshold": 0.9},
+            "mkvg",
+        ),
+    ):
+        one = run([(1, 7)], f"{tag}_one", fn, **kw)
+        two = run([(1, 3), (4, 7)], f"{tag}_two", fn, **kw)
+        assert (one.label == two.label).all(), f"{tag}: chunk-dependent labels"
+        import numpy as np
+
+        assert np.allclose(
+            one.score.to_numpy(dtype=float),
+            two.score.to_numpy(dtype=float),
+            rtol=1e-9,
+            equal_nan=True,
+        ), f"{tag}: chunk-dependent scores"
+        by_ts = dict(zip(one.ts, one.label))
+        assert by_ts[1] == "I", f"{tag}: first-ever event must tag I"
+        assert by_ts[4] == "I", f"{tag}: the row after a null must tag I"
+        assert by_ts[3] != "I", f"{tag}: the null row itself IS a transition"
+
+
+def test_stream_entropy_frozen_boolean_buckets_match_model(spark, stream_dirs):
+    """Frozen-model entropy serve over a BOOLEAN value column: the stream
+    casts the column to string Spark-side, so buckets render 'true'/
+    'false' exactly like the batch-fit attr_histogram model — every event
+    hits its seed bucket (no silent everyone-is-unseen)."""
+    from beymani_spark.operators.histogram import attr_histogram
+    from beymani_spark.streaming.jobs import apply_stream_entropy_increase
+
+    src, chk = stream_dirs
+    rows = [(i, 1, i % 3 == 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "ts long, k long, flag boolean")
+    model = attr_histogram(df, ["k"], ["flag"], [None])
+    model_rows = [r.asDict() for r in model.collect()]
+    assert {r["bucket"] for r in model_rows} == {"true", "false"}
+
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/entb")
+    stream = spark.readStream.schema(df.schema).parquet(src + "/entb")
+    q = (
+        apply_stream_entropy_increase(
+            stream, model_rows, ["k"], "ts", "flag", width=None,
+            threshold=0.5, update=False,
+        )
+        .writeStream.format("memory")
+        .queryName("entb_t")
+        .option("checkpointLocation", chk + "/entb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select bucket, score, label from entb_t").toPandas()
+    assert set(got.bucket) == {"true", "false"}, "buckets must hit the model"
+    assert (got.label != "I").all() and got.score.notna().all(), (
+        "a populated frozen model must score every event"
+    )
+
+
+def test_stream_multigram_non_numeric_bucketed_col_skips(spark, stream_dirs):
+    """A non-numeric value in a NUMERIC (width) spec column renders as
+    null and is skipped like batch's failed cast — never floored through
+    NaN into the INT64_MIN garbage symbol."""
+    from beymani_spark.streaming.jobs import apply_stream_multigram
+
+    src, chk = stream_dirs
+    rows = [(i, 1, "abc" if i % 2 else str(float(i))) for i in range(12)]
+    df = spark.createDataFrame(rows, "event_id long, uid long, v string")
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/mgnn")
+    stream = spark.readStream.schema(df.schema).parquet(src + "/mgnn")
+    q = (
+        apply_stream_multigram(
+            stream, "uid", "event_id", [("v", 4.0)], seq_len=2
+        )
+        .writeStream.format("memory")
+        .queryName("mgnn_t")
+        .option("checkpointLocation", chk + "/mgnn")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    grams = [r["gram"] for r in spark.sql("select gram from mgnn_t").collect()]
+    assert grams, "numeric rows must still emit grams"
+    assert not any("-9223372036854775808" in g for g in grams), (
+        "coerce-failed values must render null, not INT64_MIN"
+    )
