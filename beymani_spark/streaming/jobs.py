@@ -159,6 +159,24 @@ def alerts(scored: DataFrame, label_col: str = "label") -> DataFrame:
     return scored.filter(F.col(label_col) == "O")
 
 
+def _timeout_conf(state_timeout_ms: int):
+    """Shared state-eviction wiring for the stateful kernel family:
+    ``state_timeout_ms > 0`` selects ProcessingTimeTimeout — an entity
+    idle longer than the horizon has its state REMOVED (the kernel's
+    hasTimedOut branch), so the state store is bounded by ACTIVE
+    entities, not every entity ever seen. At 100 TB stream scale with
+    entity churn (session ids, ephemeral devices) the default
+    keep-forever state is the unbounded-memory hazard; the horizon is
+    the same contract dropDuplicatesWithinWatermark gives the dedup
+    jobs. An evicted entity that returns starts fresh (first events tag
+    'I' / re-warm), exactly as if it were new."""
+    return (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_ewma_score(
     stream_df: DataFrame,
     keys: Sequence[str],
@@ -189,6 +207,10 @@ def stream_ewma_score(
     def fn(key, pdfs, state: GroupState):
         import numpy as np
 
+        if state.hasTimedOut:
+            state.remove()  # idle entity: evict (see _timeout_conf)
+            yield pd.DataFrame(columns=out_cols)
+            return
         if state.exists:
             mean, var, n = state.get
         else:
@@ -238,6 +260,7 @@ def apply_stream_markov(
     state_col: str,
     window: int = 5,
     threshold: float = 2.0,
+    state_timeout_ms: int = 0,
 ) -> DataFrame:
     """Per-entity stateful Markov scoring — the reference's real-time fraud
     path (PredictorBolt keeps a per-entity record buffer,
@@ -271,6 +294,10 @@ def apply_stream_markov(
     out_cols = [*keys, ts, state_col, "score", "label"]
 
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # idle entity: evict (see _timeout_conf)
+            yield pd.DataFrame(columns=out_cols)
+            return
         if state.exists:
             last_state, carry = state.get
             carry = list(carry)
@@ -279,6 +306,8 @@ def apply_stream_markov(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((last_state, carry))
+            if state_timeout_ms > 0:
+                state.setTimeoutDuration(state_timeout_ms)
             yield pd.DataFrame(columns=out_cols)
             return
         whole = pd.concat(frames).sort_values(ts, kind="mergesort")
@@ -318,6 +347,8 @@ def apply_stream_markov(
         state.update(
             (cur[-1], seq[-window:].tolist() if len(seq) else [])
         )
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
         yield out
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -325,7 +356,7 @@ def apply_stream_markov(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(state_timeout_ms),
     )
 
 
@@ -337,6 +368,7 @@ def apply_stream_markov_global(
     state_col: str,
     metric: str = "missProbability",
     threshold: float = 2.0,
+    state_timeout_ms: int = 0,
 ) -> DataFrame:
     """The reference real-time predictor's GLOBAL accumulation mode —
     the other branch of MarkovModelPredictor.java:286-346 (getGlobalMetric
@@ -409,6 +441,10 @@ def apply_stream_markov_global(
     out_cols = [*keys, ts, state_col, "score", "label"]
 
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # idle entity: evict (see _timeout_conf)
+            yield pd.DataFrame(columns=out_cols)
+            return
         if state.exists:
             last_state, num, den = state.get
         else:
@@ -416,6 +452,8 @@ def apply_stream_markov_global(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((last_state, num, den))
+            if state_timeout_ms > 0:
+                state.setTimeoutDuration(state_timeout_ms)
             yield pd.DataFrame(columns=out_cols)
             return
         whole = pd.concat(frames).sort_values(ts, kind="mergesort")
@@ -448,6 +486,8 @@ def apply_stream_markov_global(
         out["score"] = score
         out["label"] = label
         state.update((cur[-1], num, den))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
         yield out
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -455,7 +495,7 @@ def apply_stream_markov_global(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(state_timeout_ms),
     )
 
 
@@ -468,6 +508,7 @@ def apply_stream_entropy_increase(
     width: float | None = None,
     threshold: float = 0.01,
     update: bool = True,
+    state_timeout_ms: int = 0,
 ) -> DataFrame:
     """K11 EntropyIncreaseBasedPredictor, streaming form (reference
     EntropyIncreaseBasedPredictor.java:44-80 — the one Storm kernel whose
@@ -518,7 +559,13 @@ def apply_stream_entropy_increase(
     )
     state_schema = "buckets array<string>, counts array<long>"
 
+    out_cols = [*keys, ts, value, "bucket", "score", "label"]
+
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # idle entity: evict (see _timeout_conf)
+            yield pd.DataFrame(columns=out_cols)
+            return
         if state.exists:
             bks, cts = state.get
             hist = {b: int(c) for b, c in zip(list(bks), list(cts))}
@@ -591,6 +638,8 @@ def apply_stream_entropy_increase(
             state.update(
                 (list(hist.keys()), [hist[k_] for k_ in hist])
             )
+            if state_timeout_ms > 0:
+                state.setTimeoutDuration(state_timeout_ms)
             yield out
             return
         if len(whole):
@@ -636,6 +685,8 @@ def apply_stream_entropy_increase(
                 if update and b is not None:
                     hist[b] = hist.get(b, 0) + 1
         state.update((list(hist.keys()), [hist[k_] for k_ in hist]))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(rows)
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -643,7 +694,7 @@ def apply_stream_entropy_increase(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(state_timeout_ms),
     )
 
 
@@ -653,6 +704,7 @@ def apply_stream_drift(
     ts: str,
     error_col: str,
     detector: str = "ddm",
+    state_timeout_ms: int = 0,
     **params,
 ) -> DataFrame:
     """Per-entity stateful concept-drift detection on a stream — the
@@ -700,6 +752,12 @@ def apply_stream_drift(
         return v.item() if hasattr(v, "item") else v
 
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # idle entity: evict (see _timeout_conf)
+            yield pd.DataFrame(
+                columns=[*keys, ts, error_col, *diag_cols, "drift"]
+            )
+            return
         st = json.loads(state.get[0]) if state.exists else {}
         tail = st.pop("_tail", [])
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
@@ -720,6 +778,8 @@ def apply_stream_drift(
         if detector == "fhddm":
             end["_tail"] = [int(v) for v in run[-win_size:]]
         state.update((json.dumps(end),))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
         yield res
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -727,7 +787,7 @@ def apply_stream_drift(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(state_timeout_ms),
     )
 
 
@@ -738,16 +798,17 @@ def apply_stream_ewma(
     value: str,
     alpha: float = 0.2,
     threshold: float = 3.0,
+    state_timeout_ms: int = 0,
 ) -> DataFrame:
     fn, out_schema, state_schema = stream_ewma_score(
-        stream_df, keys, ts, value, alpha, threshold
+        stream_df, keys, ts, value, alpha, threshold, state_timeout_ms
     )
     return stream_df.groupBy(*keys).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(state_timeout_ms),
     )
 
 
@@ -761,6 +822,7 @@ def apply_stream_one_step_ahead(
     alpha: float = 0.3,
     weights: Sequence[float] | None = None,
     threshold: float = 3.0,
+    state_timeout_ms: int = 0,
 ) -> DataFrame:
     """Per-entity stateful one-step-ahead prediction — the streaming form of
     operators.sequence.one_step_ahead (OneStepAheadPredictor window feedback,
@@ -796,6 +858,10 @@ def apply_stream_one_step_ahead(
     def fn(key, pdfs, state: GroupState):
         import numpy as np
 
+        if state.hasTimedOut:
+            state.remove()  # idle entity: evict (see _timeout_conf)
+            yield pd.DataFrame(columns=out_cols)
+            return
         if state.exists:
             work, r_n, r_s1, r_s2 = state.get
             work = list(work)
@@ -804,6 +870,8 @@ def apply_stream_one_step_ahead(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((work[-window:], r_n, r_s1, r_s2))
+            if state_timeout_ms > 0:
+                state.setTimeoutDuration(state_timeout_ms)
             yield pd.DataFrame(columns=out_cols)
             return
         whole = pd.concat(frames).sort_values(ts, kind="mergesort")
@@ -849,6 +917,8 @@ def apply_stream_one_step_ahead(
         out["osa_score"] = scores
         out["label"] = np.where(scores > threshold, "O", "N")
         state.update((work[-window:], r_n, r_s1, r_s2))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
         yield out
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -856,7 +926,7 @@ def apply_stream_one_step_ahead(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(state_timeout_ms),
     )
 
 
@@ -1412,6 +1482,7 @@ def apply_stream_multigram(
     seq_len: int = 3,
     keys: Sequence[str] = (),
     order_cols: Sequence[str] = (),
+    state_timeout_ms: int = 0,
 ) -> DataFrame:
     """Streaming form of histogram.multigram_multivariate: per-id state
     carries the last ``seq_len - 1`` composite bucket symbols, so every
@@ -1494,11 +1565,17 @@ def apply_stream_multigram(
     def fn(key, pdfs, state: GroupState):
         import numpy as np
 
+        if state.hasTimedOut:
+            state.remove()  # idle entity: evict (see _timeout_conf)
+            yield pd.DataFrame(columns=[*keys, id_col, "gram"])
+            return
         tail = list(state.get[0]) if state.exists else []
         frames = [p for p in pdfs if len(p)]
         key_vals = dict(zip((*keys, id_col), key))
         if not frames:
             state.update((tail,))
+            if state_timeout_ms > 0:
+                state.setTimeoutDuration(state_timeout_ms)
             yield pd.DataFrame(columns=[*keys, id_col, "gram"])
             return
         whole = pd.concat(frames).sort_values(
@@ -1518,6 +1595,8 @@ def apply_stream_multigram(
             all_syms[-(seq_len - 1):].tolist() if seq_len > 1 else []
         )
         state.update((new_tail,))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(
             {**{c: [v] * len(grams) for c, v in key_vals.items()},
              "gram": grams},
@@ -1529,5 +1608,5 @@ def apply_stream_multigram(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(state_timeout_ms),
     )

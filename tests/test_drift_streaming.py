@@ -1655,3 +1655,81 @@ def test_stream_multigram_non_numeric_bucketed_col_skips(spark, stream_dirs):
     assert not any("-9223372036854775808" in g for g in grams), (
         "coerce-failed values must render null, not INT64_MIN"
     )
+
+
+def test_stream_markov_state_timeout_evicts_idle_entities(spark, stream_dirs):
+    """state_timeout_ms bounds the state store by ACTIVE entities: a key
+    idle past the horizon is evicted (its state removed), and when it
+    returns it starts fresh — first event tags 'I' again — instead of
+    resuming a stale window. Without the timeout, the same feed resumes
+    the carried state (no 'I' on return)."""
+    import glob as g
+    import os
+    import shutil
+    import time
+
+    from beymani_spark.streaming.jobs import apply_stream_markov
+
+    src, chk = stream_dirs
+    model_rows = [
+        {"prev_state": "a", "cur_state": "b", "prob": 0.5},
+        {"prev_state": "b", "cur_state": "a", "prob": 1.0},
+        {"prev_state": "a", "cur_state": "a", "prob": 0.5},
+    ]
+    schema = "ts long, user_id long, state string"
+    batches = [
+        [(1, 1, "a"), (2, 1, "b")],   # key 1 active
+        [(3, 2, "a"), (4, 2, "b")],   # key 1 idle -> times out
+        [(5, 1, "a"), (6, 1, "b")],   # key 1 returns
+    ]
+
+    def run(name, **kw):
+        d = f"{src}/{name}"
+        os.makedirs(d, exist_ok=True)
+        for f_ in g.glob(d + "/*.parquet"):
+            os.remove(f_)
+        for i, rows in enumerate(batches):
+            tmp = f"{src}/{name}_tmp{i}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            for j, p in enumerate(sorted(g.glob(tmp + "/part-*.parquet"))):
+                shutil.copyfile(p, f"{d}/{i:02d}_{j}.parquet")
+                os.utime(f"{d}/{i:02d}_{j}.parquet", (1e6 + i, 1e6 + i))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            apply_stream_markov(
+                stream, model_rows, ["user_id"], "ts", "state",
+                window=5, threshold=2.0, **kw,
+            )
+            .writeStream.format("memory")
+            .queryName(f"q_{name}")
+            .option("checkpointLocation", f"{chk}/{name}")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        # processing-time triggers (availableNow would collapse the idle
+        # gap): wait until all 6 rows have been processed
+        for _ in range(60):
+            if spark.sql(f"select * from q_{name}").count() >= 6:
+                break
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(60)
+        return {
+            r["ts"]: r["label"]
+            for r in spark.sql(f"select ts, label from q_{name}").collect()
+        }
+
+    evicted = run("mkv_to", state_timeout_ms=1)
+    assert evicted[5] == "I", (
+        "returning entity must start fresh after its state timed out"
+    )
+    kept = run("mkv_noto")
+    assert kept[5] != "I", (
+        "without a timeout the carried state must resume across the gap"
+    )
