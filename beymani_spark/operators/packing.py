@@ -213,6 +213,72 @@ def pack_sequences(
     return caching.pin(out, ranged)
 
 
+def shuffle_plan(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    partitions: int | None = None,
+    key_col: str = "shuffle_key",
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global corpus shuffle manifest — the order-
+    randomization step between corpus build and training: every row gets
+    ``shuffle_key`` = the repo's exact dyadic hash-uniform of (id, seed)
+    and ``shuffle_pos`` = its exact 0-based position in the global order
+    sorted by (key, id). A pure function of (id, seed): the same corpus
+    shuffles identically on any cluster size, after any repartition, and
+    in any engine — the property that makes a training run resumable and
+    an ablation comparable. Re-seeding is a new epoch order for free.
+    ``id_col`` must be unique (it is the manifest key and the tie-break
+    that makes the order total).
+
+    Output: (id_col, shuffle_key, shuffle_pos) — a narrow manifest the
+    training reader joins or range-reads; the text never moves here.
+
+    Scale shape: the same distributed prefix-sum engine as
+    pack_sequences — range-partition the (id, key) projection by key,
+    row_number within each range partition, add broadcast per-partition
+    base offsets (a |partitions|-row frame). Two narrow exchanges, no
+    single-partition stage; ``Window.orderBy(key)`` with no partitionBy
+    would compute the same positions through ONE task and is
+    deliberately avoided."""
+    from .sampling import hash_uniform
+
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    u = hash_uniform(F.col(id_col), seed)
+    narrow = df.select(F.col(id_col), u.alias(key_col))
+    # persist AFTER the range exchange (pack_sequences' RangePartitioner
+    # seed-consistency rule): rank and totals must see the same boundaries
+    ranged = (
+        narrow.repartitionByRange(
+            int(partitions), F.col(key_col), F.col(id_col)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w = Window.partitionBy("_pid").orderBy(key_col, id_col)
+    local = ranged.withColumn("_rk", F.row_number().over(w))
+    totals = ranged.groupBy("_pid").agg(F.count("*").alias("_ptotal"))
+    base = totals.withColumn(
+        "_base",
+        F.coalesce(
+            F.sum("_ptotal").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_base")
+    out = local.join(F.broadcast(base), "_pid").select(
+        id_col,
+        key_col,
+        (F.col("_base") + F.col("_rk") - F.lit(1)).cast("long").alias(pos_col),
+    )
+    return caching.pin(out, ranged)
+
+
 def context_length_plan(
     df: DataFrame,
     text_col: str = "text",

@@ -371,3 +371,29 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.compaction_plan(
         docs, ["source", "lang"], target_file_bytes=8192
     )
+
+
+_SHUFFLE_PLAN_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::UBIGINT
+          / 4294967296.0) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM keyed
+"""
+
+
+@register("corpus_shuffle", _SHUFFLE_PLAN_ORACLE)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle manifest (packing.shuffle_plan): the
+    exact 0-based training order of every document under seed 42 —
+    bit-reproducible across cluster sizes and engines (dyadic hash key,
+    unique-id tie-break). Computed with the distributed prefix-sum
+    engine, never a single-task global window; the oracle's global
+    row_number IS the semantics being certified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.shuffle_plan(docs, "doc_id", seed=42)

@@ -83,6 +83,7 @@ _PRIORITY = [
     "repeat_mix",
     "forecast_revenue_change",
     "discounted_revenue",
+    "corpus_shuffle",
     # --- newest driver row r4 ---
     "attr_histogram",
     "multivariate_histogram_members",

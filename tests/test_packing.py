@@ -398,3 +398,51 @@ def test_context_length_plan_exact_integer_accounting(spark):
     # L=8: chunks 1+1+0+2=4, padded 0+5+0+7=12 over 32
     assert out[8]["n_chunks"] == 4 and out[8]["padded_tokens"] == 12
     assert abs(out[8]["waste_share"] - round(12 / 32, 6)) < 1e-12
+
+
+def test_shuffle_plan_is_exact_permutation_and_partition_invariant(spark):
+    """shuffle_plan: positions are exactly 0..n-1 (a permutation), agree
+    with a driver-side sort by (key, id), and are identical under any
+    `partitions` value and input repartitioning — the bit-reproducible
+    global shuffle contract."""
+    from beymani_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    out = packing.shuffle_plan(docs, "doc_id", seed=42).toPandas()
+    assert sorted(out.shuffle_pos) == list(range(n)), "must be a permutation"
+    expected = (
+        out.sort_values(["shuffle_key", "doc_id"], ignore_index=True)
+        .doc_id.tolist()
+    )
+    got = out.sort_values("shuffle_pos", ignore_index=True).doc_id.tolist()
+    assert got == expected, "position must equal rank by (key, id)"
+
+    b = packing.shuffle_plan(
+        docs.repartition(17), "doc_id", seed=42, partitions=3
+    ).toPandas()
+    ja = out.sort_values("doc_id", ignore_index=True)
+    jb = b.sort_values("doc_id", ignore_index=True)
+    assert (ja.shuffle_pos.to_numpy() == jb.shuffle_pos.to_numpy()).all()
+
+    # a different seed is a different epoch order (and still a permutation)
+    c = packing.shuffle_plan(docs, "doc_id", seed=7).toPandas()
+    assert sorted(c.shuffle_pos) == list(range(n))
+    jc = c.sort_values("doc_id", ignore_index=True)
+    assert (ja.shuffle_pos.to_numpy() != jc.shuffle_pos.to_numpy()).any()
+
+
+def test_shuffle_plan_avoids_global_window(spark):
+    """The prefix-sum plan shape: range-partitioned rank + one
+    |partitions|-row single-partition base frame — never a global-order
+    window over the fact."""
+    from beymani_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        packing.shuffle_plan(docs, "doc_id", partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastHashJoin" in plan
