@@ -97,8 +97,9 @@ def new_markov(pdf):
     )
     with np.errstate(invalid="ignore", divide="ignore"):
         t = np.where(p > 0, -np.log(p), UNSEEN)
-    has_t = np.ones(len(cur), dtype=bool)
-    has_t[0] = False
+    # the shipped kernel's null-prev mask (prev[0] is the carried None,
+    # so the first row drops out exactly like the old baseline's)
+    has_t = pd.notna(prev)
     seq = np.concatenate([np.asarray(carry, dtype=float), t[has_t]])
     roll = pd.Series(seq).rolling(window, min_periods=1).mean().to_numpy()
     score = np.full(len(cur), np.nan)

@@ -81,6 +81,46 @@ def chunk_for_training(
     return out
 
 
+def _ranged_prefix(narrow: DataFrame, range_cols, partitions: int, total):
+    """Shared distributed prefix-sum scaffold (pack_sequences token
+    offsets, shuffle_plan positions): range-partition the narrow frame by
+    ``range_cols``, tag partition ids, and build the broadcastable
+    (_pid, _base) offsets frame where _base = sum of ``total`` (an
+    aggregate expression) over all earlier range partitions.
+
+    The frame persists AFTER the range exchange: every consumer (the
+    per-partition window AND the totals aggregate) must observe the SAME
+    physical range boundaries or the base offsets misalign
+    (RangePartitioner samples with an RDD-id-derived seed — two
+    materializations can draw different boundaries; without a cache the
+    consistency rides on exchange reuse). Returns (ranged, w, base):
+    the persisted frame, the per-partition window ordered by range_cols,
+    and the offsets frame. ONE home for this invariant."""
+    ranged = (
+        narrow.repartitionByRange(
+            int(partitions), *[F.col(c) for c in range_cols]
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w = Window.partitionBy("_pid").orderBy(*range_cols)
+    totals = ranged.groupBy("_pid").agg(total.alias("_ptotal"))
+    # range partitions are ordered by construction, so the base of
+    # partition p is the sum of the totals of partitions < p
+    base = totals.withColumn(
+        "_base",
+        F.coalesce(
+            F.sum("_ptotal").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_base")
+    return ranged, w, base
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -142,16 +182,11 @@ def pack_sequences(
         F.col(id_col),
         (F.coalesce(n_tok, F.lit(0)) + F.lit(int(sep_tokens))).alias("_span"),
     )
-    # persist AFTER the range exchange: the running-total window and the
-    # per-partition totals must observe the SAME physical range boundaries
-    # or the base offsets misalign (RangePartitioner samples with an
-    # RDD-id-derived seed — two materializations can draw different
-    # boundaries; without a cache the consistency rides on exchange
-    # reuse). The frame is (id, span, pid) longs; pinned to the result.
-    ranged = (
-        narrow.repartitionByRange(int(partitions), F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    # the shared prefix-sum scaffold (persist-after-exchange invariant
+    # lives in _ranged_prefix); the frame is (id, span, pid) longs,
+    # pinned to the result
+    ranged, w0, base = _ranged_prefix(
+        narrow, [id_col], int(partitions), F.sum("_span")
     )
     # per-partition running total (window re-shuffles by _pid: rows of one
     # range partition stay together, and only (id, span, pid) longs move).
@@ -159,27 +194,10 @@ def pack_sequences(
     # duplicate id values as peers and would hand them identical
     # overlapping offsets — with ROWS duplicates still pack sequentially
     # (in an arbitrary but valid concat order); unique ids are engine-exact
-    w = Window.partitionBy("_pid").orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = ranged.withColumn(
         "_local_end", F.sum("_span").over(w)
     )
-    # partition base offsets: |partitions| rows, broadcast back. Range
-    # partitions are ordered by construction, so the base of partition p
-    # is the sum of the totals of partitions < p.
-    totals = ranged.groupBy("_pid").agg(F.sum("_span").alias("_ptotal"))
-    base = totals.withColumn(
-        "_base",
-        F.coalesce(
-            F.sum("_ptotal").over(
-                Window.orderBy("_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("_pid", "_base")
     out = (
         local.join(F.broadcast(base), "_pid")
         .select(
@@ -248,29 +266,10 @@ def shuffle_plan(
         partitions = df.sparkSession.sparkContext.defaultParallelism
     u = hash_uniform(F.col(id_col), seed)
     narrow = df.select(F.col(id_col), u.alias(key_col))
-    # persist AFTER the range exchange (pack_sequences' RangePartitioner
-    # seed-consistency rule): rank and totals must see the same boundaries
-    ranged = (
-        narrow.repartitionByRange(
-            int(partitions), F.col(key_col), F.col(id_col)
-        )
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    ranged, w, base = _ranged_prefix(
+        narrow, [key_col, id_col], int(partitions), F.count("*")
     )
-    w = Window.partitionBy("_pid").orderBy(key_col, id_col)
     local = ranged.withColumn("_rk", F.row_number().over(w))
-    totals = ranged.groupBy("_pid").agg(F.count("*").alias("_ptotal"))
-    base = totals.withColumn(
-        "_base",
-        F.coalesce(
-            F.sum("_ptotal").over(
-                Window.orderBy("_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("_pid", "_base")
     out = local.join(F.broadcast(base), "_pid").select(
         id_col,
         key_col,

@@ -159,6 +159,16 @@ def alerts(scored: DataFrame, label_col: str = "label") -> DataFrame:
     return scored.filter(F.col(label_col) == "O")
 
 
+def _arm(state: GroupState, state_timeout_ms: int) -> None:
+    """Re-arm the idle-eviction timer — call after EVERY state.update in a
+    kernel that supports ``state_timeout_ms`` (forgetting a site would
+    silently give that path keep-forever state under an enabled timeout).
+    A no-op when the timeout is disabled (timeoutConf is NoTimeout and
+    setTimeoutDuration would throw)."""
+    if state_timeout_ms > 0:
+        state.setTimeoutDuration(state_timeout_ms)
+
+
 def _timeout_conf(state_timeout_ms: int):
     """Shared state-eviction wiring for the stateful kernel family:
     ``state_timeout_ms > 0`` selects ProcessingTimeTimeout — an entity
@@ -218,8 +228,7 @@ def stream_ewma_score(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((mean, var, n))
-            if state_timeout_ms > 0:
-                state.setTimeoutDuration(state_timeout_ms)
+            _arm(state, state_timeout_ms)
             yield pd.DataFrame(columns=out_cols)
             return
         whole = pd.concat(frames).sort_values(ts, kind="mergesort")
@@ -245,8 +254,7 @@ def stream_ewma_score(
         out["score"] = scores
         out["label"] = np.where(scores > threshold, "O", "N")
         state.update((mean, var, n))
-        if state_timeout_ms > 0:
-            state.setTimeoutDuration(state_timeout_ms)
+        _arm(state, state_timeout_ms)
         yield out
 
     return fn, out_schema, state_schema
@@ -306,8 +314,7 @@ def apply_stream_markov(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((last_state, carry))
-            if state_timeout_ms > 0:
-                state.setTimeoutDuration(state_timeout_ms)
+            _arm(state, state_timeout_ms)
             yield pd.DataFrame(columns=out_cols)
             return
         whole = pd.concat(frames).sort_values(ts, kind="mergesort")
@@ -347,8 +354,7 @@ def apply_stream_markov(
         state.update(
             (cur[-1], seq[-window:].tolist() if len(seq) else [])
         )
-        if state_timeout_ms > 0:
-            state.setTimeoutDuration(state_timeout_ms)
+        _arm(state, state_timeout_ms)
         yield out
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -452,8 +458,7 @@ def apply_stream_markov_global(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((last_state, num, den))
-            if state_timeout_ms > 0:
-                state.setTimeoutDuration(state_timeout_ms)
+            _arm(state, state_timeout_ms)
             yield pd.DataFrame(columns=out_cols)
             return
         whole = pd.concat(frames).sort_values(ts, kind="mergesort")
@@ -486,8 +491,7 @@ def apply_stream_markov_global(
         out["score"] = score
         out["label"] = label
         state.update((cur[-1], num, den))
-        if state_timeout_ms > 0:
-            state.setTimeoutDuration(state_timeout_ms)
+        _arm(state, state_timeout_ms)
         yield out
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -638,8 +642,7 @@ def apply_stream_entropy_increase(
             state.update(
                 (list(hist.keys()), [hist[k_] for k_ in hist])
             )
-            if state_timeout_ms > 0:
-                state.setTimeoutDuration(state_timeout_ms)
+            _arm(state, state_timeout_ms)
             yield out
             return
         if len(whole):
@@ -649,13 +652,18 @@ def apply_stream_entropy_increase(
                 # (cnt_b = 0), exactly the batch scorer's null-bucket
                 # left-join arithmetic; never folded into state
                 missing = v is None or (isinstance(v, float) and v != v)
-                b = (
-                    None
-                    if missing
-                    else str(v)
-                    if width is None
-                    else str(int(math.floor(v / float(width))))
-                )
+                if missing:
+                    b = None
+                elif width is None:
+                    b = str(v)
+                else:
+                    # coerce-failures (a non-numeric value in a numeric
+                    # bucketing) render null and are skipped like batch's
+                    # failed cast — the frozen path's and multigram's rule
+                    try:
+                        b = str(int(math.floor(float(v) / float(width))))
+                    except (TypeError, ValueError):
+                        b = None
                 n = sum(hist.values())
                 score = None
                 if n > 0:
@@ -685,8 +693,7 @@ def apply_stream_entropy_increase(
                 if update and b is not None:
                     hist[b] = hist.get(b, 0) + 1
         state.update((list(hist.keys()), [hist[k_] for k_ in hist]))
-        if state_timeout_ms > 0:
-            state.setTimeoutDuration(state_timeout_ms)
+        _arm(state, state_timeout_ms)
         yield pd.DataFrame(rows)
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -778,8 +785,7 @@ def apply_stream_drift(
         if detector == "fhddm":
             end["_tail"] = [int(v) for v in run[-win_size:]]
         state.update((json.dumps(end),))
-        if state_timeout_ms > 0:
-            state.setTimeoutDuration(state_timeout_ms)
+        _arm(state, state_timeout_ms)
         yield res
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -870,8 +876,7 @@ def apply_stream_one_step_ahead(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((work[-window:], r_n, r_s1, r_s2))
-            if state_timeout_ms > 0:
-                state.setTimeoutDuration(state_timeout_ms)
+            _arm(state, state_timeout_ms)
             yield pd.DataFrame(columns=out_cols)
             return
         whole = pd.concat(frames).sort_values(ts, kind="mergesort")
@@ -917,8 +922,7 @@ def apply_stream_one_step_ahead(
         out["osa_score"] = scores
         out["label"] = np.where(scores > threshold, "O", "N")
         state.update((work[-window:], r_n, r_s1, r_s2))
-        if state_timeout_ms > 0:
-            state.setTimeoutDuration(state_timeout_ms)
+        _arm(state, state_timeout_ms)
         yield out
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -1574,8 +1578,7 @@ def apply_stream_multigram(
         key_vals = dict(zip((*keys, id_col), key))
         if not frames:
             state.update((tail,))
-            if state_timeout_ms > 0:
-                state.setTimeoutDuration(state_timeout_ms)
+            _arm(state, state_timeout_ms)
             yield pd.DataFrame(columns=[*keys, id_col, "gram"])
             return
         whole = pd.concat(frames).sort_values(
@@ -1595,8 +1598,7 @@ def apply_stream_multigram(
             all_syms[-(seq_len - 1):].tolist() if seq_len > 1 else []
         )
         state.update((new_tail,))
-        if state_timeout_ms > 0:
-            state.setTimeoutDuration(state_timeout_ms)
+        _arm(state, state_timeout_ms)
         yield pd.DataFrame(
             {**{c: [v] * len(grams) for c, v in key_vals.items()},
              "gram": grams},

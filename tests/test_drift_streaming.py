@@ -1733,3 +1733,35 @@ def test_stream_markov_state_timeout_evicts_idle_entities(spark, stream_dirs):
     assert kept[5] != "I", (
         "without a timeout the carried state must resume across the gap"
     )
+
+
+def test_stream_entropy_update_true_coerce_failure_skips(spark, stream_dirs):
+    """update=True numeric bucketing over a non-numeric value renders
+    null (scored as unseen, never folded into state) instead of
+    TypeError-killing the query — the frozen path's and multigram's
+    coerce-failure rule."""
+    from beymani_spark.streaming.jobs import apply_stream_entropy_increase
+
+    src, chk = stream_dirs
+    rows = [(i, 1, "abc" if i % 3 == 2 else str(float(i % 5))) for i in range(30)]
+    df = spark.createDataFrame(rows, "ts long, k long, v string")
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/entc")
+    stream = spark.readStream.schema(df.schema).parquet(src + "/entc")
+    q = (
+        apply_stream_entropy_increase(
+            stream, [], ["k"], "ts", "v", width=2.0, threshold=0.5,
+            update=True,
+        )
+        .writeStream.format("memory")
+        .queryName("entc_t")
+        .option("checkpointLocation", chk + "/entc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select v, bucket from entc_t").toPandas()
+    assert len(got) == 30, "the query must survive coerce failures"
+    assert got[got.v == "abc"].bucket.isna().all(), (
+        "coerce-failed values must render a null bucket"
+    )
+    assert got[got.v != "abc"].bucket.notna().all()
