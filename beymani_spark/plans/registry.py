@@ -66,16 +66,17 @@ from . import queries_packing  # noqa: E402,F401
 # (CORRECTNESS_r02..r05). tests/test_rotation_audit.py enforces this
 # machinery: it fails if any registered query goes too long without a
 # driver-green row given the committed CORRECTNESS files + this window.
-# Round-9 window (the r8 verdict's directive #1 — executed here): a full
-# stable stalest-first sort over CORRECTNESS_r01..r08. Head = any
-# never-driver-checked round-9 additions (inserted above the r4 block as
-# they land), then the 19 r4-certified queries (stalest on record), then
-# the r5-certified set filling the window; the r8-certified block (last
-# round's window) rotates to the tail as the freshest set.
-# tests/test_rotation_audit.py enforces this ordering against the
+# Round-9 window (the r8 verdict's directive #1): a full stable
+# stalest-first sort over CORRECTNESS_r01..r08 — never-driver-checked
+# round-9 additions lead, then the 19 r4-certified queries (stalest on
+# record), then the r5 block filling the window; the r8-certified set
+# rotates to the tail as the freshest. The rotation is now AUTOMATED:
+# run `python tools/rotate_window.py` at the start of each round (after
+# the driver commits the previous CORRECTNESS record) to regenerate this
+# list; tests/test_rotation_audit.py enforces the ordering against the
 # committed CORRECTNESS records.
 _PRIORITY = [
-    # --- round-9 additions (never driver-checked) lead the window ---
+    # --- never driver-checked — new additions lead the window ---
     "markov_global",
     "top_supplier_revenue",
     "idle_customer_balance",
