@@ -76,59 +76,7 @@ from . import queries_packing  # noqa: E402,F401
 # list; tests/test_rotation_audit.py enforces the ordering against the
 # committed CORRECTNESS records.
 _PRIORITY = [
-    # --- never driver-checked — new additions lead the window ---
-    "markov_global",
-    "top_supplier_revenue",
-    "idle_customer_balance",
-    "zscore_seasonal_nightday",
-    "repeat_mix",
-    "forecast_revenue_change",
-    "discounted_revenue",
-    "corpus_shuffle",
-    # --- newest driver row r4 ---
-    "attr_histogram",
-    "multivariate_histogram_members",
-    "markov_cond_prob_spread",
-    "markov_miss_prob",
-    "markov_miss_rate",
-    "markov_entropy_reduction",
-    "change_point_multi",
-    "change_point_resume",
-    "subsequence_distance_ref",
-    "stream_schema_rollup",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_jaccard",
-    "dedup_clusters",
-    "dedup_corpus",
-    "embedding_dup_clusters",
-    "cosine_dup_pairs",
-    "cosine_topk",
-    "ann_lsh_topk",
     # --- newest driver row r5 ---
-    "corpus_to_manifest",
-    "zscore",
-    "multivariate_histogram",
-    "markov_cond_prob",
-    "ngram_frequency",
-    "spectral_residual",
-    "one_step_ahead",
-    "subsequence_distance",
-    "local_neighborhood",
-    "change_point",
-    "in_range",
-    "out_range",
-    "lof",
-    "level_shift_segments",
-    "score_level_shift",
-    "outlier_cluster",
-    "hierarchical_aggregate",
-    "outlier_counts",
-    "threshold_learner",
-    "pseudo_relevance_threshold",
-    "clean_output_anti_join",
-    "robust_zscore",
-    "extreme_value",
     "est_prob",
     "est_attr_prob",
     "est_meta_prob",
@@ -309,6 +257,57 @@ _PRIORITY = [
     "zscore_polarity_high",
     "keyed_threshold_tagging",
     "quartiles",
+    # --- newest driver row r9 ---
+    "markov_global",
+    "top_supplier_revenue",
+    "idle_customer_balance",
+    "zscore_seasonal_nightday",
+    "repeat_mix",
+    "forecast_revenue_change",
+    "discounted_revenue",
+    "corpus_shuffle",
+    "attr_histogram",
+    "multivariate_histogram_members",
+    "markov_cond_prob_spread",
+    "markov_miss_prob",
+    "markov_miss_rate",
+    "markov_entropy_reduction",
+    "change_point_multi",
+    "change_point_resume",
+    "subsequence_distance_ref",
+    "stream_schema_rollup",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_jaccard",
+    "dedup_clusters",
+    "dedup_corpus",
+    "embedding_dup_clusters",
+    "cosine_dup_pairs",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "corpus_to_manifest",
+    "zscore",
+    "multivariate_histogram",
+    "markov_cond_prob",
+    "ngram_frequency",
+    "spectral_residual",
+    "one_step_ahead",
+    "subsequence_distance",
+    "local_neighborhood",
+    "change_point",
+    "in_range",
+    "out_range",
+    "lof",
+    "level_shift_segments",
+    "score_level_shift",
+    "outlier_cluster",
+    "hierarchical_aggregate",
+    "outlier_counts",
+    "threshold_learner",
+    "pseudo_relevance_threshold",
+    "clean_output_anti_join",
+    "robust_zscore",
+    "extreme_value",
 ]
 _rank = {n: i for i, n in enumerate(_PRIORITY)}
 _ordered = sorted(
