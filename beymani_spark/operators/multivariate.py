@@ -511,6 +511,9 @@ def _finalize_model(
             }
             for r in centroid_rows
         ]
+        # the checkpoint blocks served their purpose (fit ran once, sizes
+        # counted); drop them so nothing lingers in executor storage
+        cents.unpersist()
         return spark.createDataFrame(
             model_rows, cents.schema.add("size", "long")
         )
@@ -1060,29 +1063,107 @@ def isolation_forest_merge(
     )
 
 
+def _iforest_score_cogroup(
+    df: DataFrame,
+    mdl: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    threshold: float,
+    out_schema: StructType,
+) -> DataFrame:
+    """Over-cap isolation-forest scoring: the model stays distributed and
+    facts cogroup with their key's trees — no model-sized driver collect,
+    no broadcast. Math is byte-identical to the broadcast path (tree_id-
+    ordered path-length summation over the same vectorized traversal)."""
+    key_list = list(keys)
+    val_list = list(values)
+
+    def score_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        res = left.reset_index(drop=True)
+        if len(res) == 0:
+            res["score"] = pd.Series(dtype="float64")
+            res["label"] = pd.Series(dtype="object")
+            return res
+        if len(right) == 0:
+            res["score"] = None
+            res["label"] = "I"
+            return res
+        right = right.sort_values("tree_id")
+        trees = [json.loads(t) for t in right["tree_json"]]
+        n_s = int(right["sample_n"].iloc[0])
+        x = res[val_list].to_numpy(dtype=float)
+        paths = np.zeros(len(x))
+        for tree in trees:
+            paths += _path_len_vec(tree, x)
+        score = np.power(2.0, -(paths / len(trees)) / _c_factor(n_s))
+        res["score"] = score
+        res["label"] = np.where(score > threshold, "O", "N")
+        return res
+
+    return (
+        df.groupBy(*key_list)
+        .cogroup(mdl.groupBy(*key_list))
+        .applyInPandas(score_group, out_schema)
+    )
+
+
 def isolation_forest_score(
     df: DataFrame,
     model: DataFrame,
     keys: Sequence[str],
     values: Sequence[str],
     threshold: float = 0.6,
+    max_model_rows: int | None = 100_000,
 ) -> DataFrame:
-    """score = 2^(-avg path length / c(sample_n)). The model is bounded
-    (|keys| * num_trees JSON paths), so it is collected and broadcast and
-    each partition scores its own rows via vectorized mask traversal
-    (mapInPandas) — the fact table never shuffles, replacing both the
-    reference's cartesian (IsolationForestPredictor.scala:108) and the
-    earlier cogroup exchange. Keys absent from the model tag 'I'."""
+    """score = 2^(-avg path length / c(sample_n)). Model materialization
+    follows the ``max_model_rows`` bounding convention (the kmeans
+    :func:`_finalize_model` pattern, applied to the forest):
+
+    - |keys| * num_trees <= max_model_rows (the reference's design point —
+      100 trees, moderate key cardinality): the model is collected and
+      broadcast and each partition scores its own rows via vectorized mask
+      traversal (mapInPandas) — the fact table never shuffles, replacing
+      both the reference's cartesian (IsolationForestPredictor.scala:108)
+      and a cogroup exchange.
+    - above the cap (a keyed fit over millions of entities, where the
+      forest itself is cluster data): nothing model-sized touches the
+      driver — facts and trees cogroup on the keys and each task traverses
+      its own key's forest. The fact table pays one keyed shuffle, which
+      at millions of keys is well-spread; that is the price of a model too
+      big to broadcast. ``max_model_rows=None`` forces this path.
+
+    Both paths sort trees by tree_id before the path-length sum, so scores
+    are bit-identical across paths and partitionings. Keys absent from the
+    model tag 'I'. A streaming fact frame always takes the broadcast path
+    (stream-static cogroup is unsupported; a live scorer serves a bounded
+    deployed model by construction)."""
     out_schema = StructType(
         [f for f in df.schema if f.name in set(df.columns)]
     ).add("score", "double").add("label", "string")
 
-    mdl_rows = model.select(*keys, "tree_json", "sample_n").collect()
+    # checkpoint first (eager): the fit chain runs exactly once, and the
+    # count that picks the materialization path cannot re-run it
+    mdl = model.select(*keys, "tree_id", "tree_json", "sample_n").localCheckpoint(
+        eager=True
+    )
+    n_model = mdl.count()
+    over_cap = max_model_rows is None or n_model > int(max_model_rows)
+    if over_cap and not df.isStreaming:
+        return _iforest_score_cogroup(
+            df, mdl, keys, values, threshold, out_schema
+        )
+
+    mdl_rows = mdl.collect()
+    mdl.unpersist()
     forests: dict = {}
     for r in mdl_rows:
         k = tuple(r[kk] for kk in keys)
         ent = forests.setdefault(k, {"trees": [], "n": int(r["sample_n"])})
-        ent["trees"].append(json.loads(r["tree_json"]))
+        ent["trees"].append((int(r["tree_id"]), json.loads(r["tree_json"])))
+    for ent in forests.values():
+        # tree_id-ordered summation: bit-identical scores regardless of
+        # collect order or materialization path
+        ent["trees"] = [t for _, t in sorted(ent["trees"], key=lambda p: p[0])]
     bc = df.sparkSession.sparkContext.broadcast(forests)
 
     def score_chunk(pdf):

@@ -497,16 +497,19 @@ def ngram_novelty(
 
 
 def tfidf_vocab(
-    df: DataFrame, text_col: str = "text", max_vocab: int | None = None
+    df: DataFrame, text_col: str = "text", max_vocab: int | None = 1_000_000
 ) -> "tuple[dict, int]":
     """Bounded TF-IDF vocabulary model for stream-side keyword tagging:
     (token -> document frequency) dict plus the corpus doc count. The dict
     collects to the driver — the model-artifact collect (same class as
-    kmeans centroids / the IF forest), bounded by construction when
-    ``max_vocab`` is set: the vocabulary truncates to the max_vocab
-    highest-df tokens (df desc, token asc — a TakeOrdered over |vocab|
-    aggregated rows, never the corpus). DF counting matches tfidf_topk's
-    exactly (distinct tokens per doc, lowercased whitespace tokens)."""
+    kmeans centroids / the IF forest), bounded BY DEFAULT: the vocabulary
+    truncates to the ``max_vocab`` (default 1M) highest-df tokens (df
+    desc, token asc — a TakeOrdered over |vocab| aggregated rows, never
+    the corpus), so the obvious call cannot pull an unbounded web-scale
+    vocabulary onto the driver. ``max_vocab=None`` is the explicit
+    opt-out for corpora whose full vocabulary is known-small. DF counting
+    matches tfidf_topk's exactly (distinct tokens per doc, lowercased
+    whitespace tokens)."""
     toks = df.select(
         F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("token")
     )

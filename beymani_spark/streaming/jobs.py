@@ -25,6 +25,7 @@ per micro-batch only.
 """
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 import pandas as pd
@@ -35,6 +36,44 @@ from pyspark.sql.types import StructType
 
 from ..functions.scores import tag_label
 from ..operators.markov import UNSEEN_NEG_LOG_PROB
+
+
+_INT64_EDGE = float(2**63)  # 2^63 is exactly representable; 2^63-1 is not
+
+
+def _safe_bucket_strings(fv, width: float):
+    """(valid mask, string image of floor(fv/width)) — the numeric
+    bucket renderer shared by the frozen-entropy and multigram
+    vectorized paths. Beyond pandas' coerce-failure NaNs, it masks the
+    edges a float->int64 conversion cannot represent: non-finite inputs
+    (np.floor passes inf through; a blind astype('int64') yields an
+    INT64_MIN-derived garbage bucket) and quotients whose floor falls
+    outside int64 (astype silently wraps). Those render INVALID — a
+    null bucket, scored as unseen / skipped from grams exactly like a
+    failed numeric cast — and the sequential update paths apply the
+    same rule with exact Python ints (_safe_bucket_str), so frozen and
+    update modes render byte-identical buckets on any input."""
+    import numpy as np
+
+    q = np.floor(fv / float(width))
+    valid = np.isfinite(q) & (q >= -_INT64_EDGE) & (q < _INT64_EDGE)
+    out = np.full(len(q), "", dtype=object)
+    out[valid] = q[valid].astype("int64").astype(str).astype(object)
+    return valid, out
+
+
+def _safe_bucket_str(v, width: float):
+    """Sequential-path twin of :func:`_safe_bucket_strings`: exact
+    Python-int rendering with the identical validity rule (None for
+    coerce failures, non-finite values, and out-of-int64 floors)."""
+    try:
+        q = math.floor(float(v) / float(width))
+    except (TypeError, ValueError, OverflowError):
+        # non-numeric, NaN (ValueError), or +/-inf (OverflowError)
+        return None
+    if not -(2**63) <= q < 2**63:
+        return None
+    return str(q)
 
 
 def stream_zscore(
@@ -607,13 +646,8 @@ def apply_stream_entropy_increase(
                 fv = pd.to_numeric(vals, errors="coerce").to_numpy(
                     dtype=float
                 )
-                ok = ~np.isnan(fv)
-                bk[ok] = (
-                    np.floor(fv[ok] / float(width))
-                    .astype("int64")
-                    .astype(str)
-                    .astype(object)
-                )
+                ok, img = _safe_bucket_strings(fv, float(width))
+                bk[ok] = img[ok]
             n = sum(hist.values())
             score = np.full(len(whole), np.nan)
             if n > 0:
@@ -657,13 +691,10 @@ def apply_stream_entropy_increase(
                 elif width is None:
                     b = str(v)
                 else:
-                    # coerce-failures (a non-numeric value in a numeric
-                    # bucketing) render null and are skipped like batch's
+                    # coerce-failures, non-finite values, and out-of-int64
+                    # floors render null and are skipped like batch's
                     # failed cast — the frozen path's and multigram's rule
-                    try:
-                        b = str(int(math.floor(float(v) / float(width))))
-                    except (TypeError, ValueError):
-                        b = None
+                    b = _safe_bucket_str(v, float(width))
                 n = sum(hist.values())
                 score = None
                 if n > 0:
@@ -1546,21 +1577,14 @@ def apply_stream_multigram(
                 valid = col.notna().to_numpy()
                 sv = np.where(valid, col.to_numpy(dtype=object), "")
             else:
-                # coerce-failures (a non-numeric value in a bucketed
-                # column) render as null and are skipped like batch's
-                # failed cast — NOT floored as NaN, whose int64 image is
-                # garbage (INT64_MIN)
+                # coerce-failures, non-finite values, and out-of-int64
+                # floors render as null and are skipped like batch's
+                # failed cast — NOT floored through astype('int64'),
+                # whose image is garbage (INT64_MIN / silent wrap)
                 fv = pd.to_numeric(col, errors="coerce").to_numpy(
                     dtype=float
                 )
-                valid = ~np.isnan(fv)
-                sv = np.full(n, "", dtype=object)
-                sv[valid] = (
-                    np.floor(fv[valid] / float(w))
-                    .astype("int64")
-                    .astype(str)
-                    .astype(object)
-                )
+                valid, sv = _safe_bucket_strings(fv, float(w))
             sep = np.where(started & valid, ":", "")
             sym = np.where(valid, sym + sep + sv, sym)
             started |= valid

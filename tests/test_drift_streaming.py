@@ -1365,6 +1365,97 @@ def test_stream_multigram_matches_batch_across_batches(spark, stream_dirs):
     )
 
 
+def test_stream_bucket_rule_nonfinite_and_overflow(spark, stream_dirs):
+    """Round-10 ADVICE: +/-inf, NaN, and |floor(v/width)| >= 2^63 values
+    must render NULL buckets in BOTH entropy paths (the sequential
+    update path used to crash with an uncaught OverflowError on inf; the
+    frozen vectorized path used to emit an INT64_MIN-wrapped garbage
+    bucket) and must be skipped from multigram symbols — the two modes
+    render byte-identical buckets on any input."""
+    import numpy as np
+
+    from beymani_spark.streaming.jobs import (
+        _safe_bucket_str,
+        _safe_bucket_strings,
+        apply_stream_entropy_increase,
+        apply_stream_multigram,
+    )
+
+    # helper-level rule identity: vectorized mask == sequential rule
+    vals = np.array(
+        [np.inf, -np.inf, np.nan, 1e300, -1e300, 9.3e19, 25.0, -7.5, 0.0]
+    )
+    valid, img = _safe_bucket_strings(vals, 10.0)
+    seq = [_safe_bucket_str(v, 10.0) for v in vals]
+    assert [img[i] if valid[i] else None for i in range(len(vals))] == seq
+    assert seq[:6] == [None] * 6 and seq[6:] == ["2", "-1", "0"]
+
+    src, chk = stream_dirs
+    pdf = pd.DataFrame(
+        {
+            "key": ["a"] * 6,
+            "event_id": list(range(6)),
+            "ts": list(range(6)),
+            "value": [5.0, float("inf"), float("-inf"), float("nan"), 1e300, 15.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    df.write.mode("overwrite").parquet(src + "/nf")
+    model_rows = [
+        {"key": "a", "bucket": "0", "cnt": 3},
+        {"key": "a", "bucket": "1", "cnt": 2},
+    ]
+    outs = {}
+    for mode, update in (("nf_u", True), ("nf_f", False)):
+        stream = spark.readStream.schema(df.schema).parquet(src + "/nf")
+        scored = apply_stream_entropy_increase(
+            stream, model_rows, ["key"], "event_id", "value",
+            width=10.0, threshold=0.01, update=update,
+        )
+        q = (
+            scored.writeStream.format("memory").queryName(mode)
+            .outputMode("append").option("checkpointLocation", chk + "/" + mode)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        outs[mode] = (
+            spark.sql(f"select * from {mode}")
+            .toPandas().sort_values("event_id", ignore_index=True)
+        )
+    for mode, got in outs.items():
+        assert list(got.bucket.where(got.bucket.notna(), None)) == [
+            "0", None, None, None, None, "1",
+        ], mode
+        assert not got.bucket.astype(str).str.contains("92233720").any(), mode
+    # the first event scores against the same seed histogram in both
+    # modes (nothing folded yet), so frozen and update must agree on it
+    # (np.log vs math.log differ by ~1 ulp — the family's rtol contract)
+    assert np.isclose(
+        outs["nf_u"].score[0], outs["nf_f"].score[0], rtol=1e-9
+    )
+
+    # multigram: the non-finite/overflow column values are skipped from
+    # the composite symbol exactly like a failed cast
+    stream = spark.readStream.schema(df.schema).parquet(src + "/nf")
+    q = (
+        apply_stream_multigram(
+            stream, "key", "ts", [("value", 10.0)], seq_len=1,
+            order_cols=["event_id"],
+        )
+        .writeStream.format("memory").queryName("nf_mg")
+        .option("checkpointLocation", chk + "/nf_mg")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    grams = [
+        r["gram"]
+        for r in spark.sql(
+            "select gram from nf_mg order by gram"
+        ).collect()
+    ]
+    assert sorted(grams) == sorted(["0", "", "", "", "", "1"])
+
+
 def test_stream_kmeans_score_empty_model_raises(spark):
     """An empty centroid frame (a fit that produced nothing, or a wrong
     path) must fail loudly at plan time, not TypeError on int(None)."""

@@ -1162,6 +1162,78 @@ def test_kmeans_model_over_cap_stays_distributed(spark, monkeypatch):
     got = sorted(tuple(r) for r in model.collect())
     assert got == expected, "over-cap model must equal the collected model"
 
+    # end-to-end score parity (round-10 directive): a real fit routed
+    # through the distributed path must score bit-identically to the
+    # collected-path model
+    from beymani_spark.operators.multivariate import kmeans_score
+
+    small_model = kmeans_model(li, keys, vals, n_clusters=3, presample=64)
+    want = sorted(
+        tuple(r)
+        for r in kmeans_score(
+            li, small_model, keys, vals, threshold=10000.0, max_clusters=3
+        ).collect()
+    )
+    have = sorted(
+        tuple(r)
+        for r in kmeans_score(
+            li, model, keys, vals, threshold=10000.0, max_clusters=3
+        ).collect()
+    )
+    assert have == want, "over-cap model must score identically"
+
+
+def test_iforest_over_cap_scores_match_broadcast_path(spark, monkeypatch):
+    """Round-10 directive: isolation_forest_score above max_model_rows
+    must never materialize the model on the driver — facts cogroup with
+    their key's trees — and must score bit-identically to the broadcast
+    (collected) path, including the missing-model-key 'I'/null contract."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    from beymani_spark.operators import multivariate as mv
+    from beymani_spark.sources import load_table
+
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity", "l_extendedprice",
+        )
+        .limit(3000)
+        .localCheckpoint(eager=True)  # limit() must not re-sample per job
+    )
+    keys, vals = ["l_returnflag"], ["l_quantity", "l_extendedprice"]
+    model = mv.isolation_forest_fit(
+        li, keys, vals, num_trees=20, subsample=64, seed=11
+    )
+    # drop one key from the model so both paths exercise the 'I' branch,
+    # and freeze the fit so both paths score the SAME trees
+    model = model.filter(F.col("l_returnflag") != "R").localCheckpoint(eager=True)
+    expected = sorted(
+        tuple(r)
+        for r in mv.isolation_forest_score(li, model, keys, vals).collect()
+    )
+    assert any(r[-1] == "I" for r in expected)
+
+    real_to_pandas = cdf.DataFrame.toPandas
+    real_collect = cdf.DataFrame.collect
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver materialization in over-cap scorer")
+
+    monkeypatch.setattr(cdf.DataFrame, "toPandas", boom)
+    monkeypatch.setattr(cdf.DataFrame, "collect", boom)
+    try:
+        scored = mv.isolation_forest_score(
+            li, model, keys, vals, max_model_rows=0
+        )
+        assert scored.count() == len(expected)
+    finally:
+        monkeypatch.setattr(cdf.DataFrame, "toPandas", real_to_pandas)
+        monkeypatch.setattr(cdf.DataFrame, "collect", real_collect)
+    got = sorted(tuple(r) for r in scored.collect())
+    assert got == expected, "cogroup path must score bit-identically"
+
 
 def test_round9_warehouse_shapes_broadcast_no_cartesian(spark):
     """Q15/Q22 shapes: the scalar subqueries (max revenue, avg balance)
