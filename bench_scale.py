@@ -142,6 +142,10 @@ HEAVY = [
     "idle_customer_balance",
     "zscore_seasonal_nightday",
     "repeat_mix",
+    # round-10 rows for the r9 additions the r9 capture missed
+    "corpus_shuffle",
+    "forecast_revenue_change",
+    "discounted_revenue",
 ]
 
 

@@ -1,12 +1,19 @@
 #!/usr/bin/env python
 """Micro-bench: per-event cost of the streaming state kernels on a hot
 entity (one key, 100k rows in one micro-batch) — the vectorized form
-(apply_stream_markov's kernel body, replicated here because the fn is
-module-internal) vs the row-at-a-time loop it replaced in round 9
-(inlined verbatim as the baseline). Asserts value parity (scores to
-1e-9, labels exact) before printing the timing line; the committed
-number lives in BASELINE.md §8.8. Pure pandas/numpy — no SparkSession
-(the applyInPandasWithState wrapper adds the same cost to both forms)."""
+(the kernel body, replicated here because the fn is module-internal) vs
+the row-at-a-time loop it replaced in round 9 (inlined verbatim as the
+baseline). Asserts value parity before printing one timing line per
+kernel; the committed numbers live in BASELINE.md §8.8. Pure
+pandas/numpy — no SparkSession (the applyInPandasWithState wrapper adds
+the same cost to both forms).
+
+Kernels covered: stream_markov (vectorized r9), stream_multigram
+(vectorized r9 — symbol rendering + rolling gram join), and
+stream_one_step_ahead (deliberately SEQUENTIAL — the window feedback
+makes each step depend on the previous output, so there is no
+vectorized form; its row records the per-event throughput CEILING of
+the loop, not a speedup)."""
 import json
 import math
 import sys
@@ -132,6 +139,151 @@ print(
             "old_sec": round(t_old, 3),
             "new_sec": round(t_new, 3),
             "speedup": round(t_old / t_new, 1),
+        }
+    )
+)
+
+
+# ---------------------------------------------------------------- multigram
+# apply_stream_multigram's vectorized body (symbol render + rolling gram
+# join, jobs.py _syms) vs the per-row loop it replaced in round 9.
+
+SPEC = [("event_type", None), ("value", 10.0)]
+SEQ_LEN = 3
+
+
+def old_multigram(pdf):
+    grams, tail = [], []
+    p = pdf.sort_values(["ts", "event_id"])
+    for _, row in p.iterrows():
+        parts = []
+        for c, w in SPEC:
+            v = row[c]
+            if v is None or (isinstance(v, float) and v != v):
+                continue
+            if w is None:
+                parts.append(str(v))
+            else:
+                try:
+                    parts.append(str(int(math.floor(float(v) / float(w)))))
+                except (TypeError, ValueError, OverflowError):
+                    continue
+        tail.append(":".join(parts))
+        if len(tail) >= SEQ_LEN:
+            grams.append("|".join(tail[-SEQ_LEN:]))
+            tail = tail[-(SEQ_LEN - 1):]
+    return grams
+
+
+def new_multigram(pdf):
+    # replicate the vectorized fn body (jobs.py _syms + the rolling gram
+    # concatenation), using the shipped bucket renderer
+    from beymani_spark.streaming.jobs import _safe_bucket_strings
+
+    whole = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    n = len(whole)
+    sym = np.full(n, "", dtype=object)
+    started = np.zeros(n, dtype=bool)
+    for c, w in SPEC:
+        col = whole[c]
+        if w is None:
+            valid = col.notna().to_numpy()
+            sv = np.where(valid, col.to_numpy(dtype=object), "")
+        else:
+            fv = pd.to_numeric(col, errors="coerce").to_numpy(dtype=float)
+            valid, sv = _safe_bucket_strings(fv, float(w))
+        sep = np.where(started & valid, ":", "")
+        sym = np.where(valid, sym + sep + sv, sym)
+        started |= valid
+    tail: list = []
+    all_syms = np.concatenate([np.asarray(tail, dtype=object), sym])
+    m = len(all_syms) - SEQ_LEN + 1
+    if m > 0:
+        grams = all_syms[0:m].copy()
+        for off in range(1, SEQ_LEN):
+            grams = grams + "|" + all_syms[off : off + m]
+    else:
+        grams = np.empty(0, dtype=object)
+    return grams.tolist()
+
+
+t0 = time.perf_counter()
+g_old = old_multigram(pdf)
+t_old = time.perf_counter() - t0
+t0 = time.perf_counter()
+g_new = new_multigram(pdf)
+t_new = time.perf_counter() - t0
+assert g_old == g_new, "gram mismatch"
+
+print(
+    json.dumps(
+        {
+            "kernel": "stream_multigram",
+            "rows": N,
+            "old_sec": round(t_old, 3),
+            "new_sec": round(t_new, 3),
+            "speedup": round(t_old / t_new, 1),
+        }
+    )
+)
+
+
+# ------------------------------------------------------- one-step-ahead
+# apply_stream_one_step_ahead is deliberately sequential (window feedback:
+# each step depends on the previous OUTPUT). No old/new pair — this row
+# records the per-event throughput CEILING of the shipped loop body on a
+# hot entity, so the limit is a number, not a narrative.
+
+WINDOW, OSA_THRESHOLD = 8, 3.0
+
+
+def osa_loop(xs):
+    work: list = []
+    r_n, r_s1, r_s2 = 0, 0.0, 0.0
+    n = len(xs)
+    preds = np.full(n, np.nan)
+    scores = np.zeros(n)
+    for i in range(n):
+        x = float(xs[i])
+        if len(work) < WINDOW:
+            work.append(x)
+            continue
+        w = np.asarray(work[-WINDOW:])
+        p = w.mean()
+        r = x - p
+        if r_n >= 3:
+            var = r_s2 / r_n - (r_s1 / r_n) ** 2
+            sd = var**0.5 if var > 0 else 0.0
+        else:
+            sd = 0.0
+        s = abs(r) / sd if sd > 0 else 0.0
+        preds[i] = float(p)
+        scores[i] = s
+        if s > OSA_THRESHOLD:
+            work.append(float(p))
+        else:
+            work.append(x)
+            r_n += 1
+            r_s1 += r
+            r_s2 += r * r
+        work = work[-WINDOW:]
+    return preds, scores
+
+
+xs_hot = pdf["value"].to_numpy(dtype=float)
+t0 = time.perf_counter()
+osa_preds, osa_scores = osa_loop(xs_hot)
+t_osa = time.perf_counter() - t0
+assert np.isfinite(osa_preds[WINDOW:]).all()
+
+print(
+    json.dumps(
+        {
+            "kernel": "stream_one_step_ahead",
+            "rows": N,
+            "sec": round(t_osa, 3),
+            "events_per_sec": int(N / t_osa),
+            "note": "sequential by design (window feedback); ceiling, not speedup",
         }
     )
 )
