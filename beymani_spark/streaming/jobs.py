@@ -198,27 +198,106 @@ def alerts(scored: DataFrame, label_col: str = "label") -> DataFrame:
     return scored.filter(F.col(label_col) == "O")
 
 
-def _arm(state: GroupState, state_timeout_ms: int) -> None:
+def _arm(
+    state: GroupState,
+    state_timeout_ms: int,
+    clock: str = "processing",
+    event_ts_ms: int | None = None,
+) -> None:
     """Re-arm the idle-eviction timer — call after EVERY state.update in a
     kernel that supports ``state_timeout_ms`` (forgetting a site would
     silently give that path keep-forever state under an enabled timeout).
     A no-op when the timeout is disabled (timeoutConf is NoTimeout and
-    setTimeoutDuration would throw)."""
-    if state_timeout_ms > 0:
+    setTimeoutDuration would throw).
+
+    ``clock='processing'`` (default) re-arms a wall-clock duration.
+    ``clock='event'`` arms an EVENT-TIME deadline instead: evict when the
+    query WATERMARK passes the entity's last-seen event time + horizon —
+    the correct horizon during catch-up replay, where a fast replay of
+    old data never idles on the wall clock so ProcessingTimeTimeout
+    evicts nothing (see :func:`_timeout_conf`). ``event_ts_ms`` is the
+    batch's max event time for the entity; when a batch carries no event
+    rows (the empty-frames guard path) it is None and the previously
+    armed deadline is left standing. The deadline clamps to
+    watermark + 1 ms — Spark rejects a timestamp at or below the current
+    watermark. Rows behind the watermark are dropped UPSTREAM of the
+    stateful operator, so a surviving batch's max event time is never
+    below it; the clamp is defense-in-depth for the boundary (an event
+    exactly AT the watermark with ``state_timeout_ms`` rounding to 0)."""
+    if state_timeout_ms <= 0:
+        return
+    if clock == "event":
+        if event_ts_ms is None:
+            return
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(event_ts_ms + state_timeout_ms, wm + 1))
+    else:
         state.setTimeoutDuration(state_timeout_ms)
 
 
-def _timeout_conf(state_timeout_ms: int):
+def _arm_batch(
+    state: GroupState,
+    state_timeout_ms: int,
+    clock: str,
+    whole: pd.DataFrame,
+    ts: str,
+) -> None:
+    """Data-path arming: on the event clock, the deadline advances to the
+    batch's max event time + horizon (computed lazily — the processing
+    clock never touches the ts column, and an empty slice keeps the
+    previously armed deadline)."""
+    _arm(
+        state,
+        state_timeout_ms,
+        clock,
+        _max_event_ts_ms(whole, ts)
+        if (clock == "event" and state_timeout_ms > 0 and len(whole))
+        else None,
+    )
+
+
+def _max_event_ts_ms(whole: pd.DataFrame, ts: str) -> int | None:
+    """Max event time of a micro-batch slice in epoch-ms, for event-clock
+    arming. None when the slice has no usable timestamps (all-null ts)."""
+    col = pd.to_datetime(whole[ts])
+    v = col.max()
+    if v is pd.NaT:
+        return None
+    return int(v.value // 1_000_000)
+
+
+def _timeout_conf(state_timeout_ms: int, clock: str = "processing"):
     """Shared state-eviction wiring for the stateful kernel family:
-    ``state_timeout_ms > 0`` selects ProcessingTimeTimeout — an entity
-    idle longer than the horizon has its state REMOVED (the kernel's
-    hasTimedOut branch), so the state store is bounded by ACTIVE
-    entities, not every entity ever seen. At 100 TB stream scale with
-    entity churn (session ids, ephemeral devices) the default
-    keep-forever state is the unbounded-memory hazard; the horizon is
-    the same contract dropDuplicatesWithinWatermark gives the dedup
-    jobs. An evicted entity that returns starts fresh (first events tag
-    'I' / re-warm), exactly as if it were new."""
+    ``state_timeout_ms > 0`` selects a timeout — an entity idle longer
+    than the horizon has its state REMOVED (the kernel's hasTimedOut
+    branch), so the state store is bounded by ACTIVE entities, not every
+    entity ever seen. At 100 TB stream scale with entity churn (session
+    ids, ephemeral devices) the default keep-forever state is the
+    unbounded-memory hazard; the horizon is the same contract
+    dropDuplicatesWithinWatermark gives the dedup jobs. An evicted
+    entity that returns starts fresh (first events tag 'I' / re-warm),
+    exactly as if it were new.
+
+    ``clock`` picks the horizon's clock:
+
+    - ``'processing'`` (default): wall-clock idleness
+      (ProcessingTimeTimeout) — right for LIVE streams, where "idle for
+      an hour" means the entity went away.
+    - ``'event'``: watermark idleness (EventTimeTimeout) — right for
+      CATCH-UP REPLAY of historical data, where a fast replay never
+      idles on the wall clock (nothing would ever evict) but the
+      watermark sweeps through event time at replay speed, evicting each
+      entity once the watermark passes its last event + horizon. Requires
+      the input stream to carry ``withWatermark`` on the kernel's ``ts``
+      column (Spark enforces this at query start), and ``ts`` must be a
+      real timestamp column. Buying into the watermark also buys its
+      late-data contract: rows behind the watermark are dropped before
+      the stateful operator ever sees them — the same trade
+      dropDuplicatesWithinWatermark makes for the dedup jobs."""
+    if clock not in ("processing", "event"):
+        raise ValueError(f"unknown state timeout clock: {clock!r}")
+    if state_timeout_ms > 0 and clock == "event":
+        return GroupStateTimeout.EventTimeTimeout
     return (
         GroupStateTimeout.ProcessingTimeTimeout
         if state_timeout_ms > 0
@@ -234,6 +313,7 @@ def stream_ewma_score(
     alpha: float = 0.2,
     threshold: float = 3.0,
     state_timeout_ms: int = 0,
+    state_timeout_clock: str = "processing",
 ):
     """Per-entity stateful scoring with applyInPandasWithState: keeps an EWMA
     mean/variance per key (the reference's per-entity record buffer,
@@ -267,7 +347,7 @@ def stream_ewma_score(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((mean, var, n))
-            _arm(state, state_timeout_ms)
+            _arm(state, state_timeout_ms, state_timeout_clock)
             yield pd.DataFrame(columns=out_cols)
             return
         whole = pd.concat(frames).sort_values(ts, kind="mergesort")
@@ -293,7 +373,7 @@ def stream_ewma_score(
         out["score"] = scores
         out["label"] = np.where(scores > threshold, "O", "N")
         state.update((mean, var, n))
-        _arm(state, state_timeout_ms)
+        _arm_batch(state, state_timeout_ms, state_timeout_clock, whole, ts)
         yield out
 
     return fn, out_schema, state_schema
@@ -308,6 +388,7 @@ def apply_stream_markov(
     window: int = 5,
     threshold: float = 2.0,
     state_timeout_ms: int = 0,
+    state_timeout_clock: str = "processing",
 ) -> DataFrame:
     """Per-entity stateful Markov scoring — the reference's real-time fraud
     path (PredictorBolt keeps a per-entity record buffer,
@@ -353,7 +434,7 @@ def apply_stream_markov(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((last_state, carry))
-            _arm(state, state_timeout_ms)
+            _arm(state, state_timeout_ms, state_timeout_clock)
             yield pd.DataFrame(columns=out_cols)
             return
         whole = pd.concat(frames).sort_values(ts, kind="mergesort")
@@ -393,7 +474,7 @@ def apply_stream_markov(
         state.update(
             (cur[-1], seq[-window:].tolist() if len(seq) else [])
         )
-        _arm(state, state_timeout_ms)
+        _arm_batch(state, state_timeout_ms, state_timeout_clock, whole, ts)
         yield out
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -401,7 +482,7 @@ def apply_stream_markov(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=_timeout_conf(state_timeout_ms),
+        timeoutConf=_timeout_conf(state_timeout_ms, state_timeout_clock),
     )
 
 
@@ -414,6 +495,7 @@ def apply_stream_markov_global(
     metric: str = "missProbability",
     threshold: float = 2.0,
     state_timeout_ms: int = 0,
+    state_timeout_clock: str = "processing",
 ) -> DataFrame:
     """The reference real-time predictor's GLOBAL accumulation mode —
     the other branch of MarkovModelPredictor.java:286-346 (getGlobalMetric
@@ -497,7 +579,7 @@ def apply_stream_markov_global(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((last_state, num, den))
-            _arm(state, state_timeout_ms)
+            _arm(state, state_timeout_ms, state_timeout_clock)
             yield pd.DataFrame(columns=out_cols)
             return
         whole = pd.concat(frames).sort_values(ts, kind="mergesort")
@@ -530,7 +612,7 @@ def apply_stream_markov_global(
         out["score"] = score
         out["label"] = label
         state.update((cur[-1], num, den))
-        _arm(state, state_timeout_ms)
+        _arm_batch(state, state_timeout_ms, state_timeout_clock, whole, ts)
         yield out
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -538,7 +620,7 @@ def apply_stream_markov_global(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=_timeout_conf(state_timeout_ms),
+        timeoutConf=_timeout_conf(state_timeout_ms, state_timeout_clock),
     )
 
 
@@ -552,6 +634,7 @@ def apply_stream_entropy_increase(
     threshold: float = 0.01,
     update: bool = True,
     state_timeout_ms: int = 0,
+    state_timeout_clock: str = "processing",
 ) -> DataFrame:
     """K11 EntropyIncreaseBasedPredictor, streaming form (reference
     EntropyIncreaseBasedPredictor.java:44-80 — the one Storm kernel whose
@@ -676,7 +759,7 @@ def apply_stream_entropy_increase(
             state.update(
                 (list(hist.keys()), [hist[k_] for k_ in hist])
             )
-            _arm(state, state_timeout_ms)
+            _arm_batch(state, state_timeout_ms, state_timeout_clock, whole, ts)
             yield out
             return
         if len(whole):
@@ -724,7 +807,7 @@ def apply_stream_entropy_increase(
                 if update and b is not None:
                     hist[b] = hist.get(b, 0) + 1
         state.update((list(hist.keys()), [hist[k_] for k_ in hist]))
-        _arm(state, state_timeout_ms)
+        _arm_batch(state, state_timeout_ms, state_timeout_clock, whole, ts)
         yield pd.DataFrame(rows)
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -732,7 +815,7 @@ def apply_stream_entropy_increase(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=_timeout_conf(state_timeout_ms),
+        timeoutConf=_timeout_conf(state_timeout_ms, state_timeout_clock),
     )
 
 
@@ -743,6 +826,7 @@ def apply_stream_drift(
     error_col: str,
     detector: str = "ddm",
     state_timeout_ms: int = 0,
+    state_timeout_clock: str = "processing",
     **params,
 ) -> DataFrame:
     """Per-entity stateful concept-drift detection on a stream — the
@@ -816,7 +900,7 @@ def apply_stream_drift(
         if detector == "fhddm":
             end["_tail"] = [int(v) for v in run[-win_size:]]
         state.update((json.dumps(end),))
-        _arm(state, state_timeout_ms)
+        _arm_batch(state, state_timeout_ms, state_timeout_clock, batch, ts)
         yield res
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -824,7 +908,7 @@ def apply_stream_drift(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=_timeout_conf(state_timeout_ms),
+        timeoutConf=_timeout_conf(state_timeout_ms, state_timeout_clock),
     )
 
 
@@ -836,16 +920,18 @@ def apply_stream_ewma(
     alpha: float = 0.2,
     threshold: float = 3.0,
     state_timeout_ms: int = 0,
+    state_timeout_clock: str = "processing",
 ) -> DataFrame:
     fn, out_schema, state_schema = stream_ewma_score(
-        stream_df, keys, ts, value, alpha, threshold, state_timeout_ms
+        stream_df, keys, ts, value, alpha, threshold, state_timeout_ms,
+        state_timeout_clock,
     )
     return stream_df.groupBy(*keys).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=_timeout_conf(state_timeout_ms),
+        timeoutConf=_timeout_conf(state_timeout_ms, state_timeout_clock),
     )
 
 
@@ -860,6 +946,7 @@ def apply_stream_one_step_ahead(
     weights: Sequence[float] | None = None,
     threshold: float = 3.0,
     state_timeout_ms: int = 0,
+    state_timeout_clock: str = "processing",
 ) -> DataFrame:
     """Per-entity stateful one-step-ahead prediction — the streaming form of
     operators.sequence.one_step_ahead (OneStepAheadPredictor window feedback,
@@ -907,7 +994,7 @@ def apply_stream_one_step_ahead(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((work[-window:], r_n, r_s1, r_s2))
-            _arm(state, state_timeout_ms)
+            _arm(state, state_timeout_ms, state_timeout_clock)
             yield pd.DataFrame(columns=out_cols)
             return
         whole = pd.concat(frames).sort_values(ts, kind="mergesort")
@@ -953,7 +1040,7 @@ def apply_stream_one_step_ahead(
         out["osa_score"] = scores
         out["label"] = np.where(scores > threshold, "O", "N")
         state.update((work[-window:], r_n, r_s1, r_s2))
-        _arm(state, state_timeout_ms)
+        _arm_batch(state, state_timeout_ms, state_timeout_clock, whole, ts)
         yield out
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
@@ -961,7 +1048,7 @@ def apply_stream_one_step_ahead(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=_timeout_conf(state_timeout_ms),
+        timeoutConf=_timeout_conf(state_timeout_ms, state_timeout_clock),
     )
 
 
@@ -1518,6 +1605,7 @@ def apply_stream_multigram(
     keys: Sequence[str] = (),
     order_cols: Sequence[str] = (),
     state_timeout_ms: int = 0,
+    state_timeout_clock: str = "processing",
 ) -> DataFrame:
     """Streaming form of histogram.multigram_multivariate: per-id state
     carries the last ``seq_len - 1`` composite bucket symbols, so every
@@ -1602,7 +1690,7 @@ def apply_stream_multigram(
         key_vals = dict(zip((*keys, id_col), key))
         if not frames:
             state.update((tail,))
-            _arm(state, state_timeout_ms)
+            _arm(state, state_timeout_ms, state_timeout_clock)
             yield pd.DataFrame(columns=[*keys, id_col, "gram"])
             return
         whole = pd.concat(frames).sort_values(
@@ -1622,7 +1710,7 @@ def apply_stream_multigram(
             all_syms[-(seq_len - 1):].tolist() if seq_len > 1 else []
         )
         state.update((new_tail,))
-        _arm(state, state_timeout_ms)
+        _arm_batch(state, state_timeout_ms, state_timeout_clock, whole, ts)
         yield pd.DataFrame(
             {**{c: [v] * len(grams) for c, v in key_vals.items()},
              "gram": grams},
@@ -1634,5 +1722,5 @@ def apply_stream_multigram(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=_timeout_conf(state_timeout_ms),
+        timeoutConf=_timeout_conf(state_timeout_ms, state_timeout_clock),
     )

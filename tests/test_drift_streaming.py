@@ -1456,6 +1456,109 @@ def test_stream_bucket_rule_nonfinite_and_overflow(spark, stream_dirs):
     assert sorted(grams) == sorted(["0", "", "", "", "", "1"])
 
 
+def _run_markov_replay(spark, src, chk, name, clock):
+    """Four-file replay harness for the eviction-clock test: entity B goes
+    quiet after file 1, the watermark sweeps far past B's last event +
+    horizon while A keeps streaming (files 2-3), then B re-appears in
+    file 4 with an event time BEHIND the watermark (the straggler-clamp
+    path). Returns B's final-event row."""
+    import datetime as dt
+
+    from beymani_spark.streaming.jobs import apply_stream_markov
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    files = [
+        # file 1: both entities warm up (A and B each make one transition)
+        [("A", ts(0), "a"), ("A", ts(60), "b"),
+         ("B", ts(0), "a"), ("B", ts(60), "b")],
+        # file 2: A only — advances the watermark to t0+2h
+        [("A", ts(7200), "a")],
+        # file 3: A only — the batch where B's expired event-time deadline
+        # (t0+60s + 1h) is processed against the t0+2h watermark
+        [("A", ts(7260), "b")],
+        # file 4: B returns (ahead of the watermark — an event BEHIND it
+        # would be dropped as late data before the stateful operator, the
+        # watermark contract this eviction mode buys into)
+        [("B", ts(10900), "b"), ("A", ts(10800), "a")],
+    ]
+    dest = f"{src}/{name}"
+    os.makedirs(dest, exist_ok=True)
+    schema = "user_id string, ts timestamp, event_type string"
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dest}/stage{i}")
+    import glob as _glob
+    import shutil as _shutil
+
+    feed = f"{dest}/feed"
+    os.makedirs(feed, exist_ok=True)
+    for i in range(len(files)):
+        part = sorted(_glob.glob(f"{dest}/stage{i}/part-*.parquet"))[0]
+        tgt = f"{feed}/{i:02d}.parquet"
+        _shutil.copyfile(part, tgt)
+        # FileStreamSource orders by modification time — pin strictly
+        # increasing mtimes or the four replay batches can scramble
+        os.utime(tgt, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    model_rows = [
+        {"prev_state": a, "cur_state": b, "prob": p}
+        for (a, b), p in {
+            ("a", "a"): 0.5, ("a", "b"): 0.5,
+            ("b", "a"): 0.5, ("b", "b"): 0.5,
+        }.items()
+    ]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .withWatermark("ts", "0 seconds")
+    )
+    scored = apply_stream_markov(
+        stream, model_rows, ["user_id"], "ts", "event_type",
+        window=5, threshold=100.0,
+        state_timeout_ms=3_600_000, state_timeout_clock=clock,
+    )
+    q = (
+        scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", chk + "/" + name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        f"select * from {name} where user_id = 'B' order by ts"
+    ).collect()
+    assert len(rows) == 3
+    return rows[-1]
+
+
+def test_event_time_eviction_fires_under_replay(spark, stream_dirs):
+    """Round-10 directive: ProcessingTimeTimeout is the wrong horizon
+    during catch-up replay — a fast replay of old data never idles on
+    the wall clock, so nothing evicts and a returning entity keeps its
+    stale state. state_timeout_clock='event' evicts on the WATERMARK
+    instead: once it passes an entity's last event + horizon, the state
+    is removed and the entity re-warms on return (label 'I'), exactly as
+    if it were new. The same replay under the processing clock keeps the
+    state (B's return scores against its carried symbol) — proving the
+    two clocks differ exactly where they should."""
+    src, chk = stream_dirs
+
+    evicted = _run_markov_replay(spark, src, chk, "ev_clock", "event")
+    assert evicted["score"] is None and evicted["label"] == "I", (
+        "event clock must have evicted B's state during the replay gap"
+    )
+
+    kept = _run_markov_replay(spark, src, chk, "pt_clock", "processing")
+    assert kept["score"] is not None and kept["label"] != "I", (
+        "processing clock must NOT evict during a fast replay"
+    )
+
+
 def test_stream_kmeans_score_empty_model_raises(spark):
     """An empty centroid frame (a fit that produced nothing, or a wrong
     path) must fail loudly at plan time, not TypeError on int(None)."""
