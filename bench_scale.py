@@ -146,6 +146,8 @@ HEAVY = [
     "corpus_shuffle",
     "forecast_revenue_change",
     "discounted_revenue",
+    # round-10 addition
+    "curriculum_plan",
 ]
 
 

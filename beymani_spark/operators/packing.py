@@ -278,6 +278,91 @@ def shuffle_plan(
     return caching.pin(out, ranged)
 
 
+def curriculum_plan(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_stages: int = 4,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Quality-staged training-order manifest — the data-side artifact of
+    curriculum learning: rank the corpus by a quality score (best
+    first), cut the ranking into ``n_stages`` equal global-rank stages
+    (stage 0 = top quality, sizes differ by at most one row), and emit a
+    deterministic 0-based training position that walks the stages in
+    order with a seeded hash-shuffle WITHIN each stage. A pure function
+    of (score, id, seed): the same corpus produces the same curriculum
+    on any cluster size, after any repartition, and in any engine — the
+    shuffle_plan reproducibility contract with a quality-major outer
+    order. Re-seeding reshuffles within stages without moving any row
+    across a stage boundary.
+
+    Output: (id_col, stage, curriculum_pos) — a narrow manifest the
+    training reader joins or range-reads; the text never moves here.
+    NULL scores rank after every real score (the worst stage), still
+    deterministically (id tie-break).
+
+    Scale shape: two distributed prefix-sum passes over narrow
+    projections (the shuffle_plan / pack_sequences ``_ranged_prefix``
+    engine) — one over (-score, id) for the exact global quality rank,
+    one over (stage, shuffle_key, id) for the position. Each is one
+    range exchange plus a broadcast |partitions|-row offsets frame;
+    never a single-task global window. stage = floor(rank * n_stages /
+    N) is pure integer arithmetic — engine-exact at any corpus size."""
+    from .sampling import hash_uniform
+
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    # best-first rank: ascending on -score, NULL scores coerced to +inf so
+    # they order after every real score in BOTH engines (plain DESC would
+    # put nulls first in Spark and last in DuckDB)
+    negq = F.coalesce(
+        -F.col(score_col).cast("double"), F.lit(float("inf"))
+    )
+    narrow = df.select(F.col(id_col), negq.alias("_negq"))
+    ranged, w, base = _ranged_prefix(
+        narrow, ["_negq", id_col], int(partitions), F.count("*")
+    )
+    n_total = ranged.count()  # bounded scalar on the persisted frame
+    if n_total == 0:
+        return narrow.select(
+            id_col,
+            F.lit(0).cast("long").alias("stage"),
+            F.lit(0).cast("long").alias("curriculum_pos"),
+        ).limit(0)
+    staged = (
+        ranged.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(base), "_pid")
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"((_base + _rk - 1) * {int(n_stages)}) div {int(n_total)}"
+            ).cast("long").alias("stage"),
+        )
+    )
+    narrow2 = staged.withColumn(
+        "_skey", hash_uniform(F.col(id_col), seed)
+    )
+    ranged2, w2, base2 = _ranged_prefix(
+        narrow2, ["stage", "_skey", id_col], int(partitions), F.count("*")
+    )
+    out = (
+        ranged2.withColumn("_rk", F.row_number().over(w2))
+        .join(F.broadcast(base2), "_pid")
+        .select(
+            id_col,
+            "stage",
+            (F.col("_base") + F.col("_rk") - F.lit(1))
+            .cast("long")
+            .alias("curriculum_pos"),
+        )
+    )
+    return caching.pin(out, ranged, ranged2)
+
+
 def context_length_plan(
     df: DataFrame,
     text_col: str = "text",

@@ -387,6 +387,56 @@ FROM keyed
 """
 
 
+_CURRICULUM_ORACLE = """
+WITH q AS ({quality}),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY coalesce(-quality, 'infinity'::DOUBLE), doc_id
+         ) - 1 AS r,
+         count(*) OVER () AS n
+  FROM q
+), staged AS (
+  SELECT doc_id, CAST((r * 4) // n AS BIGINT) AS stage FROM ranked
+), keyed AS (
+  SELECT doc_id, stage,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::UBIGINT
+          / 4294967296.0) AS skey
+  FROM staged
+)
+SELECT doc_id, stage,
+       CAST(row_number() OVER (ORDER BY stage, skey, doc_id) - 1 AS BIGINT)
+         AS curriculum_pos
+FROM keyed
+"""
+
+
+def _curriculum_oracle() -> str:
+    # reuse the PROVEN quality mirror (queries_text._QUALITY_ORACLE, the
+    # hash-exact oracle of the quality_score query) as the scoring CTE so
+    # the two oracles can never drift apart
+    from .queries_text import _QUALITY_ORACLE
+
+    return _CURRICULUM_ORACLE.format(quality=_QUALITY_ORACLE.strip())
+
+
+@register("curriculum_plan", lambda sf_dir=None: _curriculum_oracle())
+def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-staged training order (packing.curriculum_plan): exact
+    global quality rank (best first, null-quality last) cut into 4
+    equal stages, deterministic seeded shuffle within each stage —
+    curriculum learning's manifest, bit-reproducible across cluster
+    sizes and engines. Two distributed prefix-sum passes; the oracle's
+    global row_numbers ARE the semantics being certified."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).withColumn(
+        "quality", F.round("quality", 6)
+    )
+    return packing.curriculum_plan(
+        scored, "doc_id", "quality", n_stages=4, seed=42
+    )
+
+
 @register("corpus_shuffle", _SHUFFLE_PLAN_ORACLE)
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle manifest (packing.shuffle_plan): the

@@ -76,6 +76,8 @@ from . import queries_packing  # noqa: E402,F401
 # list; tests/test_rotation_audit.py enforces the ordering against the
 # committed CORRECTNESS records.
 _PRIORITY = [
+    # --- never driver-checked — new additions lead the window ---
+    "curriculum_plan",
     # --- newest driver row r5 ---
     "est_prob",
     "est_attr_prob",

@@ -446,3 +446,74 @@ def test_shuffle_plan_avoids_global_window(spark):
     assert "Exchange rangepartitioning" in plan
     assert plan.count("Exchange SinglePartition") <= 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_curriculum_plan_stages_positions_and_invariance(spark):
+    """curriculum_plan: positions are exactly 0..n-1 (a permutation) that
+    walks stages in order; stages are equal-size (±1) cuts of the exact
+    quality rank with stage 0 = top scores and NULL scores in the worst
+    stage; the whole manifest is invariant to input partitioning and
+    `partitions`; re-seeding reshuffles within stages only."""
+    rows = [
+        (i, float(100 - i) if i % 7 else None) for i in range(41)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    out = packing.curriculum_plan(df, "doc_id", "q", n_stages=4).toPandas()
+    n = len(rows)
+    assert sorted(out.curriculum_pos) == list(range(n))
+    # stage sizes differ by at most one and stage-major order holds
+    sizes = out.groupby("stage").size()
+    assert sorted(sizes.index) == [0, 1, 2, 3]
+    assert sizes.max() - sizes.min() <= 1
+    by_pos = out.sort_values("curriculum_pos")
+    assert by_pos.stage.is_monotonic_increasing
+    # stage assignment = floor(rank * 4 / n) over (-q, id) with nulls last
+    ranked = sorted(
+        rows, key=lambda r: (-(r[1]) if r[1] is not None else float("inf"), r[0])
+    )
+    expect_stage = {
+        doc: (r * 4) // n for r, (doc, _) in enumerate(ranked)
+    }
+    got_stage = dict(zip(out.doc_id, out.stage))
+    assert got_stage == expect_stage
+    # every NULL-score doc sits in the last stage
+    assert all(got_stage[i] == 3 for i in range(41) if i % 7 == 0)
+
+    b = packing.curriculum_plan(
+        df.repartition(13), "doc_id", "q", n_stages=4, partitions=3
+    ).toPandas()
+    ja = out.sort_values("doc_id", ignore_index=True)
+    jb = b.sort_values("doc_id", ignore_index=True)
+    assert (ja.curriculum_pos.to_numpy() == jb.curriculum_pos.to_numpy()).all()
+    assert (ja.stage.to_numpy() == jb.stage.to_numpy()).all()
+
+    c = packing.curriculum_plan(df, "doc_id", "q", n_stages=4, seed=7).toPandas()
+    jc = c.sort_values("doc_id", ignore_index=True)
+    assert (ja.stage.to_numpy() == jc.stage.to_numpy()).all(), (
+        "re-seeding must not move rows across stages"
+    )
+    assert (ja.curriculum_pos.to_numpy() != jc.curriculum_pos.to_numpy()).any()
+
+    with pytest.raises(ValueError, match="n_stages"):
+        packing.curriculum_plan(df, "doc_id", "q", n_stages=0)
+    assert packing.curriculum_plan(df.limit(0), "doc_id", "q").count() == 0
+
+
+def test_curriculum_plan_avoids_global_window(spark):
+    """Both prefix-sum passes keep the shuffle_plan shape: range-
+    partitioned ranks + broadcast base offsets — never a global-order
+    window over the fact table."""
+    from beymani_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        packing.curriculum_plan(docs, "doc_id", "n_chars", partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange rangepartitioning") >= 2
+    # every SinglePartition exchange is a |partitions|-row base-offsets
+    # frame (the Window.orderBy(_pid) cumulative sum); pass 1's appears
+    # once more inside pass 2's unmaterialized lineage — 3 tiny frames,
+    # never a single-task pass over the fact table
+    assert plan.count("Exchange SinglePartition") <= 3
+    assert "BroadcastHashJoin" in plan
