@@ -1134,9 +1134,10 @@ def isolation_forest_score(
 
     Both paths sort trees by tree_id before the path-length sum, so scores
     are bit-identical across paths and partitionings. Keys absent from the
-    model tag 'I'. A streaming fact frame always takes the broadcast path
-    (stream-static cogroup is unsupported; a live scorer serves a bounded
-    deployed model by construction)."""
+    model tag 'I'. A streaming fact frame can only take the broadcast path
+    (stream-static cogroup is unsupported), so an over-cap model there
+    raises at plan time — raise ``max_model_rows`` explicitly to opt into
+    collecting a larger deployed model."""
     out_schema = StructType(
         [f for f in df.schema if f.name in set(df.columns)]
     ).add("score", "double").add("label", "string")
@@ -1148,7 +1149,18 @@ def isolation_forest_score(
     )
     n_model = mdl.count()
     over_cap = max_model_rows is None or n_model > int(max_model_rows)
-    if over_cap and not df.isStreaming:
+    if over_cap:
+        if df.isStreaming:
+            # the only over-cap strategy is a fact-model cogroup, which
+            # stream-static frames cannot do — refuse loudly rather than
+            # silently collecting a model the cap was set to keep off
+            # the driver
+            raise ValueError(
+                f"isolation forest model has {n_model} rows, over "
+                f"max_model_rows={max_model_rows}; a streaming scorer "
+                "serves a broadcast model — raise max_model_rows "
+                "explicitly to opt into collecting a model this large"
+            )
         return _iforest_score_cogroup(
             df, mdl, keys, values, threshold, out_schema
         )

@@ -328,6 +328,7 @@ def curriculum_plan(
     )
     n_total = ranged.count()  # bounded scalar on the persisted frame
     if n_total == 0:
+        ranged.unpersist()
         return narrow.select(
             id_col,
             F.lit(0).cast("long").alias("stage"),

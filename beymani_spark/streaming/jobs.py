@@ -258,7 +258,13 @@ def _arm_batch(
 
 def _max_event_ts_ms(whole: pd.DataFrame, ts: str) -> int | None:
     """Max event time of a micro-batch slice in epoch-ms, for event-clock
-    arming. None when the slice has no usable timestamps (all-null ts)."""
+    arming. None when the slice has no usable timestamps (all-null ts).
+    Arrow hands TimestampType to pandas as tz-naive values in the SESSION
+    timezone; the repo's sessions run UTC (sources.load_table sets it), so
+    `.value` is epoch-UTC ns, matching the watermark's clock. A non-UTC
+    session would shift every deadline by the same tz offset — horizons
+    stay correct relative to each other, and the watermark clamp guards
+    the boundary."""
     col = pd.to_datetime(whole[ts])
     v = col.max()
     if v is pd.NaT:
@@ -1578,6 +1584,7 @@ def stream_isolation_forest_score(
     keys,
     values,
     threshold: float = 0.6,
+    max_model_rows: int | None = 100_000,
 ) -> DataFrame:
     """Streaming isolation-forest scoring against a batch-fitted forest
     (multivariate.isolation_forest_fit): the bounded model (|keys| x
@@ -1592,7 +1599,8 @@ def stream_isolation_forest_score(
     from ..operators.multivariate import isolation_forest_score
 
     return isolation_forest_score(
-        stream_df, model, keys, values, threshold=threshold
+        stream_df, model, keys, values, threshold=threshold,
+        max_model_rows=max_model_rows,
     )
 
 

@@ -1559,6 +1559,31 @@ def test_event_time_eviction_fires_under_replay(spark, stream_dirs):
     )
 
 
+def test_stream_iforest_over_cap_model_raises(spark, stream_dirs):
+    """A streaming fact frame can only serve a BROADCAST forest; an
+    over-cap model must refuse at plan time instead of silently doing
+    the unbounded driver collect the cap exists to prevent."""
+    from beymani_spark.operators.multivariate import isolation_forest_fit
+    from beymani_spark.sources import load_table
+    from beymani_spark.streaming.jobs import stream_isolation_forest_score
+
+    src, _ = stream_dirs
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    model = isolation_forest_fit(
+        li, ["l_returnflag"], ["l_quantity", "l_extendedprice"],
+        num_trees=5, subsample=32,
+    )
+    li.limit(10).write.mode("overwrite").parquet(src + "/ifoc")
+    stream = spark.readStream.schema(li.schema).parquet(src + "/ifoc")
+    with pytest.raises(ValueError, match="max_model_rows"):
+        stream_isolation_forest_score(
+            stream, model, ["l_returnflag"],
+            ["l_quantity", "l_extendedprice"], max_model_rows=1,
+        )
+
+
 def test_stream_kmeans_score_empty_model_raises(spark):
     """An empty centroid frame (a fit that produced nothing, or a wrong
     path) must fail loudly at plan time, not TypeError on int(None)."""
