@@ -146,8 +146,9 @@ HEAVY = [
     "corpus_shuffle",
     "forecast_revenue_change",
     "discounted_revenue",
-    # round-10 addition
+    # round-10 additions
     "curriculum_plan",
+    "bm25_topk",
 ]
 
 

@@ -1047,3 +1047,79 @@ def lang_fertility(
             F.round(F.col("total_tokens") * 100.0 / F.col("total_bytes"), 6),
         ).alias("tokens_per_100_bytes"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 retrieval over the corpus for a bag-of-words query — the
+    ranking pass of a corpus search / targeted-curation pipeline ("pull
+    the k documents most about these terms"). Okapi BM25 with the Lucene
+    non-negative IDF: idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)),
+    contrib(t, d) = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl /
+    avgdl)); dl is the doc's whitespace-token count, avgdl the corpus
+    mean over ALL docs (matching and not). Query terms are lowercased and
+    deduplicated; terms absent from the corpus contribute nothing (df = 0
+    rows never join). Rank on the ROUND-6 score with a doc-id tie-break
+    (the repo's rank-cut convention); n_hit_terms counts the distinct
+    query terms the doc contains.
+
+    Output: (id, n_hit_terms, score, bm25_rank), bm25_rank <= k.
+
+    Scale shape: the query-term filter runs INSIDE the token array before
+    the explode, so the exploded frame is |matching tokens| rows (a few
+    per doc), never corpus-token-sized. tf is one partial-aggregated
+    groupBy(id, term); df(t) and the (N, avgdl) pair are |q|-row and
+    1-row broadcasts. The global top-k is orderBy + limit — Spark's
+    distributed TakeOrderedAndProject, never a single-task full sort —
+    and the rank window runs on the k-row result. Costs two
+    projection-pruned scans of (id, text): one for the corpus length
+    stats, one for the match explode; persist the narrow per-doc frame
+    first if the scan dominates at your scale."""
+    terms = sorted({str(t).lower() for t in query_terms})
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(F.lower(F.col(text_col))).alias("_ts"),
+    )
+    perdoc = base.select(
+        "_id",
+        F.size("_ts").alias("_dl"),
+        F.filter("_ts", lambda x: x.isin(terms)).alias("_m"),
+    )
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    tf = (
+        perdoc.select("_id", "_dl", F.explode("_m").alias("token"))
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    contrib = idf * F.col("_tf") * F.lit(k1 + 1.0) / (F.col("_tf") + norm)
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.round(F.sum(contrib), 6).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("_id").asc())
+    return top.withColumn("bm25_rank", F.row_number().over(w)).select(
+        F.col("_id").alias(id_col), "n_hit_terms", "score", "bm25_rank"
+    )

@@ -3373,3 +3373,58 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "u", F.round("rate", 6).alias("rate")
     )
+
+
+#: bag-of-words query for the registered BM25 retrieval check: one rare
+#: discriminative term (dup), two common terms (spark, window), and one
+#: term absent from the fixture vocabulary (shuffle — exercises the
+#: df=0 no-contribution path)
+_BM25_TERMS = ["spark", "dup", "window", "shuffle"]
+_BM25_K = 25
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '') AS ts
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(ts) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), q AS (
+  SELECT unnest({sorted(set(_BM25_TERMS))!r}) AS token
+), tf AS (
+  SELECT t.doc_id, u.token, count(*) AS tf
+  FROM toks t, unnest(t.ts) AS u(token)
+  JOIN q USING (token)
+  GROUP BY t.doc_id, u.token
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id,
+         count(*) AS n_hit_terms,
+         round(sum( ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ), 6) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN dfreq ON tf.token = dfreq.token
+  GROUP BY tf.doc_id
+), ranked AS (
+  SELECT doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE bm25_rank <= {_BM25_K}
+"""
+
+
+@register("bm25_topk", _BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 BM25 retrieval (text.bm25_topk) for a 4-term bag-of-words
+    query: Okapi BM25 with the Lucene non-negative IDF, dl/avgdl length
+    normalization over ALL docs, rank on the round-6 score with doc-id
+    tie-break. The query-term filter runs inside the token array before
+    the explode, df/stat frames broadcast, and the global top-k is
+    orderBy+limit (distributed TakeOrderedAndProject, never a
+    single-task sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)

@@ -78,6 +78,7 @@ from . import queries_packing  # noqa: E402,F401
 _PRIORITY = [
     # --- never driver-checked — new additions lead the window ---
     "curriculum_plan",
+    "bm25_topk",
     # --- newest driver row r5 ---
     "est_prob",
     "est_attr_prob",

@@ -72,6 +72,8 @@ TEXT_QUERIES = [
     "lang_fertility", "dedup_containment", "compaction_plan",
     "media_phash_dup_pairs", "media_phash_dup_pairs_c2", "media_phash_png",
     "audio_dup_pairs", "video_phash_dup_pairs",
+    # round-10 addition
+    "bm25_topk",
 ]
 
 

@@ -1269,3 +1269,24 @@ def test_q6_q19_pushdown_and_broadcast(spark):
     q19 = _plan(QUERIES["discounted_revenue"].builder(spark, SF))
     assert "BroadcastHashJoin" in q19
     assert "CartesianProduct" not in q19 and "SortMergeJoin" not in q19
+
+
+def test_bm25_topk_take_ordered_no_global_sort(spark):
+    """The query-term filter runs inside the token array (the explode is
+    |matches|-sized), df/stat frames broadcast, and the global top-k is
+    TakeOrderedAndProject — never a single-task full sort; the rank
+    window runs after the k-row limit."""
+    from beymani_spark.operators import text as textops
+
+    docs = load_table(spark, SF, "documents")
+    out = textops.bm25_topk(docs, ["spark", "dup", "window"], k=25)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the filter happens before the explode: no corpus-token-sized
+    # exchange — every hash exchange is on (doc,token) or token (the tf
+    # subtree feeds both the join and the df agg, so its exchange prints
+    # twice)
+    assert plan.count("Exchange hashpartitioning") <= 4

@@ -577,3 +577,37 @@ def test_salted_join_equivalence_and_spread(spark):
 
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(left, right, ["k"], how="right")
+
+
+def test_bm25_topk_hand_checked(spark):
+    """BM25 on a 3-doc corpus verified against hand math: Lucene idf
+    = ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2 b=0.75 length normalization
+    over avgdl of ALL docs; absent query terms contribute nothing; rank
+    ties break on doc_id."""
+    import math
+
+    from beymani_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "kiwi kiwi kiwi kiwi"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = (
+        bm25_topk(df, ["Apple", "banana", "missing", "apple"], k=10)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    n, avgdl = 3, (3 + 2 + 4) / 3
+    idf = lambda d: math.log(1 + (n - d + 0.5) / (d + 0.5))
+    bm = lambda tf, dl, d: idf(d) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    exp1 = round(bm(2, 3, 2) + bm(1, 3, 1), 6)  # apple df=2, banana df=1
+    exp2 = round(bm(1, 2, 2), 6)
+    assert out.loc[1, "score"] == pytest.approx(exp1, abs=1e-9)
+    assert out.loc[2, "score"] == pytest.approx(exp2, abs=1e-9)
+    assert 3 not in out.index  # no query term -> never scored
+    assert out.loc[1, "n_hit_terms"] == 2 and out.loc[2, "n_hit_terms"] == 1
+    assert list(out.sort_values("bm25_rank").index) == [1, 2]
