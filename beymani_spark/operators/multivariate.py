@@ -1088,7 +1088,7 @@ def _iforest_score_cogroup(
             res["score"] = None
             res["label"] = "I"
             return res
-        right = right.sort_values("tree_id")
+        right = right.sort_values("tree_id", kind="mergesort")
         trees = [json.loads(t) for t in right["tree_json"]]
         n_s = int(right["sample_n"].iloc[0])
         x = res[val_list].to_numpy(dtype=float)
