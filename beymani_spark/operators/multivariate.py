@@ -511,9 +511,11 @@ def _finalize_model(
             }
             for r in centroid_rows
         ]
-        # the checkpoint blocks served their purpose (fit ran once, sizes
-        # counted); drop them so nothing lingers in executor storage
-        cents.unpersist()
+        # checkpoint blocks: Dataset.unpersist is a no-op on a
+        # localCheckpoint (it only consults the CacheManager, which never
+        # held the LogicalRDD) — the model-sized blocks are dropped by
+        # the ContextCleaner once this frame goes unreachable, which is
+        # right here: the returned frame is built from plain rows
         return spark.createDataFrame(
             model_rows, cents.schema.add("size", "long")
         )
@@ -1063,6 +1065,18 @@ def isolation_forest_merge(
     )
 
 
+def _forest_scores(trees, sample_n: int, x, threshold: float):
+    """score = 2^(-avg path length / c(sample_n)) over a tree_id-ordered
+    tree list — the ONE scoring implementation shared by the broadcast and
+    cogroup paths, so their advertised bit-identity is structural, not
+    merely test-enforced. Callers must pass trees already tree_id-sorted."""
+    paths = np.zeros(len(x))
+    for tree in trees:
+        paths += _path_len_vec(tree, x)
+    score = np.power(2.0, -(paths / len(trees)) / _c_factor(sample_n))
+    return score, np.where(score > threshold, "O", "N")
+
+
 def _iforest_score_cogroup(
     df: DataFrame,
     mdl: DataFrame,
@@ -1092,12 +1106,9 @@ def _iforest_score_cogroup(
         trees = [json.loads(t) for t in right["tree_json"]]
         n_s = int(right["sample_n"].iloc[0])
         x = res[val_list].to_numpy(dtype=float)
-        paths = np.zeros(len(x))
-        for tree in trees:
-            paths += _path_len_vec(tree, x)
-        score = np.power(2.0, -(paths / len(trees)) / _c_factor(n_s))
+        score, label = _forest_scores(trees, n_s, x, threshold)
         res["score"] = score
-        res["label"] = np.where(score > threshold, "O", "N")
+        res["label"] = label
         return res
 
     return (
@@ -1165,8 +1176,10 @@ def isolation_forest_score(
             df, mdl, keys, values, threshold, out_schema
         )
 
+    # (no unpersist: it is a no-op on a localCheckpoint'd frame — the
+    # bounded checkpoint blocks are ContextCleaner-collected once mdl
+    # goes unreachable after this function returns)
     mdl_rows = mdl.collect()
-    mdl.unpersist()
     forests: dict = {}
     for r in mdl_rows:
         k = tuple(r[kk] for kk in keys)
@@ -1189,13 +1202,10 @@ def isolation_forest_score(
             if ent is None:
                 continue
             x = sub[list(values)].to_numpy(dtype=float)
-            paths = np.zeros(len(x))
-            for tree in ent["trees"]:
-                paths += _path_len_vec(tree, x)
-            score = np.power(2.0, -(paths / len(ent["trees"])) / _c_factor(ent["n"]))
+            score, label = _forest_scores(ent["trees"], ent["n"], x, threshold)
             idx = sub.index.to_numpy()
             score_col[idx] = score
-            label_col[idx] = np.where(score > threshold, "O", "N")
+            label_col[idx] = label
         res["score"] = score_col
         res["label"] = label_col
         if np.isnan(score_col).any():  # missing-model rows: null, not NaN

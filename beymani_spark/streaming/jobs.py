@@ -68,8 +68,10 @@ def _safe_bucket_str(v, width: float):
     coerce failures, non-finite values, and out-of-int64 floors)."""
     try:
         q = math.floor(float(v) / float(width))
-    except (TypeError, ValueError, OverflowError):
-        # non-numeric, NaN (ValueError), or +/-inf (OverflowError)
+    except (TypeError, ValueError, OverflowError, ZeroDivisionError):
+        # non-numeric, NaN (ValueError), +/-inf (OverflowError), or a
+        # zero width (ZeroDivisionError — the vectorized twin's 0-divide
+        # yields inf and masks to NULL by the same validity rule)
         return None
     if not -(2**63) <= q < 2**63:
         return None

@@ -1390,6 +1390,17 @@ def test_stream_bucket_rule_nonfinite_and_overflow(spark, stream_dirs):
     assert [img[i] if valid[i] else None for i in range(len(vals))] == seq
     assert seq[:6] == [None] * 6 and seq[6:] == ["2", "-1", "0"]
 
+    # width = 0: the vectorized 0-divide yields inf and masks to NULL;
+    # the sequential path must render NULL too (ZeroDivisionError), not
+    # kill the streaming task
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        valid0, _ = _safe_bucket_strings(vals, 0.0)
+    assert not valid0.any()
+    assert [_safe_bucket_str(v, 0.0) for v in vals] == [None] * len(vals)
+
     src, chk = stream_dirs
     pdf = pd.DataFrame(
         {
