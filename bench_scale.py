@@ -149,6 +149,7 @@ HEAVY = [
     # round-10 additions
     "curriculum_plan",
     "bm25_topk",
+    "hybrid_retrieval",
 ]
 
 

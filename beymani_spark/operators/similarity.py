@@ -1076,3 +1076,80 @@ def embedding_audit(
     return base.join(dup, by, "left").withColumn(
         "n_dup_vecs", F.coalesce(F.col("n_dup_vecs"), F.lit(0).cast("long"))
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms,
+    query_vec_id,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_candidates: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: fuse the lexical BM25
+    candidate list (text.bm25_topk over ``query_terms``) with the dense
+    cosine candidate list (neighbors of the ``query_vec_id`` embedding)
+    — the standard hybrid-search recipe for corpus curation/retrieval.
+    rrf = sum over the lists containing the doc of 1/(rrf_k + rank);
+    docs on one list only score that single term. Rank on the ROUND-6
+    rrf with a doc-id tie-break (the repo's rank-cut convention).
+
+    Output: (id, bm25_rank, cos_rank, rrf_score, hybrid_rank),
+    hybrid_rank <= k; bm25_rank/cos_rank are NULL for a doc absent from
+    that candidate list.
+
+    Scale shape: the BM25 side is bm25_topk's shape (match-sized
+    explode, broadcast df/stats, TakeOrderedAndProject). The dense side
+    broadcasts ONE query vector onto the embedding scan and takes its
+    top-n_candidates via orderBy+limit — TakeOrderedAndProject again,
+    deliberately NOT a window partitioned by query id, which for a
+    single query would single-task-sort the whole embedding table. The
+    fusion is a full outer join of two <= n_candidates-row frames and
+    the final rank window runs on <= 2*n_candidates rows."""
+    from .text import bm25_topk
+
+    lex = bm25_topk(
+        docs, query_terms, id_col=id_col, k=n_candidates
+    ).select(F.col(id_col).alias("_id"), F.col("bm25_rank"))
+
+    base = with_norm(emb, vec_col).select(
+        F.col(vec_id_col).alias("_id"), F.col("_vec"), F.col("_norm")
+    )
+    q = base.filter(F.col("_id") == F.lit(query_vec_id)).select(
+        F.col("_vec").alias("_vq"), F.col("_norm").alias("_nq")
+    )
+    cos = (
+        base.filter(F.col("_id") != F.lit(query_vec_id))
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "_cos", _dot(F.col("_vq"), F.col("_vec")) / (F.col("_nq") * F.col("_norm"))
+        )
+        .orderBy(F.col("_cos").desc(), F.col("_id").asc())
+        .limit(n_candidates)
+    )
+    wc = Window.orderBy(F.col("_cos").desc(), F.col("_id").asc())
+    dense = cos.withColumn("cos_rank", F.row_number().over(wc)).select(
+        "_id", "cos_rank"
+    )
+
+    fused = lex.join(dense, "_id", "full_outer").withColumn(
+        "rrf_score",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)),
+            6,
+        ),
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col("_id").asc()).limit(k)
+    wr = Window.orderBy(F.col("rrf_score").desc(), F.col("_id").asc())
+    return top.withColumn("hybrid_rank", F.row_number().over(wr)).select(
+        F.col("_id").alias(id_col),
+        "bm25_rank",
+        "cos_rank",
+        "rrf_score",
+        "hybrid_rank",
+    )

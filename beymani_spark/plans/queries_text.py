@@ -3428,3 +3428,85 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task sort)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+_HYBRID_QVEC_ID = 0
+_HYBRID_CANDS = 50
+_HYBRID_K = 20
+_HYBRID_RRF_K = 60
+
+_HYBRID_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '') AS ts
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(ts) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), q AS (
+  SELECT unnest({sorted(set(_BM25_TERMS))!r}) AS token
+), tf AS (
+  SELECT t.doc_id, u.token, count(*) AS tf
+  FROM toks t, unnest(t.ts) AS u(token)
+  JOIN q USING (token)
+  GROUP BY t.doc_id, u.token
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), bscored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ), 6) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN dfreq ON tf.token = dfreq.token
+  GROUP BY tf.doc_id
+), bcut AS (
+  SELECT doc_id, bm25_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+    FROM bscored
+  ) WHERE bm25_rank <= {_HYBRID_CANDS}
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), qv AS (
+  SELECT vec FROM v WHERE vec_id = {_HYBRID_QVEC_ID}
+), cscored AS (
+  SELECT v.vec_id,
+         {_COS_SQL.format(a="qv.vec", b="v.vec")} AS cosine
+  FROM v CROSS JOIN qv WHERE v.vec_id <> {_HYBRID_QVEC_ID}
+), ccut AS (
+  SELECT vec_id, cos_rank FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS cos_rank
+    FROM cscored
+  ) WHERE cos_rank <= {_HYBRID_CANDS}
+), fused AS (
+  SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id,
+         b.bm25_rank, c.cos_rank,
+         round(COALESCE(1.0 / ({_HYBRID_RRF_K} + b.bm25_rank), 0.0)
+               + COALESCE(1.0 / ({_HYBRID_RRF_K} + c.cos_rank), 0.0), 6) AS rrf_score
+  FROM bcut b FULL JOIN ccut c ON b.doc_id = c.vec_id
+), ranked AS (
+  SELECT doc_id, bm25_rank, cos_rank, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS hybrid_rank
+  FROM fused
+)
+SELECT * FROM ranked WHERE hybrid_rank <= {_HYBRID_K}
+"""
+
+
+@register("hybrid_retrieval", _HYBRID_ORACLE)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + dense retrieval by reciprocal-rank fusion
+    (similarity.hybrid_rrf_topk): the lexical top-50 for the 4-term
+    query fused with the cosine top-50 neighbors of doc 0's embedding,
+    rrf = sum 1/(60 + rank), top-20 on the round-6 score with doc-id
+    tie-break. Both candidate lists are TakeOrderedAndProject (the
+    dense side deliberately avoids a single-query window sort); the
+    fusion join and rank window run over <= 100 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hybrid_rrf_topk(
+        docs, emb, _BM25_TERMS, _HYBRID_QVEC_ID,
+        k=_HYBRID_K, n_candidates=_HYBRID_CANDS, rrf_k=_HYBRID_RRF_K,
+    )

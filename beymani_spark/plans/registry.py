@@ -79,6 +79,7 @@ _PRIORITY = [
     # --- never driver-checked — new additions lead the window ---
     "curriculum_plan",
     "bm25_topk",
+    "hybrid_retrieval",
     # --- newest driver row r5 ---
     "est_prob",
     "est_attr_prob",

@@ -1290,3 +1290,33 @@ def test_bm25_topk_take_ordered_no_global_sort(spark):
     # subtree feeds both the join and the df agg, so its exchange prints
     # twice)
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_hybrid_rrf_no_single_query_window_sort(spark):
+    """Both candidate lists are TakeOrderedAndProject; the dense side
+    must NOT rank via a window partitioned by the (single) query id,
+    which would single-task-sort the whole embedding table. The only
+    windows run after the candidate limits (<= 2*n_candidates rows)."""
+    from beymani_spark.operators import similarity as sim
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    out = sim.hybrid_rrf_topk(docs, emb, ["spark", "dup"], 0, k=10)
+    plan = _plan(out)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+    # every window's INPUT (below it in the top-down print) passes
+    # through a limit before any parquet scan — i.e. windows rank only
+    # candidate-/k-sized frames, never a full table
+    import re
+
+    for m in re.finditer(r"Window ", plan):
+        rest = plan[m.end():]
+        lim = min(
+            [p for p in (rest.find("TakeOrderedAndProject"), rest.find("GlobalLimit")) if p != -1],
+            default=-1,
+        )
+        scan = rest.find("Scan parquet")
+        assert lim != -1 and (scan == -1 or lim < scan), (
+            "window ranks an unlimited frame"
+        )

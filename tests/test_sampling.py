@@ -611,3 +611,38 @@ def test_bm25_topk_hand_checked(spark):
     assert 3 not in out.index  # no query term -> never scored
     assert out.loc[1, "n_hit_terms"] == 2 and out.loc[2, "n_hit_terms"] == 1
     assert list(out.sort_values("bm25_rank").index) == [1, 2]
+
+
+def test_hybrid_rrf_topk_hand_checked(spark):
+    """RRF fusion on a tiny corpus verified by hand: a doc on both
+    candidate lists sums both reciprocal terms, single-list docs score
+    one term with a NULL rank on the other side, ties break on doc_id."""
+    import pandas as pd
+
+    from beymani_spark.operators.similarity import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple"), (3, "kiwi")],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # query vector
+            (1, [1.0, 0.1]),   # closest
+            (2, [0.0, 1.0]),   # orthogonal
+            (3, [0.9, 0.5]),   # second
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = (
+        hybrid_rrf_topk(docs, emb, ["apple", "banana"], 0, k=10, n_candidates=2)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # bm25 list: doc 1 (2 hits) then doc 2; dense list: vec 1 then vec 3
+    assert out.loc[1, "bm25_rank"] == 1 and out.loc[1, "cos_rank"] == 1
+    assert out.loc[1, "rrf_score"] == round(1 / 61 + 1 / 61, 6)
+    assert out.loc[2, "bm25_rank"] == 2 and pd.isna(out.loc[2, "cos_rank"])
+    assert out.loc[2, "rrf_score"] == round(1 / 62, 6)
+    assert pd.isna(out.loc[3, "bm25_rank"]) and out.loc[3, "cos_rank"] == 2
+    assert list(out.sort_values("hybrid_rank").index) == [1, 2, 3]
