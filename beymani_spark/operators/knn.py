@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import caching
+
 
 def _sq_dist(a, b):
     return F.aggregate(
@@ -301,36 +303,70 @@ EPS = 1e-10
 LOF_CAP = 1e6
 
 
-def average_distance(
-    pairs: DataFrame, k: int, keys: Sequence[str] = (), scale: float = 1000.0
+def _nn_shared(pairs: DataFrame, k: int, keys: Sequence[str]) -> DataFrame:
+    """Persisted top-k neighbor set for multi-consumer density operators.
+
+    Every function below reads the kNN frame two to four times (k-distance,
+    reachability, neighbor joins). Without a persist, EACH reference
+    re-executes the full pair-engine lineage — for the registry queries
+    that is the blocked cogroup over all vector pairs, the single most
+    expensive subtree in the family, run 3-4x per query (measured: the lof
+    plan carried four copies of the Scan->cogroup->window subtree, 21
+    Exchanges). The nn frame is N*k rows — neighbor-list-sized at any
+    scale — so caching it is the guide §5 trade exactly: tiny storage
+    against re-running the quadratic engine. MEMORY_AND_DISK (persist
+    default) spills gracefully on huge N. Ownership of the cache passes to
+    the caller via caching.pin on the operator result.
+
+    Safe to cache: knn()'s row_number window forces an Exchange between
+    any cogroup source and this cache, so the Spark 4.1
+    cache-over-cogroup attribute-dedup bug (blocked_vec_pairs WARNING)
+    cannot bite."""
+    return knn(pairs, k, keys).select(*keys, "src", "dst", "dist").persist()
+
+
+def _density_from_nn(
+    nn: DataFrame, keys: Sequence[str], scale: float
 ) -> DataFrame:
-    """M4: per-entity avg distance to its k nearest + density =
-    scale/(avg + EPS) — see EPS for the duplicate-neighborhood guard."""
-    nn = knn(pairs, k, keys)
     out = nn.groupBy(*keys, "src").agg(F.avg("dist").alias("avg_dist"))
     return out.withColumn(
         "density", F.lit(float(scale)) / (F.col("avg_dist") + F.lit(EPS))
     )
 
 
+def average_distance(
+    pairs: DataFrame, k: int, keys: Sequence[str] = (), scale: float = 1000.0
+) -> DataFrame:
+    """M4: per-entity avg distance to its k nearest + density =
+    scale/(avg + EPS) — see EPS for the duplicate-neighborhood guard.
+
+    Single-consumer: the kNN frame feeds one aggregate, so no persist."""
+    return _density_from_nn(knn(pairs, k, keys), keys, scale)
+
+
 def relative_density(
     pairs: DataFrame, k: int, keys: Sequence[str] = (), scale: float = 1000.0
 ) -> DataFrame:
-    """M6: density(entity) * scale / Σ density(its k neighbors)."""
-    dens = average_distance(pairs, k, keys, scale)
-    nn = knn(pairs, k, keys).select(*keys, "src", "dst")
+    """M6: density(entity) * scale / Σ density(its k neighbors).
+
+    The kNN frame is persisted once and feeds both the density aggregate
+    and the neighbor join (see _nn_shared); release via caching.release
+    after the final action."""
+    nn = _nn_shared(pairs, k, keys)
+    dens = _density_from_nn(nn, keys, scale)
     nbr = nn.join(
         dens.select(*keys, F.col("src").alias("dst"), F.col("density").alias("_nd")),
         [*keys, "dst"],
     )
     nbr_sum = nbr.groupBy(*keys, "src").agg(F.sum("_nd").alias("_nbr_density"))
-    return (
+    out = (
         dens.join(nbr_sum, [*keys, "src"])
         .withColumn(
             "rel_density", F.col("density") * F.lit(float(scale)) / F.col("_nbr_density")
         )
         .drop("_nbr_density")
     )
+    return caching.pin(out, nn)
 
 
 def neighbor_density(
@@ -340,12 +376,13 @@ def neighbor_density(
     proximity/NeighborDensity.java:40-130): each entity's density joined onto
     its neighbor-group membership rows -> (keys..., src, dst, dst_density).
     The reference does this with a map-side file tag + secondary sort; here a
-    plain equi-join."""
-    dens = average_distance(pairs, k, keys, scale).select(
+    plain equi-join. The kNN frame is persisted once (see _nn_shared)."""
+    nn = _nn_shared(pairs, k, keys)
+    dens = _density_from_nn(nn, keys, scale).select(
         *keys, F.col("src").alias("dst"), F.col("density").alias("dst_density")
     )
-    nn = knn(pairs, k, keys).select(*keys, "src", "dst")
-    return nn.join(dens, [*keys, "dst"])
+    out = nn.select(*keys, "src", "dst").join(dens, [*keys, "dst"])
+    return caching.pin(out, nn)
 
 
 def lof(pairs: DataFrame, k: int, keys: Sequence[str] = ()) -> DataFrame:
@@ -359,8 +396,11 @@ def lof(pairs: DataFrame, k: int, keys: Sequence[str] = ()) -> DataFrame:
     k/Σ division aborts the job under ANSI SQL; with the epsilon, such
     points get a huge-but-finite lrd and an LOF near 1 — duplicates are
     inliers of their own cluster, the standard LOF treatment.
-    """
-    nn = knn(pairs, k, keys).select(*keys, "src", "dst", "dist")
+
+    The kNN frame is persisted once and feeds k-distance, reachability,
+    and the neighbor-lrd join (see _nn_shared); caching.release after the
+    final action."""
+    nn = _nn_shared(pairs, k, keys)
     kdist = nn.groupBy(*keys, "src").agg(F.max("dist").alias("kdist"))
     reach = nn.join(
         kdist.select(*keys, F.col("src").alias("dst"), F.col("kdist").alias("_kdist_o")),
@@ -373,7 +413,7 @@ def lof(pairs: DataFrame, k: int, keys: Sequence[str] = ()) -> DataFrame:
         lrd.select(*keys, F.col("src").alias("dst"), F.col("lrd").alias("_lrd_o")),
         [*keys, "dst"],
     ).groupBy(*keys, "src").agg(F.avg("_lrd_o").alias("_avg_nbr_lrd"))
-    return (
+    out = (
         lrd.join(nbr_lrd, [*keys, "src"])
         .withColumn(
             "lof",
@@ -381,3 +421,4 @@ def lof(pairs: DataFrame, k: int, keys: Sequence[str] = ()) -> DataFrame:
         )
         .select(*keys, "src", "lrd", "lof")
     )
+    return caching.pin(out, nn)

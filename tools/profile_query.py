@@ -56,10 +56,10 @@ def main() -> None:
                 f.write(plan)
             spark.catalog.clearCache()
         times = []
-        tracker = spark.sparkContext._jsc.sc().statusTracker()
+        jtracker = spark.sparkContext.statusTracker()
         jobs0 = stages0 = 0
         for rep in range(max(1, args.reps)):
-            before = len(tracker.getJobIdsForGroup(None))
+            before = set(jtracker.getJobIdsForGroup(None))
             spark.sparkContext.setJobDescription(name)
             t0 = time.perf_counter()
             df = q.builder(spark, sf_dir)
@@ -69,13 +69,17 @@ def main() -> None:
             spark.catalog.clearCache()
             if rep == max(1, args.reps) - 1:
                 ids = [
-                    j for j in tracker.getJobIdsForGroup(None) if j >= before
+                    j
+                    for j in jtracker.getJobIdsForGroup(None)
+                    if j not in before
                 ]
                 jobs0 = len(ids)
                 for j in ids:
-                    info = tracker.getJobInfo(j)
-                    if info is not None:
-                        stages0 += len(info.stageIds())
+                    try:
+                        info = jtracker.getJobInfo(j)
+                        stages0 += len(list(info.stageIds))
+                    except Exception:
+                        pass
         print(
             name,
             " ".join(f"{t:.3f}" for t in times),
