@@ -107,9 +107,22 @@ def blocked_vec_pairs(
     import pandas as pd
 
     base = df
-    df = base.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # Persist the keyed (id, vec) projection ONCE: the src and ref sides
+    # below both consume it, and without a cache EACH side re-executes the
+    # full upstream lineage — for consumers whose input is itself a Python
+    # pipeline (e.g. media decode -> quantize feeding cosine_dup_pairs)
+    # that kernel ran three times per query (tiles count + both cogroup
+    # sides; measured plan: two decode MapInPandas nodes + the count).
+    # The cache is the keyed vector set — the operator's own input size,
+    # nothing bigger. Ownership passes to the caller via caching.pin on
+    # the cogroup result.
+    df = base.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).persist()
     if tiles is None:
-        # distributed count (a cheap aggregate, not a data collect)
+        # distributed count (a cheap aggregate, not a data collect);
+        # doubles as the cache materialization, so the upstream lineage
+        # runs exactly once
         tiles = max(1, -(-df.count() // target_block))
     t = int(tiles)
     src = df.withColumn("_i", F.pmod(F.xxhash64("_id"), F.lit(t))).withColumn(
@@ -119,8 +132,9 @@ def blocked_vec_pairs(
     # from the same lineage trips Spark's self-join attribute dedup, which
     # prunes the right side's same-named data columns out of the Arrow batch
     # (observed on Spark 4.1: right frame arrives with only the grouping
-    # columns). Distinct names keep both sides intact.
-    ref = base.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rv"))
+    # columns). Distinct names keep both sides intact — renamed off the
+    # SAME persisted frame, so the cache serves both sides.
+    ref = df.select(F.col("_id").alias("_rid"), F.col("_v").alias("_rv"))
     ref = ref.withColumn("_j", F.pmod(F.xxhash64("_rid"), F.lit(t))).withColumn(
         "_i", F.explode(F.sequence(F.lit(0), F.lit(t - 1)))
     )
@@ -136,10 +150,11 @@ def blocked_vec_pairs(
         ref_mat = np.array([np.asarray(v, dtype=float) for v in right["_rv"]])
         return kernel(src_ids, src_mat, ref_ids, ref_mat)
 
-    return (
+    return caching.pin(
         src.groupBy("_i", "_j")
         .cogroup(ref.groupBy("_i", "_j"))
-        .applyInPandas(block, out_schema)
+        .applyInPandas(block, out_schema),
+        df,
     )
 
 
@@ -192,10 +207,11 @@ def pair_distances_np(
     )
     if k is not None:
         w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
-        out = (
+        out = caching.pin(
             out.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)
-            .drop("_rk")
+            .drop("_rk"),
+            *caching.pinned(out),
         )
     return out
 
@@ -321,8 +337,11 @@ def _nn_shared(pairs: DataFrame, k: int, keys: Sequence[str]) -> DataFrame:
     Safe to cache: knn()'s row_number window forces an Exchange between
     any cogroup source and this cache, so the Spark 4.1
     cache-over-cogroup attribute-dedup bug (blocked_vec_pairs WARNING)
-    cannot bite."""
-    return knn(pairs, k, keys).select(*keys, "src", "dst", "dist").persist()
+    cannot bite. Pins riding on ``pairs`` (e.g. blocked_vec_pairs' keyed
+    base cache) are carried along so the caller releases the whole
+    chain."""
+    nn = knn(pairs, k, keys).select(*keys, "src", "dst", "dist").persist()
+    return caching.pin(nn, *caching.pinned(pairs))
 
 
 def _density_from_nn(
@@ -341,7 +360,10 @@ def average_distance(
     scale/(avg + EPS) — see EPS for the duplicate-neighborhood guard.
 
     Single-consumer: the kNN frame feeds one aggregate, so no persist."""
-    return _density_from_nn(knn(pairs, k, keys), keys, scale)
+    return caching.pin(
+        _density_from_nn(knn(pairs, k, keys), keys, scale),
+        *caching.pinned(pairs),
+    )
 
 
 def relative_density(
@@ -366,7 +388,7 @@ def relative_density(
         )
         .drop("_nbr_density")
     )
-    return caching.pin(out, nn)
+    return caching.pin(out, nn, *caching.pinned(nn))
 
 
 def neighbor_density(
@@ -382,7 +404,7 @@ def neighbor_density(
         *keys, F.col("src").alias("dst"), F.col("density").alias("dst_density")
     )
     out = nn.select(*keys, "src", "dst").join(dens, [*keys, "dst"])
-    return caching.pin(out, nn)
+    return caching.pin(out, nn, *caching.pinned(nn))
 
 
 def lof(pairs: DataFrame, k: int, keys: Sequence[str] = ()) -> DataFrame:
@@ -421,4 +443,4 @@ def lof(pairs: DataFrame, k: int, keys: Sequence[str] = ()) -> DataFrame:
         )
         .select(*keys, "src", "lrd", "lof")
     )
-    return caching.pin(out, nn)
+    return caching.pin(out, nn, *caching.pinned(nn))

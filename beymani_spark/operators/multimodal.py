@@ -1256,12 +1256,24 @@ def _banded_candidates(hashed, sigs, id_col, hash_col):
     engine: posexplode the band signatures, equi-join on (band, sig),
     keep src < dst, distinct — ONE copy of the join/distinct invariants
     for the image, composite, and video forms. Output columns:
-    (src, _ha, dst, _hb)."""
+    (src, _ha, dst, _hb).
+
+    The hash frame is PERSISTED before the self-join: both join sides
+    read it, and without a cache each side re-executes the full upstream
+    lineage — for every consumer that is the perceptual-hash mapInPandas
+    kernel (DCT / FFT per item, plus the PNG/AVI decode where used), the
+    dominant cost of the family, run twice per query (measured plan:
+    documents scanned 4x, two MapInPandas nodes per kernel). The cached
+    frame is (id, 16*k hex chars) — fingerprint-sized at any corpus
+    scale. Cache ownership passes to the caller via caching.pin."""
+    from ..functions import caching
+
+    hashed = hashed.persist()
     exploded = hashed.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
         F.posexplode(F.array(*sigs)).alias("band", "sig"),
     )
-    return (
+    out = (
         exploded.alias("a")
         .join(exploded.alias("b"), ["band", "sig"])
         .filter(F.col("a._id") < F.col("b._id"))
@@ -1273,6 +1285,7 @@ def _banded_candidates(hashed, sigs, id_col, hash_col):
         )
         .distinct()
     )
+    return caching.pin(out, hashed)
 
 
 def phash_dup_pairs(
@@ -1330,7 +1343,11 @@ def phash_dup_pairs(
     verified = cand.withColumn("hamming", phash_hamming("_ha", "_hb")).filter(
         F.col("hamming") <= max_hamming
     )
-    return verified.select("src", "dst", "hamming")
+    from ..functions import caching
+
+    return caching.pin(
+        verified.select("src", "dst", "hamming"), *caching.pinned(cand)
+    )
 
 
 def audio_fingerprint_hex(clips: Sequence[np.ndarray]) -> list[str]:
@@ -1558,8 +1575,11 @@ def video_phash_dup_pairs(
         for f in range(nf)
     ]
     worst = F.greatest(*frame_hams) if nf > 1 else frame_hams[0]
-    return (
+    from ..functions import caching
+
+    return caching.pin(
         cand.withColumn("max_frame_hamming", worst)
         .filter(F.col("max_frame_hamming") <= max_hamming)
-        .select("src", "dst", "max_frame_hamming")
+        .select("src", "dst", "max_frame_hamming"),
+        *caching.pinned(cand),
     )
