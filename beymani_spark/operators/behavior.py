@@ -41,33 +41,48 @@ def funnel_steps(
     """
     if not steps:
         raise ValueError("funnel_steps requires at least one step")
-    counts: list[DataFrame] = []
-    prev: DataFrame | None = None
+    # Single-pass window-chain form. The original per-step join chain
+    # re-executed every prior step's aggregate lineage, scanning the fact
+    # table s*(s+1)/2 times for s steps (measured: 6 scans, 8 Exchanges
+    # for the 3-step funnel). Here each step's first-qualifying time is a
+    # conditional min over the SAME user partition — one fact scan, one
+    # hash exchange on the user key, consecutive windows share the
+    # partitioning, and the per-user reduction reuses it too (no second
+    # exchange). Semantics are unchanged: _t[i] = min ts of a step-i
+    # event strictly after _t[i-1] (and within the gap when set); a null
+    # _t[i-1] nulls the comparison, so users never skip steps.
+    cur = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_type"),
+    )
     for i, step in enumerate(steps):
-        ev = df.filter(F.col(type_col) == step).select(
-            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
-        )
-        if prev is None:
-            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
-        else:
-            qual = ev.join(prev.select("_u", F.col("_t").alias("_pt")), "_u").filter(
-                F.col("_ts") > F.col("_pt")
-            )
+        cond = F.col("_type") == step
+        if i > 0:
+            cond = cond & (F.col("_ts") > F.col(f"_t{i - 1}"))
             if max_gap_hours is not None:
-                qual = qual.filter(
+                cond = cond & (
                     F.col("_ts")
-                    <= F.col("_pt") + F.expr(f"INTERVAL {max_gap_hours} HOUR")
+                    <= F.col(f"_t{i - 1}")
+                    + F.expr(f"INTERVAL {max_gap_hours} HOUR")
                 )
-            cur = qual.groupBy("_u").agg(F.min("_ts").alias("_t"))
-        counts.append(
-            cur.agg(F.count("*").alias("n_users")).select(
-                F.lit(i + 1).alias("step_idx"), F.lit(step).alias("step"), "n_users"
-            )
+        cur = cur.withColumn(
+            f"_t{i}", F.min(F.when(cond, F.col("_ts"))).over(Window.partitionBy("_u"))
         )
-        prev = cur
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
+    per_user = cur.groupBy("_u").agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    counts_row = per_user.agg(
+        *[F.count(f"_t{i}").alias(f"_n{i}") for i in range(len(steps))]
+    )
+    pairs = ", ".join(
+        f"{i + 1}, '{step}', `_n{i}`" for i, step in enumerate(steps)
+    )
+    out = counts_row.select(
+        F.expr(
+            f"stack({len(steps)}, {pairs}) as (step_idx, step, n_users)"
+        )
+    )
     # |steps| rows total — the single-partition window is bounded by design
     w = Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return out.withColumn(

@@ -24,7 +24,7 @@ Hashing: both sketch families take ``hash_fn``:
 """
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import caching
@@ -32,10 +32,20 @@ from .text import tokens
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Per-doc content hash + size of its duplicate group."""
+    """Per-doc content hash + size of its duplicate group.
+
+    One window over the digest shuffle instead of groupBy + self-join
+    (which scanned the input twice and paid a second exchange). The
+    explicit isNotNull filter reproduces the former inner join's
+    null-digest drop (null never equi-joins), so NULL-text rows stay
+    excluded."""
     hashed = df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
-    counts = hashed.groupBy("content_hash").agg(F.count("*").alias("dup_count"))
-    return hashed.join(counts, "content_hash").select(id_col, "content_hash", "dup_count")
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.filter(F.col("content_hash").isNotNull())
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .select(id_col, "content_hash", "dup_count")
+    )
 
 
 def shingles(text: Column, n: int = 3) -> Column:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import caching
@@ -51,9 +51,15 @@ def build_corpus(
     gated = scored.filter(F.round(F.col("quality"), 6) >= F.lit(float(quality_min)))
     red = pii_ops.pii_redact(gated, text_col, "clean_text")
     hashed = red.withColumn("_h", F.md5(F.col("clean_text")))
-    owner = hashed.groupBy("_h").agg(F.min(id_col).alias("_owner"))
+    # min-id owner per digest as ONE window over the digest shuffle. The
+    # former groupBy + self-join re-executed the whole upstream pipeline
+    # (lang_id + quality + PII regexes, the dominant per-row cost) for
+    # both join sides and paid a second join shuffle; the window form
+    # shuffles the digests once and scans the expression pipeline once.
+    # Identical result: min(id) per _h group, keep the owner row.
+    w_owner = Window.partitionBy("_h")
     kept = (
-        hashed.join(owner, "_h")
+        hashed.withColumn("_owner", F.min(id_col).over(w_owner))
         .filter(F.col(id_col) == F.col("_owner"))
         .drop("_h", "_owner")
     )
@@ -147,13 +153,17 @@ def corpus_audit(
     )
     red = pii_ops.pii_redact(scored, text_col, "_clean")
     hashed = red.withColumn("_h", F.md5(F.col("_clean"))).withColumn("_pass", gate)
-    owner = (
-        hashed.filter(F.col("_pass"))
-        .groupBy("_h")
-        .agg(F.min(id_col).alias("_owner"))
-    )
+    # ownership as one window over the digest shuffle (the build_corpus
+    # rewrite): min(id) over gate-passing rows per digest; gated-out rows
+    # contribute null to the conditional min, reproducing the left-join
+    # miss. One scan of the expression pipeline instead of two, one
+    # exchange instead of agg + join.
+    w_owner = Window.partitionBy("_h")
     out = (
-        hashed.join(owner, "_h", "left")
+        hashed.withColumn(
+            "_owner",
+            F.min(F.when(F.col("_pass"), F.col(id_col))).over(w_owner),
+        )
         .select(
             id_col,
             F.round("quality", 6).alias("quality"),

@@ -225,16 +225,18 @@ FROM ddm d JOIN fh f ON d.event_type = f.event_type AND d.event_id = f.event_id
 @register("drift_consensus", _CONSENSUS_ORACLE)
 def q_drift_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     errs = _error_stream(spark, sf_dir)
-    d1 = drift_mod.drift_detect(
-        errs, ["event_type"], "ts", "is_error", "ddm", threshold=3.0, warmup=50,
+    # one sorted pass evaluates both member detectors (drift_detect_multi):
+    # flags are bit-identical to the joined two-pass form, without the
+    # second kernel pass + fact-fact sort-merge join it paid
+    both = drift_mod.drift_detect_multi(
+        errs, ["event_type"], "ts", "is_error",
+        [
+            ("drift_ddm", "ddm", {"threshold": 3.0, "warmup": 50}),
+            ("drift_fhddm", "fhddm", {"conf_level": 1e-6, "win_size": 100}),
+        ],
         order_cols=["event_id"],
-    ).select("event_type", "event_id", F.col("drift").alias("drift_ddm"))
-    d2 = drift_mod.drift_detect(
-        errs, ["event_type"], "ts", "is_error", "fhddm", conf_level=1e-6, win_size=100,
-        order_cols=["event_id"],
-    ).select("event_type", "event_id", F.col("drift").alias("drift_fhddm"))
-    joined = d1.join(d2, ["event_type", "event_id"])
-    out = drift_mod.consensus_drift(joined, ["drift_ddm", "drift_fhddm"], consensus="any")
+    ).select("event_type", "event_id", "drift_ddm", "drift_fhddm")
+    out = drift_mod.consensus_drift(both, ["drift_ddm", "drift_fhddm"], consensus="any")
     return out.select(
         "event_type", "event_id", "drift_ddm", "drift_fhddm", "drift_consensus"
     )

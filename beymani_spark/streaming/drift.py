@@ -300,6 +300,47 @@ def drift_detect(
     return df.groupBy(*keys).applyInPandas(kernel, schema=schema)
 
 
+def drift_detect_multi(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    error_col: str,
+    detectors: Sequence[tuple[str, str, dict]],
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Run SEVERAL drift scans over one seq-ordered pass: ``detectors`` is
+    [(out_col, detector_kind, params), ...]; output adds one int drift
+    column per entry (no diagnostics — this is the consensus feed).
+
+    One shuffle + one Python pass replaces N independent
+    ``drift_detect`` calls joined on (keys, row id): each member scan
+    re-executed the error-stream lineage and the join paired two
+    fact-sized frames with a full sort-merge shuffle (measured plan for
+    the 2-detector consensus: 2 FlatMapGroupsInPandas + SortMergeJoin, 4
+    fact scans -> this form: 1 + no join). The member kernels consume the
+    identical sorted value array, so every flag is bit-identical to the
+    joined two-pass form (pinned by test_drift_streaming's multi/join
+    parity test)."""
+    for _, kind, _p in detectors:
+        if kind not in _SCANS:
+            raise ValueError(f"unknown detector: {kind}")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts, *order_cols], kind="mergesort").reset_index(drop=True)
+        vals = pdf[error_col].to_numpy()
+        res = pdf.copy()
+        for out_col, kind, params in detectors:
+            cols, _ = _SCANS[kind](vals, **params)
+            res[out_col] = cols["drift"]
+        return res
+
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema]
+        + [f"{c} int" for c, _, _ in detectors]
+    )
+    return df.groupBy(*keys).applyInPandas(kernel, schema=schema)
+
+
 def consensus_drift(
     df: DataFrame, drift_cols: Sequence[str], consensus: int | str = 1
 ) -> DataFrame:

@@ -51,6 +51,39 @@ def test_drift_detectors_fire_after_drift(spark, error_stream, detector, params)
     assert before <= 5, f"{detector}: {before} false alarms before change"
 
 
+def test_drift_detect_multi_matches_joined_two_pass(spark, error_stream):
+    """drift_detect_multi (one sorted pass, the consensus feed) must emit
+    bit-identical flags to two independent drift_detect passes joined on
+    the row key — the equivalence the drift_consensus query relies on."""
+    from pyspark.sql import functions as F
+
+    d1 = drift_mod.drift_detect(
+        error_stream, ["model_id"], "ts", "is_error", "ddm", threshold=3.0, warmup=50
+    ).select("model_id", "ts", F.col("drift").alias("drift_ddm"))
+    d2 = drift_mod.drift_detect(
+        error_stream, ["model_id"], "ts", "is_error", "fhddm",
+        conf_level=1e-6, win_size=100,
+    ).select("model_id", "ts", F.col("drift").alias("drift_fhddm"))
+    joined = (
+        d1.join(d2, ["model_id", "ts"]).orderBy("model_id", "ts").toPandas()
+    )
+    multi = (
+        drift_mod.drift_detect_multi(
+            error_stream, ["model_id"], "ts", "is_error",
+            [
+                ("drift_ddm", "ddm", {"threshold": 3.0, "warmup": 50}),
+                ("drift_fhddm", "fhddm", {"conf_level": 1e-6, "win_size": 100}),
+            ],
+        )
+        .select("model_id", "ts", "drift_ddm", "drift_fhddm")
+        .orderBy("model_id", "ts")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        joined.reset_index(drop=True), multi.reset_index(drop=True)
+    )
+
+
 def test_consensus_drift(spark, error_stream):
     d1 = drift_mod.drift_detect(
         error_stream, ["model_id"], "ts", "is_error", "ddm", threshold=3.0, warmup=50
