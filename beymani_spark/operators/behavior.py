@@ -305,7 +305,7 @@ def linear_attribution(
         F.col("_rn").alias("_ck"),
         F.col(value_col).alias("_cv"),
     )
-    credited = (
+    grouped = (
         touches.groupBy(
             "_u", F.col("_next_conv").alias("_ck"), F.col(type_col).alias("touch_type")
         )
@@ -314,27 +314,22 @@ def linear_attribution(
             "_n_tot",
             F.sum("_n_type").over(Window.partitionBy("_u", "_ck")),
         )
-        .join(conversions, ["_u", "_ck"])
-        .select(
-            "touch_type",
-            (F.col("_cv") * F.col("_n_type") / F.col("_n_tot")).alias("_credit"),
-            F.col("_n_type").alias("_n_touches"),
-        )
     )
-    # conversions nobody touched keep their value under 'none'
-    touched_keys = touches.select("_u", F.col("_next_conv").alias("_ck")).distinct()
-    untouched = conversions.join(touched_keys, ["_u", "_ck"], "left_anti").select(
-        F.lit("none").alias("touch_type"),
-        F.col("_cv").alias("_credit"),
-        F.lit(0).cast("long").alias("_n_touches"),
+    # ONE left join from conversions replaces the inner join + the
+    # anti-join 'none' branch (which re-derived the touch set a second
+    # time and paid its own distinct + join shuffles): a conversion with
+    # no touch group arrives with a null touch_type and keeps its full
+    # value under 'none' — same rows, one pass.
+    credit_rows = conversions.join(grouped, ["_u", "_ck"], "left").select(
+        F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type"),
+        F.when(F.col("touch_type").isNull(), F.col("_cv"))
+        .otherwise(F.col("_cv") * F.col("_n_type") / F.col("_n_tot"))
+        .alias("_credit"),
+        F.coalesce(F.col("_n_type"), F.lit(0).cast("long")).alias("_n_touches"),
     )
-    per_type = (
-        credited.unionByName(untouched)
-        .groupBy("touch_type")
-        .agg(
-            F.sum("_n_touches").alias("n_touches"),
-            F.round(F.sum("_credit"), 6).alias("total_credit"),
-        )
+    per_type = credit_rows.groupBy("touch_type").agg(
+        F.sum("_n_touches").alias("n_touches"),
+        F.round(F.sum("_credit"), 6).alias("total_credit"),
     )
     wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return per_type.withColumn(
@@ -395,32 +390,30 @@ def u_shaped_attribution(
         .when(F.col("_rn") == F.col("_last"), F.lit(ew))
         .otherwise(F.lit(1.0 - 2 * ew) / (F.col("_n_tot") - 2))
     )
-    credited = (
-        pos.withColumn("_w", weight)
-        # name-based join (linear_attribution convention): both sides cut
-        # from the same lineage, so an expression join would trip Spark's
-        # ambiguous-self-join resolution
-        .withColumnRenamed("_next_conv", "_ck")
-        .join(conversions, ["_u", "_ck"])
-        .select(
-            F.col(type_col).alias("touch_type"),
-            (F.col("_cv") * F.col("_w")).alias("_credit"),
-            F.lit(1).cast("long").alias("_n_touches"),
-        )
+    # name-based join (linear_attribution convention): both sides cut
+    # from the same lineage, so an expression join would trip Spark's
+    # ambiguous-self-join resolution. ONE left join from conversions
+    # replaces inner join + anti-join 'none' branch (the linear form's
+    # rewrite): an untouched conversion arrives with a null touch row and
+    # keeps its full value under 'none'.
+    weighted = pos.withColumn("_w", weight).withColumnRenamed("_next_conv", "_ck")
+    credit_rows = conversions.join(
+        weighted.select("_u", "_ck", F.col(type_col).alias("_tt"), "_w"),
+        ["_u", "_ck"],
+        "left",
+    ).select(
+        F.coalesce(F.col("_tt"), F.lit("none")).alias("touch_type"),
+        F.when(F.col("_tt").isNull(), F.col("_cv"))
+        .otherwise(F.col("_cv") * F.col("_w"))
+        .alias("_credit"),
+        F.when(F.col("_tt").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("_n_touches"),
     )
-    touched_keys = touches.select("_u", F.col("_next_conv").alias("_ck")).distinct()
-    untouched = conversions.join(touched_keys, ["_u", "_ck"], "left_anti").select(
-        F.lit("none").alias("touch_type"),
-        F.col("_cv").alias("_credit"),
-        F.lit(0).cast("long").alias("_n_touches"),
-    )
-    per_type = (
-        credited.unionByName(untouched)
-        .groupBy("touch_type")
-        .agg(
-            F.sum("_n_touches").alias("n_touches"),
-            F.round(F.sum("_credit"), 6).alias("total_credit"),
-        )
+    per_type = credit_rows.groupBy("touch_type").agg(
+        F.sum("_n_touches").alias("n_touches"),
+        F.round(F.sum("_credit"), 6).alias("total_credit"),
     )
     wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return per_type.withColumn(

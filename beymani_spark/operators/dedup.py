@@ -290,7 +290,13 @@ def minhash_lsh_pairs(
     caching.release(result) after the final action."""
     sh = exploded_shingles(df, id_col, text_col, n).persist()
     sigs = _signatures_from_shingles(sh, num_hashes, hash_fn)
-    exploded = _banded_signatures(sigs, num_hashes, bands, hash_fn)
+    # The band-signature frame feeds BOTH sides of the candidate
+    # self-join; unpersisted, each side re-runs the signature aggregation
+    # (one md5 + 16 affine mins per shingle occurrence — the family's
+    # per-row hot loop) over the shingle cache. The frame is |docs| x
+    # bands rows — signature-manifest-sized at any scale — so persist it
+    # too (pinned to the result with the shingle cache).
+    exploded = _banded_signatures(sigs, num_hashes, bands, hash_fn).persist()
     cand = (
         exploded.alias("a")
         .join(exploded.alias("b"), ["band", "sig"])
@@ -325,7 +331,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
-    return caching.pin(verified.select("src", "dst", "jaccard"), sh)
+    return caching.pin(verified.select("src", "dst", "jaccard"), sh, exploded)
 
 
 def dedup_clusters(
@@ -1214,9 +1220,12 @@ def incremental_minhash(
     the result — caching.release(result) after the final action."""
     bsh = exploded_shingles(new_df, id_col, text_col, n).persist()
     csh = exploded_shingles(corpus_df, id_col, text_col, n).persist()
+    # batch band signatures feed THREE joins (corpus candidates + both
+    # sides of the batch self-join); persist the |batch| x bands frame so
+    # the signature aggregation runs once (cband is single-use)
     bband = _banded_signatures(
         _signatures_from_shingles(bsh, num_hashes, hash_fn), num_hashes, bands, hash_fn
-    )
+    ).persist()
     cband = _banded_signatures(
         _signatures_from_shingles(csh, num_hashes, hash_fn), num_hashes, bands, hash_fn
     )
@@ -1279,7 +1288,7 @@ def incremental_minhash(
             ).alias("best_jaccard"),
         )
     )
-    return caching.pin(ledger, bsh, csh)
+    return caching.pin(ledger, bsh, csh, bband)
 
 
 def dedup_stats(
@@ -1340,6 +1349,12 @@ def source_similarity(
     """
     if mode not in ("sets", "pairs"):
         raise ValueError(f"unknown mode: {mode}")
+    # Persisted: the distinct group-shingle set feeds the per-group sizes
+    # AND the pair stage (both self-join sides in mode='pairs'); without a
+    # cache each branch re-runs the shingle explode + the distinct
+    # shuffle — the data-sized work of this operator — up to three times
+    # (measured: 3 fact scans). Ownership passes to the caller
+    # (caching.pin / caching.release).
     sh = (
         df.select(
             F.col(group_col).alias("_g"),
@@ -1351,6 +1366,7 @@ def source_similarity(
             F.xxhash64("_sh", F.lit(1)).alias("_h2"),
         )
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("_g").agg(F.count("*").alias("_n"))
     if mode == "pairs":
@@ -1377,7 +1393,7 @@ def source_similarity(
             .groupBy("source_a", "source_b")
             .agg(F.count("*").alias("intersection"))
         )
-    return (
+    return caching.pin(
         pairs.join(
             F.broadcast(sizes.select(F.col("_g").alias("source_a"), F.col("_n").alias("_na"))),
             "source_a",
@@ -1395,7 +1411,8 @@ def source_similarity(
                 / (F.col("_na") + F.col("_nb") - F.col("intersection")),
                 6,
             ).alias("jaccard"),
-        )
+        ),
+        sh,
     )
 
 
@@ -1468,7 +1485,13 @@ def containment_pairs(
     """
     sh = exploded_shingles(df, id_col, text_col, n).persist()
     sigs = _signatures_from_shingles(sh, num_hashes, hash_fn)
-    exploded = _banded_signatures(sigs, num_hashes, bands, hash_fn)
+    # The band-signature frame feeds BOTH sides of the candidate
+    # self-join; unpersisted, each side re-runs the signature aggregation
+    # (one md5 + 16 affine mins per shingle occurrence — the family's
+    # per-row hot loop) over the shingle cache. The frame is |docs| x
+    # bands rows — signature-manifest-sized at any scale — so persist it
+    # too (pinned to the result with the shingle cache).
+    exploded = _banded_signatures(sigs, num_hashes, bands, hash_fn).persist()
     cand = (
         exploded.alias("a")
         .join(exploded.alias("b"), ["band", "sig"])
@@ -1493,5 +1516,5 @@ def containment_pairs(
         .filter(F.col("containment") >= min_containment)
     )
     return caching.pin(
-        verified.select("src", "dst", "containment", "jaccard"), sh
+        verified.select("src", "dst", "containment", "jaccard"), sh, exploded
     )

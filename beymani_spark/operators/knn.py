@@ -79,6 +79,7 @@ def blocked_vec_pairs(
     out_schema: str,
     tiles: int | None = None,
     target_block: int = 4096,
+    persist_base: bool = True,
 ) -> DataFrame:
     """Distributed block-nested-loop over all vector pairs — the exact-pairs
     engine behind pair_distances_np / cosine_dup_pairs.
@@ -107,22 +108,28 @@ def blocked_vec_pairs(
     import pandas as pd
 
     base = df
-    # Persist the keyed (id, vec) projection ONCE: the src and ref sides
-    # below both consume it, and without a cache EACH side re-executes the
-    # full upstream lineage — for consumers whose input is itself a Python
-    # pipeline (e.g. media decode -> quantize feeding cosine_dup_pairs)
-    # that kernel ran three times per query (tiles count + both cogroup
-    # sides; measured plan: two decode MapInPandas nodes + the count).
-    # The cache is the keyed vector set — the operator's own input size,
-    # nothing bigger. Ownership passes to the caller via caching.pin on
-    # the cogroup result.
-    df = base.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).persist()
+    # ``persist_base=True`` (default): persist the keyed (id, vec)
+    # projection ONCE — the src and ref sides below both consume it, and
+    # without a cache EACH side re-executes the full upstream lineage.
+    # For consumers whose input is itself a Python pipeline (e.g. media
+    # decode -> quantize feeding cosine_dup_pairs) that kernel ran three
+    # times per query (tiles count + both cogroup sides; measured plan:
+    # two decode MapInPandas nodes + the count). The cache is the keyed
+    # vector set — the operator's own input size, nothing bigger.
+    # Ownership passes to the caller via caching.pin on the cogroup
+    # result. ``persist_base=False`` is for PLAIN-SCAN inputs
+    # (pair_distances_np over a stored vector table): three column-pruned
+    # scans are cheaper than writing and reading a cache of the whole
+    # vector set — measured both ways at sf0.1 (lof 2.4 s no-persist vs
+    # 3.3 s persisted; media_dup the reverse), and the same trade holds
+    # at scale (scan vs full-table cache materialization).
+    df = base.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if persist_base:
+        df = df.persist()
     if tiles is None:
-        # distributed count (a cheap aggregate, not a data collect);
-        # doubles as the cache materialization, so the upstream lineage
-        # runs exactly once
+        # distributed count (a cheap aggregate, not a data collect); when
+        # the base is persisted it doubles as the cache materialization,
+        # so the upstream lineage runs exactly once
         tiles = max(1, -(-df.count() // target_block))
     t = int(tiles)
     src = df.withColumn("_i", F.pmod(F.xxhash64("_id"), F.lit(t))).withColumn(
@@ -150,12 +157,12 @@ def blocked_vec_pairs(
         ref_mat = np.array([np.asarray(v, dtype=float) for v in right["_rv"]])
         return kernel(src_ids, src_mat, ref_ids, ref_mat)
 
-    return caching.pin(
+    out = (
         src.groupBy("_i", "_j")
         .cogroup(ref.groupBy("_i", "_j"))
-        .applyInPandas(block, out_schema),
-        df,
+        .applyInPandas(block, out_schema)
     )
+    return caching.pin(out, df) if persist_base else out
 
 
 def pair_distances_np(
@@ -204,6 +211,9 @@ def pair_distances_np(
     out = blocked_vec_pairs(
         df, id_col, vec_col, kernel, "src long, dst long, dist double",
         tiles=tiles, target_block=target_block,
+        # plain stored-vector inputs in every registry consumer; the
+        # downstream density operators persist the N*k nn frame instead
+        persist_base=False,
     )
     if k is not None:
         w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())

@@ -479,9 +479,13 @@ def ngram_novelty(
         F.xxhash64("gram").alias("_h1"),
         F.xxhash64("gram", F.lit(1)).alias("_h2"),
     )
-    first = hashed.groupBy("_h1", "_h2").agg(F.min("_id").alias("_owner"))
+    # min-owner as one window over the gram-hash shuffle: the former
+    # groupBy + equi-join re-executed the gram explode for both sides and
+    # shuffled the full hashed set twice (agg input + join). The window
+    # shuffles it once; hash keys are uniform, so no skewed partition.
+    w_first = Window.partitionBy("_h1", "_h2")
     per_doc = (
-        hashed.join(first, ["_h1", "_h2"])
+        hashed.withColumn("_owner", F.min("_id").over(w_first))
         .groupBy("_id")
         .agg(
             F.count("*").alias("n_grams"),
