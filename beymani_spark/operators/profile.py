@@ -77,6 +77,56 @@ def numerical_stats(
     )
 
 
+def stats_and_quartiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    cycle: str | None = None,
+    ts: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`numerical_stats` + ``zscore.quartiles`` from ONE groupBy pass.
+
+    A consumer needing both models over the same (keys, values) grouping
+    (anomaly_score_fuse: the z-score and IQR kernels standardize against
+    per-key stats AND quartiles) otherwise scans and shuffles the fact
+    table twice to build two model frames over the identical grouping.
+    The aggregate expressions are exactly those of the two separate
+    builders, so the derived frames are value-identical.
+
+    Returns ``(stats, quartiles, combined)``. ``combined`` is persisted —
+    the two model selects are separate plan branches and would each
+    re-run the aggregation otherwise; it is |keys|x|values| rows
+    (model-sized at any scale). Cache ownership passes to the caller
+    (``caching.pin`` the result, ``caching.release`` after the final
+    action)."""
+    long = _explode_attrs(df, keys, values, cycle, ts)
+    group = [c for c in long.columns if c not in ("attr", "value")] + ["attr"]
+    combined = (
+        long.groupBy(*group)
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
+            F.avg("value").alias("mean"),
+            F.stddev_samp("value").alias("std"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.percentile("value", F.lit(0.25)).alias("q1"),
+            F.percentile("value", F.lit(0.75)).alias("q3"),
+            (
+                F.percentile("value", F.lit(0.75))
+                - F.percentile("value", F.lit(0.25))
+            ).alias("iqr"),
+        )
+        .persist()
+    )
+    stats = combined.select(
+        *group, "cnt", "sum", "sum_sq", "mean", "std", "min", "max"
+    )
+    quartiles = combined.select(*group, "q1", "q3", "iqr")
+    return stats, quartiles, combined
+
+
 def median_mad(
     df: DataFrame,
     keys: Sequence[str],

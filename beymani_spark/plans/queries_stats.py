@@ -882,12 +882,17 @@ def q_anomaly_score_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     (global rank aggregation would sort the fact table once per
     detector). One fact scan with two broadcast model joins feeds BOTH
     kernels (never a fact-fact self-join to pair the scores), then the
-    |keys|-row fuse model broadcasts back."""
+    |keys|-row fuse model broadcasts back. Both detector models come from
+    ONE fused groupBy pass (profile.stats_and_quartiles, persisted
+    |keys|-row frame) instead of two separate fact scans + shuffles —
+    and because quality_fuse re-derives the scored frame for its fit and
+    its apply branch, the saving applies per branch."""
     from ..operators import text as text_ops
 
     ev = load_table(spark, sf_dir, "events")
-    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
-    model = zscore.quartiles(ev, ["event_type"], ["value"])
+    stats, model, combined = profile.stats_and_quartiles(
+        ev, ["event_type"], ["value"]
+    )
     z = (
         zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
         .withColumnRenamed("score", "z_raw")
@@ -907,4 +912,7 @@ def q_anomaly_score_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text_ops.quality_fuse(
         scored, ["z_score", "iqr_s"], by=["event_type"]
     )
-    return out.select("event_id", "event_type", "z_score", "iqr_s", "fused_score")
+    return caching.pin(
+        out.select("event_id", "event_type", "z_score", "iqr_s", "fused_score"),
+        combined,
+    )

@@ -83,3 +83,25 @@ def test_build_corpus_mixed_pins_and_releases_corpus_cache(spark):
     assert pinned, "build_corpus_mixed should pin its corpus cache"
     caching.release(mixed, blocking=True)
     assert cm.isEmpty(), "release leaked the corpus cache"
+
+
+def test_stats_and_quartiles_matches_separate_builders(spark):
+    """The fused model pass (profile.stats_and_quartiles, the
+    anomaly_score_fuse one-scan optimization) must emit frames
+    value-identical to the two separate builders, pin its combined cache,
+    and release cleanly."""
+    from beymani_spark.operators import profile, zscore
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    keys, vals = ["event_type"], ["value"]
+    fused_stats, fused_q, combined = profile.stats_and_quartiles(ev, keys, vals)
+    sep_stats = profile.numerical_stats(ev, keys, vals)
+    sep_q = zscore.quartiles(ev, keys, vals)
+    for fused, sep in ((fused_stats, sep_stats), (fused_q, sep_q)):
+        assert fused.columns == sep.columns
+        a = sorted(map(tuple, fused.collect()))
+        b = sorted(map(tuple, sep.collect()))
+        assert a == b
+    assert combined.storageLevel.useMemory
+    combined.unpersist(blocking=True)
+    assert not combined.storageLevel.useMemory
