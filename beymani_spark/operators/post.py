@@ -147,7 +147,17 @@ def threshold_learner(
     split of the score column; lowest impurity = learned threshold.
 
     Output: (keys..., split, weighted_impurity). One explode + one groupBy.
+
+    The per-(key, split, side, class) count frame is persisted: it feeds
+    BOTH the join side and the side-total aggregate below, and unpersisted
+    each branch re-runs the explode + groupBy over the scored fact input
+    (measured: the fact table scanned 4x per call, 2x per branch). The
+    frame is |keys|x|splits|x2x|classes| rows — model-sized at any scale.
+    Cache ownership passes to the caller (``caching.pin``ned to the
+    result; release after the final action).
     """
+    from ..functions import caching
+
     split_arr = F.array(*[F.lit(float(s)) for s in splits])
     fan = scored.select(
         *keys,
@@ -155,7 +165,11 @@ def threshold_learner(
         F.col(class_col).alias("_cls"),
         F.explode(split_arr).alias("split"),
     ).withColumn("side", F.when(F.col("_score") <= F.col("split"), "le").otherwise("gt"))
-    cnt = fan.groupBy(*keys, "split", "side", "_cls").agg(F.count("*").alias("n"))
+    cnt = (
+        fan.groupBy(*keys, "split", "side", "_cls")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
     side_tot = cnt.groupBy(*keys, "split", "side").agg(F.sum("n").alias("n_side"))
     joined = cnt.join(side_tot, [*keys, "split", "side"])
     p = F.col("n") / F.col("n_side")
@@ -168,13 +182,13 @@ def threshold_learner(
     per_side = joined.groupBy(*keys, "split", "side").agg(
         F.sum(impurity_term).alias("impurity"), F.first("n_side").alias("n_side")
     )
-    return (
-        per_side.groupBy(*keys, "split")
-        .agg(
+    return caching.pin(
+        per_side.groupBy(*keys, "split").agg(
             (F.sum(F.col("impurity") * F.col("n_side")) / F.sum("n_side")).alias(
                 "weighted_impurity"
             )
-        )
+        ),
+        cnt,
     )
 
 

@@ -79,7 +79,17 @@ def outlier_cluster(
     id_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Cluster outlier rows whose gaps are <= max_interval_sec; emit one row
-    per cluster with its prototype (highest-score member)."""
+    per cluster with its prototype (highest-score member).
+
+    The clustered outlier frame is persisted: the per-cluster stats and the
+    prototype pick are two plan branches over it, and unpersisted each
+    branch re-runs the whole upstream lineage (scoring included — measured:
+    the fact table scanned 4x per call). The cache holds OUTLIER rows only
+    (the label filter runs below it), a small fraction of the input at any
+    scale. Ownership passes to the caller (``caching.pin``ned to the
+    result)."""
+    from ..functions import caching
+
     o = scored.filter(F.col(label_col) == "O")
     wseq = Window.partitionBy(*keys).orderBy(ts, *id_cols)
     gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.lag(ts).over(wseq))
@@ -93,7 +103,7 @@ def outlier_cluster(
             Window.partitionBy(*keys).orderBy(ts, *id_cols)
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
-    )
+    ).persist()
     wproto = Window.partitionBy(*keys, "cluster_id").orderBy(
         F.col(score_col).desc(), *[F.col(c).asc() for c in id_cols]
     )
@@ -107,7 +117,7 @@ def outlier_cluster(
         .filter(F.col("_rn") == 1)
         .select(*keys, "cluster_id", *id_cols, F.col(score_col).alias("proto_score"))
     )
-    return stats.join(protos, [*keys, "cluster_id"])
+    return caching.pin(stats.join(protos, [*keys, "cluster_id"]), o)
 
 
 def level_shift_segments(

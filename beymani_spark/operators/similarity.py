@@ -1110,11 +1110,14 @@ def hybrid_rrf_topk(
     single query would single-task-sort the whole embedding table. The
     fusion is a full outer join of two <= n_candidates-row frames and
     the final rank window runs on <= 2*n_candidates rows."""
+    from ..functions import caching
     from .text import bm25_topk
 
-    lex = bm25_topk(
-        docs, query_terms, id_col=id_col, k=n_candidates
-    ).select(F.col(id_col).alias("_id"), F.col("bm25_rank"))
+    lex_full = bm25_topk(docs, query_terms, id_col=id_col, k=n_candidates)
+    # carry bm25_topk's pinned tf cache through the select (pin handles
+    # ride the specific DataFrame object, not the lineage)
+    pins = caching.pinned(lex_full)
+    lex = lex_full.select(F.col(id_col).alias("_id"), F.col("bm25_rank"))
 
     base = with_norm(emb, vec_col).select(
         F.col(vec_id_col).alias("_id"), F.col("_vec"), F.col("_norm")
@@ -1146,10 +1149,13 @@ def hybrid_rrf_topk(
     )
     top = fused.orderBy(F.col("rrf_score").desc(), F.col("_id").asc()).limit(k)
     wr = Window.orderBy(F.col("rrf_score").desc(), F.col("_id").asc())
-    return top.withColumn("hybrid_rank", F.row_number().over(wr)).select(
-        F.col("_id").alias(id_col),
-        "bm25_rank",
-        "cos_rank",
-        "rrf_score",
-        "hybrid_rank",
+    return caching.pin(
+        top.withColumn("hybrid_rank", F.row_number().over(wr)).select(
+            F.col("_id").alias(id_col),
+            "bm25_rank",
+            "cos_rank",
+            "rrf_score",
+            "hybrid_rank",
+        ),
+        *pins,
     )

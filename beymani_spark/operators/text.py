@@ -1099,10 +1099,16 @@ def bm25_topk(
     stats = perdoc.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
     )
+    # tf feeds BOTH the df(t) aggregate and the scoring join below;
+    # unpersisted, each branch re-runs the tokenize + explode + groupBy
+    # over the corpus scan. The frame is |matching docs| x |query terms|
+    # rows of (id, term, counts) — narrow, match-bounded. Pinned to the
+    # result (caching.release after the final action).
     tf = (
         perdoc.select("_id", "_dl", F.explode("_m").alias("token"))
         .groupBy("_id", "token")
         .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl"))
+        .persist()
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
@@ -1124,6 +1130,9 @@ def bm25_topk(
     )
     top = scored.orderBy(F.col("score").desc(), F.col("_id").asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("_id").asc())
-    return top.withColumn("bm25_rank", F.row_number().over(w)).select(
-        F.col("_id").alias(id_col), "n_hit_terms", "score", "bm25_rank"
+    return caching.pin(
+        top.withColumn("bm25_rank", F.row_number().over(w)).select(
+            F.col("_id").alias(id_col), "n_hit_terms", "score", "bm25_rank"
+        ),
+        tf,
     )

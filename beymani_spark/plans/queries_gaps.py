@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import caching
 from ..operators import histogram, profile, post, sequence, zscore
 from ..sources import load_table
 from ..streaming import drift as drift_mod
@@ -65,18 +66,26 @@ FROM scored s LEFT JOIN thr t USING (event_type)
 @register("keyed_threshold_tagging", _KEYED_THRESHOLD_ORACLE)
 def q_keyed_threshold_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    # persist the two |keys|-row model frames: stats feeds every scored
+    # branch (its groupBy lineage otherwise re-runs per branch) and thr is
+    # broadcast twice (tag + the threshold column join-back) — unpersisted,
+    # events scanned 6x; persisted, once per ROW-level branch (3x)
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"]).persist()
     scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
-    thr = post.pseudo_relevance_threshold(
-        scored, ["event_type"], top_fraction=0.05, min_count=20
-    ).drop("n")
+    thr = (
+        post.pseudo_relevance_threshold(
+            scored, ["event_type"], top_fraction=0.05, min_count=20
+        )
+        .drop("n")
+        .persist()
+    )
     out = zscore.tag_with_keyed_threshold(scored, thr, ["event_type"]).join(
         F.broadcast(thr.withColumnRenamed("threshold", "_t2")), ["event_type"], "left"
     )
     res = out.select(
         "event_id", "event_type", "score", F.col("_t2").alias("threshold"), "label"
     )
-    return _round(res, ["score", "threshold"])
+    return caching.pin(_round(res, ["score", "threshold"]), stats, thr)
 
 
 _ENTROPY_INC_ORACLE = """
@@ -113,11 +122,17 @@ FROM c
 @register("entropy_increase", _ENTROPY_INC_ORACLE)
 def q_entropy_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    hist = histogram.attr_histogram(ev, ["event_type"], ["value"], [10.0])
+    # persist the |keys x buckets| histogram model: entropy_increase_score
+    # broadcast-builds it TWICE (per-key N/S aggregate + the bucket join),
+    # re-running the bucket groupBy over the fact table per build
+    hist = histogram.attr_histogram(ev, ["event_type"], ["value"], [10.0]).persist()
     out = histogram.entropy_increase_score(
         ev, hist, ["event_type"], "value", 10.0, threshold=0.001
     )
-    return _round(out.select("event_id", "event_type", "value", "score", "label"), ["score"])
+    return caching.pin(
+        _round(out.select("event_id", "event_type", "value", "score", "label"), ["score"]),
+        hist,
+    )
 
 
 _DISCRETIZE_ORACLE = """
@@ -373,7 +388,13 @@ def q_subsequence_distance_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ev = load_q(sf_dir)
-    mid = ev.groupBy("event_type").agg(F.percentile("event_id", F.lit(0.6)).alias("_m"))
+    # persist the |keys|-row split-point model: it is broadcast-built on
+    # BOTH sides below, re-running its percentile aggregate per side
+    mid = (
+        ev.groupBy("event_type")
+        .agg(F.percentile("event_id", F.lit(0.6)).alias("_m"))
+        .persist()
+    )
     # fresh scans per side: cogroup over two filters of one plan is ambiguous
     ref = (
         load_q(sf_dir)
@@ -391,4 +412,7 @@ def q_subsequence_distance_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         test, ref, ["event_type"], "ts", "value", window=16, parallelism=8,
         order_cols=["event_id"], ref_order_cols=["event_id"],
     )
-    return _round(out.select("event_type", "offset", "discord_score"), ["discord_score"])
+    return caching.pin(
+        _round(out.select("event_type", "offset", "discord_score"), ["discord_score"]),
+        mid,
+    )

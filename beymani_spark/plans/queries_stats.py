@@ -324,11 +324,18 @@ def q_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned (not fixed) threshold, and report the per-key outlier summary.
     Every stage is the already-verified operator; this pins the chain."""
     ev = load_table(spark, sf_dir, "events")
-    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    # persist the two |keys|-row model frames (stats, thr): each is
+    # consumed by more than one plan branch and would otherwise re-run its
+    # fit lineage — including the fact scan — per branch (events 4x -> 3x)
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"]).persist()
     scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=3.0)
-    thr = post.pseudo_relevance_threshold(
-        scored, ["event_type"], top_fraction=0.05, min_count=20
-    ).filter(F.col("threshold").isNotNull())
+    thr = (
+        post.pseudo_relevance_threshold(
+            scored, ["event_type"], top_fraction=0.05, min_count=20
+        )
+        .filter(F.col("threshold").isNotNull())
+        .persist()
+    )
     tagged = (
         scored.filter(F.col("score").isNotNull())
         .join(thr.select("event_type", "threshold"), "event_type")
@@ -343,7 +350,7 @@ def q_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("_o") / F.count("*"), R).alias("outlier_rate"),
         F.round(F.first("threshold"), R).alias("threshold"),
     )
-    return out
+    return caching.pin(out, stats, thr)
 
 
 # Winsorize: the clamp runs against ROUND-6 bounds on both sides —
@@ -427,7 +434,10 @@ def q_threshold_learner(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = post.threshold_learner(
         scored, ["event_type"], "cls", _THRESHOLD_LEARNER_SPLITS
     )
-    return _round(out, ["split", "weighted_impurity"])
+    # carry the operator's pinned count cache through the rounding select
+    return caching.pin(
+        _round(out, ["split", "weighted_impurity"]), *caching.pinned(out)
+    )
 
 
 # ---------------------------------------------------------------- temporal
@@ -544,12 +554,18 @@ def q_zscore_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.get_json_object("props", "$.k").cast("double").alias("k_val"),
     )
-    stats = profile.numerical_stats(ev, ["event_type"], ["value", "k_val"])
+    # persist the |keys x 2 attrs| stats model: _join_model broadcast-joins
+    # it once PER ATTRIBUTE, so the two-attr call re-ran the stats groupBy
+    # (and its fact scan) twice
+    stats = profile.numerical_stats(ev, ["event_type"], ["value", "k_val"]).persist()
     out = zscore.zscore_attribution(
         ev, stats, ["event_type"], ["value", "k_val"], threshold=3.0
     )
-    return out.select(
-        "event_id", "event_type", "z_value", "z_k_val", "max_z", "top_attr"
+    return caching.pin(
+        out.select(
+            "event_id", "event_type", "z_value", "z_k_val", "max_z", "top_attr"
+        ),
+        stats,
     )
 
 

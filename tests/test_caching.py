@@ -105,3 +105,55 @@ def test_stats_and_quartiles_matches_separate_builders(spark):
     assert combined.storageLevel.useMemory
     combined.unpersist(blocking=True)
     assert not combined.storageLevel.useMemory
+
+
+def test_threshold_learner_and_outlier_cluster_pin_their_caches(spark):
+    """The r10 model-frame persists: threshold_learner's count frame and
+    outlier_cluster's clustered-outlier frame feed two plan branches each;
+    both operators must pin the cache to the result and release cleanly."""
+    from pyspark.sql import functions as F
+
+    from beymani_spark.operators import post, profile, rollup, zscore
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    stats = profile.numerical_stats(ev, ["event_type"], ["value"])
+    scored = zscore.zscore(ev, stats, ["event_type"], ["value"], threshold=2.0)
+    learner = post.threshold_learner(
+        scored.filter(F.col("score").isNotNull()).withColumn(
+            "cls", F.when(F.col("value") > 50, 1).otherwise(0)
+        ),
+        ["event_type"],
+        "cls",
+        [0.5, 1.0, 2.0],
+    )
+    clusters = rollup.outlier_cluster(
+        scored, ["event_type"], "ts", max_interval_sec=86400, id_cols=["event_id"]
+    )
+    for result, what in ((learner, "threshold_learner"), (clusters, "outlier_cluster")):
+        result.count()
+        pinned = caching.pinned(result)
+        assert pinned, f"{what} should pin its branch-shared cache"
+        assert all(f.storageLevel.useMemory for f in pinned)
+        caching.release(result, blocking=True)
+        assert all(not f.storageLevel.useMemory for f in pinned)
+
+
+def test_bm25_topk_pins_tf_cache_and_hybrid_propagates(spark):
+    """bm25_topk persists its (id, term) count frame (df(t) + scoring join
+    both consume it); hybrid_rrf_topk must carry that pin through its
+    select so callers can still release."""
+    from beymani_spark.operators import similarity, text
+
+    docs = _docs(spark)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    lex = text.bm25_topk(docs, ["the", "and"], k=5)
+    lex.count()
+    assert caching.pinned(lex), "bm25_topk should pin its tf cache"
+    caching.release(lex, blocking=True)
+
+    hyb = similarity.hybrid_rrf_topk(docs, emb, ["the", "and"], 0, k=5)
+    hyb.count()
+    assert caching.pinned(hyb), "hybrid_rrf_topk should propagate bm25's pin"
+    caching.release(hyb, blocking=True)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "release leaked a cache"
