@@ -76,59 +76,7 @@ from . import queries_packing  # noqa: E402,F401
 # list; tests/test_rotation_audit.py enforces the ordering against the
 # committed CORRECTNESS records.
 _PRIORITY = [
-    # --- never driver-checked — new additions lead the window ---
-    "curriculum_plan",
-    "bm25_topk",
-    "hybrid_retrieval",
-    # --- newest driver row r5 ---
-    "est_prob",
-    "est_attr_prob",
-    "est_meta_prob",
-    "est_cum_prob",
-    "iqr_score",
-    "mahalanobis",
-    "entropy_increase",
-    "distribution_sorter",
-    "entropy_sorter",
-    "average_distance",
-    "neighbor_density",
-    "relative_density",
-    "numerical_stats",
-    "median_mad",
-    "temporal_aggregate",
-    "auto_correlation",
-    "discretize_quantile",
-    "markov_transition",
-    "drift_ddm",
-    "drift_eddm",
-    "drift_fhddm",
-    "drift_ecdd",
-    "lp_drift",
-    "drift_consensus",
-    "local_drift",
-    "score_stats",
-    "media_features",
     # --- newest driver row r6 ---
-    "corpus_length_drift",
-    "media_dup_pairs",
-    "corpus_quality_drift_by_lang",
-    "pack_manifest_incremental",
-    "boilerplate_scrub",
-    "dedup_minhash_incremental",
-    "topic_mix",
-    "perplexity_gate",
-    "skew_audit",
-    "corpus_diff",
-    "zipf_spectrum",
-    "split_leak_check",
-    "token_mix",
-    "quality_calibrate",
-    "anomaly_pipeline",
-    "winsorize",
-    "zscore_attribution",
-    "ngram_novelty",
-    "quality_sample",
-    "lang_confusion",
     "semantic_dedup",
     "topic_drift",
     "prototype_prune",
@@ -312,6 +260,57 @@ _PRIORITY = [
     "clean_output_anti_join",
     "robust_zscore",
     "extreme_value",
+    # --- newest driver row r10 ---
+    "curriculum_plan",
+    "bm25_topk",
+    "hybrid_retrieval",
+    "est_prob",
+    "est_attr_prob",
+    "est_meta_prob",
+    "est_cum_prob",
+    "iqr_score",
+    "mahalanobis",
+    "entropy_increase",
+    "distribution_sorter",
+    "entropy_sorter",
+    "average_distance",
+    "neighbor_density",
+    "relative_density",
+    "numerical_stats",
+    "median_mad",
+    "temporal_aggregate",
+    "auto_correlation",
+    "discretize_quantile",
+    "markov_transition",
+    "drift_ddm",
+    "drift_eddm",
+    "drift_fhddm",
+    "drift_ecdd",
+    "lp_drift",
+    "drift_consensus",
+    "local_drift",
+    "score_stats",
+    "media_features",
+    "corpus_length_drift",
+    "media_dup_pairs",
+    "corpus_quality_drift_by_lang",
+    "pack_manifest_incremental",
+    "boilerplate_scrub",
+    "dedup_minhash_incremental",
+    "topic_mix",
+    "perplexity_gate",
+    "skew_audit",
+    "corpus_diff",
+    "zipf_spectrum",
+    "split_leak_check",
+    "token_mix",
+    "quality_calibrate",
+    "anomaly_pipeline",
+    "winsorize",
+    "zscore_attribution",
+    "ngram_novelty",
+    "quality_sample",
+    "lang_confusion",
 ]
 _rank = {n: i for i, n in enumerate(_PRIORITY)}
 _ordered = sorted(
