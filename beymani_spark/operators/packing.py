@@ -83,19 +83,30 @@ def chunk_for_training(
 
 def _ranged_prefix(narrow: DataFrame, range_cols, partitions: int, total):
     """Shared distributed prefix-sum scaffold (pack_sequences token
-    offsets, shuffle_plan positions): range-partition the narrow frame by
-    ``range_cols``, tag partition ids, and build the broadcastable
-    (_pid, _base) offsets frame where _base = sum of ``total`` (an
-    aggregate expression) over all earlier range partitions.
+    offsets, shuffle_plan positions, curriculum_plan ranks): range-
+    partition the narrow frame by ``range_cols``, tag partition ids, and
+    compute each partition's base offset (sum of ``total``, an aggregate
+    expression, over all earlier range partitions).
 
     The frame persists AFTER the range exchange: every consumer (the
     per-partition window AND the totals aggregate) must observe the SAME
     physical range boundaries or the base offsets misalign
     (RangePartitioner samples with an RDD-id-derived seed — two
     materializations can draw different boundaries; without a cache the
-    consistency rides on exchange reuse). Returns (ranged, w, base):
-    the persisted frame, the per-partition window ordered by range_cols,
-    and the offsets frame. ONE home for this invariant."""
+    consistency rides on exchange reuse). ONE home for this invariant.
+
+    The per-partition totals COLLECT to the driver (one bounded job over
+    the fresh cache — |partitions| longs, cluster-parallelism-sized
+    metadata, never data) and come back as a dense offsets ARRAY literal
+    indexed by _pid. This replaces the former |partitions|-row offsets
+    frame + BroadcastHashJoin per consumer: one plan has zero joins and
+    zero BroadcastExchange sub-jobs, and callers that also need the grand
+    total (curriculum_plan's n_total) read it off the same collect
+    instead of paying a second count() job.
+
+    Returns (ranged, w, base_col, grand_total): the persisted frame, the
+    per-partition window ordered by range_cols, the base-offset COLUMN
+    (usable directly against ranged's _pid), and sum(total) overall."""
     ranged = (
         narrow.repartitionByRange(
             int(partitions), *[F.col(c) for c in range_cols]
@@ -104,21 +115,21 @@ def _ranged_prefix(narrow: DataFrame, range_cols, partitions: int, total):
         .persist()
     )
     w = Window.partitionBy("_pid").orderBy(*range_cols)
-    totals = ranged.groupBy("_pid").agg(total.alias("_ptotal"))
+    rows = ranged.groupBy("_pid").agg(total.alias("_ptotal")).collect()
+    ptot = {r["_pid"]: int(r["_ptotal"]) for r in rows}
     # range partitions are ordered by construction, so the base of
-    # partition p is the sum of the totals of partitions < p
-    base = totals.withColumn(
-        "_base",
-        F.coalesce(
-            F.sum("_ptotal").over(
-                Window.orderBy("_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("_pid", "_base")
-    return ranged, w, base
+    # partition p is the sum of the totals of partitions < p; empty
+    # partitions (no totals row) contribute 0. Dense array over every
+    # requested pid so element_at stays in range under ANSI.
+    bases: list[int] = []
+    acc = 0
+    for p in range(int(partitions)):
+        bases.append(acc)
+        acc += ptot.get(p, 0)
+    base_col = F.element_at(
+        F.array(*[F.lit(b).cast("long") for b in bases]), F.col("_pid") + 1
+    )
+    return ranged, w, base_col, bases, acc
 
 
 def pack_sequences(
@@ -185,7 +196,7 @@ def pack_sequences(
     # the shared prefix-sum scaffold (persist-after-exchange invariant
     # lives in _ranged_prefix); the frame is (id, span, pid) longs,
     # pinned to the result
-    ranged, w0, base = _ranged_prefix(
+    ranged, w0, base_col, _, _ = _ranged_prefix(
         narrow, [id_col], int(partitions), F.sum("_span")
     )
     # per-partition running total (window re-shuffles by _pid: rows of one
@@ -199,7 +210,7 @@ def pack_sequences(
         "_local_end", F.sum("_span").over(w)
     )
     out = (
-        local.join(F.broadcast(base), "_pid")
+        local.withColumn("_base", base_col)
         .select(
             id_col,
             (F.col("_span") - F.lit(int(sep_tokens))).alias("n_tokens"),
@@ -266,14 +277,13 @@ def shuffle_plan(
         partitions = df.sparkSession.sparkContext.defaultParallelism
     u = hash_uniform(F.col(id_col), seed)
     narrow = df.select(F.col(id_col), u.alias(key_col))
-    ranged, w, base = _ranged_prefix(
+    ranged, w, base_col, _, _ = _ranged_prefix(
         narrow, [key_col, id_col], int(partitions), F.count("*")
     )
-    local = ranged.withColumn("_rk", F.row_number().over(w))
-    out = local.join(F.broadcast(base), "_pid").select(
+    out = ranged.withColumn("_rk", F.row_number().over(w)).select(
         id_col,
         key_col,
-        (F.col("_base") + F.col("_rk") - F.lit(1)).cast("long").alias(pos_col),
+        (base_col + F.col("_rk") - F.lit(1)).cast("long").alias(pos_col),
     )
     return caching.pin(out, ranged)
 
@@ -323,10 +333,9 @@ def curriculum_plan(
         -F.col(score_col).cast("double"), F.lit(float("inf"))
     )
     narrow = df.select(F.col(id_col), negq.alias("_negq"))
-    ranged, w, base = _ranged_prefix(
+    ranged, w, _base_col, bases, n_total = _ranged_prefix(
         narrow, ["_negq", id_col], int(partitions), F.count("*")
     )
-    n_total = ranged.count()  # bounded scalar on the persisted frame
     if n_total == 0:
         ranged.unpersist()
         return narrow.select(
@@ -334,32 +343,72 @@ def curriculum_plan(
             F.lit(0).cast("long").alias("stage"),
             F.lit(0).cast("long").alias("curriculum_pos"),
         ).limit(0)
-    staged = (
-        ranged.withColumn("_rk", F.row_number().over(w))
-        .join(F.broadcast(base), "_pid")
-        .select(
-            F.col(id_col),
-            F.expr(
-                f"((_base + _rk - 1) * {int(n_stages)}) div {int(n_total)}"
-            ).cast("long").alias("stage"),
+    # Stage assignment WITHOUT materializing per-row global ranks: stage
+    # boundaries are closed-form in rank space — the first row of stage s
+    # sits at 0-based rank r_s = ceil(s*N/K) (smallest r with
+    # (r*K) div N >= s) — so only the K-1 BOUNDARY ROWS are fetched (one
+    # tiny job over the pass-1 cache: local row_number within the
+    # partitions that hold a boundary) and every row's stage becomes a
+    # codegen comparison count against those (_negq, id) literals:
+    # stage(row) = #{s : boundary_s <= row in (_negq, id) order}. This is
+    # exactly ((rank*K) div N) because rank order IS (_negq, id) order
+    # (id unique). The former shape re-ran pass 1's full window+join
+    # subtree inside pass 2's range sampler AND its shuffle (the window
+    # exchange + BroadcastHashJoin executed twice more); pass 2 now reads
+    # the pass-1 cache through a scan-side expression.
+    import bisect
+
+    k = int(n_stages)
+    targets: dict[int, list[int]] = {}  # pid -> local 1-based row numbers
+    boundary_locs: list[tuple[int, int]] = []  # (pid, local_rk) per s
+    for s in range(1, k):
+        r_s = -(-s * n_total // k)  # ceil(s*N/K), 0-based global rank
+        if r_s >= n_total:
+            continue  # stage s (and later) empty: never <= any row
+        # partition holding rank r_s: the last p with bases[p] <= r_s
+        # (empty partitions share their base with the next, so bisect
+        # lands on a partition that actually holds the rank)
+        p = bisect.bisect_right(bases, r_s) - 1
+        rk = r_s - bases[p] + 1
+        targets.setdefault(p, []).append(rk)
+        boundary_locs.append((p, rk))
+    if targets:
+        cond = None
+        for p, rks in targets.items():
+            c = (F.col("_pid") == p) & F.col("_rk").isin(rks)
+            cond = c if cond is None else (cond | c)
+        brows = (
+            ranged.filter(F.col("_pid").isin(list(targets)))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(cond)
+            .select("_pid", "_rk", "_negq", id_col)
+            .collect()
         )
+        bmap = {(r["_pid"], r["_rk"]): (r["_negq"], r[id_col]) for r in brows}
+        stage_expr = None
+        for p, rk in boundary_locs:
+            nb, ib = bmap[(p, rk)]
+            hit = F.when(
+                (F.col("_negq") > F.lit(nb))
+                | ((F.col("_negq") == F.lit(nb)) & (F.col(id_col) >= F.lit(ib))),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            stage_expr = hit if stage_expr is None else stage_expr + hit
+        stage_col = stage_expr.cast("long")
+    else:
+        stage_col = F.lit(0).cast("long")
+    narrow2 = ranged.select(
+        F.col(id_col),
+        stage_col.alias("stage"),
+        hash_uniform(F.col(id_col), seed).alias("_skey"),
     )
-    narrow2 = staged.withColumn(
-        "_skey", hash_uniform(F.col(id_col), seed)
-    )
-    ranged2, w2, base2 = _ranged_prefix(
+    ranged2, w2, base2_col, _, _ = _ranged_prefix(
         narrow2, ["stage", "_skey", id_col], int(partitions), F.count("*")
     )
-    out = (
-        ranged2.withColumn("_rk", F.row_number().over(w2))
-        .join(F.broadcast(base2), "_pid")
-        .select(
-            id_col,
-            "stage",
-            (F.col("_base") + F.col("_rk") - F.lit(1))
-            .cast("long")
-            .alias("curriculum_pos"),
-        )
+    out = ranged2.withColumn("_rk", F.row_number().over(w2)).select(
+        id_col,
+        "stage",
+        (base2_col + F.col("_rk") - F.lit(1)).cast("long").alias("curriculum_pos"),
     )
     return caching.pin(out, ranged, ranged2)
 

@@ -125,12 +125,13 @@ def test_chunk_plan_has_no_shuffle_and_pack_avoids_global_window(spark):
         packing.pack_sequences(df, "doc_id", partitions=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # the fact-side prefix sum is range-partitioned; the ONLY
-    # single-partition stage is the |partitions|-row base-offset frame —
-    # a global-order window over the fact would add a second one
+    # the fact-side prefix sum is range-partitioned; base offsets are a
+    # driver-collected element_at literal (r11) — no single-partition
+    # stage, no join, and a global-order window would add both
     assert "Exchange rangepartitioning" in pack_plan
-    assert pack_plan.count("Exchange SinglePartition") <= 1
-    assert "BroadcastHashJoin" in pack_plan
+    assert pack_plan.count("Exchange SinglePartition") == 0
+    assert "BroadcastHashJoin" not in pack_plan
+    assert "element_at" in pack_plan
 
 
 def test_rank_filter_hand_computed_with_ties(spark):
@@ -433,9 +434,9 @@ def test_shuffle_plan_is_exact_permutation_and_partition_invariant(spark):
 
 
 def test_shuffle_plan_avoids_global_window(spark):
-    """The prefix-sum plan shape: range-partitioned rank + one
-    |partitions|-row single-partition base frame — never a global-order
-    window over the fact."""
+    """The prefix-sum plan shape: range-partitioned rank + driver-
+    collected element_at base offsets (r11) — never a global-order
+    window over the fact, no single-partition stage, no join."""
     from beymani_spark.sources import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
@@ -444,8 +445,9 @@ def test_shuffle_plan_avoids_global_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange rangepartitioning" in plan
-    assert plan.count("Exchange SinglePartition") <= 1
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "BroadcastHashJoin" not in plan
+    assert "element_at" in plan
 
 
 def test_curriculum_plan_stages_positions_and_invariance(spark):
@@ -511,9 +513,10 @@ def test_curriculum_plan_avoids_global_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange rangepartitioning") >= 2
-    # every SinglePartition exchange is a |partitions|-row base-offsets
-    # frame (the Window.orderBy(_pid) cumulative sum); pass 1's appears
-    # once more inside pass 2's unmaterialized lineage — 3 tiny frames,
-    # never a single-task pass over the fact table
-    assert plan.count("Exchange SinglePartition") <= 3
-    assert "BroadcastHashJoin" in plan
+    # base offsets and stage boundaries are driver-collected literals
+    # (r11): no single-partition base-offset stage, no join, and pass 2
+    # reads pass 1's cache through a scan-side comparison expression
+    # instead of re-running its window+join subtree
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "BroadcastHashJoin" not in plan
+    assert "element_at" in plan
