@@ -487,11 +487,21 @@ def _finalize_model(
 
     ``max_model_rows=None`` forces the distributed path (never collect)."""
     spark = centroids_df.sparkSession
-    cents = centroids_df.localCheckpoint(eager=True)
+    # LAZY checkpoint + count: the count materializes the checkpoint in
+    # the SAME job (eager=True runs an internal count of its own, so the
+    # former eager+count shape paid the fixed per-job latency twice for
+    # one materialization). The once-only guarantee is unchanged: after
+    # this count the lineage is truncated and no downstream action can
+    # re-run the presample+fit.
+    cents = centroids_df.localCheckpoint(eager=False)
     n_model = cents.count()
     if max_model_rows is not None and n_model <= int(max_model_rows):
         centroid_rows = cents.collect()
         centroids = spark.createDataFrame(centroid_rows, cents.schema)
+        # the rows are already on the driver: hand them to the assign/
+        # score paths so small models inline as codegen literals instead
+        # of a broadcast join (see _local_model_rows)
+        centroids._beymani_local_rows = centroid_rows  # type: ignore[attr-defined]
         size_rows = (
             assign_fn(centroids, True)
             .groupBy(*keys, "cluster_id")
@@ -516,9 +526,11 @@ def _finalize_model(
         # held the LogicalRDD) — the model-sized blocks are dropped by
         # the ContextCleaner once this frame goes unreachable, which is
         # right here: the returned frame is built from plain rows
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             model_rows, cents.schema.add("size", "long")
         )
+        out._beymani_local_rows = model_rows  # type: ignore[attr-defined]
+        return out
     sizes = (
         assign_fn(cents, False)
         .groupBy(*keys, "cluster_id")
@@ -594,6 +606,69 @@ def kmeans_model(
     )
 
 
+#: inline-literal bound: a model with at most this many key groups is
+#: baked into the plan as a when-chain of array literals (no model join,
+#: no BroadcastExchange future job per consumer); larger models keep the
+#: broadcast join — past this size the generated when-chain would
+#: outgrow the JIT method limit (the _materialize_d2 lesson).
+_INLINE_MODEL_KEYS = 64
+
+
+def _local_model_rows(model: DataFrame):
+    """Driver-side rows attached by _finalize_model's under-cap path
+    (None for distributed or file-loaded models)."""
+    rows = getattr(model, "_beymani_local_rows", None)
+    if rows is None:
+        return None
+    return [r if isinstance(r, dict) else r.asDict() for r in rows]
+
+
+def _inline_cents(df: DataFrame, rows, keys: Sequence[str], fields):
+    """Attach a literal ``_cents`` array<struct<cluster_id, ...>> column
+    built from driver-side model rows — the join-free fast path for
+    small under-cap models. ``fields`` is [(struct_field_name,
+    source_row_field, cast_type), ...] in _cents struct order. Key
+    groups sort their centroids by cluster_id (the sort_array order of
+    the broadcast path); rows whose key matches no model group get a
+    NULL _cents and are filtered, reproducing the inner model join.
+    Returns None when the model is too wide to inline (caller falls back
+    to the broadcast join)."""
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(tuple(r[k] for k in keys), []).append(r)
+    if not groups or len(groups) > _INLINE_MODEL_KEYS:
+        return None
+    try:
+        chain = None
+        for kt, grp in groups.items():
+            grp = sorted(grp, key=lambda r: int(r["cluster_id"]))
+            arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(int(r["cluster_id"])).cast("int").alias("cluster_id"),
+                        *[
+                            F.lit(r[src]).cast(typ).alias(name)
+                            for name, src, typ in fields
+                        ],
+                    )
+                    for r in grp
+                ]
+            )
+            cond = None
+            for k, v in zip(keys, kt):
+                # null model keys never equi-join; keep that drop exact
+                c = F.lit(False) if v is None else (F.col(k) == F.lit(v))
+                cond = c if cond is None else (cond & c)
+            chain = F.when(cond, arr) if chain is None else chain.when(cond, arr)
+    except Exception:
+        return None  # unliteralizable key/centroid type: use the join
+    out = df.withColumn("_cents", chain).filter(F.col("_cents").isNotNull())
+    # reproduce the equi-join's column order (join keys lead) so both
+    # paths return identical schemas
+    rest = [c for c in df.columns if c not in keys]
+    return out.select(*keys, *rest, "_cents")
+
+
 def _unrolled_nearest(values: Sequence[str], max_k: int):
     """(squared-distance exprs, min expr) against a `_cents`
     array<struct<cluster_id, v...>> column, unrolled per centroid slot with
@@ -655,15 +730,23 @@ def _assign_nearest(
     ``broadcast_model=False`` drops the hint for over-cap models whose
     per-key arrays would not fit a broadcast (the join shuffles, or AQE
     re-chooses broadcast at runtime if the model turns out small)."""
-    cent = F.struct(
-        F.col("cluster_id"), *[F.col(f"centroid_{v}").alias(v) for v in values]
-    )
-    per_key = centroids.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(cent)).alias("_cents")
-    )
-    joined = df.join(
-        F.broadcast(per_key) if broadcast_model else per_key, list(keys)
-    )
+    joined = None
+    if broadcast_model:
+        rows = _local_model_rows(centroids)
+        if rows is not None:
+            joined = _inline_cents(
+                df, rows, keys, [(v, f"centroid_{v}", "double") for v in values]
+            )
+    if joined is None:
+        cent = F.struct(
+            F.col("cluster_id"), *[F.col(f"centroid_{v}").alias(v) for v in values]
+        )
+        per_key = centroids.groupBy(*keys).agg(
+            F.sort_array(F.collect_list(cent)).alias("_cents")
+        )
+        joined = df.join(
+            F.broadcast(per_key) if broadcast_model else per_key, list(keys)
+        )
     d2s, _ = _unrolled_nearest(values, max_k)
     joined, d2_cols, m = _materialize_d2(joined, d2s)
     # first-match when() chain over ascending cluster_id: ties resolve to the
@@ -692,23 +775,45 @@ def kmeans_score(
 
     ``max_clusters``: unroll width for the codegen argmin (defaults to a
     driver-side max over the tiny model DF)."""
-    total = model.groupBy(*keys).agg(F.sum("size").alias("_total"))
-    large = (
-        model.join(F.broadcast(total), list(keys))
-        .filter(F.col("size") >= F.col("_total") * min_cluster_fraction)
-    )
-    if max_clusters is None:
-        max_clusters = int(model.agg(F.max("cluster_id")).first()[0]) + 1
-    # fold the (few) large centroids into one array per key: the fact table
-    # joins 1:1 (no xK row explosion) and min-distance is an unrolled
-    # codegen least() — no post-join shuffle, no interpreted higher-order
-    cent = F.struct(
-        F.col("cluster_id"), *[F.col(f"centroid_{v}").alias(v) for v in values]
-    )
-    per_key = large.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(cent)).alias("_cents")
-    )
-    joined = df.join(F.broadcast(per_key), list(keys))
+    rows = _local_model_rows(model)
+    joined = None
+    if rows is not None:
+        if max_clusters is None:
+            max_clusters = max(int(r["cluster_id"]) for r in rows) + 1
+        # the large-cluster rule evaluated driver-side over the local
+        # model rows — identical arithmetic (long promotes exactly into
+        # double for any realistic count), zero model-side Spark jobs
+        tot: dict = {}
+        for r in rows:
+            kt = tuple(r[k] for k in keys)
+            tot[kt] = tot.get(kt, 0) + int(r["size"])
+        large_rows = [
+            r
+            for r in rows
+            if int(r["size"]) >= tot[tuple(r[k] for k in keys)] * min_cluster_fraction
+        ]
+        joined = _inline_cents(
+            df, large_rows, keys, [(v, f"centroid_{v}", "double") for v in values]
+        )
+    if joined is None:
+        total = model.groupBy(*keys).agg(F.sum("size").alias("_total"))
+        large = (
+            model.join(F.broadcast(total), list(keys))
+            .filter(F.col("size") >= F.col("_total") * min_cluster_fraction)
+        )
+        if max_clusters is None:
+            max_clusters = int(model.agg(F.max("cluster_id")).first()[0]) + 1
+        # fold the (few) large centroids into one array per key: the fact
+        # table joins 1:1 (no xK row explosion) and min-distance is an
+        # unrolled codegen least() — no post-join shuffle, no interpreted
+        # higher-order
+        cent = F.struct(
+            F.col("cluster_id"), *[F.col(f"centroid_{v}").alias(v) for v in values]
+        )
+        per_key = large.groupBy(*keys).agg(
+            F.sort_array(F.collect_list(cent)).alias("_cents")
+        )
+        joined = df.join(F.broadcast(per_key), list(keys))
     d2s, _ = _unrolled_nearest(values, int(max_clusters))
     joined, d2_cols, m = _materialize_d2(joined, d2s)
     return (
@@ -865,6 +970,15 @@ def _mixed_cent_struct(num_values: Sequence[str], cat_values: Sequence[str]):
     )
 
 
+def _mixed_inline_fields(num_values: Sequence[str], cat_values: Sequence[str]):
+    """_inline_cents field spec mirroring _mixed_cent_struct's layout."""
+    return (
+        [(v, f"centroid_{v}", "double") for v in num_values]
+        + [(f"rng_{v}", f"range_{v}", "double") for v in num_values]
+        + [(c, f"centroid_{c}", "string") for c in cat_values]
+    )
+
+
 def _assign_nearest_mixed(
     df: DataFrame,
     centroids: DataFrame,
@@ -875,14 +989,20 @@ def _assign_nearest_mixed(
     max_k: int,
     broadcast_model: bool = True,
 ) -> DataFrame:
-    per_key = centroids.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(_mixed_cent_struct(num_values, cat_values))).alias(
-            "_cents"
+    joined = None
+    if broadcast_model:
+        rows = _local_model_rows(centroids)
+        if rows is not None:
+            joined = _inline_cents(df, rows, keys, _mixed_inline_fields(num_values, cat_values))
+    if joined is None:
+        per_key = centroids.groupBy(*keys).agg(
+            F.sort_array(
+                F.collect_list(_mixed_cent_struct(num_values, cat_values))
+            ).alias("_cents")
         )
-    )
-    joined = df.join(
-        F.broadcast(per_key) if broadcast_model else per_key, list(keys)
-    )
+        joined = df.join(
+            F.broadcast(per_key) if broadcast_model else per_key, list(keys)
+        )
     d2s, _ = _unrolled_nearest_mixed(num_values, cat_values, gamma, max_k)
     joined, d2_cols, m = _materialize_d2(joined, d2s)
     best = None
@@ -909,19 +1029,37 @@ def kmeans_mixed_score(
     """Mixed-type ClusterBasedPredictor scoring: sqrt of the mixed distance
     to the nearest LARGE centroid (small clusters are anomaly pockets), as
     a pure codegen expression over the broadcast model."""
-    total = model.groupBy(*keys).agg(F.sum("size").alias("_total"))
-    large = (
-        model.join(F.broadcast(total), list(keys))
-        .filter(F.col("size") >= F.col("_total") * min_cluster_fraction)
-    )
-    if max_clusters is None:
-        max_clusters = int(model.agg(F.max("cluster_id")).first()[0]) + 1
-    per_key = large.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(_mixed_cent_struct(num_values, cat_values))).alias(
-            "_cents"
+    rows = _local_model_rows(model)
+    joined = None
+    if rows is not None:
+        if max_clusters is None:
+            max_clusters = max(int(r["cluster_id"]) for r in rows) + 1
+        tot: dict = {}
+        for r in rows:
+            kt = tuple(r[k] for k in keys)
+            tot[kt] = tot.get(kt, 0) + int(r["size"])
+        large_rows = [
+            r
+            for r in rows
+            if int(r["size"]) >= tot[tuple(r[k] for k in keys)] * min_cluster_fraction
+        ]
+        joined = _inline_cents(
+            df, large_rows, keys, _mixed_inline_fields(num_values, cat_values)
         )
-    )
-    joined = df.join(F.broadcast(per_key), list(keys))
+    if joined is None:
+        total = model.groupBy(*keys).agg(F.sum("size").alias("_total"))
+        large = (
+            model.join(F.broadcast(total), list(keys))
+            .filter(F.col("size") >= F.col("_total") * min_cluster_fraction)
+        )
+        if max_clusters is None:
+            max_clusters = int(model.agg(F.max("cluster_id")).first()[0]) + 1
+        per_key = large.groupBy(*keys).agg(
+            F.sort_array(
+                F.collect_list(_mixed_cent_struct(num_values, cat_values))
+            ).alias("_cents")
+        )
+        joined = df.join(F.broadcast(per_key), list(keys))
     d2s, _ = _unrolled_nearest_mixed(
         num_values, cat_values, gamma, int(max_clusters)
     )
@@ -1153,10 +1291,13 @@ def isolation_forest_score(
         [f for f in df.schema if f.name in set(df.columns)]
     ).add("score", "double").add("label", "string")
 
-    # checkpoint first (eager): the fit chain runs exactly once, and the
-    # count that picks the materialization path cannot re-run it
+    # checkpoint first (LAZY + count): the count materializes the
+    # checkpoint in one job — eager=True runs its own internal count, so
+    # the former shape paid a second fixed-latency job for nothing. The
+    # fit chain still runs exactly once: after this count the lineage is
+    # truncated, and the path-picking count cannot re-run it.
     mdl = model.select(*keys, "tree_id", "tree_json", "sample_n").localCheckpoint(
-        eager=True
+        eager=False
     )
     n_model = mdl.count()
     over_cap = max_model_rows is None or n_model > int(max_model_rows)

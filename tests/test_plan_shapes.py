@@ -116,8 +116,12 @@ def test_kmeans_pca_fit_is_presampled_score_is_broadcast(spark):
     kscored = mv.kmeans_score(li, km, keys, vals)
     kscored.count()
     kplan = _plan(kscored)
-    assert "BroadcastHashJoin" in kplan
+    # r11: a small under-cap model inlines as codegen literals — the
+    # scoring plan has NO model join and NO exchange at all (the fact
+    # table is scanned once, scored scan-side)
     assert "SortMergeJoin" not in kplan
+    assert "Exchange" not in kplan
+    assert "Join" not in kplan
 
 
 def test_autoencoder_score_is_broadcast_codegen(spark):
