@@ -34,17 +34,26 @@ from .text import tokens
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Per-doc content hash + size of its duplicate group.
 
-    One window over the digest shuffle instead of groupBy + self-join
-    (which scanned the input twice and paid a second exchange). The
-    explicit isNotNull filter reproduces the former inner join's
-    null-digest drop (null never equi-joins), so NULL-text rows stay
-    excluded."""
-    hashed = df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
-    w = Window.partitionBy("content_hash")
-    return (
-        hashed.filter(F.col("content_hash").isNotNull())
-        .withColumn("dup_count", F.count(F.lit(1)).over(w))
-        .select(id_col, "content_hash", "dup_count")
+    Two-phase count, not a window: ``count over
+    Window.partitionBy(content_hash)`` materializes an entire duplicate
+    group in ONE window task, and a degenerate hot digest (billions of
+    empty/boilerplate docs) makes that task the stage straggler —
+    WindowExec spills and crawls, and AQE cannot split a window
+    partition. The groupBy count partial-aggregates map-side (the hot
+    digest collapses to one row per map task BEFORE the shuffle), and
+    the join-back is a join, which AQE's skew handling CAN split. The
+    isNotNull filter keeps the inner join's null-digest drop semantics
+    explicit (null never equi-joins), so NULL-text rows stay excluded.
+    Costs one extra (column-pruned) scan of the input — the scale-safe
+    trade."""
+    hashed = df.select(id_col, F.md5(F.col(text_col)).alias("content_hash")).filter(
+        F.col("content_hash").isNotNull()
+    )
+    counts = hashed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    return hashed.join(counts, "content_hash").select(
+        id_col, "content_hash", "dup_count"
     )
 
 
@@ -394,13 +403,20 @@ def dedup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
+        nodes: set = set()
         for row in edges_df.collect():
+            nodes.add(row["a"])
+            nodes.add(row["b"])
             ra, rb = find(row["a"]), find(row["b"])
             if ra != rb:
                 # union by min so the root IS the representative
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        mapping = [(node, find(node)) for node in parent]
+        # map EVERY pair node, roots included (roots never appear as
+        # parent keys): the sparse cluster-size aggregate below counts
+        # comp-matched rows, so a root missing from comp would undercount
+        # its own cluster by one
+        mapping = [(node, find(node)) for node in nodes]
         # edges are fully consumed by the union-find collect above — release
         # the cache now so long sessions (bench, many queries) don't
         # accumulate storage pressure that pushes later caches to disk
@@ -429,10 +445,16 @@ def dedup_clusters(
         # across rounds. Block cleanup of superseded rounds is left to
         # Spark's ContextCleaner (each labels frame is |V| longs — the
         # sparse verified-pair node set, not the corpus).
+        # LAZY checkpoints throughout the propagation loop: each round's
+        # convergence-sum collect materializes that round's frame in the
+        # SAME job (eager=True ran an internal count per round — one
+        # extra fixed-latency job per round for nothing). Lineage still
+        # truncates at every round boundary, which is the property the
+        # loop needs (see the plan-doubling note above).
         labels = (
             edges.select("a").distinct()
             .select("a", F.col("a").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         prev_sum = None
         rounds = 0
@@ -456,7 +478,7 @@ def dedup_clusters(
                     "a",
                     F.least(cand["lbl"], F.coalesce("_mto", cand["lbl"])).alias("lbl"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             cur_sum = new.agg(
                 F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
@@ -470,17 +492,41 @@ def dedup_clusters(
             stats["rounds"] = rounds
         comp = labels.select(F.col("a").alias("_cid"), F.col("lbl").alias("_rep"))
         edges.unpersist()
-    from pyspark.sql import Window
-
+    # cluster_size from the SPARSE node->rep mapping, not a fact-sized
+    # window: ``count over Window.partitionBy(cluster_rep)`` shuffles the
+    # whole frame by rep and lands each cluster in one window task — a
+    # degenerate giant cluster (every empty doc) becomes an unsplittable
+    # straggler. Instead: rows that matched comp carry a real _rep; their
+    # per-rep counts aggregate over the comp-matched rows only (bounded
+    # by |pair nodes| — near-dup-proportional, broadcastable), and every
+    # unmatched row is definitionally a singleton of size 1. The fact
+    # frame never shuffles: both the comp attach and the sizes attach are
+    # broadcast-sized joins (AQE skew-splits them if a rep is ever hot).
+    labeled = df.select(F.col(id_col)).join(
+        F.broadcast(comp) if n_pairs <= local_threshold else comp,
+        F.col(id_col) == F.col("_cid"),
+        "left",
+    ).select(id_col, F.col("_rep"))
+    matched = labeled.filter(F.col("_rep").isNotNull())
+    sizes = matched.groupBy("_rep").agg(F.count(F.lit(1)).alias("_csize"))
+    # singletons never enter the sizes join (their _rep is null and would
+    # otherwise all shuffle into one null-key partition); they are
+    # definitionally size 1 and union back as a scan-side branch
     out = (
-        df.select(F.col(id_col))
-        .join(F.broadcast(comp) if n_pairs <= local_threshold else comp,
-              F.col(id_col) == F.col("_cid"), "left")
-        .select(
-            id_col, F.coalesce(F.col("_rep"), F.col(id_col)).alias("cluster_rep")
+        matched.join(
+            F.broadcast(sizes) if n_pairs <= local_threshold else sizes, "_rep"
         )
-        .withColumn(
-            "cluster_size", F.count("*").over(Window.partitionBy("cluster_rep"))
+        .select(
+            id_col,
+            F.col("_rep").alias("cluster_rep"),
+            F.col("_csize").alias("cluster_size"),
+        )
+        .unionByName(
+            labeled.filter(F.col("_rep").isNull()).select(
+                id_col,
+                F.col(id_col).alias("cluster_rep"),
+                F.lit(1).cast("long").alias("cluster_size"),
+            )
         )
     )
     edges_df.unpersist()
@@ -1220,9 +1266,9 @@ def incremental_minhash(
     the result — caching.release(result) after the final action."""
     bsh = exploded_shingles(new_df, id_col, text_col, n).persist()
     csh = exploded_shingles(corpus_df, id_col, text_col, n).persist()
-    # batch band signatures feed THREE joins (corpus candidates + both
-    # sides of the batch self-join); persist the |batch| x bands frame so
-    # the signature aggregation runs once (cband is single-use)
+    # batch band signatures feed BOTH sides of the fused candidate join;
+    # persist the |batch| x bands frame so the signature aggregation runs
+    # once (cband is single-use)
     bband = _banded_signatures(
         _signatures_from_shingles(bsh, num_hashes, hash_fn), num_hashes, bands, hash_fn
     ).persist()
@@ -1230,52 +1276,68 @@ def incremental_minhash(
         _signatures_from_shingles(csh, num_hashes, hash_fn), num_hashes, bands, hash_fn
     )
 
-    def _verified(cand: DataFrame, left_sh: DataFrame, right_sh: DataFrame) -> DataFrame:
-        """Exact-Jaccard verification of (bid, oid) candidates; returns
-        pairs with jaccard >= min_jaccard. Candidate-bounded: cand is
-        near-dup-proportional, AQE broadcasts it into the shingle joins."""
-        sizes_l = left_sh.groupBy("_id").agg(F.count("*").alias("_na"))
-        sizes_r = right_sh.groupBy("_id").agg(F.count("*").alias("_nb"))
-        inter = (
-            cand.join(left_sh.select(F.col("_id").alias("bid"), "sh"), "bid")
-            .join(right_sh.select(F.col("_id").alias("oid"), "sh"), ["oid", "sh"])
-            .groupBy("bid", "oid")
-            .agg(F.count("*").alias("_inter"))
-        )
-        return (
-            inter.join(sizes_l.select(F.col("_id").alias("bid"), "_na"), "bid")
-            .join(sizes_r.select(F.col("_id").alias("oid"), "_nb"), "oid")
-            .withColumn(
-                "jaccard",
-                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
-            )
-            .filter(F.col("jaccard") >= min_jaccard)
-            .select("bid", "oid", "jaccard")
-        )
-
-    cand_corpus = (
+    # FUSED candidate + verification pass: the former shape ran the
+    # corpus and batch classes as two separate verified sub-operators —
+    # two candidate distincts, two intersection join chains, and THREE
+    # identical batch-side size aggregations (13 in-plan exchanges). The
+    # two classes differ only in which frame the oid side reads, so tag
+    # the side ('c'/'b'), union the oid-side frames, and run ONE
+    # distinct, ONE intersection chain, ONE size aggregation per role,
+    # and ONE hits groupBy (pivoted back to _jc/_jb with conditional
+    # maxes). Arithmetic per pair is unchanged, so jaccard values and the
+    # status precedence are bit-identical.
+    oband = cband.withColumn("_side", F.lit("c")).unionByName(
+        bband.withColumn("_side", F.lit("b"))
+    )
+    cand = (
         bband.alias("a")
-        .join(cband.alias("b"), ["band", "sig"])
-        .select(F.col("a._id").alias("bid"), F.col("b._id").alias("oid"))
+        .join(oband.alias("o"), ["band", "sig"])
+        .filter(
+            (F.col("o._side") == "c") | (F.col("o._id") < F.col("a._id"))
+        )
+        .select(
+            F.col("a._id").alias("bid"),
+            F.col("o._id").alias("oid"),
+            F.col("o._side").alias("_side"),
+        )
         .distinct()
     )
-    cand_batch = (
-        bband.alias("a")
-        .join(bband.alias("b"), ["band", "sig"])
-        .filter(F.col("b._id") < F.col("a._id"))
-        .select(F.col("a._id").alias("bid"), F.col("b._id").alias("oid"))
-        .distinct()
+    osh = csh.withColumn("_side", F.lit("c")).unionByName(
+        bsh.withColumn("_side", F.lit("b"))
     )
-    corpus_hits = _verified(cand_corpus, bsh, csh).groupBy("bid").agg(
-        F.max("jaccard").alias("_jc")
+    sizes_b = bsh.groupBy("_id").agg(F.count("*").alias("_na"))
+    sizes_o = osh.groupBy("_side", "_id").agg(F.count("*").alias("_nb"))
+    # candidate-bounded verification: cand is near-dup-proportional, AQE
+    # broadcasts it into the shingle joins so neither shingle cache
+    # shuffles
+    inter = (
+        cand.join(bsh.select(F.col("_id").alias("bid"), "sh"), "bid")
+        .join(
+            osh.select("_side", F.col("_id").alias("oid"), "sh"),
+            ["oid", "sh", "_side"],
+        )
+        .groupBy("bid", "oid", "_side")
+        .agg(F.count("*").alias("_inter"))
     )
-    batch_hits = _verified(cand_batch, bsh, bsh).groupBy("bid").agg(
-        F.max("jaccard").alias("_jb")
+    verified = (
+        inter.join(sizes_b.select(F.col("_id").alias("bid"), "_na"), "bid")
+        .join(
+            sizes_o.select("_side", F.col("_id").alias("oid"), "_nb"),
+            ["oid", "_side"],
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    hits = verified.groupBy("bid").agg(
+        F.max(F.when(F.col("_side") == "c", F.col("jaccard"))).alias("_jc"),
+        F.max(F.when(F.col("_side") == "b", F.col("jaccard"))).alias("_jb"),
     )
     ledger = (
         new_df.select(F.col(id_col).alias("bid"))
-        .join(corpus_hits, "bid", "left")
-        .join(batch_hits, "bid", "left")
+        .join(hits, "bid", "left")
         .select(
             F.col("bid").alias(id_col),
             F.when(F.col("_jc").isNotNull(), F.lit("neardup_corpus"))
