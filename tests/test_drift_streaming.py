@@ -1580,6 +1580,7 @@ def _run_markov_replay(spark, src, chk, name, clock):
     return rows[-1]
 
 
+@pytest.mark.slow  # multi-minute sweep: excluded from the default run (see pyproject)
 def test_event_time_eviction_fires_under_replay(spark, stream_dirs):
     """Round-10 directive: ProcessingTimeTimeout is the wrong horizon
     during catch-up replay — a fast replay of old data never idles on
@@ -1771,6 +1772,7 @@ def test_stream_markov_global_matches_batch(spark, stream_dirs):
         )
 
 
+@pytest.mark.slow  # multi-minute sweep: excluded from the default run (see pyproject)
 def test_stream_markov_null_state_chunk_independent(spark, stream_dirs):
     """Null state symbols: the null row scores as an unseen transition
     (batch's left-join null-prob arithmetic); the row AFTER a null has no
@@ -1920,6 +1922,7 @@ def test_stream_multigram_non_numeric_bucketed_col_skips(spark, stream_dirs):
     )
 
 
+@pytest.mark.slow  # multi-minute sweep: excluded from the default run (see pyproject)
 def test_stream_markov_state_timeout_evicts_idle_entities(spark, stream_dirs):
     """state_timeout_ms bounds the state store by ACTIVE entities: a key
     idle past the horizon is evicted (its state removed), and when it

@@ -19,6 +19,7 @@ def test_oracle_parity(spark, sf_dir, name):
     assert not errs, f"{name}: " + "; ".join(errs)
 
 
+@pytest.mark.slow  # multi-minute sweep: excluded from the default run (see pyproject)
 def test_all_queries_return_rows(spark, sf_dir):
     for name, q in QUERIES.items():
         n = q.builder(spark, sf_dir).count()
@@ -26,6 +27,7 @@ def test_all_queries_return_rows(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
+@pytest.mark.slow  # multi-minute sweep: excluded from the default run (see pyproject)
 def test_oracle_parity_altseed(spark, alt_sf_dir, name):
     """Second-draw sweep: the same parity contract against the
     alternate-seed / alternate-skew fixture build (tests/altseed.py) —

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from beymani_spark.sources import load_table, streams
@@ -81,6 +83,7 @@ def _collect_sorted(spark, path, key_cols):
     )
 
 
+@pytest.mark.slow  # multi-minute sweep: excluded from the default run (see pyproject)
 def test_stream_corpus_filter_crash_resume_parity_sf01(spark, tmp_path):
     src = str(tmp_path / "src")
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
@@ -113,6 +116,7 @@ def test_stream_corpus_filter_crash_resume_parity_sf01(spark, tmp_path):
     assert got.equals(ref), "crash+resume output differs from uninterrupted run"
 
 
+@pytest.mark.slow  # multi-minute sweep: excluded from the default run (see pyproject)
 def test_stream_one_step_ahead_crash_resume_parity_sf01(spark, tmp_path):
     src = str(tmp_path / "src")
     ev = load_table(spark, SF, "events")

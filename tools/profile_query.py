@@ -40,7 +40,9 @@ def main() -> None:
 
     names = list(QUERIES) if args.all else args.names
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plan_dir = os.path.join(repo, "plans", "r10")
+    plan_dir = os.environ.get(
+        "SPARK_GRAFT_PLAN_DIR", os.path.join(repo, "plans", "r11")
+    )
     os.makedirs(plan_dir, exist_ok=True)
 
     for name in names:
