@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator, Sequence
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -954,71 +955,51 @@ def jpg_encode(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     return b"\xff\xd8" + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("jpg: entropy stream exhausted")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
-                self.pos += 1  # unstuff
-            else:
-                raise ValueError("jpg: unexpected marker inside entropy data")
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        while self.nbits < n:
-            self._fill()
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-
-def _jpg_huff_table(bits: Sequence[int], values: Sequence[int]):
-    """code->(symbol) lookup keyed by (length, code) for canonical tables."""
-    table, code, k = {}, 0, 0
+@lru_cache(maxsize=16)
+def _jpg_huff_flat(bits: tuple, values: tuple):
+    """Flat peek-16 huffman lookup: (symbol, code_length) python lists of
+    2^16 entries, one slice-fill per canonical code — every 16-bit window
+    whose prefix is code C maps to C's symbol. Replaces the former
+    bit-at-a-time tree walk (one dict probe PER BIT of every symbol, the
+    measured hot 55% of the jpg kernel) with one table probe per symbol.
+    length 0 marks invalid prefixes (same 'invalid huffman code' error).
+    Cached per canonical table — every Annex-K stream shares two."""
+    sym = [0] * 65536
+    ln = [0] * 65536
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
+            start = code << (16 - length)
+            stop = start + (1 << (16 - length))
+            sym[start:stop] = [values[k]] * (stop - start)
+            ln[start:stop] = [length] * (stop - start)
             code += 1
             k += 1
         code <<= 1
-    return table
+    return sym, ln
 
 
-def _jpg_decode_symbol(br: _BitReader, table) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("jpg: invalid huffman code")
-
-
-def _jpg_extend(amp: int, size: int) -> int:
-    """Inverse of _jpg_magnitude (spec F.2.2.1 EXTEND)."""
-    if size == 0:
-        return 0
-    return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+def _jpg_unstuff(scan: bytes) -> tuple[bytes, bool]:
+    """One vectorized pass over the entropy stream: drop the 0x00 after
+    each stuffed 0xFF, cut at the first real marker (0xFF + non-zero).
+    Returns (clean bytes, hit_marker) — hit_marker distinguishes the two
+    exhaustion errors the former per-byte reader raised."""
+    arr = np.frombuffer(scan, dtype=np.uint8)
+    end = len(arr)
+    hit_marker = False
+    drops = []
+    for f in np.flatnonzero(arr == 0xFF):
+        if f >= end:
+            break
+        if f + 1 >= len(arr) or arr[f + 1] != 0x00:
+            end = f
+            hit_marker = True
+            break
+        drops.append(f + 1)
+    keep = arr[:end]
+    if drops:
+        keep = np.delete(keep, [d for d in drops if d < end])
+    return keep.tobytes(), hit_marker
 
 
 def _jpg_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -1103,7 +1084,7 @@ def _jpg_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
                 bits = list(b[1:17])
                 nvals = sum(bits)
                 values = list(b[17 : 17 + nvals])
-                htables[(tclass, tid)] = _jpg_huff_table(bits, values)
+                htables[(tclass, tid)] = (tuple(bits), tuple(values))
                 b = b[17 + nvals :]
         elif marker == 0xDD:
             raise ValueError("jpg: restart intervals not supported")
@@ -1125,41 +1106,118 @@ def _jpg_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     d = _jpg_dct_matrix()
     zz_r = np.array([rc[0] for rc in _JPG_ZIGZAG])
     zz_c = np.array([rc[1] for rc in _JPG_ZIGZAG])
-    br = _BitReader(scan_data)
-    luma = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    # flat peek-16 symbol tables per component, hoisted out of the block
+    # loop (they were probed from the htables dict once per block)
+    flats = []
+    for ci in range(len(comps)):
+        dc_raw = htables.get((0, comp_tables[ci][0]))
+        ac_raw = htables.get((1, comp_tables[ci][1]))
+        if dc_raw is None or ac_raw is None:
+            raise ValueError("jpg: missing huffman table")
+        flats.append((_jpg_huff_flat(*dc_raw), _jpg_huff_flat(*ac_raw)))
+    data, hit_marker = _jpg_unstuff(scan_data)
+    dlen = len(data)
+    exhausted = (
+        "jpg: unexpected marker inside entropy data"
+        if hit_marker
+        else "jpg: entropy stream exhausted"
+    )
+    pos = 0
+    acc = 0
+    nbits = 0
+    luma_zz: list[list[int]] = []  # one 64-coef zigzag vector per luma block
     prev_dc = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw_):
-            for ci, (cid, qid) in enumerate(comps):
-                dc_t = htables.get((0, comp_tables[ci][0]))
-                ac_t = htables.get((1, comp_tables[ci][1]))
-                if dc_t is None or ac_t is None:
-                    raise ValueError("jpg: missing huffman table")
-                zz = np.zeros(64, dtype=np.int64)
-                size = _jpg_decode_symbol(br, dc_t)
-                prev_dc[ci] += _jpg_extend(br.bits(size), size)
+    for _by in range(bh):
+        for _bx in range(bw_):
+            for ci in range(len(comps)):
+                (dc_sym, dc_len), (ac_sym, ac_len) = flats[ci]
+                zz = [0] * 64
+                # DC: peek 16 (zero-padded at stream end), one table probe
+                while nbits < 16 and pos < dlen:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                    nbits += 8
+                peek = (
+                    (acc >> (nbits - 16)) & 0xFFFF
+                    if nbits >= 16
+                    else (acc << (16 - nbits)) & 0xFFFF
+                )
+                length = dc_len[peek]
+                if length == 0:
+                    raise ValueError("jpg: invalid huffman code")
+                if length > nbits:
+                    raise ValueError(exhausted)
+                size = dc_sym[peek]
+                nbits -= length
+                acc &= (1 << nbits) - 1
+                if size:
+                    while nbits < size:
+                        if pos >= dlen:
+                            raise ValueError(exhausted)
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    nbits -= size
+                    amp = (acc >> nbits) & ((1 << size) - 1)
+                    acc &= (1 << nbits) - 1
+                    prev_dc[ci] += (
+                        amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+                    )
                 zz[0] = prev_dc[ci]
                 k = 1
                 while k < 64:
-                    rs = _jpg_decode_symbol(br, ac_t)
-                    run, size = rs >> 4, rs & 0x0F
+                    while nbits < 16 and pos < dlen:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    peek = (
+                        (acc >> (nbits - 16)) & 0xFFFF
+                        if nbits >= 16
+                        else (acc << (16 - nbits)) & 0xFFFF
+                    )
+                    length = ac_len[peek]
+                    if length == 0:
+                        raise ValueError("jpg: invalid huffman code")
+                    if length > nbits:
+                        raise ValueError(exhausted)
+                    rs = ac_sym[peek]
+                    nbits -= length
+                    acc &= (1 << nbits) - 1
                     if rs == 0x00:  # EOB
                         break
                     if rs == 0xF0:  # ZRL
                         k += 16
                         continue
-                    k += run
+                    k += rs >> 4
+                    size = rs & 0x0F
                     if k > 63:
                         raise ValueError("jpg: AC index overrun")
-                    zz[k] = _jpg_extend(br.bits(size), size)
+                    while nbits < size:
+                        if pos >= dlen:
+                            raise ValueError(exhausted)
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    nbits -= size
+                    amp = (acc >> nbits) & ((1 << size) - 1)
+                    acc &= (1 << nbits) - 1
+                    zz[k] = (
+                        amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+                    ) if size else 0
                     k += 1
                 if ci == 0:  # luma plane is all the feature path needs
-                    coef = np.zeros((8, 8), dtype=np.float64)
-                    coef[zz_r, zz_c] = zz * qtables[qid][zz_r, zz_c]
-                    block = d.T @ coef @ d + 128.0
-                    luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                        np.rint(block), 0, 255
-                    ).astype(np.uint8)
+                    luma_zz.append(zz)
+    # dequantize + IDCT BATCHED over every luma block (one einsum instead
+    # of a per-block 8x8 matmul pair — the other measured kernel half)
+    qid0 = comps[0][1]
+    zzm = np.asarray(luma_zz, dtype=np.int64)
+    coef = np.zeros((len(luma_zz), 8, 8), dtype=np.float64)
+    coef[:, zz_r, zz_c] = zzm * qtables[qid0][zz_r, zz_c]
+    blocks = np.einsum("ij,bjk,kl->bil", d.T, coef, d) + 128.0
+    blocks = np.clip(np.rint(blocks), 0, 255).astype(np.uint8)
+    luma = (
+        blocks.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+    )
     gray = luma[:h0, :w0]
     if (w0, h0) != (width, height):
         ys = np.linspace(0, h0 - 1, height).astype(int)
@@ -1169,8 +1227,6 @@ def _jpg_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- perceptual hash
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=2)
