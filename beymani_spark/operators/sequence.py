@@ -681,20 +681,27 @@ def change_point(
             return pd.DataFrame(columns=cols)
         starts = np.arange(0, len(x) - window + 1, step)
         if stat == "ks":
-            # vectorized over all windows: ECDF differences are integer
-            # counts over the pooled sort — identical arithmetic to the
-            # per-window searchsorted (bit-exact), ~30x fewer python ops
+            # vectorized over all windows via RANK cumsums: argsort the
+            # window once, flag each pooled element's origin half, and the
+            # ECDF difference at each pooled value is the origin-count
+            # cumsum read at the END of its tie run. Identical integer
+            # counts and divisions as the former O(window^2)-per-window
+            # comparison tensor (bit-exact: within a tie run the old
+            # count-<= was constant and equal to the run-end cumsum), at
+            # O(window log window) per window — the tensor was the
+            # measured kernel cost of the change_point family.
             wins = np.lib.stride_tricks.sliding_window_view(x, window)[::step]
-            a_s = np.sort(wins[:, :half], axis=1)
-            b_s = np.sort(wins[:, half:], axis=1)
-            pooled = np.sort(wins, axis=1)
-            stats = np.empty(len(wins))
-            chunk = 4096  # bound the (chunk, window, half) bool tensor
-            for i in range(0, len(wins), chunk):
-                aa, bb, pp = a_s[i:i+chunk], b_s[i:i+chunk], pooled[i:i+chunk]
-                ca = (aa[:, None, :] <= pp[:, :, None]).sum(axis=2) / half
-                cb = (bb[:, None, :] <= pp[:, :, None]).sum(axis=2) / (window - half)
-                stats[i:i+chunk] = np.abs(ca - cb).max(axis=1)
+            order = np.argsort(wins, axis=1, kind="stable")
+            pooled = np.take_along_axis(wins, order, axis=1)
+            from_a = order < half
+            ca = np.cumsum(from_a, axis=1) / half
+            cb = np.cumsum(~from_a, axis=1) / (window - half)
+            diffs = np.abs(ca - cb)
+            run_end = np.ones(pooled.shape, dtype=bool)
+            run_end[:, :-1] = pooled[:, 1:] != pooled[:, :-1]
+            # non-run-end positions mask to 0.0, never the max (the final
+            # position is always a run end and reads |1-1| = 0)
+            stats = np.where(run_end, diffs, 0.0).max(axis=1)
         else:
             stats = np.array(
                 [
