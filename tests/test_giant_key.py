@@ -207,3 +207,47 @@ def test_behavior_windows_giant_user_complete(spark):
     )
     gaps = event_gaps(planted, min_gap_hours=24.0).collect()
     assert len(gaps) == 1 and gaps[0].user_id == 7
+
+
+def test_hot_digest_dedup_counts_partial_aggregate(spark):
+    """A degenerate hot digest (one text shared by most of the corpus —
+    empty/boilerplate docs at 100 TB) must flow through PARTIAL
+    aggregation + a skew-splittable join, never a count window that lands
+    the whole duplicate group in one window task (r11: exact_duplicates
+    and dedup_clusters' cluster_size both moved off the window). Pins
+    both the values and the plan shape."""
+    from beymani_spark.operators import dedup
+
+    n_hot, n_rest = 50_000, 500
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate boilerplate").alias("text")
+    )
+    rest = spark.range(n_rest).select(
+        (F.col("id") + n_hot).alias("doc_id"),
+        F.concat(F.lit("unique doc "), F.col("id").cast("string")).alias("text"),
+    )
+    nulls = spark.range(3).select(
+        (F.col("id") + n_hot + n_rest).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    df = hot.unionByName(rest).unionByName(nulls).repartition(32)
+
+    out = dedup.exact_duplicates(df, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "hot-digest count must not be a window"
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert len(rows) == n_hot + n_rest  # null-text rows drop, nothing else
+    assert rows[0] == n_hot and rows[n_hot] == 1
+
+    # cluster_size: one giant star cluster (everything pairs with doc 0)
+    pairs = spark.range(1, 2_000).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    members = spark.range(2_500).select(F.col("id").alias("doc_id"))
+    clusters = dedup.dedup_clusters(members, "doc_id", pairs)
+    cplan = clusters._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in cplan, "cluster_size must not be a window"
+    got = {r["doc_id"]: (r["cluster_rep"], r["cluster_size"]) for r in clusters.collect()}
+    assert got[0] == (0, 2_000) and got[1999] == (0, 2_000)
+    assert got[2_000] == (2_000, 1)  # singleton outside the pair graph
+    assert len(got) == 2_500
