@@ -838,39 +838,6 @@ def _jpg_canonical_codes(bits: Sequence[int], values: Sequence[int]):
     return codes
 
 
-class _BitWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.out.append(0x00)
-            self.nbits -= 8
-            self.acc &= (1 << self.nbits) - 1
-
-    def flush(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-fill per spec
-        return bytes(self.out)
-
-
-def _jpg_magnitude(v: int) -> tuple[int, int]:
-    """(size, amplitude bits) encoding of a DPCM/AC value (spec F.1.2.1):
-    negative values store as value - 1 in `size` low bits."""
-    if v == 0:
-        return 0, 0
-    size = int(abs(v)).bit_length()
-    return size, (v if v >= 0 else v + (1 << size) - 1)
-
-
 def jpg_encode(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     """Minimal baseline-JPEG ENCODER for grayscale rasters (fixture/ingest
     utility, the lossy companion of png_encode): level shift, 8x8
@@ -901,38 +868,89 @@ def jpg_encode(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     quants = np.rint(coefs / q).astype(np.int64)
     zz_all = quants[:, zz_r, zz_c]
 
-    bw = _BitWriter()
-    prev_dc = 0
+    # vectorized magnitude coding (spec F.1.2.1) for every coefficient at
+    # once: size = bit_length(|v|) via a power-of-two searchsorted (exact
+    # integer compares), amp = v + 2^size - 1 for negatives — the former
+    # per-coefficient _jpg_magnitude call was a measured encoder hot spot,
+    # as was the per-block generator scan for the last nonzero index
+    pow2 = np.left_shift(np.int64(1), np.arange(31, dtype=np.int64))
+    mags = np.abs(zz_all)
+    sizes_all = np.searchsorted(pow2, mags, side="right").astype(np.int64)
+    amps_all = np.where(
+        zz_all >= 0, zz_all, zz_all + np.left_shift(np.int64(1), sizes_all) - 1
+    )
+    dc = zz_all[:, 0]
+    ddc = np.empty_like(dc)
+    ddc[0] = dc[0]
+    ddc[1:] = dc[1:] - dc[:-1]
+    dsz = np.searchsorted(pow2, np.abs(ddc), side="right").astype(np.int64)
+    damp = np.where(ddc >= 0, ddc, ddc + np.left_shift(np.int64(1), dsz) - 1)
+    acnz = zz_all[:, 1:] != 0
+    last_nz_all = np.where(
+        acnz.any(axis=1), 63 - np.argmax(acnz[:, ::-1], axis=1), 0
+    )
+
+    # symbol tables as flat lists; bit accumulation inlined (the former
+    # per-symbol _BitWriter.write method call dominated the encoder)
+    dc_tab = [dc_codes.get(s, (0, 0)) for s in range(17)]
+    ac_tab = [ac_codes.get(s, (0, 0)) for s in range(256)]
+    zrl_c, zrl_l = ac_codes[0xF0]
+    eob_c, eob_l = ac_codes[0x00]
+    sizes_l = sizes_all.tolist()
+    amps_l = amps_all.tolist()
+    dsz_l = dsz.tolist()
+    damp_l = damp.tolist()
+    last_l = last_nz_all.tolist()
+    out = bytearray()
+    append = out.append
+    acc = 0
+    nbits = 0
     for bi in range(nby * nbx):
-            zz = zz_all[bi]
-            # DC
-            size, amp = _jpg_magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            code, length = dc_codes[size]
-            bw.write(code, length)
-            if size:
-                bw.write(amp, size)
-            # AC with (run, size) RLE + ZRL/EOB
+        size = dsz_l[bi]
+        code, length = dc_tab[size]
+        acc = (acc << (length + size)) | (code << size) | damp_l[bi]
+        nbits += length + size
+        row_sz = sizes_l[bi]
+        row_amp = amps_l[bi]
+        run = 0
+        for k in range(1, last_l[bi] + 1):
+            s = row_sz[k]
+            if s == 0:
+                run += 1
+                continue
+            while run > 15:
+                acc = (acc << zrl_l) | zrl_c
+                nbits += zrl_l
+                run -= 16
+            code, length = ac_tab[(run << 4) | s]
+            acc = (acc << (length + s)) | (code << s) | row_amp[k]
+            nbits += length + s
             run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k] != 0), default=0)
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size, amp = _jpg_magnitude(v)
-                code, length = ac_codes[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(amp, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
-    scan = bw.flush()
+            if nbits >= 512:
+                while nbits >= 8:
+                    nbits -= 8
+                    byte = (acc >> nbits) & 0xFF
+                    append(byte)
+                    if byte == 0xFF:  # byte stuffing
+                        append(0x00)
+                acc &= (1 << nbits) - 1
+        if last_l[bi] < 63:
+            acc = (acc << eob_l) | eob_c
+            nbits += eob_l
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            append(byte)
+            if byte == 0xFF:  # byte stuffing
+                append(0x00)
+        acc &= (1 << nbits) - 1
+    if nbits:
+        pad = 8 - nbits
+        byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF  # 1-fill per spec
+        append(byte)
+        if byte == 0xFF:
+            append(0x00)
+    scan = bytes(out)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
