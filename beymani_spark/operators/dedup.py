@@ -343,7 +343,7 @@ def minhash_lsh_pairs(
     return caching.pin(verified.select("src", "dst", "jaccard"), sh, exploded)
 
 
-def dedup_clusters(
+def _cluster_labels(
     df: DataFrame,
     id_col: str,
     pairs: DataFrame,
@@ -352,11 +352,12 @@ def dedup_clusters(
     max_iter: int = 25,
     local_threshold: int = 1_000_000,
     stats: dict | None = None,
-) -> DataFrame:
-    """Group near-dup pairs into connected components and assign every doc a
-    canonical representative: (id_col, cluster_rep, cluster_size), where
-    cluster_rep is the minimum id reachable through the pair graph (docs in
-    no pair are singletons representing themselves).
+) -> tuple[DataFrame, int]:
+    """Shared labeling core of the cluster consumers: returns
+    ((id_col, _rep) with _rep NULL for docs in no pair, n_pairs). The
+    keep-one/keep-best/histogram consumers need only the labels — the
+    per-cluster size attach lives in :func:`dedup_clusters` so they don't
+    pay its aggregate+join.
 
     Hybrid execution keyed on |pairs| — the VERIFIED near-dup pair set,
     which is orders of magnitude smaller than the corpus (it is the sparse
@@ -492,27 +493,44 @@ def dedup_clusters(
             stats["rounds"] = rounds
         comp = labels.select(F.col("a").alias("_cid"), F.col("lbl").alias("_rep"))
         edges.unpersist()
-    # cluster_size from the SPARSE node->rep mapping, not a fact-sized
-    # window: ``count over Window.partitionBy(cluster_rep)`` shuffles the
-    # whole frame by rep and lands each cluster in one window task — a
-    # degenerate giant cluster (every empty doc) becomes an unsplittable
-    # straggler. Instead: rows that matched comp carry a real _rep; their
-    # per-rep counts aggregate over the comp-matched rows only (bounded
-    # by |pair nodes| — near-dup-proportional, broadcastable), and every
-    # unmatched row is definitionally a singleton of size 1. The fact
-    # frame never shuffles: both the comp attach and the sizes attach are
-    # broadcast-sized joins (AQE skew-splits them if a rep is ever hot).
+    # attach labels with a broadcast-sized join (AQE skew-splits it if a
+    # rep is ever hot in distributed mode); _rep stays NULL for docs in
+    # no pair so consumers can split singletons without a second pass
     labeled = df.select(F.col(id_col)).join(
         F.broadcast(comp) if n_pairs <= local_threshold else comp,
         F.col(id_col) == F.col("_cid"),
         "left",
     ).select(id_col, F.col("_rep"))
+    edges_df.unpersist()
+    return labeled, n_pairs
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    local_threshold: int = 1_000_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Group near-dup pairs into connected components and assign every doc
+    a canonical representative: (id_col, cluster_rep, cluster_size), where
+    cluster_rep is the minimum id reachable through the pair graph (docs
+    in no pair are singletons representing themselves). Labeling strategy
+    and knobs: :func:`_cluster_labels`."""
+    labeled, n_pairs = _cluster_labels(
+        df, id_col, pairs, src, dst, max_iter, local_threshold, stats
+    )
     matched = labeled.filter(F.col("_rep").isNotNull())
     sizes = matched.groupBy("_rep").agg(F.count(F.lit(1)).alias("_csize"))
-    # singletons never enter the sizes join (their _rep is null and would
-    # otherwise all shuffle into one null-key partition); they are
-    # definitionally size 1 and union back as a scan-side branch
-    out = (
+    # cluster_size from the SPARSE matched set, never a fact-sized window
+    # (a degenerate giant cluster would land in one unsplittable window
+    # task); singletons never enter the sizes join (their _rep is null
+    # and would otherwise all shuffle into one null-key partition) — they
+    # are definitionally size 1 and union back as a scan-side branch
+    return (
         matched.join(
             F.broadcast(sizes) if n_pairs <= local_threshold else sizes, "_rep"
         )
@@ -529,8 +547,6 @@ def dedup_clusters(
             )
         )
     )
-    edges_df.unpersist()
-    return out
 
 
 def dedup_corpus(
@@ -544,8 +560,13 @@ def dedup_corpus(
     representative (min id). The anti-join complement of dedup_clusters —
     this is the operator a training pipeline runs to materialize the deduped
     dataset."""
-    clusters = dedup_clusters(df, id_col, pairs, src, dst)
-    keep = clusters.filter(F.col(id_col) == F.col("cluster_rep")).select(id_col)
+    # labels only — the keep-set never reads cluster_size, so skip
+    # dedup_clusters' size aggregate+join: a doc survives iff it is a
+    # singleton (_rep null) or its own representative
+    labeled, _ = _cluster_labels(df, id_col, pairs, src, dst)
+    keep = labeled.filter(
+        F.col("_rep").isNull() | (F.col(id_col) == F.col("_rep"))
+    ).select(id_col)
     return df.join(keep, id_col)
 
 
@@ -574,7 +595,11 @@ def dedup_corpus_best(
     keep-set joins back as an equi-join; cluster labels come from
     ``dedup_clusters`` (same pair graph, same O(log n) propagation
     bound)."""
-    clusters = dedup_clusters(df, id_col, pairs, src, dst)
+    # labels only — selection never reads cluster_size (see dedup_corpus)
+    labeled, _ = _cluster_labels(df, id_col, pairs, src, dst)
+    clusters = labeled.select(
+        id_col, F.coalesce(F.col("_rep"), F.col(id_col)).alias("cluster_rep")
+    )
     scored = clusters.join(df.select(id_col, score_col), id_col)
     order = F.struct(
         F.col(score_col).isNotNull().cast("int").alias("_scored"),
@@ -1366,10 +1391,15 @@ def dedup_stats(
     appear as cluster_size = 1; the duplicate mass of the corpus is
     1 - sum(n_clusters)/sum(n_docs), readable straight off the result.
 
-    Scale shape: everything after dedup_clusters is two tiny partial-agg
+    Scale shape: everything after the labeling is two tiny partial-agg
     groupBys (per-rep sizes, then the size histogram over |clusters|
-    rows) — the histogram frame is at most |distinct sizes| rows."""
-    clusters = dedup_clusters(df, id_col, pairs, src, dst)
+    rows) — the histogram frame is at most |distinct sizes| rows. Labels
+    only (dedup_clusters' per-row cluster_size would be recomputed here
+    anyway)."""
+    labeled, _ = _cluster_labels(df, id_col, pairs, src, dst)
+    clusters = labeled.select(
+        F.coalesce(F.col("_rep"), F.col(id_col)).alias("cluster_rep")
+    )
     sizes = clusters.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
     return (
         sizes.groupBy("cluster_size")

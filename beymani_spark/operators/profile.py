@@ -1055,21 +1055,30 @@ def finite_audit(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """
     if not cols:
         raise ValueError("finite_audit needs at least one column")
+    # sums coalesce to 0 so an EMPTY frame audits as all-zero counts like
+    # the count() columns do (SUM over zero rows is NULL; a gated-empty
+    # frame otherwise reported NULL n_nan/n_±inf — caught by a hypothesis
+    # draw in test_finite_gate_partitions_and_audit_agrees). Non-empty
+    # inputs are value-identical, so the declared query is unchanged.
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         col = F.col(c).cast("double")
         aggs.append(F.count(col).alias(f"_nn_{c}"))
         aggs.append(
-            F.sum(F.when(F.isnan(col), 1).otherwise(0)).alias(f"_nan_{c}")
+            F.coalesce(
+                F.sum(F.when(F.isnan(col), 1).otherwise(0)), F.lit(0)
+            ).alias(f"_nan_{c}")
         )
         aggs.append(
-            F.sum(
-                F.when(col == F.lit(float("inf")), 1).otherwise(0)
+            F.coalesce(
+                F.sum(F.when(col == F.lit(float("inf")), 1).otherwise(0)),
+                F.lit(0),
             ).alias(f"_pi_{c}")
         )
         aggs.append(
-            F.sum(
-                F.when(col == F.lit(float("-inf")), 1).otherwise(0)
+            F.coalesce(
+                F.sum(F.when(col == F.lit(float("-inf")), 1).otherwise(0)),
+                F.lit(0),
             ).alias(f"_ni_{c}")
         )
     row = df.agg(*aggs)
