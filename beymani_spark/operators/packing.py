@@ -164,9 +164,10 @@ def pack_sequences(
     Scale shape: the global offset is a DISTRIBUTED prefix sum — project
     to (id, n) first so only two longs per doc move, range-partition by
     id, run the running total per partition, then add each partition's
-    starting offset via a broadcast of the per-partition totals (a
-    ``partitions``-row frame). Two narrow exchanges, no single-partition
-    stage; a global-order window (``Window.orderBy(id)`` with no
+    starting offset from the driver-collected per-partition totals
+    (``partitions`` longs inlined as an element_at literal). ONE narrow
+    exchange, no single-partition stage, no join; a global-order window
+    (``Window.orderBy(id)`` with no
     partitionBy) would compute the same numbers through ONE task and is
     deliberately avoided. All arithmetic is integer, so the manifest is
     engine-exact.
@@ -266,9 +267,9 @@ def shuffle_plan(
 
     Scale shape: the same distributed prefix-sum engine as
     pack_sequences — range-partition the (id, key) projection by key,
-    row_number within each range partition, add broadcast per-partition
-    base offsets (a |partitions|-row frame). Two narrow exchanges, no
-    single-partition stage; ``Window.orderBy(key)`` with no partitionBy
+    row_number within each range partition, add the driver-collected
+    per-partition base offsets (an element_at literal). ONE narrow
+    exchange, no single-partition stage, no join; ``Window.orderBy(key)`` with no partitionBy
     would compute the same positions through ONE task and is
     deliberately avoided."""
     from .sampling import hash_uniform
@@ -317,8 +318,10 @@ def curriculum_plan(
     projections (the shuffle_plan / pack_sequences ``_ranged_prefix``
     engine) — one over (-score, id) for the exact global quality rank,
     one over (stage, shuffle_key, id) for the position. Each is one
-    range exchange plus a broadcast |partitions|-row offsets frame;
-    never a single-task global window. stage = floor(rank * n_stages /
+    range exchange with driver-collected base offsets (element_at
+    literals); stage boundaries are the K-1 closed-form-rank rows
+    fetched from the pass-1 cache, so pass 2 never re-runs pass 1's
+    window; never a single-task global window. stage = floor(rank * n_stages /
     N) is pure integer arithmetic — engine-exact at any corpus size."""
     from .sampling import hash_uniform
 

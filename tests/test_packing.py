@@ -520,3 +520,15 @@ def test_curriculum_plan_avoids_global_window(spark):
     assert plan.count("Exchange SinglePartition") == 0
     assert "BroadcastHashJoin" not in plan
     assert "element_at" in plan
+
+
+def test_curriculum_plan_fewer_docs_than_stages(spark):
+    """N < n_stages: boundary ranks coincide/overflow — empty stages must
+    stay empty and stage ids still follow floor(rank*K/N) exactly (the
+    r11 closed-form boundary rewrite's edge case)."""
+    df = spark.createDataFrame([(1, 9.0), (2, 1.0)], "doc_id long, q double")
+    out = {r.doc_id: (r.stage, r.curriculum_pos) for r in
+           packing.curriculum_plan(df, "doc_id", "q", n_stages=4).collect()}
+    # rank 0 = doc 1 (higher q): stage (0*4)//2 = 0; rank 1 = doc 2:
+    # stage (1*4)//2 = 2; positions walk stages in order
+    assert out == {1: (0, 0), 2: (2, 1)}
